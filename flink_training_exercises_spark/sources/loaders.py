@@ -1,0 +1,152 @@
+"""Batch sources (SURVEY.md §2.1).
+
+S1 (file half)  read_taxi_rides_csv -- the reference's gzipped CSV TaxiRide
+                format (TaxiRide.java:92-130): Spark decompresses .gz
+                transparently; the *replay pacing* half of S1 lives in
+                streaming/replay.py.
+S3/S5           read_mail_records -- multi-char record delimiter '##//##' and
+                field delimiter '#|#' (MBoxParser.java:56-57) via the Hadoop
+                textinputformat.record.delimiter conf; a scan this exotic is
+                the one place an RDD hop is warranted, and it converts to a
+                DataFrame immediately.
+S4              read_edge_list -- tab-separated (src, dst, weight)
+                (PageRankWithEdgeWeights.java:70-74).
+Testdata        load_table / load_tables over /root/testdata parquet.
+
+All loaders return DataFrames with explicit schemas -- no runtime inference,
+so plans are stable and parquet scans prune/push down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import MAIL, TAXI_RIDE
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver testdata stores TIMESTAMP(NANOS) parquet, which Spark reads only
+# as LONG via the legacy conf; these get normalized back to microsecond
+# TimestampType (truncation -- the same thing DuckDB does reading nanos).
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """One driver testdata table (TESTDATA.md)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer div -- double division would lose precision at 1e18 ns
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, names, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in names}
+
+
+def read_taxi_rides_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Parse the reference's TaxiRide CSV line format.
+
+    Line: rideId,START|END,time,time,startLon,startLat,endLon,endLat,pCnt
+    Quirks preserved from TaxiRide.java:92-130:
+      * END rows carry (endTime, startTime) -- the two times are SWAPPED
+        relative to START rows (TaxiRide.java:76-82).
+      * blank lon/lat parse to 0.0f (TaxiRide.java:119-122).
+      * times are 'yyyy-MM-dd HH:mm:ss' UTC (TaxiRide.java:42-43).
+
+    .gz inputs decompress transparently; for large fleets prefer converting
+    once to parquet (partitioned by date) so scans prune.
+    """
+    raw = spark.read.csv(
+        path,
+        schema="rideId LONG, kind STRING, t1 STRING, t2 STRING, "
+        "lon1 STRING, lat1 STRING, lon2 STRING, lat2 STRING, passengerCnt SHORT",
+    )
+    is_start = F.col("kind") == F.lit("START")
+    ts1 = F.to_timestamp("t1", "yyyy-MM-dd HH:mm:ss")
+    ts2 = F.to_timestamp("t2", "yyyy-MM-dd HH:mm:ss")
+
+    def coord(c: str):  # blank -> 0.0f
+        col = F.col(c)
+        return (
+            F.when(col.isNull() | (F.trim(col) == ""), F.lit(0.0))
+            .otherwise(col.cast("float"))
+            .cast("float")
+        )
+
+    return raw.select(
+        F.col("rideId"),
+        is_start.alias("isStart"),
+        # START rows print (startTime, endTime); END rows print them swapped.
+        F.when(is_start, ts1).otherwise(ts2).alias("startTime"),
+        F.when(is_start, ts2).otherwise(ts1).alias("endTime"),
+        coord("lon1").alias("startLon"),
+        coord("lat1").alias("startLat"),
+        coord("lon2").alias("endLon"),
+        coord("lat2").alias("endLat"),
+        F.col("passengerCnt"),
+    )
+
+
+def taxi_ride_to_csv_line(df: DataFrame) -> DataFrame:
+    """Inverse of read_taxi_rides_csv: one STRING column ``value`` per ride,
+    the exact TaxiRide.toString() wire format (TaxiRide.java:72-90) used by
+    the Kafka ser/deser pair (TaxiRideSchema.java:28-49)."""
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    is_start = F.col("isStart")
+    t_first = F.when(is_start, F.col("startTime")).otherwise(F.col("endTime"))
+    t_second = F.when(is_start, F.col("endTime")).otherwise(F.col("startTime"))
+    return df.select(
+        F.concat_ws(
+            ",",
+            F.col("rideId").cast("string"),
+            F.when(is_start, F.lit("START")).otherwise(F.lit("END")),
+            F.date_format(t_first, fmt),
+            F.date_format(t_second, fmt),
+            F.col("startLon").cast("string"),
+            F.col("startLat").cast("string"),
+            F.col("endLon").cast("string"),
+            F.col("endLat").cast("string"),
+            F.col("passengerCnt").cast("string"),
+        ).alias("value")
+    )
+
+
+def read_mail_records(spark: SparkSession, path: str) -> DataFrame:
+    """Mail-archive records: fields joined by '#|#', records by '##//##'
+    (MBoxParser.java:56-57; scans at MailCount.java:49-54 etc.).
+
+    Spark's CSV reader handles the multi-char *field* delimiter, but record
+    delimiters are line-based, so the record split uses the Hadoop input
+    format conf -- the same trick the reference's DelimitedInputFormat plays
+    (MBoxParser.java:91-115). Immediately lifted to a DataFrame so everything
+    downstream is Catalyst-visible.
+    """
+    conf = {"textinputformat.record.delimiter": "##//##"}
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf=conf,
+    ).map(lambda kv: (kv[1],))
+    raw = spark.createDataFrame(rdd, "value STRING")
+    parts = F.split(F.regexp_replace(F.col("value"), r"^\s+|\s+$", ""), r"#\|#")
+    df = raw.where(F.trim("value") != "").select(
+        *[parts.getItem(i).alias(MAIL.fields[i].name) for i in range(len(MAIL.fields))]
+    )
+    return df
+
+
+def read_edge_list(spark: SparkSession, path: str) -> DataFrame:
+    """Tab-separated weighted edge list (PageRankWithEdgeWeights.java:70-74)."""
+    return spark.read.csv(path, sep="\t", schema="src STRING, dst STRING, weight DOUBLE")

@@ -1,0 +1,120 @@
+"""Local differential harness -- mimics the driver's correctness gate.
+
+For every catalog query: run the Spark builder and the DuckDB oracle at the
+given sf_dir, then compare row count, column names, and order-insensitive
+values (exact match; float mismatches are reported with max abs diff so
+determinism bugs are visible immediately).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_training_exercises_spark.plans.catalog import CATALOG, entry_query  # noqa: E402
+from flink_training_exercises_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from flink_training_exercises_spark.session import get_spark  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if problems:
+        return problems
+    s, o = canon(sdf), canon(odf)
+    for c in s.columns:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+            sv64 = sv.astype(np.float64)
+            ov64 = ov.astype(np.float64)
+            both_nan = np.isnan(sv64) & np.isnan(ov64)
+            exact = np.where(both_nan, True, sv64 == ov64)
+            if not exact.all():
+                bad = ~exact
+                problems.append(
+                    f"col {c}: {bad.sum()}/{len(sv)} float mismatches, "
+                    f"max|diff|={np.nanmax(np.abs(sv64 - ov64)):.3e}"
+                )
+        else:
+            eq = (pd.Series(sv).astype(str) == pd.Series(ov).astype(str)).to_numpy()
+            if not eq.all():
+                i = int(np.argmax(~eq))
+                problems.append(
+                    f"col {c}: {(~eq).sum()}/{len(sv)} mismatches, first at row {i}: "
+                    f"spark={sv[i]!r} oracle={ov[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    con = duck_con(sf_dir)
+
+    e = entry_query(spark, "/root/testdata/sf0.001")
+    n = e.count()
+    print(f"entry: {n} rows {'OK' if n > 0 else 'EMPTY -- FIX'}")
+
+    failures = 0
+    for name, spec in CATALOG.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.spark(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {type(ex).__name__}: {str(ex)[:300]}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle -- rows-only check)")
+            if len(sdf) == 0:
+                print(f"      WARNING: {name} returned 0 rows")
+            continue
+        try:
+            odf = con.execute(spec.oracle).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle raised {type(ex).__name__}: {str(ex)[:300]}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"OK    {name}: {len(sdf)} rows match")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
