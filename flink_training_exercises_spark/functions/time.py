@@ -10,12 +10,24 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def ntz_epoch() -> Column:
+    """TIMESTAMP_NTZ '1970-01-01 00:00:00' (lazy: F.expr needs a session)."""
+    return F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+
+
+def epoch_ms(ts) -> Column:
+    """Epoch milliseconds of a TIMESTAMP_NTZ column -- bit-identical to
+    DuckDB's ``epoch_ms(ts)`` on naive timestamps, independent of the
+    Spark session timezone (unlike ``unix_millis`` on LTZ timestamps)."""
+    return F.timestamp_diff("MILLISECOND", ntz_epoch(), _c(ts))
+
+
 def travel_time_minutes(start_ts, end_ts) -> Column:
     """F12 -- (endTime - startTime) / 60000.0 in minutes
     (TravelTimePrediction.java:143)."""
-    return (
-        F.unix_millis(_c(end_ts)) - F.unix_millis(_c(start_ts))
-    ).cast("double") / F.lit(60000.0)
+    return F.timestamp_diff("MILLISECOND", _c(start_ts), _c(end_ts)).cast("double") / F.lit(
+        60000.0
+    )
 
 
 def event_time(is_start, start_ts, end_ts) -> Column:

@@ -1,0 +1,122 @@
+"""Batch relational operators (SURVEY.md §2.2-2.4).
+
+Each reference exercise becomes a composable DataFrame builder. Everything is
+Column expressions -- Catalyst gets the whole plan, so partial aggregation,
+filter pushdown, and join-strategy selection are automatic (SURVEY.md §4):
+the reference's hand-written groupReduce UDFs (MailCount.java:86-107) were
+*not* combinable; ``groupBy().count()`` is -- a genuine scale win.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import email_address, month_key, tokenize_words
+
+# P3 -- bot addresses (ReplyGraph.java:61-62; MemberOTMonth.java:68-70).
+BOT_ADDRESSES = ("git@git.apache.org", "jira@apache.org", "no-reply@apache.org")
+
+
+def mail_count(mails: DataFrame) -> DataFrame:
+    """A1/P6 -- mails per (month, email address) (MailCount.java:49-107)."""
+    return (
+        mails.select(
+            month_key("time").alias("month"),
+            email_address("sender").alias("email"),
+        )
+        .groupBy("month", "email")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def member_of_the_month(
+    mails: DataFrame, bots=BOT_ADDRESSES, strategy: str = "window"
+) -> DataFrame:
+    """A5/A6/J3/P3 -- per month, the sender(s) with the most mails, bots
+    excluded; ties produce multiple rows (MemberOTMonth.java:48-81).
+
+    strategy='window' (default): max(cnt) over a month partition + filter --
+    one shuffle, the idiomatic Spark plan. strategy='join' reproduces the
+    reference's shape literally: per-month max aggregated then equi-joined
+    back on (month, cnt). Both keep tie semantics (rank-style, not
+    row_number -- SURVEY.md §7 watch list).
+    """
+    counts = (
+        mails.select(
+            month_key("time").alias("month"),
+            email_address("sender").alias("sender"),
+        )
+        .where(~F.col("sender").isin(*bots))
+        .groupBy("month", "sender")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if strategy == "window":
+        w = Window.partitionBy("month")
+        return (
+            counts.withColumn("max_cnt", F.max("cnt").over(w))
+            .where(F.col("cnt") == F.col("max_cnt"))
+            .select("month", "sender")
+        )
+    c = counts.alias("c")
+    m = counts.groupBy("month").agg(F.max("cnt").alias("max_cnt")).alias("m")
+    return c.join(
+        m, (F.col("c.month") == F.col("m.month")) & (F.col("c.cnt") == F.col("m.max_cnt"))
+    ).select(F.col("c.month").alias("month"), F.col("c.sender").alias("sender"))
+
+
+def reply_graph(mails: DataFrame, bots=BOT_ADDRESSES) -> DataFrame:
+    """J2/A2/P3/P7 -- reply connections: self-join replies to their original
+    mails on reply_to == message_id, count per (replier, original sender)
+    (ReplyGraph.java:50-71).
+
+    The 'null' replyTo sentinel (MBoxParser.java:150) never matches a real
+    message_id, so no explicit filter is needed -- same as the reference.
+    """
+    addressed = mails.select(
+        F.col("message_id"),
+        email_address("sender").alias("sender"),
+        F.col("reply_to"),
+    ).where(~email_address("sender").isin(*bots))
+    replies = addressed.alias("r")
+    originals = addressed.alias("o")
+    return (
+        replies.join(originals, F.col("r.reply_to") == F.col("o.message_id"))
+        .select(F.col("r.sender").alias("from_email"), F.col("o.sender").alias("to_email"))
+        .groupBy("from_email", "to_email")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """P9/P10/A3/A4/J1/F13 -- the reference's (nonstandard, no-log) TF-IDF:
+    tfidf = tf * (N / df) (MailTFIDF.java:63-96,214-233).
+
+    Spark-first shape: one tokenize + explode feeds BOTH aggregates (tf per
+    (doc, word); df per word = distinct docs containing it), instead of the
+    reference's two separate flatMap passes over the corpus. N arrives via a
+    broadcast 1-row cross join, keeping the plan fully lazy -- the reference
+    runs an eager count() job and embeds the scalar (MailTFIDF.java:73-74).
+    The word->df join is a broadcast join at any realistic vocabulary size.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokenize_words(text_col)).alias("word"),
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        words.select(id_col, "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("word"),
+            (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )

