@@ -27,8 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import STOP_WORDS
-from ..operators import relational, windows
+from ..operators import graph, relational, stateful, windows
 from ..sources import load_table
+from . import graphs as graphs_plan
 from . import mails as mails_plan
 from . import rides as rides_plan
 
@@ -280,6 +281,80 @@ FROM tf JOIN df USING (word) CROSS JOIN n
 )
 def q_mail_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.tf_idf(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank (SURVEY §2 G1-G4) on the derived edges view.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pagerank_weighted",
+    oracle=graphs_plan.pagerank_oracle(damping=0.85, iterations=10),
+    doc="G1-G4: fixed-iteration weighted PageRank, exact integer mode "
+    "(PageRankWithEdgeWeights.java:77-104; Java semantics).",
+    bench=True,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graphs_plan.edges_view(spark, sf_dir)
+    return graph.weighted_pagerank(edges, damping=0.85, iterations=10, exact=True)
+
+
+# ---------------------------------------------------------------------------
+# Travel-time prediction (SURVEY §2 W5/F5/F6/F9/F12) -- batch forms.
+# Both implementations share one oracle; results are bit-identical.
+# ---------------------------------------------------------------------------
+
+_TT_ORACLE = f"""
+WITH rides AS ({_RIDES}),
+feat AS (
+  SELECT ride_id, is_start, epoch_ms(ts) AS ev_ms,
+         CAST(FLOOR((74.05e0 - abs(end_lon)) / 1.4e-3) AS INT)
+           + CAST(FLOOR((41.0e0 - end_lat) / 1.25e-3) AS INT) * 250 AS cell,
+         CAST(FLOOR((FLOOR(DEGREES(ATAN2(end_lat - start_lat,
+              (end_lon - start_lon) * COS(start_lat)))) + 179) / 45) AS INT) AS bucket,
+         CAST(FLOOR(110.25e0 * SQRT((start_lat - end_lat) * (start_lat - end_lat)
+              + ((start_lon - end_lon) * COS(end_lat)) * ((start_lon - end_lon) * COS(end_lat)))
+              * 1e3) AS BIGINT) AS x_m,
+         epoch_ms(end_time) - epoch_ms(start_time) AS y_ms
+  FROM rides
+  WHERE {_NYC_PRED}
+),
+scored AS (
+  SELECT ride_id, is_start, x_m,
+         sum(CASE WHEN NOT is_start THEN x_m * x_m END) OVER w AS sxx,
+         sum(CASE WHEN NOT is_start THEN x_m * y_ms END) OVER w AS sxy
+  FROM feat
+  WINDOW w AS (PARTITION BY cell, bucket ORDER BY ev_ms, ride_id, is_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT ride_id,
+       CASE WHEN sxx IS NULL OR sxx = 0 THEN -1
+            ELSE CAST(FLOOR((CAST(sxy AS DOUBLE) / sxx) * x_m / 6e4) AS INT)
+       END AS predicted_minutes
+FROM scored WHERE is_start
+"""
+
+
+@register(
+    "travel_time_prediction",
+    oracle=_TT_ORACLE,
+    doc="W5: per-destination-cell no-intercept regression, window-expression "
+    "form (TravelTimePrediction.java:76-164).",
+    bench=True,
+)
+def q_travel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful.travel_time_window(rides_plan.rides_view(spark, sf_dir))
+
+
+@register(
+    "travel_time_prediction_stateful",
+    oracle=_TT_ORACLE,
+    doc="W5: same semantics via per-key applyInPandas state (the batch twin "
+    "of the streaming stateful operator).",
+)
+def q_travel_time_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful.travel_time_stateful(rides_plan.rides_view(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,59 @@
+"""Derived weighted edge list over the driver's ``events`` table
+(FIXTURES.md §3 shape: src, dst, weight) plus the unrolled-SQL PageRank
+oracle.
+
+Every vertex is guaranteed >= 1 out-edge (each user emits edges) and the dst
+offset 1 + event_id % 19 is never 0 mod 20, so src != dst; with thousands of
+events all 20 vertices also have in-edges -- satisfying the reference's
+PageRank precondition (PageRankWithEdgeWeights.java:38-41). Parallel edges
+are pre-summed (same PageRank semantics, one row per edge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.graph import RANK_SCALE
+from .rides import register_events
+
+EDGES_SQL = """
+SELECT src, dst, SUM(w) AS weight FROM (
+  SELECT 'v' || CAST(user_id % 20 AS STRING) AS src,
+         'v' || CAST((user_id + 1 + event_id % 19) % 20 AS STRING) AS dst,
+         CAST(1 + event_id % 10 AS BIGINT) AS w
+  FROM {events}
+) GROUP BY src, dst
+"""
+
+
+def edges_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(EDGES_SQL.format(events=register_events(spark, sf_dir)))
+
+
+def pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
+    """Exact-mode PageRank unrolled as chained CTEs (DuckDB has recursive
+    CTEs, but a fixed-iteration unroll is portable and trivially correct)."""
+    d100 = int(round(damping * 100))
+    base = (100 - d100) * (RANK_SCALE // 100)
+    edges = EDGES_SQL.format(events="events")
+    parts = [
+        f"WITH edges AS ({edges})",
+        "verts AS (SELECT DISTINCT vertex FROM "
+        "(SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges))",
+        "trans AS (SELECT e.src, e.dst, e.weight AS w, o.out_sum FROM edges e "
+        "JOIN (SELECT src, SUM(weight) AS out_sum FROM edges GROUP BY src) o USING (src))",
+        f"r0 AS (SELECT vertex, CAST({RANK_SCALE} AS BIGINT) AS r FROM verts)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS (SELECT v.vertex, "
+            f"CAST({base} + ({d100} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM verts v LEFT JOIN ("
+            f"SELECT t.dst AS vertex, SUM((p.r * t.w) // t.out_sum) AS s "
+            f"FROM trans t JOIN r{i} p ON t.src = p.vertex GROUP BY t.dst"
+            f") c USING (vertex))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vertex, CAST(r AS DOUBLE) / {RANK_SCALE:e} AS rank FROM r{iterations}"
+    )

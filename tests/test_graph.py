@@ -1,0 +1,73 @@
+"""Weighted PageRank on a hand-computed triangle graph."""
+
+import pytest
+
+from flink_training_exercises_spark.operators.graph import (
+    out_weight_sums,
+    transition_probabilities,
+    weighted_pagerank,
+)
+
+EDGES = [
+    ("a", "b", 1.0),
+    ("a", "c", 3.0),
+    ("b", "c", 1.0),
+    ("c", "a", 1.0),
+]
+
+
+def _edges(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string, weight double")
+
+
+def test_out_weight_sums(spark):
+    # A9 Java semantics: SUM of out-weights, not first-edge-value
+    # (the Scala twin's divergence is not reproduced -- SURVEY.md §2.4).
+    got = {r["src"]: r["out_sum"] for r in out_weight_sums(_edges(spark)).collect()}
+    assert got == {"a": 4.0, "b": 1.0, "c": 1.0}
+
+
+def test_transition_probabilities(spark):
+    got = {
+        (r["src"], r["dst"]): r["prob"]
+        for r in transition_probabilities(_edges(spark)).collect()
+    }
+    assert got[("a", "b")] == 0.25
+    assert got[("a", "c")] == 0.75
+    assert got[("c", "a")] == 1.0
+
+
+def _expected_ranks(iters, d=0.85):
+    ranks = {"a": 1.0, "b": 1.0, "c": 1.0}
+    probs = {("a", "b"): 0.25, ("a", "c"): 0.75, ("b", "c"): 1.0, ("c", "a"): 1.0}
+    for _ in range(iters):
+        new = {}
+        for v in ranks:
+            s = sum(ranks[s_] * p for (s_, t), p in probs.items() if t == v)
+            new[v] = (1 - d) + d * s
+        ranks = new
+    return ranks
+
+
+@pytest.mark.parametrize("iters", [1, 3, 10])
+def test_pagerank_float_matches_reference_recurrence(spark, iters):
+    got = {
+        r["vertex"]: r["rank"]
+        for r in weighted_pagerank(_edges(spark), iterations=iters).collect()
+    }
+    want = _expected_ranks(iters)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_exact_mode_close_to_float(spark):
+    f = {
+        r["vertex"]: r["rank"]
+        for r in weighted_pagerank(_edges(spark), iterations=5).collect()
+    }
+    e = {
+        r["vertex"]: r["rank"]
+        for r in weighted_pagerank(_edges(spark), iterations=5, exact=True).collect()
+    }
+    for v in f:
+        assert e[v] == pytest.approx(f[v], abs=1e-6)

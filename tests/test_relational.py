@@ -1,0 +1,83 @@
+"""Hand-computed fixtures for the batch relational operators."""
+
+from flink_training_exercises_spark.operators.relational import (
+    mail_count,
+    member_of_the_month,
+    reply_graph,
+    tf_idf,
+)
+
+MAIL_SCHEMA = (
+    "message_id string, time string, sender string, subject string, "
+    "body string, reply_to string"
+)
+
+
+def _mails(spark, rows):
+    return spark.createDataFrame(rows, MAIL_SCHEMA)
+
+
+def _mail(mid, t, sender, reply_to="null"):
+    return (mid, t, sender, "s", "b", reply_to)
+
+
+def test_mail_count(spark):
+    df = _mails(
+        spark,
+        [
+            _mail("m1", "2014-09-01-00:00:00", "A <a@x>"),
+            _mail("m2", "2014-09-02-00:00:00", "A <a@x>"),
+            _mail("m3", "2014-10-01-00:00:00", "A <a@x>"),
+            _mail("m4", "2014-09-03-00:00:00", "B <b@x>"),
+        ],
+    )
+    got = {(r["month"], r["email"]): r["cnt"] for r in mail_count(df).collect()}
+    assert got == {("2014-09", "a@x"): 2, ("2014-10", "a@x"): 1, ("2014-09", "b@x"): 1}
+
+
+def test_member_of_the_month_ties_and_bots(spark):
+    rows = [
+        _mail("m1", "2014-09-01-00:00:00", "A <a@x>"),
+        _mail("m2", "2014-09-02-00:00:00", "A <a@x>"),
+        _mail("m3", "2014-09-03-00:00:00", "B <b@x>"),
+        _mail("m4", "2014-09-04-00:00:00", "B <b@x>"),
+        _mail("m5", "2014-09-05-00:00:00", "C <c@x>"),
+        # bot with 10 mails must not win (MemberOTMonth.java:68-70)
+        *[_mail(f"g{i}", "2014-09-06-00:00:00", "G <git@git.apache.org>") for i in range(10)],
+    ]
+    df = _mails(spark, rows)
+    for strategy in ("window", "join"):
+        got = {
+            (r["month"], r["sender"])
+            for r in member_of_the_month(df, strategy=strategy).collect()
+        }
+        # ties produce multiple rows (J3 -- SURVEY.md §7 watch list)
+        assert got == {("2014-09", "a@x"), ("2014-09", "b@x")}, strategy
+
+
+def test_reply_graph(spark):
+    df = _mails(
+        spark,
+        [
+            _mail("m1", "t", "A <a@x>"),
+            _mail("m2", "t", "B <b@x>", reply_to="m1"),
+            _mail("m3", "t", "B <b@x>", reply_to="m1"),
+            _mail("m4", "t", "A <a@x>", reply_to="m2"),
+            _mail("m5", "t", "G <git@git.apache.org>", reply_to="m1"),  # bot dropped
+            _mail("m6", "t", "C <c@x>", reply_to="null"),  # sentinel never joins
+        ],
+    )
+    got = {(r["from_email"], r["to_email"]): r["cnt"] for r in reply_graph(df).collect()}
+    assert got == {("b@x", "a@x"): 2, ("a@x", "b@x"): 1}
+
+
+def test_tf_idf_no_log(spark):
+    # 2 docs; 'alpha' in both (df=2), 'beta' twice in doc1 only (df=1).
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["word"]): r["tfidf"] for r in tf_idf(docs).collect()}
+    # tfidf = tf * (N / df), NO logarithm (MailTFIDF.java:230)
+    assert got[(1, "beta")] == 2 * (2.0 / 1)
+    assert got[(1, "alpha")] == 1 * (2.0 / 2)
+    assert got[(2, "gamma")] == 1 * (2.0 / 1)
