@@ -1,0 +1,391 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's surface -- these are the operations a 100 TB
+corpus pipeline needs on top of it (task brief): exact dedup, MinHash+LSH,
+SimHash, and n-gram Jaccard similarity join. Each operator ships with a
+DuckDB SQL twin generator so the driver's differential gate covers it.
+
+Design for scale (all JVM-side Column expressions, no Python in the path):
+
+  * shingling / hashing happen per-row inside array expressions -- no row
+    explosion for MinHash signatures (k passes over an array beat exploding
+    |doc| * k rows through a shuffle);
+  * LSH banding turns the O(n^2) similarity join into an equi-join on
+    (band, key) -- the only shuffle is on band keys, and candidate
+    verification joins fetch shingle arrays by id;
+  * all hashes go through functions.hashing (md5-based) so Spark and DuckDB
+    agree bit-for-bit; Jaccard/Hamming arithmetic stays in integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, hash_params, md5_long_sql
+
+SHINGLE_WIDTH = 5
+MINHASH_K = 16
+MINHASH_BANDS = 8
+SIMHASH_BITS = 32
+
+_MINHASH_PARAMS = hash_params(MINHASH_K)
+
+
+def _md5_long_c(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per exact key; reports group
+    size so callers can split survivors/victims. A hash-partitioned groupBy:
+    one shuffle on the key, map-side combined."""
+    return (
+        df.select(key.alias("dedup_key"), F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+def normalized_prefix_key(text_col: str, n_words: int = 5) -> Column:
+    """Normalization key: first n words of lower/whitespace-collapsed text."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    return F.concat_ws(" ", F.slice(words, 1, n_words))
+
+
+def normalized_prefix_key_sql(text_expr: str, n_words: int = 5) -> str:
+    return (
+        f"array_to_string(([x for x in string_split_regex(lower({text_expr}), '\\s+') "
+        f"if x != ''])[1:{n_words}], ' ')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text_col: str, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct character w-grams of a text column, as an array -- computed
+    per row, no explosion."""
+    text = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text) - (width - 1), F.lit(1)))
+    return F.array_distinct(F.transform(positions, lambda i: text.substr(i, F.lit(width))))
+
+
+def char_shingles_sql(text_expr: str, width: int = SHINGLE_WIDTH) -> str:
+    return (
+        f"list_distinct([substr({text_expr}, i, {width}) "
+        f"for i in generate_series(1, greatest(length({text_expr}) - {width - 1}, 1))])"
+    )
+
+
+def minhash_signature_df(
+    docs: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K
+) -> DataFrame:
+    """(id, sh, s0..s{k-1}): shingle array + k permuted min-hashes.
+
+    The md5 hash array is materialized as one projected column so the k
+    permutation passes share it instead of re-hashing k times."""
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        char_shingles(text_col).alias("sh"),
+    ).withColumn("hs", F.transform(F.col("sh"), _md5_long_c))
+    def perm(a: int, b: int):
+        # real 1-arg lambda: a default-arg closure would make Spark treat it
+        # as the (elem, idx, ...) 3-arg higher-order signature
+        return lambda h: (F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"s{i}")
+        for i, (a, b) in enumerate(_MINHASH_PARAMS[:k])
+    ]
+    return hashed.select("id", "sh", *sig_cols)
+
+
+def minhash_signature_sql(shingles_expr: str, k: int = MINHASH_K) -> list[str]:
+    hs = f"[{md5_long_sql('s')} for s in {shingles_expr}]"
+    return [
+        f"list_min([({a} * (h % {MERSENNE_P}) + {b}) % {MERSENNE_P} for h in {hs}])"
+        for a, b in _MINHASH_PARAMS[:k]
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Pipeline: per-doc signature (no shuffle) -> explode to `bands` rows ->
+    equi-join on (band, band_key) -> distinct candidate pairs -> fetch
+    shingle sets by id -> exact Jaccard filter. Output
+    (id_a < id_b, jaccard). At 100 TB the band join is the only wide
+    shuffle and its keys are uniformly distributed by construction.
+    """
+    r = k // bands
+    sig_df = minhash_signature_df(docs, id_col, text_col, k).cache()
+    shingled = sig_df.select("id", "sh")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"s{b * r + j}").cast("string") for j in range(r)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig_df.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa, sb = shingled.alias("sa"), shingled.alias("sb")
+    verified = (
+        pairs.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).alias("inter"),
+            (F.size("sa.sh") + F.size("sb.sh")).alias("tot"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / (F.col("tot") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.2,
+) -> str:
+    r = k // bands
+    sigs = minhash_signature_sql(char_shingles_sql(text_col), k)
+    sig_cols = ", ".join(f"{s} AS s{i}" for i, s in enumerate(sigs))
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(s{b * r + j} AS STRING)" for j in range(r))
+        + " AS key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT {id_col} AS id, {char_shingles_sql(text_col)} AS sh FROM {table}
+),
+sigs AS (SELECT {id_col} AS id, {sig_cols} FROM {table}),
+banded AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) + len(sb.sh) AS tot
+  FROM pairs JOIN shingled sa ON id_a = sa.id JOIN shingled sb ON id_b = sb.id
+)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
+FROM verified WHERE CAST(inter AS DOUBLE) / (tot - inter) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via 32-bit SimHash over word tokens, banded into
+    4 bytes for candidate generation, verified by Hamming distance.
+
+    Explode words -> 32 map-side-combined bit-counter sums per doc (ints, so
+    partial aggregation is exact) -> bigint signature -> 4-byte band
+    equi-join -> bit_count(xor) verify. Output (id_a < id_b, hamming)."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("w"),
+    ).select("id", _md5_long_c(F.col("w")).alias("h"))
+    bit_sums = words.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+        sim_expr = term if sim_expr is None else sim_expr + term
+    sims = bit_sums.select("id", sim_expr.alias("sim"))
+
+    banded = sims.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sim"), 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def simhash_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    h = md5_long_sql("w")
+    bit_sum_cols = ", ".join(
+        f"sum((({h} >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, sim, {b} AS band, (sim >> {8 * b}) & 255 AS key FROM sims"
+        for b in range(4)
+    )
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS id, unnest([x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']) AS w
+  FROM {table}
+),
+bit_sums AS (SELECT id, {bit_sum_cols} FROM words GROUP BY id),
+sims AS (SELECT id, {sim} AS sim FROM bit_sums),
+banded AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.sim, b.sim)) AS hamming
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard similarity join (exact, partition-scoped)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word n-gram Jaccard pairs within a partition column (the
+    shard-scoped dedup a corpus pipeline runs; cross-shard pairs are the
+    MinHash operator's job). The pair join is an equi-join on the partition
+    key; Jaccard over per-row distinct n-gram arrays stays in integers."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+    g = docs.select(
+        F.col(id_col).alias("id"), F.col(partition_col).alias("part"), grams.alias("g")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.size(F.array_intersect(F.col("a.g"), F.col("b.g"))).alias("inter"),
+            (F.size("a.g") + F.size("b.g")).alias("tot"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / (F.col("tot") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    words = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    return f"""
+WITH g AS (
+  SELECT {id_col} AS id, {partition_col} AS part,
+         list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                        for i in generate_series(1, greatest(len(w) - {n - 1}, 1))]) AS g
+  FROM (SELECT {id_col}, {partition_col}, {words} AS w FROM {table})
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.g, b.g)) AS inter,
+         len(a.g) + len(b.g) AS tot
+  FROM g a JOIN g b ON a.part = b.part AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
+FROM pairs WHERE CAST(inter AS DOUBLE) / (tot - inter) >= {threshold}
+"""

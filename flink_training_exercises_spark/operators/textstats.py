@@ -1,0 +1,179 @@
+"""Text analysis operators for corpus pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions with DuckDB SQL twins; every ratio is computed
+from integer counts so the doubles are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_sql
+from ..functions.text import STOP_WORDS
+
+# Tiny per-language marker lists for the n-gram/stopword-hit heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "los", "las", "es", "y", "que", "por"),
+    "fr": ("le", "la", "les", "et", "est", "que", "pour", "dans"),
+    "zh": ("de", "le", "shi", "bu", "wo", "ni", "zai", "you"),
+}
+_LANGS = sorted(LANG_MARKERS)  # deterministic tie order
+
+
+def _words(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+
+
+def _words_sql(text_expr: str) -> str:
+    return f"[x for x in string_split_regex(lower({text_expr}), '\\s+') if x != '']"
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, alphabetic tokens, and BPE-ish subword count
+    (ceil(chars/4) per token -- the standard ~4-chars-per-token estimate,
+    computed exactly in integers)."""
+    w = _words(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha_tokens"),
+        F.aggregate(
+            w,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.floor((F.length(x) + 3) / F.lit(4)).cast("bigint"),
+        ).alias("n_subwords_est"),
+    )
+
+
+def token_count_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    w = _words_sql(text_col)
+    return f"""
+SELECT {id_col},
+       len(w) AS n_tokens,
+       len([x for x in w if regexp_matches(x, '^[a-z]+$')]) AS n_alpha_tokens,
+       CAST(list_sum([(length(x) + 3) // 4 for x in w]) AS BIGINT) AS n_subwords_est
+FROM (SELECT {id_col}, {w} AS w FROM {table})
+"""
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality components: alpha-char ratio, stopword ratio, mean
+    word length (x1000, floored -- integer-exact), plus a 0-100 composite."""
+    text = F.col(text_col)
+    w = _words(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in dict.fromkeys(STOP_WORDS)])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_words = F.size(w)
+    sum_len = F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    mean_wlen_x1000 = F.when(n_words > 0, (sum_len * 1000).cast("bigint") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+    composite = (
+        F.floor(alpha_ratio * 50) + F.floor(stop_ratio * 25) + F.least(n_words, F.lit(25))
+    ).cast("int")
+    return docs.select(
+        F.col(id_col),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_wlen_x1000.alias("mean_word_len_x1000"),
+        composite.alias("quality_score"),
+    )
+
+
+def quality_score_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    stop_list = ", ".join(f"'{s}'" for s in dict.fromkeys(STOP_WORDS))
+    w = _words_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         length({text_col}) AS n_chars,
+         length(regexp_replace({text_col}, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         {w} AS w
+  FROM {table}
+),
+agg AS (
+  SELECT {id_col}, n_chars, n_alpha,
+         len(w) AS n_words,
+         len([x for x in w if x IN ({stop_list})]) AS n_stop,
+         COALESCE(CAST(list_sum([length(x) for x in w]) AS BIGINT), 0) AS sum_len
+  FROM base
+)
+SELECT {id_col},
+       CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+       CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio,
+       CASE WHEN n_words > 0 THEN CAST(sum_len * 1000 AS BIGINT) / n_words ELSE 0e0 END
+         AS mean_word_len_x1000,
+       CAST(floor(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) * 50)
+            + floor(CAST(n_stop AS DOUBLE) / greatest(n_words, 1) * 25)
+            + least(n_words, 25) AS INT) AS quality_score
+FROM agg
+"""
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word-hit language ID: predicted lang = argmax over per-language
+    marker hit counts (deterministic alphabetical tie-break). A real pipeline
+    swaps in fastText/CLD3 via mapInPandas; the heuristic IS the operator
+    contract here so the oracle can replicate it."""
+    w = _words(text_col)
+
+    def contains(markers):
+        return lambda x: F.array_contains(markers, x)
+
+    hit_cols = []
+    for lang in _LANGS:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hit_cols.append(F.size(F.filter(w, contains(markers))).alias(f"hits_{lang}"))
+    scored = docs.select(F.col(id_col), *hit_cols)
+    mx = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANGS])
+    chain = None  # first lang (alphabetical) reaching the max wins
+    for lang in _LANGS:
+        cond = F.col(f"hits_{lang}") == mx
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return scored.select(F.col(id_col), chain.alias("pred_lang"), mx.alias("n_hits"))
+
+
+def lang_id_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    w = _words_sql(text_col)
+    hit_exprs = ", ".join(
+        "len([x for x in w if x IN ({m})]) AS hits_{lang}".format(
+            m=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in _LANGS
+    )
+    mx = "greatest(" + ", ".join(f"hits_{lang}" for lang in _LANGS) + ")"
+    chain = (
+        "CASE "
+        + " ".join(f"WHEN hits_{lang} = {mx} THEN '{lang}'" for lang in _LANGS)
+        + " END"
+    )
+    return f"""
+WITH scored AS (
+  SELECT {id_col}, {hit_exprs}
+  FROM (SELECT {id_col}, {w} AS w FROM {table})
+)
+SELECT {id_col}, {chain} AS pred_lang, {mx} AS n_hits FROM scored
+"""
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic 60-bit content fingerprint of whitespace-normalized
+    lowercase text (md5-based -- same value in any engine)."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fp = F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint")
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def fingerprint_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"SELECT {id_col}, {md5_long_sql(norm)} AS fingerprint FROM {table}"

@@ -27,7 +27,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import STOP_WORDS
-from ..operators import graph, relational, stateful, windows
+from ..operators import (
+    dedup,
+    graph,
+    multimodal,
+    relational,
+    similarity,
+    stateful,
+    textstats,
+    windows,
+)
 from ..sources import load_table
 from . import graphs as graphs_plan
 from . import mails as mails_plan
@@ -355,6 +364,211 @@ def q_travel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_travel_time_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful.travel_time_stateful(rides_plan.rides_view(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (task brief): dedup family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+SELECT {dedup.normalized_prefix_key_sql("text")} AS dedup_key,
+       min(doc_id) AS survivor_id, count(*) AS group_size
+FROM documents GROUP BY 1
+""",
+    doc="Exact dedup: hash-groupBy on a normalized content key, "
+    "deterministic min-id survivor.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.exact_dedup(docs, dedup.normalized_prefix_key("text"), "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=dedup.minhash_lsh_sql(threshold=0.2),
+    doc="MinHash(k=16) + LSH banding (8 bands) + exact-Jaccard verify over "
+    "char-5 shingles.",
+    bench=True,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.2)
+
+
+@register(
+    "dedup_simhash",
+    oracle=dedup.simhash_sql(max_hamming=3),
+    doc="32-bit SimHash near-dup pairs, 4-byte banding, Hamming <= 3.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=dedup.ngram_jaccard_sql(threshold=0.1),
+    doc="Exact word-3-gram Jaccard similarity join, shard-scoped (source).",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings.
+# ---------------------------------------------------------------------------
+
+_EMB_INT = "[CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) for x in embedding]"
+_DOT = "list_sum([a.v[i] * b.v[i] for i in generate_series(1, 64)])"
+_COS = f"CAST({_DOT} AS DOUBLE) / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))"
+_EMB_BASE = f"""
+  SELECT vec_id AS id, v, list_sum([y * y for y in v]) AS nn
+  FROM (SELECT vec_id, {_EMB_INT} AS v FROM embeddings)
+"""
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+WITH base AS ({_EMB_BASE}),
+scored AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id, {_COS} AS cosine
+  FROM (SELECT * FROM base WHERE id % 25 = 0) a
+  JOIN base b ON a.id != b.id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="Exact cosine top-5 neighbors (integer-scaled dot products) for "
+    "every 25th vector.",
+    bench=True,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") % 25 == 0)
+
+
+def _lsh_bucket_sql() -> str:
+    bits = []
+    for p, (a, b) in enumerate(similarity._PLANE_PARAMS[: similarity.LSH_PLANES]):
+        dot = f"list_sum([v[d + 1] * (1 - 2 * ((d * {a} + {b}) % 2)) for d in generate_series(0, 63)])"
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=f"""
+WITH base AS (
+  SELECT id, v, nn, {_lsh_bucket_sql()} AS bucket FROM ({_EMB_BASE})
+),
+scored AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id, {_COS} AS cosine
+  FROM (SELECT * FROM base WHERE id % 25 = 0) a
+  JOIN base b ON a.bucket = b.bucket AND a.id != b.id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="LSH-bucketed (8 formula hyperplanes) approximate top-5 -- the "
+    "scale path; equi-join on sign signature replaces the cross join.",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.topk_lsh(emb, k=5, query_filter=F.col("vec_id") % 25 == 0)
+
+
+@register(
+    "neardup_embedding_cosine",
+    oracle=f"""
+WITH base AS ({_EMB_BASE})
+SELECT a.id AS id_a, b.id AS id_b, {_COS} AS cosine
+FROM base a JOIN base b ON a.id < b.id
+WHERE {_COS} >= 0.35e0
+""",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.35).",
+)
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=textstats.token_count_sql(),
+    doc="Whitespace/alpha token counts + BPE-ish subword estimate.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_quality_score",
+    oracle=textstats.quality_score_sql(),
+    doc="Quality heuristics: alpha ratio, stopword ratio, mean word length, "
+    "composite 0-100.",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_lang_id",
+    oracle=textstats.lang_id_sql(),
+    doc="Marker-word language ID with deterministic alphabetical tie-break.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    oracle=textstats.fingerprint_sql(),
+    doc="60-bit md5 content fingerprint of normalized text.",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payloads; decode is a deterministic fake --
+# operators/multimodal.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       CASE WHEN octet_length(encode(text)) % 2 = 0
+            THEN 'fake/even' ELSE 'fake/odd' END AS format,
+       CAST(16 + octet_length(encode(text)) % 320 AS INT) AS width,
+       CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS height,
+       CAST(1 + ascii(substr(text, 1, 1)) % 8 AS INT) AS n_frames
+FROM documents
+""",
+    doc="Binary payload plumbing: mapInPandas fake decode -> typed metadata "
+    "(schema/batch shape are the real thing; codec stubbed).",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.decode_media(multimodal.attach_binary_payload(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,152 @@
+"""Training-pipeline operators: dedup, similarity, text stats, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_training_exercises_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+    (2, "the quick brown fox jumps over the lazy cat", "en", "s1"),  # near-dup of 1
+    (3, "completely different words entirely unrelated content here", "en", "s1"),
+    (4, "der hund ist nicht mit der katze und das", "de", "s2"),
+    (5, "THE  QUICK   brown fox jumps over the lazy dog", "en", "s2"),  # = 1 normalized
+]
+DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, DOC_SCHEMA)
+
+
+def test_exact_dedup_normalized(spark, docs):
+    out = {
+        r["dedup_key"]: (r["survivor_id"], r["group_size"])
+        for r in dedup.exact_dedup(
+            docs, dedup.normalized_prefix_key("text", 9), "doc_id"
+        ).collect()
+    }
+    # doc 5 normalizes to doc 1's key -> min-id survivor 1, group of 2
+    assert out["the quick brown fox jumps over the lazy dog"] == (1, 2)
+
+
+def test_minhash_lsh_finds_near_duplicate(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    assert (1, 2) in pairs  # one-word difference
+    assert (1, 5) in pairs  # whitespace/case variant
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs  # unrelated
+
+
+def test_simhash_near_duplicate(spark):
+    # SimHash needs enough tokens for stable bit margins: 60-token docs
+    # differing in one token stay within a few bits; tiny docs don't.
+    base = " ".join(f"word{i}" for i in range(60))
+    variant = base.replace("word30", "changed")
+    ws_variant = "  " + base.upper() + "  "  # token-identical after lower/split
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, ws_variant)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert pairs[(1, 3)] == 0  # identical token multiset
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+
+
+def test_ngram_jaccard_partition_scoped(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs  # same source s1
+    assert (1, 5) not in pairs  # near-dups but different source partitions
+
+
+EMB = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),   # close to 1
+    (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
+
+
+def test_topk_bruteforce_ordering(spark, emb):
+    out = [
+        (r["neighbor_id"], r["rank"])
+        for r in similarity.topk_bruteforce(emb, k=3, query_filter=F.col("vec_id") == 1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [(2, 1), (3, 2), (4, 3)]  # cosine 0.994 > 0 > -1
+
+
+def test_neardup_cosine_threshold(spark, emb):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in similarity.cosine_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_same_bucket_for_identical(spark):
+    e = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [0.5] * 64)], "vec_id long, embedding array<float>"
+    )
+    out = similarity.topk_lsh(e, k=1, dim=64).collect()
+    # identical vectors share every hyperplane sign -> found as neighbors
+    assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(1, 2), (2, 1)}
+
+
+def test_token_count(spark, docs):
+    out = {r["doc_id"]: r for r in textstats.token_count(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["n_alpha_tokens"] == 9
+    assert out[5]["n_tokens"] == 9  # multi-space tolerant
+
+
+def test_lang_id_markers(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert out[1] == "en"  # 'the' x2, 'over'... en markers dominate
+    assert out[4] == "de"  # der/ist/nicht/mit/und/das
+
+
+def test_fingerprint_whitespace_invariant(spark, docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(docs).collect()}
+    assert out[1] == out[5]  # normalization collapses case+whitespace
+    assert out[1] != out[2]
+
+
+def test_multimodal_decode_batch_shape(spark, docs):
+    payloads = multimodal.attach_binary_payload(docs)
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    decoded = multimodal.decode_media(payloads)
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    assert len(rows) == 5
+    r1 = rows[1]
+    n = len(DOCS[0][1].encode())
+    assert r1["byte_len"] == n
+    assert r1["width"] == 16 + n % 320
+    assert 1 <= r1["n_frames"] <= 8
+    frames = multimodal.frame_sample(decoded, every_n=1)
+    assert frames.where("doc_id = 1").count() == r1["n_frames"]
+
+
+def test_real_codec_path_raises(spark, docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(
+            multimodal.attach_binary_payload(docs), use_real_codec=True
+        )
