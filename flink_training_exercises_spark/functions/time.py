@@ -22,6 +22,14 @@ def epoch_ms(ts) -> Column:
     return F.timestamp_diff("MILLISECOND", ntz_epoch(), _c(ts))
 
 
+def ntz_as_utc_instant(ts) -> Column:
+    """TIMESTAMP_NTZ -> TIMESTAMP (LTZ) carrying the same wall-clock read as
+    a UTC instant, via pure epoch arithmetic -- independent of the session
+    timezone (a plain cast would shift by the session offset). Needed because
+    ``withWatermark`` only accepts TIMESTAMP event-time columns."""
+    return F.timestamp_micros(F.timestamp_diff("MICROSECOND", ntz_epoch(), _c(ts)))
+
+
 def travel_time_minutes(start_ts, end_ts) -> Column:
     """F12 -- (endTime - startTime) / 60000.0 in minutes
     (TravelTimePrediction.java:143)."""

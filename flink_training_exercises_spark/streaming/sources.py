@@ -1,0 +1,108 @@
+"""Streaming sources (SURVEY.md §2.1 S1/S2, §2.6 W3).
+
+The reference's TaxiRideSource replays a timestamp-ordered file at
+``servingSpeedFactor`` x wall-clock with bounded Gaussian disorder and
+in-source watermarks (TaxiRideSource.java:122-238). Structured Streaming
+splits those concerns idiomatically:
+
+  * ordered replay   -> file micro-batches (``replay_to_files`` writes
+    chronological chunks; ``maxFilesPerTrigger=1`` replays them in order;
+    ``availableNow`` drains everything for tests). Wall-clock pacing is a
+    demo concern, not a semantics concern -- event time lives in the data.
+  * disorder         -> ``with_disorder`` perturbs event times with a
+    seeded uniform-bounded jitter (deterministic per row id, like the
+    seeded Random(7452) in TaxiRideSource.java:127) so watermark handling
+    can be exercised.
+  * watermarks       -> ``withWatermark`` on the event-time column; the
+    reference's three generation strategies (periodic t-maxDelay-1,
+    per-event t-1, bounded-out-of-orderness 60s) all collapse to the
+    delay parameter (SURVEY.md §2.6 W3).
+  * checkpoint/restore (S2) -> the source's offset log +
+    ``checkpointLocation``; no manual emitted-count snapshot needed
+    (CheckpointedTaxiRideSource.java:161-169 is subsumed by the WAL).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.rides import rides_view
+from ..schemas import EVENTS
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (nanos normalized to
+    TIMESTAMP_NTZ exactly like the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    # the events table is a single parquet FILE; the file stream source needs
+    # a directory basePath, so glob-filter within the sf dir
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts",
+        F.timestamp_add(
+            "MICROSECOND", F.expr("ts div 1000"), F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+        ),
+    )
+
+
+def rides_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of plans.rides.rides_view (same shared SQL, applied to
+    a streaming relation -- Catalyst treats it identically)."""
+    events_stream(spark, sf_dir).createOrReplaceTempView("__fte_events_stream")
+    from ..plans.rides import _fill, _spark_ms_to_ts
+
+    return spark.sql(_fill("__fte_events_stream", _spark_ms_to_ts))
+
+
+def replay_to_files(
+    df: DataFrame, time_col: str, out_dir: str, n_chunks: int = 4, start_index: int = 0
+) -> list[str]:
+    """Materialize a batch DataFrame as n chronological parquet chunks --
+    the replay corpus for file-source streaming (S1's ordered-file
+    semantics). Returns chunk paths in replay order; feed with
+    ``maxFilesPerTrigger=1`` for one-chunk-per-micro-batch replay."""
+    import glob as globmod
+    import shutil
+    import tempfile
+
+    rows = df.orderBy(time_col).collect()
+    per = math.ceil(len(rows) / n_chunks) or 1
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    spark = df.sparkSession
+    for i in range(n_chunks):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            break
+        # the file stream source lists FILES, not Spark's part-file dirs:
+        # write to a staging dir and move the single part file out flat
+        stage = tempfile.mkdtemp(prefix="replay_stage_")
+        spark.createDataFrame(chunk, df.schema).coalesce(1).write.mode("overwrite").parquet(
+            stage
+        )
+        part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
+        path = os.path.join(out_dir, f"chunk-{start_index + i:04d}.parquet")
+        shutil.move(part, path)
+        shutil.rmtree(stage, ignore_errors=True)
+        paths.append(path)
+    return paths
+
+
+def with_disorder(
+    df: DataFrame, time_col: str, id_col: str, max_delay_s: int = 60
+) -> DataFrame:
+    """Deterministic bounded event-time jitter: delay in [0, max_delay_s)
+    seconds derived from the row id (stands in for the reference's seeded
+    Gaussian, TaxiRideSource.java:231-238; determinism beats distribution
+    shape for tests)."""
+    delay_ms = (F.col(id_col) * 48271 % F.lit(max_delay_s * 1000)).cast("bigint")
+    return df.withColumn(time_col, F.timestamp_add("MILLISECOND", delay_ms, F.col(time_col)))

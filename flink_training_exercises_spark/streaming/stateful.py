@@ -1,0 +1,89 @@
+"""Streaming stateful travel-time prediction (SURVEY.md §2.6 W5) --
+``applyInPandasWithState`` twin of operators/stateful.py.
+
+Per destination-cell key, the state is the 8 direction buckets' integer
+regression statistics (Sxx, Sxy) -- exactly the reference's
+``ValueState<TravelTimePredictionModel>`` of 8 SimpleRegressions
+(TravelTimePrediction.java:122, TravelTimePredictionModel.java:33-45),
+re-expressed as two long arrays.
+
+Ordering: rows are sorted by event time *within each delivered batch*.
+Across triggers this matches Flink's behavior exactly as much as Flink
+matches itself -- both process in arrival order, and arrival order equals
+event order when the replay source is chronological (TaxiRideSource.java:36-38).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from ..operators.stateful import _features
+
+N_BUCKETS = 8
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("ride_id", T.LongType()),
+        T.StructField("predicted_minutes", T.IntegerType()),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sxx", T.ArrayType(T.LongType())),
+        T.StructField("sxy", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _predict(sxx: int, sxy: int, x: int) -> int:
+    if sxx == 0:
+        return -1
+    return math.floor((float(sxy) / float(sxx)) * x / 60000.0)
+
+
+def _handle(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        sxx, sxy = list(state.get[0]), list(state.get[1])
+    else:
+        sxx, sxy = [0] * N_BUCKETS, [0] * N_BUCKETS
+    out_ids: list[int] = []
+    out_preds: list[int] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ev_ms", "ride_id", "is_start"], kind="mergesort")
+        for ride_id, is_start, bucket, x_m, y_ms in zip(
+            pdf["ride_id"], pdf["is_start"], pdf["bucket"], pdf["x_m"], pdf["y_ms"]
+        ):
+            b, x = int(bucket), int(x_m)
+            if is_start:
+                out_ids.append(int(ride_id))
+                out_preds.append(_predict(sxx[b], sxy[b], x))
+            else:
+                sxx[b] += x * x
+                sxy[b] += x * int(y_ms)
+    state.update((sxx, sxy))
+    yield pd.DataFrame({"ride_id": out_ids, "predicted_minutes": out_preds})
+
+
+def streaming_travel_time(rides: DataFrame) -> DataFrame:
+    """Keyed stateful prediction stream: one state per destination cell,
+    append-mode output of (ride_id, predicted_minutes) per START event."""
+    return (
+        _features(rides)
+        .groupBy("cell")
+        .applyInPandasWithState(
+            _handle,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,163 @@
+"""Streaming semantics: stream/batch parity, fire-once windows, late-data
+dropping at the watermark, checkpoint-resume (S2), stateful streaming (W5)."""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from flink_training_exercises_spark.operators.stateful import travel_time_window
+from flink_training_exercises_spark.operators.windows import popular_places
+from flink_training_exercises_spark.plans.rides import rides_view
+from flink_training_exercises_spark.streaming.queries import (
+    streaming_popular_places,
+    streaming_ride_cleansing,
+)
+from flink_training_exercises_spark.streaming.sources import (
+    replay_to_files,
+    rides_stream,
+)
+from flink_training_exercises_spark.streaming.stateful import streaming_travel_time
+
+
+def _drain(df, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_batch_parity_popular_places(spark, sf_small):
+    """Append-mode streaming windows == batch windows, for every window the
+    watermark closed before end-of-stream (the tail within the watermark
+    horizon is unflushed by design -- Flink would equally still be waiting)."""
+    name = f"pp_{uuid.uuid4().hex[:8]}"
+    stream = streaming_popular_places(
+        rides_stream(spark, sf_small), watermark="60 seconds",
+        window="1 day", slide="6 hours", threshold=2,
+    )
+    got = _drain(stream, name)
+    batch = popular_places(
+        rides_view(spark, sf_small), window="1 day", slide="6 hours", threshold=2
+    )
+    max_ms = rides_view(spark, sf_small).select(
+        F.max(F.timestamp_diff("MILLISECOND", F.expr("TIMESTAMP_NTZ '1970-01-01'"), F.col("ts")))
+    ).first()[0]
+    horizon = max_ms - 60_000
+    s = {tuple(r) for r in got.where(F.col("window_end_ms") <= horizon).collect()}
+    b = {tuple(r) for r in batch.where(F.col("window_end_ms") <= horizon).collect()}
+    assert len(b) > 10
+    assert s == b
+
+
+def test_streaming_ride_cleansing_stateless_parity(spark, sf_small):
+    name = f"rc_{uuid.uuid4().hex[:8]}"
+    got = _drain(streaming_ride_cleansing(rides_stream(spark, sf_small)), name)
+    batch_n = streaming_ride_cleansing(rides_view(spark, sf_small)).count()
+    assert got.count() == batch_n > 0
+
+
+def test_late_rows_dropped_at_watermark(spark, tmp_path):
+    """W7: a row older than the watermark when its micro-batch arrives is
+    dropped from the aggregation (sequential file replay forces watermark
+    advancement between batches)."""
+    from datetime import datetime
+
+    # plain TIMESTAMP here: withWatermark requires it (tests run UTC).
+    # NOTE the operative watermark lags one micro-batch (it's recomputed
+    # after each batch), so the late row must arrive >= 2 batches after the
+    # rows that advanced event time -- same as Flink's periodic watermarks,
+    # which also trail the stream (TaxiRideSource.java:205-213).
+    mk = lambda rows: spark.createDataFrame(rows, "id long, ts timestamp")  # noqa: E731
+    d = str(tmp_path / "replay")
+    replay_to_files(mk([(i, datetime(2024, 1, 1, 10, 0, i)) for i in range(10)]), "ts", d, 1)
+    replay_to_files(mk([(50, datetime(2024, 1, 1, 10, 5, 0))]), "ts", d, 1, start_index=1)
+    # late row: 9:00:30, watermark is now 10:04:00 -> must be dropped
+    replay_to_files(mk([(100, datetime(2024, 1, 1, 9, 0, 30))]), "ts", d, 1, start_index=2)
+    # flush chunk pushes the watermark past 10:10 so closed windows emit
+    replay_to_files(mk([(999, datetime(2024, 1, 1, 11, 30, 0))]), "ts", d, 1, start_index=3)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withWatermark("ts", "60 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.end").cast("string").alias("we"), "cnt")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["we"]: r["cnt"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # 10 on-time rows + the 10:05 row; the late 9:00:30 row is dropped, so
+    # its window never materializes
+    assert got.get("2024-01-01 10:10:00") == 11
+    assert got.get("2024-01-01 09:10:00") is None
+
+
+def test_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """S2: restarting from a checkpoint skips already-emitted input (the
+    WAL replaces the reference's manual emitted-count snapshot)."""
+    from datetime import datetime
+
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = [(i, datetime(2024, 1, 1, 0, 0, i)) for i in range(5)]
+    replay_to_files(
+        spark.createDataFrame(out1, "id long, ts timestamp"), "ts", d, n_chunks=1
+    )
+    out = str(tmp_path / "out")
+    src = lambda: spark.readStream.schema("id long, ts timestamp").parquet(d)  # noqa: E731
+    # memory sinks can't recover from a checkpoint; a file sink can (and its
+    # commit log gives exactly-once output -- stronger than S2's source-only
+    # snapshot)
+    run = lambda: (  # noqa: E731
+        src()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    run()
+    assert spark.read.parquet(out).count() == 5
+
+    replay_to_files(
+        spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, 0, 1, i)) for i in range(3)], "id long, ts timestamp"
+        ),
+        "ts",
+        d,
+        n_chunks=1,
+        start_index=1,
+    )
+    run()
+    ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    # 5 original + 3 new, each exactly once -- the restart consumed only c1
+    assert ids == [0, 0, 1, 1, 2, 2, 3, 4]
+
+
+def test_streaming_stateful_travel_time_matches_batch(spark, sf_small):
+    """W5 streaming (applyInPandasWithState) == batch window form when the
+    full history arrives chronologically."""
+    name = f"tt_{uuid.uuid4().hex[:8]}"
+    got = _drain(streaming_travel_time(rides_stream(spark, sf_small)), name)
+    s = {(r["ride_id"], r["predicted_minutes"]) for r in got.collect()}
+    b = {
+        (r["ride_id"], r["predicted_minutes"])
+        for r in travel_time_window(rides_view(spark, sf_small)).collect()
+    }
+    assert s == b
+    assert len(s) > 100
