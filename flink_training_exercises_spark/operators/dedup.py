@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MERSENNE_P, hash_params, md5_long_sql
 
 SHINGLE_WIDTH = 5
-MINHASH_K = 16
+# 8 bands x 4 rows: candidate probability 1-(1-j^4)^8 -- near-certain at
+# j>=0.8, ~1% at j=0.2. r=2 banding floods the verify join with low-quality
+# candidates (measured 25x slower at sf0.1 for zero extra true dups).
+MINHASH_K = 32
 MINHASH_BANDS = 8
 SIMHASH_BITS = 32
 
@@ -95,7 +98,7 @@ def minhash_signature_df(
     hashed = docs.select(
         F.col(id_col).alias("id"),
         char_shingles(text_col).alias("sh"),
-    ).withColumn("hs", F.transform(F.col("sh"), _md5_long_c))
+    ).withColumn("hs", F.array_distinct(F.transform(F.col("sh"), _md5_long_c)))
     def perm(a: int, b: int):
         # real 1-arg lambda: a default-arg closure would make Spark treat it
         # as the (elem, idx, ...) 3-arg higher-order signature
@@ -105,7 +108,10 @@ def minhash_signature_df(
         F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"s{i}")
         for i, (a, b) in enumerate(_MINHASH_PARAMS[:k])
     ]
-    return hashed.select("id", "sh", *sig_cols)
+    # hs (distinct 60-bit shingle hashes), not the shingle strings, feeds the
+    # verify join: bigint set intersection is much cheaper than string arrays
+    # and Jaccard is identical (md5 collisions are deterministic & negligible)
+    return hashed.select("id", F.col("hs"), *sig_cols)
 
 
 def minhash_signature_sql(shingles_expr: str, k: int = MINHASH_K) -> list[str]:
@@ -134,7 +140,7 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     sig_df = minhash_signature_df(docs, id_col, text_col, k).cache()
-    shingled = sig_df.select("id", "sh")
+    shingled = sig_df.select("id", F.col("hs").alias("sh"))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -195,9 +201,10 @@ def minhash_lsh_sql(
         + " AS key FROM sigs"
         for b in range(bands)
     )
+    hs = f"list_distinct([{md5_long_sql('s')} for s in {char_shingles_sql(text_col)}])"
     return f"""
 WITH shingled AS (
-  SELECT {id_col} AS id, {char_shingles_sql(text_col)} AS sh FROM {table}
+  SELECT {id_col} AS id, {hs} AS sh FROM {table}
 ),
 sigs AS (SELECT {id_col} AS id, {sig_cols} FROM {table}),
 banded AS ({band_rows}),

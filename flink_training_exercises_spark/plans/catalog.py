@@ -306,7 +306,9 @@ def q_mail_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graphs_plan.edges_view(spark, sf_dir)
-    return graph.weighted_pagerank(edges, damping=0.85, iterations=10, exact=True)
+    return graph.weighted_pagerank(
+        edges, damping=0.85, iterations=10, exact=True, checkpoint_every=3
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -389,8 +391,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=dedup.minhash_lsh_sql(threshold=0.2),
-    doc="MinHash(k=16) + LSH banding (8 bands) + exact-Jaccard verify over "
-    "char-5 shingles.",
+    doc="MinHash(k=32) + LSH banding (8 bands x 4 rows) + exact-Jaccard "
+    "verify over char-5 shingles.",
     bench=True,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
