@@ -89,3 +89,33 @@ def direction_bucket(angle) -> Column:
     """F9 -- direction bucket 0..7 = floor(angle/45)
     (TravelTimePredictionModel.java:85-87)."""
     return F.floor(_c(angle) / F.lit(45)).cast("int")
+
+
+def grid_cells_on_way(lon1, lat1, lon2, lat2) -> Column:
+    """F7 -- GeoUtils.mapToGridCellsOnWay (GeoUtils.java:95-161): the grid
+    cells a straight path crosses. The reference walks cell edges
+    (Bresenham-ish); this samples the segment at one point per crossed
+    row/column -- same cell set except corner-touch ties, and unused by any
+    reference exercise (SURVEY.md §2.8). Pure Column expressions, returns
+    ARRAY<INT> in travel order."""
+    lon1, lat1, lon2, lat2 = _c(lon1), _c(lat1), _c(lon2), _c(lat2)
+    dx = F.abs(grid_cell(lon2, lat2) % NUMBER_OF_GRID_X - grid_cell(lon1, lat1) % NUMBER_OF_GRID_X)
+    dy = F.abs(
+        F.floor(grid_cell(lon2, lat2) / NUMBER_OF_GRID_X)
+        - F.floor(grid_cell(lon1, lat1) / NUMBER_OF_GRID_X)
+    )
+    n = F.greatest(dx + dy, F.lit(1)).cast("int")
+
+    def cell_at(i):
+        t = i.cast("double") / n
+        return grid_cell(lon1 + (lon2 - lon1) * t, lat1 + (lat2 - lat1) * t)
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(0), n), cell_at))
+
+
+def random_nyc_point(seed: int = 42) -> tuple[Column, Column]:
+    """F8 -- uniform (lon, lat) inside the NYC bbox (GeoUtils.java:199-211);
+    fixture generation only."""
+    lon = F.lit(LON_WEST) + F.rand(seed) * F.lit(LON_EAST - LON_WEST)
+    lat = F.lit(LAT_SOUTH) + F.rand(seed + 1) * F.lit(LAT_NORTH - LAT_SOUTH)
+    return lon, lat

@@ -32,9 +32,11 @@ from ..operators import (
     graph,
     multimodal,
     relational,
+    sessions,
     similarity,
     stateful,
     textstats,
+    tpch,
     windows,
 )
 from ..sources import load_table
@@ -571,6 +573,82 @@ FROM documents
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return multimodal.decode_media(multimodal.attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + relational breadth anchors (beyond the reference surface).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle=sessions.sessionize_sql(),
+    doc="Gap-based sessionization (30 min): lag-gap-cumsum session ids, "
+    "per-session aggregates in exact cents.",
+    bench=True,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.sessionize(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "distinct_users_per_type",
+    oracle=tpch.DISTINCT_USERS_SQL,
+    doc="Exact grouped count-distinct (aggregate form of A7).",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.distinct_users_per_type(load_table(spark, "events", sf_dir))
+
+
+_TPCH_CUTOFF = "1998-09-02 00:00:00"
+_Q3_DATE = "1998-01-01 00:00:00"
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=tpch.PRICING_SUMMARY_SQL.format(cutoff=_TPCH_CUTOFF),
+    doc="TPC-H Q1 shape on lineitem: 2-key group, 7 aggregates, exact "
+    "integer-cents arithmetic.",
+    bench=True,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.pricing_summary(load_table(spark, "lineitem", sf_dir), _TPCH_CUTOFF)
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=tpch.SHIPPING_PRIORITY_SQL.format(segment="BUILDING", date=_Q3_DATE, k=10),
+    doc="TPC-H Q3 shape: 3-way join, deterministic integer-revenue top-10.",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.shipping_priority(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        segment="BUILDING",
+        date=_Q3_DATE,
+        k=10,
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle=tpch.LOCAL_SUPPLIER_SQL.format(
+        region_name="ASIA", date_from="1996-01-01 00:00:00", date_to="1998-01-01 00:00:00"
+    ),
+    doc="TPC-H Q5 shape: 6-way join, broadcast dimensions, revenue per "
+    "nation.",
+    bench=True,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.local_supplier_volume(
+        load_table(spark, "region", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -15,13 +15,14 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 # TaxiRide.java:62-70 -- rideId, isStart, startTime, endTime, startLon,
-# startLat, endLon, endLat, passengerCnt.
+# startLat, endLon, endLat, passengerCnt. Times are NTZ (UTC wall time,
+# TaxiRide.java:42-43) -- engine-wide policy, see sources/loaders.py.
 TAXI_RIDE = T.StructType(
     [
         T.StructField("rideId", T.LongType(), False),
         T.StructField("isStart", T.BooleanType(), False),
-        T.StructField("startTime", T.TimestampType(), True),
-        T.StructField("endTime", T.TimestampType(), True),
+        T.StructField("startTime", T.TimestampNTZType(), True),
+        T.StructField("endTime", T.TimestampNTZType(), True),
         T.StructField("startLon", T.FloatType(), True),
         T.StructField("startLat", T.FloatType(), True),
         T.StructField("endLon", T.FloatType(), True),

@@ -78,9 +78,34 @@ def read_taxi_rides_csv(spark: SparkSession, path: str) -> DataFrame:
         schema="rideId LONG, kind STRING, t1 STRING, t2 STRING, "
         "lon1 STRING, lat1 STRING, lon2 STRING, lat2 STRING, passengerCnt SHORT",
     )
+    return _ride_columns(raw)
+
+
+def parse_taxi_ride_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Deserialize TaxiRide CSV lines carried in a string column (the Kafka
+    payload format, TaxiRideSchema.java:40-44) -- works on batch AND
+    streaming DataFrames (e.g. kafka `value` after CAST AS STRING)."""
+    parts = F.split(F.col(value_col), ",")
+    named = lines.select(
+        parts.getItem(0).cast("long").alias("rideId"),
+        parts.getItem(1).alias("kind"),
+        parts.getItem(2).alias("t1"),
+        parts.getItem(3).alias("t2"),
+        parts.getItem(4).alias("lon1"),
+        parts.getItem(5).alias("lat1"),
+        parts.getItem(6).alias("lon2"),
+        parts.getItem(7).alias("lat2"),
+        parts.getItem(8).cast("short").alias("passengerCnt"),
+    )
+    return _ride_columns(named)
+
+
+def _ride_columns(raw: DataFrame) -> DataFrame:
     is_start = F.col("kind") == F.lit("START")
-    ts1 = F.to_timestamp("t1", "yyyy-MM-dd HH:mm:ss")
-    ts2 = F.to_timestamp("t2", "yyyy-MM-dd HH:mm:ss")
+    # NTZ: the wire format is UTC wall time (TaxiRide.java:42-43); parsing to
+    # NTZ keeps it session-TZ independent like the rest of the engine
+    ts1 = F.to_timestamp_ntz("t1", F.lit("yyyy-MM-dd HH:mm:ss"))
+    ts2 = F.to_timestamp_ntz("t2", F.lit("yyyy-MM-dd HH:mm:ss"))
 
     def coord(c: str):  # blank -> 0.0f
         col = F.col(c)

@@ -1,0 +1,101 @@
+"""Sessionization (batch + streaming), kafka payload codec, approx
+aggregates."""
+
+import uuid
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from flink_training_exercises_spark.operators.sessions import (
+    sessionize,
+    streaming_sessionize,
+)
+from flink_training_exercises_spark.sources import load_table
+from flink_training_exercises_spark.sources.loaders import (
+    parse_taxi_ride_lines,
+    taxi_ride_to_csv_line,
+)
+
+EV = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EV)
+
+
+def test_sessionize_gap_semantics(spark):
+    t = lambda m: datetime(2024, 1, 1, 0 + m // 60, m % 60, 0)  # noqa: E731
+    rows = [
+        (1, t(0), 7, "a", 1.00, None),
+        (2, t(10), 7, "a", 2.00, None),   # same session (<=30 min gap)
+        (3, t(50), 7, "a", 4.00, None),   # 40 min gap -> new session
+        (4, t(5), 8, "a", 8.00, None),    # other user
+    ]
+    got = {
+        (r["user_id"], r["session_id"]): r
+        for r in sessionize(_events(spark, rows)).collect()
+    }
+    assert len(got) == 3
+    s1 = got[(7, 1)]
+    assert s1["n_events"] == 2 and s1["total_value"] == 3.0
+    assert got[(7, 2)]["n_events"] == 1
+    assert got[(8, 1)]["total_value"] == 8.0
+
+
+def test_streaming_sessionize_matches_batch_shape(spark, sf_small):
+    from flink_training_exercises_spark.streaming.sources import events_stream
+
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_sessionize(events_stream(spark, sf_small))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(f"SELECT * FROM {name}")
+    batch = sessionize(load_table(spark, "events", sf_small))
+    # session_window closes sessions the watermark passed; every emitted
+    # session must exist identically in the batch result (merge semantics
+    # agree), modulo the unflushed tail
+    b = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"] > r["session_start_ms"])
+        for r in batch.collect()
+    }
+    emitted = got.collect()
+    assert len(emitted) > 50
+    for r in emitted:
+        # streaming session_window end = last event + gap; starts must align
+        assert (r["user_id"], r["session_start_ms"], True) in b or (
+            r["user_id"],
+            r["session_start_ms"],
+            False,
+        ) in b
+
+
+def test_kafka_payload_roundtrip(spark):
+    rows = [
+        (7, False, datetime(2013, 1, 1, 12, 0), datetime(2013, 1, 1, 12, 30),
+         -74.0, 40.75, -73.9, 40.8, 3),
+    ]
+    rides = spark.createDataFrame(
+        rows,
+        "rideId long, isStart boolean, startTime timestamp_ntz, endTime timestamp_ntz, "
+        "startLon float, startLat float, endLon float, endLat float, passengerCnt short",
+    )
+    lines = taxi_ride_to_csv_line(rides)
+    back = parse_taxi_ride_lines(lines).first()
+    assert back["rideId"] == 7 and back["isStart"] is False
+    assert back["startTime"] == rows[0][2] and back["endTime"] == rows[0][3]
+    assert abs(back["startLon"] - -74.0) < 1e-6
+
+
+def test_approx_count_distinct_accuracy(spark, sf_small):
+    ev = load_table(spark, "events", sf_small)
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05

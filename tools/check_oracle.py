@@ -53,7 +53,17 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
-        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+        s_float = np.issubdtype(sv.dtype, np.floating)
+        o_float = np.issubdtype(ov.dtype, np.floating)
+        if s_float != o_float:
+            # int-on-one-side / float-on-the-other: values may compare equal
+            # here but the driver's hash could distinguish 1 from 1.0
+            problems.append(
+                f"col {c}: dtype skew spark={sv.dtype} oracle={ov.dtype} "
+                "(cast the oracle column explicitly)"
+            )
+            continue
+        if s_float or o_float:
             sv64 = sv.astype(np.float64)
             ov64 = ov.astype(np.float64)
             both_nan = np.isnan(sv64) & np.isnan(ov64)
