@@ -651,6 +651,30 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_percentiles",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), [0.5e0, 0.9e0, 0.99e0]) AS p
+  FROM events GROUP BY 1
+)
+SELECT event_type, p[1] / 100 AS p50, p[2] / 100 AS p90, p[3] / 100 AS p99 FROM q
+""",
+    doc="Exact interpolated percentiles per event_type over integer cents "
+    "(Spark percentile == DuckDB quantile_cont, verified bit-exact).",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = F.expr("percentile(CAST(round(value * 100) AS BIGINT), array(0.5e0, 0.9e0, 0.99e0))")
+    return ev.groupBy("event_type").agg(p.alias("p")).select(
+        "event_type",
+        (F.element_at("p", 1) / 100).alias("p50"),
+        (F.element_at("p", 2) / 100).alias("p90"),
+        (F.element_at("p", 3) / 100).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Harness canaries -- deliberately probe how the driver's compare treats
 # (a) raw timestamp columns and (b) rounded float aggregates. Every other
