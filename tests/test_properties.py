@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis): structural invariants that hold for
+ANY input, not just fixtures. Example counts are small because every example
+runs Spark jobs."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from flink_training_exercises_spark.functions.geo import (
+    grid_cell,
+    grid_cell_center_lat,
+    grid_cell_center_lon,
+)
+from flink_training_exercises_spark.operators.sessions import sessionize
+from flink_training_exercises_spark.operators.stateful import (
+    travel_time_stateful,
+    travel_time_window,
+)
+
+SETTLE = dict(max_examples=8, deadline=None)
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=7200),   # offset seconds
+            st.integers(min_value=0, max_value=10000),  # value cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionize_partitions_events(spark, rows):
+    base = datetime(2024, 1, 1)
+    data = [
+        (i, base + timedelta(seconds=off), u, "t", c / 100.0, None)
+        for i, (u, off, c) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sessionize(ev, gap_ms=600_000).collect()
+    # partition property: every event in exactly one session
+    assert sum(r["n_events"] for r in out) == len(rows)
+    # value conservation in exact cents
+    assert round(sum(r["total_value"] for r in out) * 100) == sum(c for _, _, c in rows)
+    for r in out:
+        assert r["session_start_ms"] <= r["session_end_ms"]
+        # a session never outlives its event span + gaps
+        assert r["session_end_ms"] - r["session_start_ms"] <= (r["n_events"] - 1) * 600_000
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-74.0499, max_value=-73.7001),
+            st.floats(min_value=40.5001, max_value=40.9999),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_grid_cell_total_and_inverse(spark, pts):
+    df = spark.createDataFrame(pts, "lon double, lat double").select(
+        "lon", "lat", grid_cell("lon", "lat").alias("c")
+    )
+    rows = df.select(
+        "lon",
+        "lat",
+        "c",
+        grid_cell_center_lon("c").alias("clon"),
+        grid_cell_center_lat("c").alias("clat"),
+    ).collect()
+    for r in rows:
+        assert 0 <= r["c"] < 250 * 400
+        assert abs(r["clon"] - r["lon"]) <= 0.0014 / 2 + 1e-9
+        assert abs(r["clat"] - r["lat"]) <= 0.00125 / 2 + 1e-9
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),   # start offset s
+            st.integers(min_value=60, max_value=3600),  # duration s
+            st.integers(min_value=0, max_value=3),      # route index
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_travel_time_forms_agree_on_random_rides(spark, trips):
+    routes = [
+        ((-74.0, 40.75), (-73.95, 40.78)),
+        ((-74.0, 40.75), (-73.99, 40.74)),
+        ((-73.9, 40.8), (-73.95, 40.78)),
+        ((-73.8, 40.6), (-73.81, 40.61)),
+    ]
+    base = datetime(2024, 1, 1)
+    rows = []
+    for rid, (off, dur, ri) in enumerate(trips):
+        s, e = routes[ri]
+        t0 = base + timedelta(seconds=off)
+        t1 = t0 + timedelta(seconds=dur)
+        rows += [
+            (rid, True, t0, t0, t1, s[0], s[1], e[0], e[1], 1),
+            (rid, False, t1, t0, t1, s[0], s[1], e[0], e[1], 1),
+        ]
+    rides = spark.createDataFrame(
+        rows,
+        "ride_id long, is_start boolean, ts timestamp_ntz, "
+        "start_time timestamp_ntz, end_time timestamp_ntz, "
+        "start_lon double, start_lat double, end_lon double, end_lat double, "
+        "passenger_cnt int",
+    )
+    w = {(r["ride_id"], r["predicted_minutes"]) for r in travel_time_window(rides).collect()}
+    s_ = {(r["ride_id"], r["predicted_minutes"]) for r in travel_time_stateful(rides).collect()}
+    assert w == s_
+    assert len(w) == len(trips)  # one prediction per START event
