@@ -97,6 +97,57 @@ def replay_to_files(
     return paths
 
 
+def paced_feed(
+    df: DataFrame,
+    time_col: str,
+    out_dir: str,
+    serving_speed_factor: float = 600.0,
+    n_chunks: int = 10,
+) -> "threading.Thread":
+    """S1's wall-clock half: replay chunks proportionally to EVENT time at
+    ``serving_speed_factor`` x (TaxiRideSource.java:217-220 -- the reference
+    default 600x plays 10 minutes of events per second). Runs in a daemon
+    thread writing chronological chunk files; a file-source stream on
+    ``out_dir`` consumes them live. Returns the feeder thread (join() it or
+    let the stream's availableNow drain after completion)."""
+    import threading
+    import time as _time
+
+    rows = df.orderBy(time_col).collect()
+    if not rows:
+        raise ValueError("nothing to replay")
+    per = math.ceil(len(rows) / n_chunks)
+    chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
+    schema = df.schema
+    spark = df.sparkSession
+    t0_event = rows[0][time_col]
+
+    def run() -> None:
+        import glob as globmod
+        import shutil
+        import tempfile
+
+        os.makedirs(out_dir, exist_ok=True)
+        start_wall = _time.monotonic()
+        for i, chunk in enumerate(chunks):
+            event_elapsed = (chunk[0][time_col] - t0_event).total_seconds()
+            target_wall = event_elapsed / serving_speed_factor
+            delay = target_wall - (_time.monotonic() - start_wall)
+            if delay > 0:
+                _time.sleep(delay)
+            stage = tempfile.mkdtemp(prefix="paced_stage_")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(out_dir, f"chunk-{i:04d}.parquet"))
+            shutil.rmtree(stage, ignore_errors=True)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
 def with_disorder(
     df: DataFrame, time_col: str, id_col: str, max_delay_s: int = 60
 ) -> DataFrame:
