@@ -652,6 +652,50 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_analytics",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ev_ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       lag(cents) OVER w AS prev_cents,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ev_ms, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS moving3_cents,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY cents DESC, event_id) AS BIGINT)
+         AS rank_in_user
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ev_ms, event_id)
+""",
+    doc="SQL analytic windows (absent in the reference -- SURVEY §2.5): "
+    "lag, 3-row moving frame sum, rank; integer-exact.",
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.time import epoch_ms
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        epoch_ms("ts").alias("ev_ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ev_ms", "event_id")
+    return ev.select(
+        "event_id",
+        F.lag("cents").over(w).alias("prev_cents"),
+        F.sum("cents").over(w.rowsBetween(-2, 0)).alias("moving3_cents"),
+        F.rank()
+        .over(W.partitionBy("user_id").orderBy(F.desc("cents"), F.asc("event_id")))
+        .cast("bigint")
+        .alias("rank_in_user"),
+    )
+
+
+@register(
     "value_percentiles",
     oracle="""
 WITH q AS (
