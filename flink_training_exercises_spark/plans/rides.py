@@ -83,11 +83,16 @@ def _duck_ms_to_ts(ms: str) -> str:
 
 
 def register_events(spark: SparkSession, sf_dir: str) -> str:
-    """Register the events parquet as a temp view; returns the view name."""
+    """Register the events parquet as a temp view; returns the view name
+    (scoped by sf_dir so interleaved runs at different scale factors on one
+    session can never read each other's view)."""
+    import hashlib
+
     from ..sources import load_table
 
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("__fte_events")
-    return "__fte_events"
+    name = f"__fte_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    load_table(spark, "events", sf_dir).createOrReplaceTempView(name)
+    return name
 
 
 def rides_view(spark: SparkSession, sf_dir: str) -> DataFrame:
