@@ -48,8 +48,10 @@ def _with_int_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _cosine(dot: Column, nna: Column, nnb: Column) -> Column:
-    return dot.cast("double") / (
-        F.sqrt(nna.cast("double")) * F.sqrt(nnb.cast("double"))
+    # zero-norm guard: ANSI mode errors on /0 (a degenerate all-zero vector);
+    # define cosine(0-vec, ·) = 0. The SQL oracles carry the same CASE.
+    return F.when((nna == 0) | (nnb == 0), F.lit(0.0)).otherwise(
+        dot.cast("double") / (F.sqrt(nna.cast("double")) * F.sqrt(nnb.cast("double")))
     )
 
 

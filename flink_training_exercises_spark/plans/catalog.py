@@ -30,6 +30,7 @@ from ..functions.text import STOP_WORDS
 from ..operators import (
     dedup,
     graph,
+    ivf,
     multimodal,
     relational,
     sessions,
@@ -428,7 +429,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_INT = "[CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) for x in embedding]"
 _DOT = "list_sum([a.v[i] * b.v[i] for i in generate_series(1, 64)])"
-_COS = f"CAST({_DOT} AS DOUBLE) / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))"
+_COS = (
+    f"(CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0e0 ELSE CAST({_DOT} AS DOUBLE) "
+    "/ (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) END)"
+)
 _EMB_BASE = f"""
   SELECT vec_id AS id, v, list_sum([y * y for y in v]) AS nn
   FROM (SELECT vec_id, {_EMB_INT} AS v FROM embeddings)
@@ -490,6 +494,18 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.topk_lsh(emb, k=5, query_filter=F.col("vec_id") % 25 == 0)
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=ivf.ivf_topk_oracle(),
+    doc="IVF ANN: integer-exact k-means (8 centroids, 3 Lloyd iterations) "
+    "coarse quantizer, nprobe=2 bucket search, exact cosine rank -- the "
+    "third ANN scale path besides brute force and LSH.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf.ivf_topk(emb)
 
 
 @register(
