@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _cosine, _dot, _with_int_vec
+from .similarity import _cosine, _dot, _with_int_vec, rank_topk
 
 K_CENTROIDS = 8
 KMEANS_ITERS = 3
@@ -91,13 +91,19 @@ def kmeans_assignments(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = K_CENTROIDS,
+    n_centroids: int = K_CENTROIDS,
     iters: int = KMEANS_ITERS,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assigned, centroids) after `iters` exact Lloyd iterations.
-    assigned: (id, v, nn, cid); centroids: (cid, c)."""
+    assigned: (id, v, nn, cid); centroids: (cid, c).
+
+    Note: the integer-vector corpus is cached for the iteration loop and
+    stays cached while the returned DataFrames are alive -- callers doing
+    many k-means runs in one long-lived session should unpersist via
+    ``assigned.sparkSession.catalog.clearCache()`` or manage their own
+    input caching."""
     base = _with_int_vec(emb, id_col, vec_col).cache()
-    cents = _init_centroids(base, k)
+    cents = _init_centroids(base, n_centroids)
     assigned = None
     for _ in range(iters):
         # materialize centroids so each iteration's plan stays flat
@@ -112,7 +118,7 @@ def ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = K_CENTROIDS,
+    n_centroids: int = K_CENTROIDS,
     iters: int = KMEANS_ITERS,
     nprobe: int = NPROBE,
     topk: int = 5,
@@ -120,8 +126,9 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: rank candidates from the nprobe nearest buckets by exact
     cosine. Output (query_id, neighbor_id, rank, cosine) -- same shape as
-    the brute-force and LSH variants."""
-    assigned, cents = kmeans_assignments(emb, id_col, vec_col, k, iters)
+    the brute-force and LSH variants (whose ``k`` is this function's
+    ``topk``; ``n_centroids`` sizes the quantizer)."""
+    assigned, cents = kmeans_assignments(emb, id_col, vec_col, n_centroids, iters)
     assigned = assigned.cache()
     queries = assigned.where(F.col("id") % query_mod == 0).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
@@ -141,35 +148,33 @@ def ivf_topk(
         F.col("id").alias("neighbor_id"),
         _cosine(_dot(F.col("qv"), F.col("v")), F.col("qnn"), F.col("nn")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return rank_topk(scored, topk)
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle: the same algorithm unrolled as chained CTEs.
 # ---------------------------------------------------------------------------
 
-_DIST = (
-    "list_sum([(({v}[d + 1] - {c}[d + 1]) * ({v}[d + 1] - {c}[d + 1])) "
-    f"for d in generate_series(0, {DIM - 1})])"
-)
+def _dist_sql(v: str, c: str, dim: int) -> str:
+    return (
+        f"list_sum([(({v}[d + 1] - {c}[d + 1]) * ({v}[d + 1] - {c}[d + 1])) "
+        f"for d in generate_series(0, {dim - 1})])"
+    )
 
 
 def ivf_topk_oracle(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = K_CENTROIDS,
+    n_centroids: int = K_CENTROIDS,
     iters: int = KMEANS_ITERS,
     nprobe: int = NPROBE,
     topk: int = 5,
     query_mod: int = 25,
+    dim: int = DIM,
 ) -> str:
-    dist_bc = _DIST.format(v="b.v", c="c.c")
+    k = n_centroids
+    dist_bc = _dist_sql("b.v", "c.c", dim)
     parts = [
         f"""WITH base AS (
   SELECT {id_col} AS id,
@@ -218,8 +223,8 @@ def ivf_topk_oracle(
 ), afin_nn AS (
   SELECT a.id, a.v, a.cid, n.nn FROM afin a JOIN basenn n USING (id)
 )"""
-    dist_qc = _DIST.format(v="q.qv", c="c.c")
-    dot_qa = f"list_sum([q.qv[i] * a.v[i] for i in generate_series(1, {DIM})])"
+    dist_qc = _dist_sql("q.qv", "c.c", dim)
+    dot_qa = f"list_sum([q.qv[i] * a.v[i] for i in generate_series(1, {dim})])"
     search = f"""probes AS (
   SELECT qid, qv, qnn, cid FROM (
     SELECT q.qid, q.qv, q.qnn, c.cid,

@@ -55,6 +55,18 @@ def _cosine(dot: Column, nna: Column, nnb: Column) -> Column:
     )
 
 
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k cut over (query_id, neighbor_id, cosine): deterministic
+    (cosine DESC, neighbor_id ASC) ranking -- every ANN variant (brute
+    force, LSH, IVF) and its oracle use this exact ordering."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def topk_bruteforce(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -75,12 +87,7 @@ def topk_bruteforce(
             "cosine"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return rank_topk(scored, k)
 
 
 def cosine_neardup_pairs(
@@ -147,12 +154,7 @@ def topk_lsh(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return rank_topk(scored, k)
 
 
 def topk_bruteforce_pandas(
@@ -181,7 +183,11 @@ def topk_bruteforce_pandas(
         for pdf in batches:
             cand = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             cnorm = np.linalg.norm(cand, axis=1)
-            cos = (cand @ qm.T) / np.outer(cnorm, qn)  # candidates x queries
+            # zero-norm guard (cosine(0-vec, .) = 0 -- same semantics as the
+            # Column-expression variants)
+            denom = np.outer(cnorm, qn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (cand @ qm.T) / np.where(denom > 0, denom, 1.0), 0.0)
             out = []
             for row_i, cid in enumerate(pdf[id_col].to_numpy()):
                 sims = cos[row_i]

@@ -39,7 +39,9 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
         (r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb).collect()
     }
     # IVF is approximate; with random embeddings and nprobe=2/8 buckets,
-    # expect meaningful-but-partial recall and identical output shape
-    assert len(approx) == len(exact) == 100
+    # expect meaningful-but-partial recall. Row count can legitimately dip
+    # below the exact count when a query's probed buckets hold <5 candidates.
+    assert len(exact) == 100
+    assert 0 < len(approx) <= len(exact)
     recall = len(exact & approx) / len(exact)
     assert recall > 0.1, f"recall collapsed: {recall}"

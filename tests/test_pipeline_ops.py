@@ -102,6 +102,31 @@ def test_neardup_cosine_threshold(spark, emb):
     assert pairs == {(1, 2)}
 
 
+def test_topk_pandas_block_matches_column_form(spark):
+    import math
+
+    rows = [(0, [0.0] * 4)] + [  # zero vector exercises the norm guard
+        (i, [float(i), 1.0, 0.5, -0.25]) for i in range(1, 6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from flink_training_exercises_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_bruteforce_pandas,
+    )
+
+    col_form = {
+        (r["query_id"], r["neighbor_id"], r["rank"]): r["cosine"]
+        for r in topk_bruteforce(emb, k=3).collect()
+    }
+    np_form = {
+        (r["query_id"], r["neighbor_id"], r["rank"]): r["cosine"]
+        for r in topk_bruteforce_pandas(emb, k=3).collect()
+    }
+    assert set(col_form) == set(np_form)
+    for key, v in col_form.items():
+        assert math.isclose(v, np_form[key], rel_tol=1e-6, abs_tol=1e-9), key
+
+
 def test_lsh_same_bucket_for_identical(spark):
     e = spark.createDataFrame(
         [(1, [0.5] * 64), (2, [0.5] * 64)], "vec_id long, embedding array<float>"
