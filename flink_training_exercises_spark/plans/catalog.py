@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOP_WORDS
 from ..operators import (
+    asof,
     dedup,
     graph,
     ivf,
@@ -665,6 +666,17 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "orders", sf_dir),
         load_table(spark, "lineitem", sf_dir),
     )
+
+
+@register(
+    "asof_purchase_attribution",
+    oracle=asof.PURCHASE_CLICK_SQL,
+    doc="As-of join (union + carry-forward window -- no native Spark op): "
+    "each purchase attributed to the user's latest click at-or-before it; "
+    "oracle uses DuckDB's native ASOF JOIN.",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof.purchase_click_attribution(load_table(spark, "events", sf_dir))
 
 
 @register(
