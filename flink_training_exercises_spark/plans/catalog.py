@@ -724,6 +724,61 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_counts",
+    oracle="""
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(user_id % 10 AS STRING), 'ALL') AS cohort,
+       count(*) AS cnt,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY ROLLUP(event_type, user_id % 10)
+""",
+    doc="ROLLUP hierarchy totals (subtotal keys coalesced to 'ALL' -- no "
+    "NULL-vs-NaN hash ambiguity).",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort_raw"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents_v"),
+    )
+    return (
+        ev.rollup("event_type", "cohort_raw")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("cents_v").alias("cents"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("cohort_raw").cast("string"), F.lit("ALL")).alias("cohort"),
+            "cnt",
+            "cents",
+        )
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_user_activity",
+    oracle="SELECT CAST(user_id % 10 AS INT) AS cohort, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+    doc="Pivot: event-type counts as columns per user cohort (oracle via "
+    "FILTER conditional aggregation).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 10).cast("int").alias("cohort"), "event_type"
+    )
+    pv = ev.groupBy("cohort").pivot("event_type", list(_EVENT_TYPES)).count()
+    return pv.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+@register(
     "value_percentiles",
     oracle="""
 WITH q AS (
