@@ -724,6 +724,47 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_bigram_counts",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1]
+                         for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS bigram
+  FROM w
+)
+SELECT bigram, count(*) AS cnt, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM grams GROUP BY 1 HAVING count(*) >= 5
+""",
+    doc="Corpus word-bigram counts + doc frequency (LM-data staple); "
+    "HAVING >= 5 keeps the output bounded.",
+)
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    # guard: F.sequence(1, 0) DESCENDS in Spark (DuckDB's generate_series is
+    # empty) -- single-word docs must yield no bigrams, not an index error
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode(grams).alias("bigram"))
+    return (
+        exploded.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .where(F.col("cnt") >= 5)
+    )
+
+
+@register(
     "rollup_counts",
     oracle="""
 SELECT COALESCE(event_type, 'ALL') AS event_type,
