@@ -724,6 +724,59 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_user_history",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_ms(ts) AS valid_from_ms,
+       epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         AS valid_to_ms
+FROM events
+""",
+    doc="SCD2-style validity intervals from a change stream: each event's "
+    "state is valid until the user's next event (lead window; NULL = "
+    "current). The MERGE-less CDC pattern from the guide.",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.time import epoch_ms
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        epoch_ms("ts").alias("valid_from_ms"),
+        epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
+    )
+
+
+@register(
+    "user_inactive_days",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+d AS (SELECT DISTINCT CAST(date_part('day', ts) AS INT) AS day FROM events),
+pairs AS (SELECT user_id, day FROM u CROSS JOIN d)
+SELECT p.user_id, p.day FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.user_id = p.user_id AND CAST(date_part('day', e.ts) AS INT) = p.day
+)
+""",
+    doc="Anti-join (NOT EXISTS / left_anti): calendar days each user was "
+    "inactive (semi/anti joins absent from the reference -- SURVEY §2.3).",
+)
+def q_inactive_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.dayofmonth("ts").alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    days = ev.select("day").distinct()
+    pairs = users.crossJoin(F.broadcast(days))
+    return pairs.join(ev.distinct(), ["user_id", "day"], "left_anti")
+
+
+@register(
     "corpus_bigram_counts",
     oracle="""
 WITH w AS (
