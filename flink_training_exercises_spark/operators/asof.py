@@ -31,21 +31,29 @@ def asof_join(
     """For every left row: the right row with the greatest right_time <=
     left_time for the same key (NULL if none). Output: all left columns'
     ids plus (matched_id, match_gap_ms)."""
+    # null placeholders carry each side's ACTUAL id dtype (string ids etc.
+    # would otherwise fail the union or silently widen)
+    l_id_type = dict(left.dtypes)[left_id]
+    r_id_type = dict(right.dtypes)[right_id]
     l_tag = left.select(
         F.col(key).alias("k"),
         F.col(left_time).alias("t"),
         F.col(left_id).alias("lid"),
-        F.lit(None).cast("long").alias("rid"),
+        F.lit(None).cast(r_id_type).alias("rid"),
         F.lit(1).alias("side"),  # left sorts after right at equal t
     )
     r_tag = right.select(
         F.col(key).alias("k"),
         F.col(right_time).alias("t"),
-        F.lit(None).cast("long").alias("lid"),
+        F.lit(None).cast(l_id_type).alias("lid"),
         F.col(right_id).alias("rid"),
         F.lit(0).alias("side"),
     )
-    unioned = l_tag.unionByName(r_tag)
+    return _asof_from_tagged(l_tag.unionByName(r_tag), key, left_id)
+
+
+def _asof_from_tagged(unioned: DataFrame, key: str, left_id: str) -> DataFrame:
+    """Carry-forward core over a pre-tagged union (k, t, lid, rid, side)."""
     w = (
         Window.partitionBy("k")
         .orderBy("t", "side", F.coalesce("rid", "lid"))
@@ -75,13 +83,20 @@ def asof_join(
 
 def purchase_click_attribution(events: DataFrame) -> DataFrame:
     """Pipeline application: attribute each purchase to the user's most
-    recent click at-or-before it."""
-    purchases = events.where(F.col("event_type") == "purchase")
-    clicks = events.where(F.col("event_type") == "click")
-    return asof_join(
-        purchases, clicks, key="user_id", left_time="ts", right_time="ts",
-        left_id="event_id", right_id="event_id",
+    recent click at-or-before it. Single scan: both sides come from one
+    table, so the tagged union is built with when() instead of two filtered
+    scans (halves the I/O -- the asof_join entry point is for genuinely
+    distinct inputs)."""
+    is_p = F.col("event_type") == "purchase"
+    is_c = F.col("event_type") == "click"
+    tagged = events.where(is_p | is_c).select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.when(is_p, F.col("event_id")).alias("lid"),
+        F.when(is_c, F.col("event_id")).alias("rid"),
+        F.when(is_p, F.lit(1)).otherwise(F.lit(0)).alias("side"),
     )
+    return _asof_from_tagged(tagged, key="user_id", left_id="event_id")
 
 
 PURCHASE_CLICK_SQL = """
