@@ -724,6 +724,27 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_ops_clean_purchase_days",
+    oracle="""
+SELECT user_id, CAST(date_part('day', ts) AS INT) AS day
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, CAST(date_part('day', ts) AS INT) AS day
+FROM events WHERE event_type = 'error'
+""",
+    doc="Set operations (EXCEPT; INTERSECT/UNION exercised in-suite): "
+    "(user, day) pairs with a purchase but no error that day.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.dayofmonth("ts").alias("day"), "event_type"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "day")
+    e = ev.where(F.col("event_type") == "error").select("user_id", "day")
+    return p.subtract(e)  # EXCEPT (distinct set semantics), matching the SQL
+
+
+@register(
     "scd2_user_history",
     oracle="""
 SELECT user_id, event_id,
