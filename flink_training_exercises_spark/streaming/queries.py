@@ -19,6 +19,21 @@ from ..operators.windows import DEFAULT_SLIDE, DEFAULT_THRESHOLD, DEFAULT_WINDOW
 DEFAULT_WATERMARK = "60 seconds"  # = maxEventDelay (RideCleansing.java:45)
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    keys: list[str],
+    time_col: str = "ts",
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Streaming twin of operators/dedup.exact_dedup: first-seen-wins key
+    dedup with watermark-bounded state (`dropDuplicatesWithinWatermark` --
+    duplicates arriving within the watermark horizon are suppressed, state
+    for expired keys is evicted, so memory is bounded at any corpus size)."""
+    return events.withColumn(
+        "__ts_i", ntz_as_utc_instant(time_col)
+    ).withWatermark("__ts_i", watermark).dropDuplicatesWithinWatermark(keys).drop("__ts_i")
+
+
 def streaming_ride_cleansing(rides: DataFrame) -> DataFrame:
     """W1/P1 streaming: stateless NYC filter -- append mode, no state."""
     in_nyc = geo.is_in_nyc("start_lon", "start_lat") & geo.is_in_nyc("end_lon", "end_lat")

@@ -163,6 +163,31 @@ def test_streaming_stateful_travel_time_matches_batch(spark, sf_small):
     assert len(s) > 100
 
 
+def test_streaming_exact_dedup(spark, sf_small):
+    """Streaming dedup: one survivor per key, watermark-bounded state."""
+    from flink_training_exercises_spark.streaming.queries import streaming_exact_dedup
+    from flink_training_exercises_spark.streaming.sources import events_stream
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    got = _drain(
+        streaming_exact_dedup(events_stream(spark, sf_small), ["user_id", "event_type"]),
+        name,
+    )
+    rows = got.collect()
+    keys = {(r["user_id"], r["event_type"]) for r in rows}
+    assert len(rows) == len(keys)  # exactly one survivor per key
+    from flink_training_exercises_spark.sources import load_table
+
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, "events", sf_small)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert keys == batch_keys  # every key represented
+
+
 def test_transform_with_state_matches_batch(spark, sf_small):
     """W5 on the Spark 4 transformWithStateInPandas API (ValueState per key
     -- the closest analogue to the reference's keyed ValueState)."""
