@@ -33,6 +33,7 @@ from ..operators import (
     graph,
     ivf,
     multimodal,
+    rangejoin,
     relational,
     sessions,
     similarity,
@@ -721,6 +722,17 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_in_user"),
     )
+
+
+@register(
+    "range_join_downtime_events",
+    oracle=rangejoin.EVENTS_IN_DOWNTIME_SQL,
+    doc="Range (interval) join via hour-bucket equi-join + exact filter "
+    "(no native Spark op; naive form is a filtered cartesian product): "
+    "events inside derived downtime windows.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rangejoin.events_in_downtime(load_table(spark, "events", sf_dir))
 
 
 @register(
