@@ -30,27 +30,32 @@ def range_join_bucketed(
 ) -> DataFrame:
     """Join rows of `points` to every interval with start <= point <= end
     (inclusive both ends). Columns from both sides are kept; `how='left'`
-    keeps unmatched points with NULL interval columns."""
+    keeps unmatched points with NULL interval columns.
+
+    The range predicate lives IN the join condition (not a post-filter), so
+    outer semantics are exact: a point has exactly one bucket and an interval
+    covers each bucket once, so a matched (point, interval) pair joins in
+    exactly one bucket and unmatched points surface once with NULLs -- no
+    anti-join reconstruction, which would mis-handle NULL-valued point
+    columns under non-null-safe equality."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"points and intervals must have disjoint column names; shared: {sorted(overlap)}"
+        )
     p_bucket = F.floor(F.col(point_ms) / bucket_width_ms).cast("bigint")
     i_start_b = F.floor(F.col(start_ms) / bucket_width_ms).cast("bigint")
     i_end_b = F.floor(F.col(end_ms) / bucket_width_ms).cast("bigint")
-    p = points.withColumn("__bucket", p_bucket)
-    i = intervals.withColumn(
-        "__bucket", F.explode(F.sequence(i_start_b, i_end_b))
+    p = points.withColumn("__bucket_p", p_bucket)
+    i = intervals.withColumn("__bucket_i", F.explode(F.sequence(i_start_b, i_end_b)))
+    cond = (
+        (F.col("__bucket_p") == F.col("__bucket_i"))
+        & (F.col(point_ms) >= F.col(start_ms))
+        & (F.col(point_ms) <= F.col(end_ms))
     )
-    cond = (F.col(point_ms) >= F.col(start_ms)) & (F.col(point_ms) <= F.col(end_ms))
-    joined = p.join(i, "__bucket", "inner").where(cond).drop("__bucket")
-    if how == "inner":
-        return joined
-    if how == "left":
-        matched_keys = joined.select(*points.columns)
-        unmatched = p.drop("__bucket").join(
-            matched_keys.distinct(), points.columns, "left_anti"
-        )
-        for c in intervals.columns:
-            unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-        return joined.unionByName(unmatched)
-    raise ValueError(f"unsupported how={how!r}")
+    return p.join(i, cond, how).drop("__bucket_p", "__bucket_i")
 
 
 def downtime_intervals(events: DataFrame) -> DataFrame:

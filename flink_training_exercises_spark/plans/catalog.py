@@ -181,7 +181,13 @@ def q_popular_places(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAILS = mails_plan.mails_cte("events")
 _EMAIL_RE = r"<([^<>]*)>\s*$"
-_EMAIL_SQL = f"regexp_extract(sender, '{_EMAIL_RE}', 1)"
+# Mirrors functions/text.py email_address exactly: bracketless senders fall
+# back to the raw string (Spark does the same CASE) -- without this, one
+# bracketless sender in regenerated testdata would break the whole mail family.
+_EMAIL_SQL = (
+    f"(CASE WHEN regexp_extract(sender, '{_EMAIL_RE}', 1) = '' THEN sender "
+    f"ELSE regexp_extract(sender, '{_EMAIL_RE}', 1) END)"
+)
 _BOTS_SQL = ", ".join(f"'{b}'" for b in relational.BOT_ADDRESSES)
 
 

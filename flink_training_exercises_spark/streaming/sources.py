@@ -155,5 +155,9 @@ def with_disorder(
     seconds derived from the row id (stands in for the reference's seeded
     Gaussian, TaxiRideSource.java:231-238; determinism beats distribution
     shape for tests)."""
-    delay_ms = (F.col(id_col) * 48271 % F.lit(max_delay_s * 1000)).cast("bigint")
+    # reduce mod m BEFORE the multiply: same value ((id*k) % m == ((id%m)*k) % m)
+    # but the product stays < 2^47, so ANSI mode can't overflow at any id scale
+    delay_ms = (F.col(id_col) % F.lit(max_delay_s * 1000) * 48271 % F.lit(max_delay_s * 1000)).cast(
+        "bigint"
+    )
     return df.withColumn(time_col, F.timestamp_add("MILLISECOND", delay_ms, F.col(time_col)))
