@@ -113,15 +113,16 @@ def cosine_neardup_pairs(
     )
 
 
-def lsh_bucket(vec_int: Column, dim: int = 64) -> Column:
+def lsh_bucket(vec_int: Column, dim: int = 64, planes=None) -> Column:
     """Sign-signature bucket id from formula-generated +/-1 hyperplanes:
     bit p = [ sum_d v[d] * (1 - 2*((d*A_p + B_p) % 2)) > 0 ]. Integer dots ->
-    exact. Collapses the O(n^2) join to an equi-join on this bucket."""
+    exact. Collapses the O(n^2) join to an equi-join on this bucket.
+    ``planes`` selects a (band's) slice of the hyperplane family."""
     def plane(a: int, b: int):
         return lambda x, d: x * (1 - 2 * ((d * F.lit(a) + F.lit(b)) % 2))
 
     bucket = None
-    for p, (a, b) in enumerate(_PLANE_PARAMS[:LSH_PLANES]):
+    for p, (a, b) in enumerate(planes or _PLANE_PARAMS[:LSH_PLANES]):
         signed = F.zip_with(vec_int, F.sequence(F.lit(0), F.lit(dim - 1)), plane(a, b))
         dot = F.aggregate(signed, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
         bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -162,51 +163,110 @@ def topk_bruteforce_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    query_filter: Column | None = None,
 ) -> DataFrame:
-    """The 100 TB-shaped brute force: queries broadcast as a numpy block,
-    candidates streamed per partition through mapInPandas, one BLAS matmul
-    per Arrow batch. Float64 math (not oracle-gated; results may differ from
-    the integer-exact form in the last ulp)."""
+    """The 100 TB-shaped brute force: only the (small, typically subsampled)
+    QUERY set is collected and broadcast as a numpy block; the candidate
+    corpus -- the side that is 100 TB -- streams through mapInPandas, one
+    BLAS matmul per Arrow batch. Each batch emits its local top-k per query
+    (<= |queries| * k rows per batch), and a final window rank cuts the
+    global top-k over that small partial set, so neither the driver nor any
+    executor ever holds the full table. Float64 math (not oracle-gated;
+    results may differ from the integer-exact form in the last ulp)."""
     import numpy as np
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows])
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    queries = emb.where(query_filter) if query_filter is not None else emb
+    qrows = queries.select(id_col, vec_col).collect()  # queries only, never the corpus
+    qi = np.array([r[id_col] for r in qrows])
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    bcast = emb.sparkSession.sparkContext.broadcast((qi, qm, qn))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm, qi, qn = b_mat.value, b_ids.value, b_norms.value
+        b_qi, b_qm, b_qn = bcast.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             cand = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cids = pdf[id_col].to_numpy()
             cnorm = np.linalg.norm(cand, axis=1)
             # zero-norm guard (cosine(0-vec, .) = 0 -- same semantics as the
             # Column-expression variants)
-            denom = np.outer(cnorm, qn)
+            denom = np.outer(b_qn, cnorm)
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom > 0, (cand @ qm.T) / np.where(denom > 0, denom, 1.0), 0.0)
-            out = []
-            for row_i, cid in enumerate(pdf[id_col].to_numpy()):
-                sims = cos[row_i]
-                order = np.lexsort((qi, -sims))
-                picked = [j for j in order if qi[j] != cid][:k]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": cid,
-                            "neighbor_id": qi[picked],
-                            "rank": np.arange(1, len(picked) + 1),
-                            "cosine": sims[picked],
-                        }
-                    )
+                cos = np.where(denom > 0, (b_qm @ cand.T) / np.where(denom > 0, denom, 1.0), 0.0)
+            out_q, out_n, out_c = [], [], []
+            for row_q in range(len(b_qi)):
+                sims = cos[row_q]
+                idx = np.nonzero(cids != b_qi[row_q])[0]
+                if idx.size == 0:
+                    continue
+                picked = idx[np.lexsort((cids[idx], -sims[idx]))][:k]
+                out_q.append(np.full(picked.size, b_qi[row_q]))
+                out_n.append(cids[picked])
+                out_c.append(sims[picked])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
                 )
-            yield pd.concat(out) if out else pd.DataFrame(
-                columns=["query_id", "neighbor_id", "rank", "cosine"]
-            )
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, rank int, cosine double"
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    return rank_topk(partial, k)
+
+
+NEARDUP_BANDS = 2  # bands of LSH_PLANES/NEARDUP_BANDS sign bits each
+
+
+def cosine_neardup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    bands: int = NEARDUP_BANDS,
+) -> DataFrame:
+    """Scale path for cosine_neardup_pairs: banded sign-LSH candidate
+    generation + exact integer-cosine verify -- the pattern of
+    dedup.minhash_lsh_pairs applied to embeddings. Each vector gets one
+    bucket per band (4 sign bits each with the default 8-plane family);
+    candidates are pairs sharing any (band, bucket) key, found by an
+    equi-join on a single fused int key instead of the O(n^2) theta-join;
+    the exact cosine filter then runs only on candidates. Recall is
+    band-bounded (pairs differing in every band are unseen) -- the oracle
+    replicates the identical banding, and the all-pairs form remains the
+    small-sf exact twin."""
+    r = LSH_PLANES // bands
+    base = _with_int_vec(emb, id_col, vec_col)
+    band_keys = [
+        # fused key: band index in the high bits, bucket (< 2^r) in the low
+        (F.lit(b * (1 << r)) + lsh_bucket(F.col("v"), dim, planes=_PLANE_PARAMS[b * r : (b + 1) * r]))
+        .cast("int")
+        .alias(f"k{b}")
+        for b in range(bands)
+    ]
+    banded = base.select("id", F.explode(F.array(*band_keys)).alias("key"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va, vb = base.alias("va"), base.alias("vb")
+    return (
+        cand.join(va, F.col("id_a") == F.col("va.id"))
+        .join(vb, F.col("id_b") == F.col("vb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine(_dot(F.col("va.v"), F.col("vb.v")), F.col("va.nn"), F.col("vb.nn")).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
     )

@@ -471,9 +471,9 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") % 25 == 0)
 
 
-def _lsh_bucket_sql() -> str:
+def _lsh_bucket_sql(planes=None) -> str:
     bits = []
-    for p, (a, b) in enumerate(similarity._PLANE_PARAMS[: similarity.LSH_PLANES]):
+    for p, (a, b) in enumerate(planes or similarity._PLANE_PARAMS[: similarity.LSH_PLANES]):
         dot = f"list_sum([v[d + 1] * (1 - 2 * ((d * {a} + {b}) % 2)) for d in generate_series(0, 63)])"
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return "CAST(" + " + ".join(bits) + " AS INT)"
@@ -524,11 +524,48 @@ SELECT a.id AS id_a, b.id AS id_b, {_COS} AS cosine
 FROM base a JOIN base b ON a.id < b.id
 WHERE {_COS} >= 0.35e0
 """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.35).",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.35) -- exact "
+    "all-pairs form, kept as the small-sf oracle twin of the LSH-bucketed "
+    "scale path below.",
 )
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.cosine_neardup_pairs(emb, threshold=0.35)
+
+
+def _neardup_lsh_keys_sql() -> str:
+    r = similarity.LSH_PLANES // similarity.NEARDUP_BANDS
+    keys = [
+        f"({b * (1 << r)} + {_lsh_bucket_sql(similarity._PLANE_PARAMS[b * r : (b + 1) * r])})"
+        for b in range(similarity.NEARDUP_BANDS)
+    ]
+    return ", ".join(keys)
+
+
+@register(
+    "neardup_embedding_cosine_lsh",
+    oracle=f"""
+WITH base AS ({_EMB_BASE}),
+banded AS (
+  SELECT id, CAST(unnest([{_neardup_lsh_keys_sql()}]) AS INT) AS key FROM base
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM banded x JOIN banded y ON x.key = y.key AND x.id < y.id
+)
+SELECT id_a, id_b, {_COS} AS cosine
+FROM cand JOIN base a ON id_a = a.id JOIN base b ON id_b = b.id
+WHERE {_COS} >= 0.35e0
+""",
+    doc="Embedding-cosine near-dup via banded sign-LSH candidates (2 bands "
+    "x 4 hyperplanes, fused int band key) + exact integer-cosine verify -- "
+    "the 100 TB scale path; the equi-join on band keys replaces the "
+    "all-pairs theta-join.",
+    bench=True,
+)
+def q_neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_neardup_pairs_lsh(emb, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,58 @@ def test_topk_pandas_block_matches_column_form(spark):
         assert math.isclose(v, np_form[key], rel_tol=1e-6, abs_tol=1e-9), key
 
 
+def test_topk_pandas_collects_only_queries(spark, monkeypatch):
+    """The 100 TB shape: the driver may collect the (small) query subset,
+    never the candidate corpus."""
+    rows = [(i, [float(i % 7), 1.0, 0.5, -0.25]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # patch the CONCRETE DataFrame class (pyspark.sql.classic in Spark 4
+    # overrides collect; patching the abstract base would never be hit)
+    cls = type(emb)
+    collected_sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        out = orig(self)
+        collected_sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(cls, "collect", spy)
+    df = similarity.topk_bruteforce_pandas(emb, k=3, query_filter=F.col("vec_id") % 10 == 0)
+    # plan construction collected exactly the 4 query rows, nothing else
+    assert collected_sizes == [4]
+    monkeypatch.setattr(cls, "collect", orig)
+    got = {r["query_id"] for r in df.collect()}
+    assert got == {0, 10, 20, 30}
+
+
+def test_neardup_lsh_subset_of_exact(spark):
+    rows = [(i, [float((i * 13) % 11 - 5 + 0.1 * j) for j in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_neardup_pairs(emb, threshold=0.6).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_neardup_pairs_lsh(emb, threshold=0.6, dim=8).collect()
+    }
+    # every LSH pair is a true pair with the identical exact cosine...
+    assert set(lsh) <= set(exact)
+    for key, v in lsh.items():
+        assert v == exact[key]
+    # ...and identical vectors (same sign pattern in every band) are never missed
+    dup = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [0.5] * 8), (3, [-0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs_lsh(dup, threshold=0.9, dim=8).collect()
+    }
+    assert (1, 2) in found and (1, 3) not in found
+
+
 def test_lsh_same_bucket_for_identical(spark):
     e = spark.createDataFrame(
         [(1, [0.5] * 64), (2, [0.5] * 64)], "vec_id long, embedding array<float>"
