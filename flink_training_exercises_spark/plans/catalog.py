@@ -174,6 +174,27 @@ def q_popular_places(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.popular_places(r, window="6 hours", slide="1 hour", threshold=_PP_THRESHOLD)
 
 
+@register(
+    "streaming_popular_places",
+    oracle=f"""
+WITH res AS ({_popular_places_oracle(_PP_SIZE_MS, _PP_SLIDE_MS, _PP_THRESHOLD)}),
+rides AS ({_RIDES}),
+mx AS (SELECT max(epoch_ms(ts)) AS m FROM rides WHERE {_NYC_PRED})
+SELECT res.* FROM res, mx WHERE res.window_end_ms <= mx.m - 60000
+""",
+    doc="W2/W3/W7 through the real streaming engine: watermarked sliding-"
+    "window count in APPEND mode (fire-once per window, availableNow "
+    "drain, memory sink). Oracle = the batch popular_places result cut at "
+    "the final watermark (max event ts - 60 s), mirroring Spark's "
+    "window.end <= watermark emission (PopularPlaces.java:71-97 event-time "
+    "fire-once contract).",
+)
+def q_streaming_popular_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import run_popular_places_availablenow
+
+    return run_popular_places_availablenow(spark, sf_dir, threshold=_PP_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # Mail-family batch exercises (SURVEY §2 A1-A6, J2/J3, P3/P6/P7) on the
 # derived mails view (plans/mails.py).

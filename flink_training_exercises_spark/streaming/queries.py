@@ -9,7 +9,9 @@ reference's EventTime windows (PopularPlaces.java:71-97).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import geo
@@ -82,3 +84,40 @@ def streaming_popular_places(
         F.col("is_start"),
         F.col("cnt"),
     )
+
+
+def run_popular_places_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    threshold: int = DEFAULT_THRESHOLD,
+    query_name: str = "streaming_popular_places_gate",
+) -> DataFrame:
+    """Drive streaming_popular_places through the REAL streaming engine
+    (file micro-batches -> watermarked window state -> append-mode memory
+    sink, availableNow trigger) and return the materialized result.
+
+    Append mode is Flink's fire-once contract (W2): a (cell, window) row is
+    emitted exactly once, when the watermark -- max event time minus the
+    60 s delay -- passes the window end; windows still open when the stream
+    drains are NOT emitted. The batch oracle therefore gains the cutoff
+    ``window_end_ms <= max(event ts) - 60000``, which mirrors Spark's
+    ``window.end <= watermark`` state eviction exactly (verified equal at
+    sf0.01: 1143 of the batch's 1171 rows). A fresh checkpoint dir per call
+    means each invocation replays the full input deterministically."""
+    from .sources import rides_stream
+
+    stream = streaming_popular_places(
+        rides_stream(spark, sf_dir), window=window, slide=slide, threshold=threshold
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fte_pp_gate_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -54,6 +54,39 @@ def test_stream_batch_parity_popular_places(spark, sf_small):
     assert s == b
 
 
+def test_run_availablenow_is_exact_horizon_cut(spark, sf_small):
+    """The gate runner's output is EXACTLY the batch result cut at the final
+    watermark: nothing extra (no window emitted early / twice), nothing
+    missing below the horizon -- the fire-once contract the oracle checks."""
+    from flink_training_exercises_spark.streaming.queries import (
+        run_popular_places_availablenow,
+    )
+
+    name = f"ppgate_{uuid.uuid4().hex[:8]}"
+    got = run_popular_places_availablenow(
+        spark, sf_small, window="1 day", slide="6 hours", threshold=2, query_name=name
+    )
+    batch = popular_places(
+        rides_view(spark, sf_small), window="1 day", slide="6 hours", threshold=2
+    )
+    from flink_training_exercises_spark.functions import geo
+
+    # the watermark advances on the POST-NYC-filter stream, so the horizon
+    # is the max ts among NYC rides, not all rides
+    max_ms = rides_view(spark, sf_small).where(
+        geo.is_in_nyc("start_lon", "start_lat") & geo.is_in_nyc("end_lon", "end_lat")
+    ).select(
+        F.max(F.timestamp_diff("MILLISECOND", F.expr("TIMESTAMP_NTZ '1970-01-01'"), F.col("ts")))
+    ).first()[0]
+    s = {tuple(r) for r in got.collect()}  # unfiltered: gate shape
+    b = {
+        tuple(r)
+        for r in batch.where(F.col("window_end_ms") <= max_ms - 60_000).collect()
+    }
+    assert len(b) > 10
+    assert s == b
+
+
 def test_streaming_ride_cleansing_stateless_parity(spark, sf_small):
     name = f"rc_{uuid.uuid4().hex[:8]}"
     got = _drain(streaming_ride_cleansing(rides_stream(spark, sf_small)), name)
