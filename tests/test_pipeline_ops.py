@@ -64,6 +64,18 @@ def test_simhash_near_duplicate(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 8
 
 
+def test_persisted_signatures_memoized_and_releasable(spark, docs):
+    """Repeated invocations reuse ONE persisted signature table (no storage
+    stacking across oracle gate + bench + tests) and release drops it."""
+    dedup.release_persisted_signatures()
+    a = dedup.persisted_signatures(docs, "doc_id", "text")
+    b = dedup.persisted_signatures(docs, "doc_id", "text")
+    assert a is b
+    assert len(dedup._SIG_PERSISTED) == 1
+    dedup.release_persisted_signatures()
+    assert len(dedup._SIG_PERSISTED) == 0
+
+
 def test_ngram_jaccard_partition_scoped(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
