@@ -17,11 +17,18 @@ Two arithmetic modes:
     engines and partitionings -- this is what the DuckDB oracle checks, and
     it also makes the operator's output stable under AQE re-partitioning.
 
-Scale notes: the per-iteration shuffle is on dst (size = |E| after the
-transition join); ranks are |V| rows. ``checkpoint_every`` truncates lineage
-for long loops (localCheckpoint -- no HDFS needed); at cluster scale use a
-real checkpoint dir. Requires every vertex to have >= 1 out-edge (same
-precondition as the reference, PageRankWithEdgeWeights.java:38-41).
+Scale notes: the transition table and the vertex set are iteration
+invariants, so both are hash-repartitioned on their join key ONCE (same
+partition count) and cached; every per-iteration join then reads an
+already-co-partitioned side and the only recurring shuffle is the
+groupBy(dst) contribution aggregation -- the data movement PageRank
+inherently requires (1 exchange/iteration instead of 2). The rank state
+itself exits each iteration partitioned by vertex, so it re-enters the
+next join exchange-free as well. ``checkpoint_every`` truncates lineage
+for long loops (localCheckpoint -- no HDFS needed, and it preserves the
+partitioning); at cluster scale use a real checkpoint dir. Requires every
+vertex to have >= 1 out-edge (same precondition as the reference,
+PageRankWithEdgeWeights.java:38-41).
 """
 
 from __future__ import annotations
@@ -69,7 +76,8 @@ def weighted_pagerank(
     exact=True requires integer-valued weights and an integer damping*100.
     """
     spark = edges.sparkSession
-    vertices = vertices_from_edges(edges).cache()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    vertices = vertices_from_edges(edges).repartition(n_part, "vertex").cache()
 
     if exact:
         d100 = int(round(damping * 100))
@@ -84,6 +92,7 @@ def weighted_pagerank(
                 edges.groupBy("src").agg(F.sum(F.col("weight").cast("bigint")).alias("out_sum")),
                 "src",
             )
+            .repartition(n_part, "src")
             .cache()
         )
         ranks = vertices.select("vertex", F.lit(RANK_SCALE).cast("bigint").alias("r"))
@@ -108,7 +117,12 @@ def weighted_pagerank(
             "vertex", (F.col("r").cast("double") / F.lit(float(RANK_SCALE))).alias("rank")
         )
 
-    trans = transition_probabilities(edges).select("src", "dst", "prob").cache()
+    trans = (
+        transition_probabilities(edges)
+        .select("src", "dst", "prob")
+        .repartition(n_part, "src")
+        .cache()
+    )
     ranks = vertices.select("vertex", F.lit(1.0).alias("rank"))
     for i in range(iterations):
         contribs = (
