@@ -581,12 +581,67 @@ WHERE {_COS} >= 0.35e0
     doc="Embedding-cosine near-dup via banded sign-LSH candidates (2 bands "
     "x 4 hyperplanes, fused int band key) + exact integer-cosine verify -- "
     "the 100 TB scale path; the equi-join on band keys replaces the "
-    "all-pairs theta-join.",
-    bench=True,
+    "all-pairs theta-join. (Not in the headline basket: that set is pinned "
+    "to round 1's 12 queries for cross-round comparability.)",
 )
 def q_neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.cosine_neardup_pairs_lsh(emb, threshold=0.35)
+
+
+def _ann_recall_oracle() -> str:
+    """recall@5 of the approximate ANN paths against brute force, composed
+    from the three (individually gated) ANN oracles as CTEs -- integer hit
+    counts, so the quality bar is hash-exact across engines."""
+    bf = CATALOG["ann_topk_bruteforce"].oracle
+    lsh = CATALOG["ann_topk_lsh"].oracle
+    iv = CATALOG["ann_topk_ivf"].oracle
+    return f"""
+WITH bf AS ({bf}), lsh AS ({lsh}), iv AS ({iv}),
+approx AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM iv
+),
+hits AS (
+  SELECT method, count(*) AS hits
+  FROM approx JOIN bf USING (query_id, neighbor_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS total FROM bf)
+SELECT method, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total
+FROM hits CROSS JOIN tot
+"""
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=_ann_recall_oracle(),
+    doc="Quality gate for the approximate ANN paths: (query, neighbor) "
+    "pairs of LSH and IVF top-5 that appear in the exact brute-force "
+    "top-5, as integer hit counts against the shared query subset -- the "
+    "approximate operators are graded against ground truth, not just "
+    "against their own definition.",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    flt = F.col("vec_id") % 25 == 0
+    bf = similarity.topk_bruteforce(emb, k=5, query_filter=flt).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        similarity.topk_lsh(emb, k=5, query_filter=flt)
+        .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
+        .unionByName(
+            ivf.ivf_topk(emb).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id")
+        )
+    )
+    hits = (
+        approx.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+    return hits.crossJoin(F.broadcast(total))
 
 
 # ---------------------------------------------------------------------------
