@@ -423,7 +423,13 @@ def ngram_jaccard_pairs(
     """Exact word n-gram Jaccard pairs within a partition column (the
     shard-scoped dedup a corpus pipeline runs; cross-shard pairs are the
     MinHash operator's job). The pair join is an equi-join on the partition
-    key; Jaccard over per-row distinct n-gram arrays stays in integers."""
+    key; Jaccard over per-row distinct n-gram arrays stays in integers.
+
+    Grams are md5-hashed to bigints per row BEFORE the pair join (one hash
+    pass over the corpus), so the quadratic intersect works on bigint sets
+    instead of ~20-char strings -- same trick as the MinHash verify; both
+    engines hash identically, so the (negligible, deterministic) collision
+    behavior is differential-safe."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     grams = F.array_distinct(
         F.transform(
@@ -431,8 +437,9 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         )
     )
+    hashed = F.array_distinct(F.transform(grams, _md5_long_c))
     g = docs.select(
-        F.col(id_col).alias("id"), F.col(partition_col).alias("part"), grams.alias("g")
+        F.col(id_col).alias("id"), F.col(partition_col).alias("part"), hashed.alias("g")
     )
     a, b = g.alias("a"), g.alias("b")
     return (
@@ -463,10 +470,13 @@ def ngram_jaccard_sql(
     words = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
     return f"""
 WITH g AS (
-  SELECT {id_col} AS id, {partition_col} AS part,
-         list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
-                        for i in generate_series(1, greatest(len(w) - {n - 1}, 1))]) AS g
-  FROM (SELECT {id_col}, {partition_col}, {words} AS w FROM {table})
+  SELECT id, part, list_distinct([{md5_long_sql('x')} for x in gs]) AS g
+  FROM (
+    SELECT {id_col} AS id, {partition_col} AS part,
+           list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                          for i in generate_series(1, greatest(len(w) - {n - 1}, 1))]) AS gs
+    FROM (SELECT {id_col}, {partition_col}, {words} AS w FROM {table})
+  )
 ),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,

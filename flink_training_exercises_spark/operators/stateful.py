@@ -85,20 +85,30 @@ def travel_time_window(rides: DataFrame) -> DataFrame:
     )
 
 
-def travel_time_stateful(rides: DataFrame) -> DataFrame:
-    """applyInPandas form: regression state carried across each key group in
-    event-time order (the batch twin of the streaming stateful operator)."""
+def travel_time_stateful(rides: DataFrame, n_shards: int = 64) -> DataFrame:
+    """applyInPandas form: regression state carried across ordered rows (the
+    batch twin of the streaming stateful operator).
 
-    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+    Keys are SHARDED, not per-cell: per-(cell, bucket) state is independent,
+    so grouping by ``cell % n_shards`` and keying the state dict on
+    (cell, bucket) gives bit-identical results while cutting the number of
+    pandas group invocations from |cells| (thousands of tiny frames, ~5 ms
+    fixed cost each -- measured 38x slower than the window twin at sf0.1)
+    to n_shards. One mergesort per shard preserves each cell's event-time
+    order. Scale knob: raise n_shards with corpus size so a shard's rows
+    fit executor memory (per-cell grouping is the n_shards -> inf limit)."""
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ev_ms", "ride_id", "is_start"], kind="mergesort")
         out_ids, out_preds = [], []
-        state: dict[int, tuple[int, int]] = {}  # bucket -> (sxx, sxy), python ints
-        for ride_id, is_start, bucket, x_m, y_ms in zip(
-            pdf["ride_id"], pdf["is_start"], pdf["bucket"], pdf["x_m"], pdf["y_ms"]
+        state: dict[tuple[int, int], tuple[int, int]] = {}  # (cell,bucket) -> (sxx,sxy)
+        for ride_id, is_start, cell, bucket, x_m, y_ms in zip(
+            pdf["ride_id"], pdf["is_start"], pdf["cell"], pdf["bucket"], pdf["x_m"], pdf["y_ms"]
         ):
             x = int(x_m)
+            key = (int(cell), int(bucket))
             if is_start:
-                sxx, sxy = state.get(int(bucket), (0, 0))
+                sxx, sxy = state.get(key, (0, 0))
                 if sxx == 0:
                     pred = -1
                 else:
@@ -110,12 +120,13 @@ def travel_time_stateful(rides: DataFrame) -> DataFrame:
                 out_ids.append(int(ride_id))
                 out_preds.append(pred)
             else:
-                sxx, sxy = state.get(int(bucket), (0, 0))
-                state[int(bucket)] = (sxx + x * x, sxy + x * int(y_ms))
+                sxx, sxy = state.get(key, (0, 0))
+                state[key] = (sxx + x * x, sxy + x * int(y_ms))
         return pd.DataFrame({"ride_id": out_ids, "predicted_minutes": out_preds})
 
     return (
         _features(rides)
-        .groupBy("cell")
-        .applyInPandas(per_cell, schema="ride_id long, predicted_minutes int")
+        .withColumn("shard", F.col("cell") % F.lit(n_shards))
+        .groupBy("shard")
+        .applyInPandas(per_shard, schema="ride_id long, predicted_minutes int")
     )
