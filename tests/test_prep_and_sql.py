@@ -101,6 +101,86 @@ def test_grid_cells_on_way(spark):
     assert len(row["cells"]) == 6
 
 
+def _reference_cells_on_way(lon1, lat1, lon2, lat2):
+    """Python port of the reference walk (GeoUtils.java:106-161), including
+    its asymmetric negative-slope branch (corner case falls through to a
+    second test against the updated row) -- the parity ground truth."""
+    import math
+
+    from flink_training_exercises_spark.functions.geo import (
+        DELTA_LAT,
+        DELTA_LON,
+        LAT_NORTH,
+        LON_WEST,
+        NUMBER_OF_GRID_X,
+    )
+
+    x1 = math.floor((abs(LON_WEST) - abs(lon1)) / DELTA_LON)
+    y1 = math.floor((LAT_NORTH - lat1) / DELTA_LAT)
+    x2 = math.floor((abs(LON_WEST) - abs(lon2)) / DELTA_LON)
+    y2 = math.floor((LAT_NORTH - lat2) / DELTA_LAT)
+    if x1 <= x2:
+        sx, sy, ex, ey = x1, y1, x2, y2
+    else:
+        sx, sy, ex, ey = x2, y2, x1, y1
+    slope = (ey - sy) / ((ex - sx) + 0.00000001)
+    cx, cy = sx, sy
+    cells = [cx + cy * NUMBER_OF_GRID_X]
+    while cx < ex or cy != ey:
+        if slope > 0:
+            y = (cx - sx + 0.5) * slope + sy - 0.5
+            if cy - 0.05 < y < cy + 0.05:
+                cx += 1
+                cy += 1
+            elif y < cy:
+                cx += 1
+            else:
+                cy += 1
+        else:
+            y = (cx - sx + 0.5) * slope + sy + 0.5
+            if cy - 0.05 < y < cy + 0.05:
+                cx += 1
+                cy -= 1
+            if y > cy:  # NOT elif: evaluated against the updated cy
+                cx += 1
+            else:
+                cy -= 1
+        cells.append(cx + cy * NUMBER_OF_GRID_X)
+    return cells
+
+
+def test_grid_cells_on_way_matches_reference_walk(spark):
+    """Exact parity with the reference edge walk over a deterministic sweep
+    of NYC segment geometries (all slope signs, verticals, horizontals,
+    corner-touch diagonals, same-cell)."""
+    pts = []
+    for i in range(40):
+        lon1 = -74.04 + (i * 7 % 23) * 0.0141
+        lat1 = 40.52 + (i * 11 % 19) * 0.0247
+        lon2 = -74.04 + (i * 13 % 23) * 0.0141
+        lat2 = 40.52 + (i * 17 % 19) * 0.0247
+        pts.append((i, lon1, lat1, lon2, lat2))
+    # degenerate + exact-diagonal cases
+    pts += [
+        (100, -74.0, 40.75, -74.0, 40.75),          # same point
+        (101, -74.0, 40.75, -74.0, 40.80),          # vertical
+        (102, -74.0, 40.75, -73.95, 40.75),         # horizontal
+        (103, -74.0, 40.75, -74.0 + 10 * 0.0014, 40.75 - 10 * 0.00125),  # diag down
+        (104, -74.0, 40.75, -74.0 + 10 * 0.0014, 40.75 + 10 * 0.00125),  # diag up
+    ]
+    df = spark.createDataFrame(
+        pts, "id long, lon1 double, lat1 double, lon2 double, lat2 double"
+    )
+    got = {
+        r["id"]: list(r["cells"])
+        for r in df.select(
+            "id", grid_cells_on_way("lon1", "lat1", "lon2", "lat2").alias("cells")
+        ).collect()
+    }
+    for i, lon1, lat1, lon2, lat2 in pts:
+        assert got[i] == _reference_cells_on_way(lon1, lat1, lon2, lat2), i
+
+
 def test_random_nyc_point_in_bbox(spark):
     lon, lat = random_nyc_point(seed=7)
     df = spark.range(200).select(lon.alias("lon"), lat.alias("lat"))
