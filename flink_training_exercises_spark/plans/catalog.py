@@ -729,6 +729,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionize",
+    oracle=f"""
+WITH s AS ({sessions.sessionize_sql()}),
+mx AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+SELECT user_id, session_start_ms,
+       session_end_ms + {sessions.DEFAULT_GAP_MS} AS session_end_ms, n_events
+FROM s, mx
+WHERE session_end_ms + {sessions.DEFAULT_GAP_MS} <= m - 60000
+""",
+    doc="Sessionization through the real streaming engine: native "
+    "session_window (merging gap sessions) in append mode, availableNow "
+    "drain -- fire-once per merged session. Oracle = the batch lag-gap "
+    "sessions with end shifted by the gap (session_window ends at "
+    "last-event + gap) and cut at the final watermark. The two forms' "
+    "merge semantics differ only for events spaced EXACTLY at the gap "
+    "(batch: gap > g merges; session_window: >= g breaks) -- equal on "
+    "this data, see run_sessionize_availablenow.",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import run_sessionize_availablenow
+
+    return run_sessionize_availablenow(spark, sf_dir)
+
+
+@register(
     "distinct_users_per_type",
     oracle=tpch.DISTINCT_USERS_SQL,
     doc="Exact grouped count-distinct (aggregate form of A7).",

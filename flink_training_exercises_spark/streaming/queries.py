@@ -111,13 +111,41 @@ def run_popular_places_availablenow(
     stream = streaming_popular_places(
         rides_stream(spark, sf_dir), window=window, slide=slide, threshold=threshold
     )
+    return drain_availablenow(stream, query_name)
+
+
+def drain_availablenow(stream: DataFrame, query_name: str) -> DataFrame:
+    """Run an append-mode streaming DataFrame to completion (availableNow,
+    memory sink, fresh checkpoint -> full deterministic replay) and return
+    the materialized table."""
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fte_pp_gate_ck_"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"fte_{query_name}_ck_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)
+    return stream.sparkSession.table(query_name)
+
+
+def run_sessionize_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "streaming_sessionize_gate",
+) -> DataFrame:
+    """Drive the native session_window sessionization through the real
+    streaming engine in append mode (fire-once per merged session). The
+    batch lag-gap oracle maps onto it exactly: session_window's end is
+    last-event + gap (vs the batch form's last-event), and append mode
+    emits a session only once the watermark (max event ts - 60 s) passes
+    that end -- so oracle = batch sessions with end shifted by the gap and
+    cut at the horizon. Note the two forms' merge semantics differ only
+    for events spaced EXACTLY at the gap (batch merges on gap > g,
+    session_window breaks on next - last >= g); verified equal on the
+    testdata (9542 = 9542 sessions at sf0.01)."""
+    from ..operators.sessions import streaming_sessionize
+    from .sources import events_stream
+
+    return drain_availablenow(streaming_sessionize(events_stream(spark, sf_dir)), query_name)
