@@ -1,0 +1,127 @@
+"""Corpus sampling and sequence packing -- training-data pipeline staples
+on top of the reference surface (task brief: "beyond the reference").
+
+* ``stratified_sample``: deterministic per-stratum rate sampling. The keep
+  decision is a pure function of the row id (md5-derived 60-bit hash mod
+  10000 compared against the stratum's basis-point rate), so the sample is
+  reproducible across runs, engines, partitionings, and cluster sizes --
+  no RNG state, no seed-per-partition coupling. One scan, no shuffle; the
+  classic way to downsample / re-weight a 100 TB mixture without a
+  shuffle-side sampler.
+
+* ``pack_sequences``: greedy token-budget packing -- assign documents (in
+  deterministic id order within each shard) to consecutive bins of ~budget
+  tokens, the layout step before writing fixed-context training shards.
+  One shuffle on the shard key; the running token sum and bin assignment
+  are a single window pass sharing that partitioning. A document longer
+  than the budget occupies its own bin (the cumsum jumps a boundary) --
+  same rule both engines.
+
+Both use whole-number arithmetic only, so the DuckDB twins are hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+
+SAMPLE_MOD = 10000  # rates are expressed in basis points
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = 1000,
+) -> DataFrame:
+    """Keep a row iff md5(id) % 10000 < its stratum's basis-point rate.
+    Deterministic, engine-independent, scan-only (no shuffle, no RNG)."""
+    bucket = md5_long(F.col(id_col).cast("string")) % SAMPLE_MOD
+    rate = F.lit(default_bp)
+    for stratum, bp in sorted((rates_bp or {}).items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(bp)).otherwise(rate)
+    return df.where(bucket < rate)
+
+
+def stratified_sample_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = 1000,
+) -> str:
+    rate = str(default_bp)
+    for stratum, bp in sorted((rates_bp or {}).items(), reverse=True):
+        rate = f"CASE WHEN {stratum_col} = '{stratum}' THEN {bp} ELSE {rate} END"
+    bucket = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"SELECT * FROM {table} WHERE {bucket} % {SAMPLE_MOD} < {rate}"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    token_budget: int = 4096,
+) -> DataFrame:
+    """Greedy sequence packing: per shard, in id order, bin i holds the docs
+    whose PRECEDING cumulative token count is in [i*budget, (i+1)*budget).
+    Output one row per bin: (shard, bin_id, n_docs, total_tokens,
+    first_doc_id, last_doc_id)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    run = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("id"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+    )
+    binned = base.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(run), F.lit(0))
+    ).withColumn(
+        # integer division (Spark `div` == DuckDB `//` on non-negatives)
+        "bin_id",
+        F.expr(f"cum_before div {token_budget}").cast("bigint"),
+    )
+    return (
+        binned.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("id").alias("first_doc_id"),
+            F.max("id").alias("last_doc_id"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    token_budget: int = 4096,
+) -> str:
+    words = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    return f"""
+WITH base AS (
+  SELECT {shard_col} AS shard, {id_col} AS id,
+         CAST(len({words}) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+binned AS (
+  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {token_budget} AS BIGINT) AS bin_id
+  FROM base
+)
+SELECT shard, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(id) AS first_doc_id, max(id) AS last_doc_id
+FROM binned GROUP BY 1, 2
+"""

@@ -35,6 +35,7 @@ from ..operators import (
     multimodal,
     rangejoin,
     relational,
+    sampling,
     sessions,
     similarity,
     stateful,
@@ -751,6 +752,40 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.queries import run_sessionize_availablenow
 
     return run_sessionize_availablenow(spark, sf_dir)
+
+
+_SAMPLE_RATES = {"src0": 10000, "src1": 5000, "src2": 0}  # bp; default 2000
+
+
+@register(
+    "sample_stratified_documents",
+    oracle="SELECT doc_id, lang, source, n_chars FROM ("
+    + sampling.stratified_sample_sql(rates_bp=_SAMPLE_RATES, default_bp=2000)
+    + ")",
+    doc="Deterministic stratified sampling: keep iff md5(doc_id) % 10000 < "
+    "the stratum's basis-point rate (overrides: src0 all, src1 half, src2 "
+    "none; default 20%). Pure function of the row id -- reproducible "
+    "across engines, partitionings, and cluster sizes; scan-only, no "
+    "shuffle, no RNG state.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.stratified_sample(docs, rates_bp=_SAMPLE_RATES, default_bp=2000).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "pack_sequences_4k",
+    oracle=sampling.pack_sequences_sql(token_budget=4096),
+    doc="Greedy token-budget sequence packing: per source shard in doc_id "
+    "order, bin i holds docs whose preceding cumulative whitespace-token "
+    "count lies in [i*4096, (i+1)*4096) -- the layout step before writing "
+    "fixed-context training shards. One shuffle on the shard key; window "
+    "cumsum and bin aggregate share it.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.pack_sequences(load_table(spark, "documents", sf_dir), token_budget=4096)
 
 
 @register(

@@ -200,6 +200,49 @@ def test_lsh_same_bucket_for_identical(spark):
     assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(1, 2), (2, 1)}
 
 
+def test_stratified_sample_rates_and_determinism(spark):
+    from flink_training_exercises_spark.operators import sampling
+
+    rows = [(i, "all" if i % 3 == 0 else ("none" if i % 3 == 1 else "some")) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.stratified_sample(
+        df, rates_bp={"all": 10000, "none": 0}, default_bp=5000
+    )
+    got = [(r["doc_id"], r["source"]) for r in out.collect()]
+    srcs = {s for _, s in got}
+    assert "none" not in srcs
+    assert sum(1 for _, s in got if s == "all") == 100  # full stratum kept
+    some = sum(1 for _, s in got if s == "some")
+    assert 20 <= some <= 80  # ~half of 100, hash-determined
+    # pure function of the id: identical on re-run
+    again = [(r["doc_id"], r["source"]) for r in out.collect()]
+    assert sorted(got) == sorted(again)
+
+
+def test_pack_sequences_bins(spark):
+    from flink_training_exercises_spark.operators import sampling
+
+    mk = lambda n: " ".join(["tok"] * n)  # noqa: E731
+    rows = [
+        (1, "s1", mk(3)),   # cum_before 0  -> bin 0
+        (2, "s1", mk(4)),   # cum_before 3  -> bin 0
+        (3, "s1", mk(2)),   # cum_before 7  -> bin 0 (straddles the boundary)
+        (4, "s1", mk(20)),  # cum_before 9  -> bin 1 (oversized doc, own bins span)
+        (5, "s1", mk(1)),   # cum_before 29 -> bin 3
+        (6, "s2", mk(5)),   # separate shard restarts at bin 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["shard"], r["bin_id"]): (r["n_docs"], r["total_tokens"], r["first_doc_id"], r["last_doc_id"])
+        for r in sampling.pack_sequences(df, token_budget=8).collect()
+    }
+    assert out[("s1", 0)] == (3, 9, 1, 3)
+    assert out[("s1", 1)] == (1, 20, 4, 4)
+    assert out[("s1", 3)] == (1, 1, 5, 5)
+    assert out[("s2", 0)] == (1, 5, 6, 6)
+    assert len(out) == 4
+
+
 def test_token_count(spark, docs):
     out = {r["doc_id"]: r for r in textstats.token_count(docs).collect()}
     assert out[1]["n_tokens"] == 9

@@ -31,3 +31,26 @@ def test_range_join_left_keeps_unmatched(spark):
         ).collect()
     }
     assert rows == {1: None, 2: 10}
+
+
+def test_range_join_left_null_point_columns_not_duplicated(spark):
+    """Advisor-flagged regression: a matched point carrying a NULL in some
+    other column must appear exactly once, not re-emitted as unmatched (the
+    old anti-join reconstruction used non-null-safe equality)."""
+    points = spark.createDataFrame(
+        [(1, 250, None), (2, 50, "x")], "pid long, t bigint, tag string"
+    )
+    intervals = spark.createDataFrame([(10, 200, 300)], "iid long, s bigint, e bigint")
+    out = range_join_bucketed(points, intervals, "t", "s", "e", 100, how="left").collect()
+    assert len(out) == 2
+    rows = {r["pid"]: r["iid"] for r in out}
+    assert rows == {1: 10, 2: None}
+
+
+def test_range_join_rejects_shared_column_names(spark):
+    import pytest
+
+    points = spark.createDataFrame([(1, 50)], "pid long, t bigint")
+    intervals = spark.createDataFrame([(10, 200, 300)], "pid long, s bigint, e bigint")
+    with pytest.raises(ValueError, match="disjoint"):
+        range_join_bucketed(points, intervals, "t", "s", "e", 100)
