@@ -37,6 +37,7 @@ from ..operators import (
     relational,
     sampling,
     sessions,
+    skew,
     similarity,
     stateful,
     textstats,
@@ -786,6 +787,28 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(load_table(spark, "documents", sf_dir), token_budget=4096)
+
+
+@register(
+    "skew_salted_event_counts",
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1
+""",
+    doc="Salted two-phase aggregation under the hash gate: the skew-safe "
+    "rewrite (phase 1 on (key, salt), phase 2 combine) must equal the "
+    "plain GROUP BY bit-for-bit -- integer aggregates re-combine exactly, "
+    "so ANY salt assignment yields the identical result, which is what "
+    "makes the mitigation safe to drop in at a hot key.",
+)
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    return skew.salted_aggregate(
+        ev, ["event_type"], {"n_events": "count", "cents": "sum:cents"}
+    )
 
 
 @register(
