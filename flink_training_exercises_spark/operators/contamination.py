@@ -1,0 +1,115 @@
+"""Benchmark-contamination scan: which corpus documents contain word
+n-grams from a held-out benchmark/eval set.
+
+Standard decontamination practice for LLM training corpora (GPT-3 appendix C
+/ PaLM §7 style): hash every word n-gram (n=8 here), build the benchmark's
+n-gram set, and flag training docs whose n-grams collide with it. The
+output is per-doc overlap counts, which a pipeline thresholds to drop or
+quarantine contaminated documents.
+
+Shape for 100 TB: the benchmark side is SMALL by construction (eval sets are
+thousands of docs, not billions) -- its distinct hashed n-gram set broadcasts,
+so the corpus side is ONE scan + ONE broadcast-hash-join + ONE groupBy(doc).
+No shuffle carries raw text: grams are md5-folded to bigints before the join
+(same cross-engine trick as operators/dedup.py). Both engines join on the
+same hash, so collision behavior (negligible at 60 bits) is
+differential-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+
+NGRAM_N = 8
+BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 marks the held-out benchmark docs
+
+
+def _words(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+
+
+def _hashed_grams(w: Column, n: int) -> Column:
+    """Distinct md5-folded word n-grams; empty when the doc is shorter than
+    n (sequence() descends for start > stop, hence the guard)."""
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: md5_long(F.concat_ws(" ", F.slice(w, i, n))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    bench_mod: int = BENCH_MOD,
+) -> DataFrame:
+    """Per corpus doc: distinct n-gram count, how many of those n-grams occur
+    anywhere in the benchmark subset (doc_id % bench_mod == 0), and the
+    contamination fraction. Corpus docs with no grams (< n words) drop out on
+    both engines identically."""
+    g = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % bench_mod == 0).alias("is_bench"),
+        _hashed_grams(_words(text_col), n).alias("g"),
+    )
+    corpus = g.where(~F.col("is_bench")).select(id_col, F.explode("g").alias("gh"))
+    bench = (
+        g.where(F.col("is_bench")).select(F.explode("g").alias("gh")).distinct()
+    ).withColumn("hit", F.lit(1))
+    marked = corpus.join(F.broadcast(bench), "gh", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
+                "contam_frac"
+            ),
+        )
+    )
+
+
+def ngram_contamination_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    bench_mod: int = BENCH_MOD,
+) -> str:
+    w = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    slots = ", ".join("w[i]" if j == 0 else f"w[i+{j}]" for j in range(n))
+    gram = f"concat_ws(' ', {slots})"
+    gram_list = (
+        f"list_distinct(list_transform(range(1, len(w) - {n - 2}), "
+        f"i -> {md5_long_sql(gram)}))"
+    )
+    return f"""
+WITH grams AS (
+  SELECT {id_col}, {id_col} % {bench_mod} = 0 AS is_bench, {gram_list} AS g
+  FROM (SELECT {id_col}, {w} AS w FROM {table})
+),
+corpus AS (SELECT {id_col}, unnest(g) AS gh FROM grams WHERE NOT is_bench),
+bench AS (SELECT DISTINCT unnest(g) AS gh FROM grams WHERE is_bench),
+marked AS (
+  SELECT c.{id_col}, b.gh IS NOT NULL AS hit
+  FROM corpus c LEFT JOIN bench b USING (gh)
+)
+SELECT {id_col}, count(*) AS n_grams,
+       count(*) FILTER (WHERE hit) AS n_contaminated,
+       CAST(count(*) FILTER (WHERE hit) AS DOUBLE) / count(*) AS contam_frac
+FROM marked GROUP BY 1
+"""

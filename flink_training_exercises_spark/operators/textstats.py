@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long_sql
+from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.text import STOP_WORDS
 
 # Tiny per-language marker lists for the n-gram/stopword-hit heuristic.
@@ -163,6 +163,131 @@ WITH scored AS (
   FROM (SELECT {id_col}, {w} AS w FROM {table})
 )
 SELECT {id_col}, {chain} AS pred_lang, {mx} AS n_hits FROM scored
+"""
+
+
+_REP_NS = (1, 2, 5)  # unigram / bigram / 5-gram levels of the repetition scan
+
+
+def _gram_array(w: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc is
+    shorter than n (F.sequence DESCENDS for start > stop, so the guard is
+    mandatory)."""
+    if n == 1:
+        return w
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction of
+    the doc taken by its most frequent unigram / bigram, and the fraction of
+    duplicated 5-grams. High values mark boilerplate and degenerate text.
+
+    Shape for scale: explode grams -> groupBy(doc, n, gram-hash) -- the
+    canonical frequency-count shuffle, NOT a per-row O(words^2) array scan
+    (a 100k-word doc would make the array form quadratic per row). Grams are
+    md5-folded to bigints before the shuffle (both engines group by the same
+    hash, so the negligible collision behavior is differential-safe); ratios
+    are int/int divisions -- bit-identical cross-engine."""
+    w = _words(text_col)
+    levels = [
+        docs.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.explode(_gram_array(w, n)).alias("gram"),
+        )
+        for n in _REP_NS
+    ]
+    grams = levels[0]
+    for lvl in levels[1:]:
+        grams = grams.unionAll(lvl)
+    counts = (
+        grams.select(F.col(id_col), "n", md5_long("gram").alias("gh"))
+        .groupBy(id_col, "n", "gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    wide = per_n.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("n_words"),
+        F.max(F.when(F.col("n") == 1, F.col("top_c"))).alias("top1"),
+        F.max(F.when(F.col("n") == 2, F.col("top_c"))).alias("top2"),
+        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("n_bigrams"),
+        F.max(F.when(F.col("n") == 5, F.col("tot"))).alias("n5"),
+        F.max(F.when(F.col("n") == 5, F.col("nd"))).alias("nd5"),
+    )
+    return wide.select(
+        F.col(id_col),
+        F.col("n_words"),
+        (F.col("top1").cast("double") / F.col("n_words")).alias("top_unigram_frac"),
+        F.when(
+            F.col("n_bigrams").isNotNull() & (F.col("n_bigrams") > 0),
+            F.col("top2").cast("double") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            F.col("n5").isNotNull() & (F.col("n5") > 0),
+            (F.col("n5") - F.col("nd5")).cast("double") / F.col("n5"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_5gram_frac"),
+    )
+
+
+def repetition_metrics_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    w = _words_sql(text_col)
+    gram2 = "list_transform(range(1, len(w)), i -> concat_ws(' ', w[i], w[i+1]))"
+    gram5 = (
+        "list_transform(range(1, len(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+    )
+    gh = md5_long_sql("gram")
+    return f"""
+WITH words AS (SELECT {id_col}, {w} AS w FROM {table}),
+grams AS (
+  SELECT {id_col}, 1 AS n, unnest(w) AS gram FROM words
+  UNION ALL
+  SELECT {id_col}, 2 AS n, unnest({gram2}) AS gram FROM words
+  UNION ALL
+  SELECT {id_col}, 5 AS n, unnest({gram5}) AS gram FROM words
+),
+counts AS (
+  SELECT {id_col}, n, {gh} AS gh, count(*) AS c FROM grams GROUP BY 1, 2, 3
+),
+per_n AS (
+  SELECT {id_col}, n, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS tot,
+         count(*) AS nd
+  FROM counts GROUP BY 1, 2
+),
+wide AS (
+  SELECT {id_col},
+         max(CASE WHEN n = 1 THEN tot END) AS n_words,
+         max(CASE WHEN n = 1 THEN top_c END) AS top1,
+         max(CASE WHEN n = 2 THEN top_c END) AS top2,
+         max(CASE WHEN n = 2 THEN tot END) AS n_bigrams,
+         max(CASE WHEN n = 5 THEN tot END) AS n5,
+         max(CASE WHEN n = 5 THEN nd END) AS nd5
+  FROM per_n GROUP BY 1
+)
+SELECT {id_col}, n_words,
+       CAST(top1 AS DOUBLE) / n_words AS top_unigram_frac,
+       CASE WHEN n_bigrams IS NOT NULL AND n_bigrams > 0
+            THEN CAST(top2 AS DOUBLE) / n_bigrams ELSE 0e0 END AS top_bigram_frac,
+       CASE WHEN n5 IS NOT NULL AND n5 > 0
+            THEN CAST(n5 - nd5 AS DOUBLE) / n5 ELSE 0e0 END AS dup_5gram_frac
+FROM wide
 """
 
 

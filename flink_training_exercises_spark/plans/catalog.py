@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 from ..functions.text import STOP_WORDS
 from ..operators import (
     asof,
+    contamination,
     dedup,
     graph,
     ivf,
     multimodal,
+    pii,
     rangejoin,
     relational,
     sampling,
@@ -686,6 +688,48 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_repetition",
+    oracle=textstats.repetition_metrics_sql(),
+    doc="Gopher-style repetition filters (top-unigram/-bigram fraction, "
+    "duplicate-5-gram fraction) via the canonical explode+groupBy frequency "
+    "shuffle on md5-folded gram keys.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_metrics(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "pii_scrub_mails",
+    oracle="WITH mails AS ({cte})\n".format(cte=mails_plan.mails_cte("events"))
+    + pii.pii_scrub_sql(
+        "(SELECT message_id, sender || ' | ' || subject || ' | ' || body AS raw FROM mails)",
+        "message_id",
+        "raw",
+    ),
+    doc="PII redaction over the mail fixture: emails then digit runs, with "
+    "redacted-text fingerprints proving byte-identical scrubbing. Pure "
+    "codegen'd regexp Column work -- no shuffle.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = mails_plan.mails_view(spark, sf_dir).select(
+        "message_id",
+        F.concat_ws(" | ", "sender", "subject", "body").alias("raw"),
+    )
+    return pii.pii_scrub(m, "message_id", "raw")
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=contamination.ngram_contamination_sql(),
+    doc="Benchmark decontamination scan: corpus docs' distinct word 8-grams "
+    "broadcast-joined against the held-out benchmark subset's n-gram set "
+    "(doc_id % 50 == 0); per-doc overlap counts and fraction.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination.ngram_contamination(load_table(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------

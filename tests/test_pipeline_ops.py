@@ -4,8 +4,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_training_exercises_spark.operators import (
+    contamination,
     dedup,
     multimodal,
+    pii,
     similarity,
     textstats,
 )
@@ -282,3 +284,57 @@ def test_real_codec_path_raises(spark, docs):
         multimodal.decode_media(
             multimodal.attach_binary_payload(docs), use_real_codec=True
         )
+
+
+def test_repetition_metrics_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),  # top unigram 3/4; bigrams [a a, a a, a b] -> 2/3; no 5-grams
+            (2, "x y x y x y x y x y"),  # 6 5-grams, 2 distinct -> dup frac 4/6
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_metrics(docs).collect()}
+    assert out[1]["n_words"] == 4
+    assert out[1]["top_unigram_frac"] == 3 / 4
+    assert out[1]["top_bigram_frac"] == 2 / 3
+    assert out[1]["dup_5gram_frac"] == 0.0  # shorter than 5 words
+    assert out[2]["dup_5gram_frac"] == 4 / 6
+
+
+def test_contamination_counts(spark):
+    # doc 0 is the benchmark (id % 50 == 0); bigram overlap hand-checked
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta zzz"),  # shares 'alpha beta' -> 1 of 2 grams
+            (2, "qqq rrr"),  # no overlap -> 0 of 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination.ngram_contamination(docs, n=2).collect()
+    }
+    assert set(out) == {1, 2}  # benchmark doc excluded from the corpus side
+    assert (out[1]["n_grams"], out[1]["n_contaminated"]) == (2, 1)
+    assert out[1]["contam_frac"] == 0.5
+    assert (out[2]["n_grams"], out[2]["n_contaminated"]) == (1, 0)
+
+
+def test_pii_scrub_redacts_emails_then_digits(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "Contact john.doe99@example.com or call 555 1234"),
+            (2, "no pii here at all"),
+            (3, "Contact john.doe99@example.com or call 555 1234"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in pii.pii_scrub(rows, "id", "text").collect()}
+    # email digits are consumed by the email redaction, not counted as ids
+    assert (out[1]["n_emails"], out[1]["n_id_runs"]) == (1, 2)
+    assert (out[2]["n_emails"], out[2]["n_id_runs"]) == (0, 0)
+    assert out[1]["redacted_len"] == len("Contact <EMAIL> or call <NUM> <NUM>")
+    assert out[1]["redacted_fp"] == out[3]["redacted_fp"]  # deterministic
+    assert out[1]["redacted_fp"] != out[2]["redacted_fp"]
