@@ -916,6 +916,156 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4_order_priority",
+    oracle=tpch.ORDER_PRIORITY_EXISTS_SQL.format(
+        date_from="1996-01-01 00:00:00", date_to="1996-04-01 00:00:00"
+    ),
+    doc="TPC-H Q4 shape: EXISTS semi-join (returnflag stand-in for the "
+    "trimmed commit/receipt dates) + per-priority count.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.order_priority_exists(
+        load_table(spark, "orders", sf_dir), load_table(spark, "lineitem", sf_dir)
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=tpch.FORECAST_REVENUE_SQL.format(
+        date_from="1996-01-01 00:00:00",
+        date_to="1997-01-01 00:00:00",
+        disc_lo_c=5,
+        disc_hi_c=7,
+        max_qty=24,
+    ),
+    doc="TPC-H Q6: all predicates push to the scan, single exact global sum.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.forecast_revenue(load_table(spark, "lineitem", sf_dir))
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=tpch.VOLUME_SHIPPING_SQL.format(nation_a="NATION_1", nation_b="NATION_2"),
+    doc="TPC-H Q7: bidirectional nation-pair trade volume per ship year; "
+    "nation/supplier/customer dims broadcast.",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.volume_shipping(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=tpch.NATIONAL_MARKET_SHARE_SQL.format(
+        target_nation="NATION_7",
+        region_name="ASIA",
+        part_type="PROMO",
+        date_from="1995-01-01 00:00:00",
+        date_to="1997-01-01 00:00:00",
+    ),
+    doc="TPC-H Q8: target nation's market share per year -- ratio of two "
+    "exact integer sums (partitioning-independent).",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.national_market_share(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "region", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=tpch.RETURNED_ITEM_SQL.format(
+        date_from="1996-01-01 00:00:00", date_to="1996-04-01 00:00:00", k=20
+    ),
+    doc="TPC-H Q10: top-20 customers by returned-item revenue in a quarter; "
+    "deterministic row_number cut on exact integer revenue.",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.returned_item_reporting(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle=tpch.CUSTOMER_ORDER_DIST_SQL.format(excluded_priority="4-NOT SPECIFIED"),
+    doc="TPC-H Q13: customers-per-order-count histogram; left join keeps "
+    "zero-order customers (priority filter stands in for comment LIKE).",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.customer_order_distribution(
+        load_table(spark, "customer", sf_dir), load_table(spark, "orders", sf_dir)
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=tpch.PROMO_REVENUE_SQL.format(
+        promo_type="PROMO", date_from="1996-03-01 00:00:00", date_to="1996-04-01 00:00:00"
+    ),
+    doc="TPC-H Q14: promo share of one month's revenue; ratio of exact "
+    "integer sums.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.promo_revenue_share(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle=tpch.SMALL_QUANTITY_SQL.format(brand="Brand#5"),
+    doc="TPC-H Q17: below-20%%-of-part-average quantity predicate evaluated "
+    "in integers (qty*5*cnt < sum) over a per-part window -- no float avg.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.small_quantity_revenue(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle=tpch.LARGE_VOLUME_SQL.format(min_qty_c=15000, k=100),
+    doc="TPC-H Q18: HAVING on aggregated order quantity, joined back to "
+    "customer; top-100 by total price with orderkey tie-break.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.large_volume_customers(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle=tpch.DISCOUNTED_REVENUE_SQL,
+    doc="TPC-H Q19: OR-of-ANDs brand/size/quantity predicate; part side "
+    "pre-pruned to the branch union and broadcast.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.discounted_revenue(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
+    )
+
+
+@register(
     "asof_purchase_attribution",
     oracle=asof.PURCHASE_CLICK_SQL,
     doc="As-of join (union + carry-forward window -- no native Spark op): "

@@ -81,3 +81,43 @@ def test_tf_idf_no_log(spark):
     assert got[(1, "beta")] == 2 * (2.0 / 1)
     assert got[(1, "alpha")] == 1 * (2.0 / 2)
     assert got[(2, "gamma")] == 1 * (2.0 / 1)
+
+
+def test_tpch_q13_keeps_zero_order_customers(spark):
+    from flink_training_exercises_spark.operators import tpch
+
+    customer = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "S"), (2, "c2", 0, 0.0, "S"), (3, "c3", 0, 0.0, "S")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 1.0, "2024-01-01 00:00:00", "1-URGENT"),
+            (11, 1, "O", 1.0, "2024-01-01 00:00:00", "1-URGENT"),
+            (12, 2, "O", 1.0, "2024-01-01 00:00:00", "4-NOT SPECIFIED"),  # excluded
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate string, o_orderpriority string",
+    )
+    out = {
+        r["c_count"]: r["custdist"]
+        for r in tpch.customer_order_distribution(customer, orders).collect()
+    }
+    # c1 has 2 counted orders; c2's only order is excluded -> 0; c3 has none -> 0
+    assert out == {2: 1, 0: 2}
+
+
+def test_tpch_q17_integer_small_quantity_predicate(spark):
+    from flink_training_exercises_spark.operators import tpch
+
+    # part 1: quantities 10, 100 -> avg 55, 20% = 11 -> only qty 10 qualifies
+    lineitem = spark.createDataFrame(
+        [(1, 1, 10.0, 70.0), (2, 1, 100.0, 999.0), (3, 2, 1.0, 999.0)],
+        "l_orderkey long, l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#5"), (2, "Brand#5")], "p_partkey long, p_brand string"
+    )
+    [row] = tpch.small_quantity_revenue(lineitem, part).collect()
+    # only the (part 1, qty 10, price 70) row passes: 70 / 7 = 10 per year
+    assert row["avg_yearly"] == 10.0
