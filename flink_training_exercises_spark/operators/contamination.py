@@ -56,7 +56,9 @@ def ngram_contamination(
     anywhere in the benchmark subset (doc_id % bench_mod == 0), and the
     contamination fraction. Corpus docs with no grams (< n words) drop out on
     both engines identically."""
-    g = docs.select(
+    from ..sources.loaders import widen_scan
+
+    g = widen_scan(docs).select(
         F.col(id_col),
         (F.col(id_col) % bench_mod == 0).alias("is_bench"),
         _hashed_grams(_words(text_col), n).alias("g"),

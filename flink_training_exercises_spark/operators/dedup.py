@@ -92,7 +92,13 @@ def shingle_hashes_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, hs): distinct md5 shingle hashes per doc -- the shared input of
     both the signature pass and the exact-Jaccard verify. hs (60-bit
     bigints), not shingle strings: bigint set intersection is much cheaper
-    and Jaccard is identical (md5 collisions deterministic & negligible)."""
+    and Jaccard is identical (md5 collisions deterministic & negligible).
+
+    widen_scan: the k-pass signature scan is the pipeline's CPU bottleneck;
+    a single-split local file would run it on one core (no-op at scale)."""
+    from ..sources.loaders import widen_scan
+
+    docs = widen_scan(docs)
     return docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -321,6 +327,9 @@ def simhash_pairs(
     Explode words -> 32 map-side-combined bit-counter sums per doc (ints, so
     partial aggregation is exact) -> bigint signature -> 4-byte band
     equi-join -> bit_count(xor) verify. Output (id_a < id_b, hamming)."""
+    from ..sources.loaders import widen_scan
+
+    docs = widen_scan(docs)
     words = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -430,6 +439,9 @@ def ngram_jaccard_pairs(
     instead of ~20-char strings -- same trick as the MinHash verify; both
     engines hash identically, so the (negligible, deterministic) collision
     behavior is differential-safe."""
+    from ..sources.loaders import widen_scan
+
+    docs = widen_scan(docs)
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     grams = F.array_distinct(
         F.transform(

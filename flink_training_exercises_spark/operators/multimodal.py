@@ -31,7 +31,12 @@ DECODED_SCHEMA = (
 def attach_binary_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Testdata adapter: treat the utf8 text bytes as an opaque payload
     column (binary) with source metadata -- the shape a real multimodal
-    table has (payload BINARY, media_type STRING, meta...)."""
+    table has (payload BINARY, media_type STRING, meta...). widen_scan so
+    the Arrow-batched decode downstream gets full-machine parallelism even
+    from a single-split local file (no-op at cluster scale)."""
+    from ..sources.loaders import widen_scan
+
+    docs = widen_scan(docs)
     return docs.select(
         F.col(id_col),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),

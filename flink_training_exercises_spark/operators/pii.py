@@ -34,6 +34,9 @@ NUM_TAG = "<NUM>"
 def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per row: email / digit-run match counts, the redacted text, and its
     fingerprint. Emails first, then digit runs over the email-redacted text."""
+    from ..sources.loaders import widen_scan
+
+    df = widen_scan(df)
     raw = F.col(text_col)
     no_email = F.regexp_replace(raw, EMAIL_RE, EMAIL_TAG)
     clean = F.regexp_replace(no_email, DIGITS_RE, NUM_TAG)

@@ -43,7 +43,12 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _with_int_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    v = df.select(F.col(id_col).alias("id"), int_embedding(vec_col).alias("v"))
+    # widen_scan: a small local parquet arrives as ONE split, which would
+    # serialize every vector-arithmetic stage (and the nested-loop probe
+    # side of the brute-force twin) onto one core; no-op at cluster scale
+    from ..sources.loaders import widen_scan
+
+    v = widen_scan(df).select(F.col(id_col).alias("id"), int_embedding(vec_col).alias("v"))
     return v.withColumn("nn", _dot(F.col("v"), F.col("v")))
 
 
@@ -168,33 +173,49 @@ def topk_bruteforce_pandas(
     """The 100 TB-shaped brute force: only the (small, typically subsampled)
     QUERY set is collected and broadcast as a numpy block; the candidate
     corpus -- the side that is 100 TB -- streams through mapInPandas, one
-    BLAS matmul per Arrow batch. Each batch emits its local top-k per query
+    matmul per Arrow batch. Each batch emits its local top-k per query
     (<= |queries| * k rows per batch), and a final window rank cuts the
     global top-k over that small partial set, so neither the driver nor any
-    executor ever holds the full table. Float64 math (not oracle-gated;
-    results may differ from the integer-exact form in the last ulp)."""
+    executor ever holds the full table.
+
+    BIT-IDENTICAL to the Column-expression brute force (and thus shares its
+    SQL oracle in the gate): vectors are quantized exactly like
+    ``int_embedding`` (floor(x*1e6) -> int64; the int64 matmul is exact --
+    64 dims x 1e12 << 2^63) and the cosine is the same IEEE expression
+    double(dot) / (sqrt(double(nn_q)) * sqrt(double(nn_c))). Per-batch
+    top-k uses the same total order (cosine DESC, id ASC) as the global
+    cut, so the union of batch-local top-ks provably contains the global
+    top-k."""
     import numpy as np
 
     queries = emb.where(query_filter) if query_filter is not None else emb
     qrows = queries.select(id_col, vec_col).collect()  # queries only, never the corpus
     qi = np.array([r[id_col] for r in qrows])
-    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(qm, axis=1)
-    bcast = emb.sparkSession.sparkContext.broadcast((qi, qm, qn))
+    qm = np.floor(np.array([r[vec_col] for r in qrows], dtype=np.float64) * 1e6).astype(
+        np.int64
+    )
+    qnn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+    bcast = emb.sparkSession.sparkContext.broadcast((qi, qm, qnn))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_qi, b_qm, b_qn = bcast.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            cand = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cand = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6
+            ).astype(np.int64)
             cids = pdf[id_col].to_numpy()
-            cnorm = np.linalg.norm(cand, axis=1)
+            cnorm = np.sqrt((cand * cand).sum(axis=1).astype(np.float64))
             # zero-norm guard (cosine(0-vec, .) = 0 -- same semantics as the
             # Column-expression variants)
-            denom = np.outer(b_qn, cnorm)
+            denom = b_qn[:, None] * cnorm[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom > 0, (b_qm @ cand.T) / np.where(denom > 0, denom, 1.0), 0.0)
+                cos = np.where(
+                    denom > 0,
+                    (b_qm @ cand.T).astype(np.float64) / np.where(denom > 0, denom, 1.0),
+                    0.0,
+                )
             out_q, out_n, out_c = [], [], []
             for row_q in range(len(b_qi)):
                 sims = cos[row_q]

@@ -24,6 +24,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 _LANGS = sorted(LANG_MARKERS)  # deterministic tie order
 
 
+def _widened(docs: DataFrame) -> DataFrame:
+    # single-split local files would serialize the per-row HOF work onto one
+    # core; no-op at cluster scale (see sources/loaders.widen_scan)
+    from ..sources.loaders import widen_scan
+
+    return widen_scan(docs)
+
+
 def _words(text_col: str) -> Column:
     return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
 
@@ -36,6 +44,7 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Whitespace tokens, alphabetic tokens, and BPE-ish subword count
     (ceil(chars/4) per token -- the standard ~4-chars-per-token estimate,
     computed exactly in integers)."""
+    docs = _widened(docs)
     w = _words(text_col)
     return docs.select(
         F.col(id_col),
@@ -63,6 +72,7 @@ FROM (SELECT {id_col}, {w} AS w FROM {table})
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality components: alpha-char ratio, stopword ratio, mean
     word length (x1000, floored -- integer-exact), plus a 0-100 composite."""
+    docs = _widened(docs)
     text = F.col(text_col)
     w = _words(text_col)
     n_chars = F.length(text)
@@ -125,6 +135,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     marker hit counts (deterministic alphabetical tie-break). A real pipeline
     swaps in fastText/CLD3 via mapInPandas; the heuristic IS the operator
     contract here so the oracle can replicate it."""
+    docs = _widened(docs)
     w = _words(text_col)
 
     def contains(markers):
@@ -195,6 +206,7 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     md5-folded to bigints before the shuffle (both engines group by the same
     hash, so the negligible collision behavior is differential-safe); ratios
     are int/int divisions -- bit-identical cross-engine."""
+    docs = _widened(docs)
     w = _words(text_col)
     levels = [
         docs.select(
@@ -294,6 +306,7 @@ FROM wide
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic 60-bit content fingerprint of whitespace-normalized
     lowercase text (md5-based -- same value in any engine)."""
+    docs = _widened(docs)
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     fp = F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint")
     return docs.select(F.col(id_col), fp.alias("fingerprint"))

@@ -496,6 +496,22 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") % 25 == 0)
 
 
+@register(
+    "ann_topk_bruteforce_pandas",
+    oracle=CATALOG["ann_topk_bruteforce"].oracle,
+    doc="The Arrow/mapInPandas brute force under the SAME oracle as the "
+    "Column-expression form: identical int64 quantization + IEEE cosine "
+    "makes the two paths bit-identical, so the 100 TB-shaped streaming "
+    "variant (queries broadcast, corpus streamed) is hash-gated, not just "
+    "plausible.",
+)
+def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.topk_bruteforce_pandas(
+        emb, k=5, query_filter=F.col("vec_id") % 25 == 0
+    )
+
+
 def _lsh_bucket_sql(planes=None) -> str:
     bits = []
     for p, (a, b) in enumerate(planes or similarity._PLANE_PARAMS[: similarity.LSH_PLANES]):
@@ -544,17 +560,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_embedding_cosine",
     oracle=f"""
-WITH base AS ({_EMB_BASE})
+WITH base AS (SELECT * FROM ({_EMB_BASE}) WHERE id % 2 = 0)
 SELECT a.id AS id_a, b.id AS id_b, {_COS} AS cosine
 FROM base a JOIN base b ON a.id < b.id
 WHERE {_COS} >= 0.35e0
 """,
     doc="Embedding-cosine near-duplicate pairs (threshold 0.35) -- exact "
     "all-pairs form, kept as the small-sf oracle twin of the LSH-bucketed "
-    "scale path below.",
+    "scale path below. The gate runs it on a deterministic half of the "
+    "corpus (vec_id % 2 = 0): the quadratic form is the correctness anchor, "
+    "not the scale path, so its gate cost is bounded on purpose.",
 )
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") % 2 == 0)
     return similarity.cosine_neardup_pairs(emb, threshold=0.35)
 
 
@@ -1224,7 +1242,9 @@ FROM grams GROUP BY 1 HAVING count(*) >= 5
     "HAVING >= 5 keeps the output bounded.",
 )
 def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    from ..sources.loaders import widen_scan
+
+    docs = widen_scan(load_table(spark, "documents", sf_dir))
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
     # guard: F.sequence(1, 0) DESCENDS in Spark (DuckDB's generate_series is
     # empty) -- single-word docs must yield no bigrams, not an index error

@@ -88,10 +88,13 @@ def register_events(spark: SparkSession, sf_dir: str) -> str:
     session can never read each other's view)."""
     import hashlib
 
-    from ..sources import load_table
+    from ..sources import load_table, widen_scan
 
     name = f"__fte_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    load_table(spark, "events", sf_dir).createOrReplaceTempView(name)
+    # widen_scan: the single-split local parquet would otherwise run every
+    # derived-view expression (trig, regex, parsing) on one core; no-op on a
+    # cluster where the scan already has many splits
+    widen_scan(load_table(spark, "events", sf_dir)).createOrReplaceTempView(name)
     return name
 
 

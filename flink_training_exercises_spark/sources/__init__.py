@@ -5,4 +5,5 @@ from .loaders import (  # noqa: F401
     read_mail_records,
     read_taxi_rides_csv,
     taxi_ride_to_csv_line,
+    widen_scan,
 )

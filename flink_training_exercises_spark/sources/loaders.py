@@ -60,6 +60,21 @@ def load_tables(spark: SparkSession, names, sf_dir: str = DEFAULT_SF_DIR) -> dic
     return {n: load_table(spark, n, sf_dir) for n in names}
 
 
+def widen_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise partition count before CPU-heavy per-row work (minhash
+    signatures, all-pairs cosine, shingling): a small local parquet file
+    arrives as ONE split (< maxPartitionBytes), serializing e.g. the 32-pass
+    md5 signature scan onto one of 32 cores. At cluster scale a 100 TB scan
+    already has thousands of splits, so this no-ops (partitions >= target)
+    and costs nothing; locally it is a tiny round-robin shuffle that buys
+    full-machine parallelism. Row-level operators are partitioning-
+    independent, so results are identical either way."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_taxi_rides_csv(spark: SparkSession, path: str) -> DataFrame:
     """Parse the reference's TaxiRide CSV line format.
 
