@@ -1083,6 +1083,160 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- remaining TPC-H shapes over the derived partsupp (tpch.py docstring) ---
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=tpch.MIN_COST_SUPPLIER_SQL.format(
+        region_name="ASIA", size=5, type_="STANDARD", k=10
+    ),
+    doc="TPC-H Q2 shape: correlated-MIN rewritten as groupBy-min + equi-join "
+    "back; derived partsupp; deterministic top-10 on a total order.",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.min_cost_supplier(
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "region", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        size=5,
+        type_="STANDARD",
+        region_name="ASIA",
+        k=10,
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=tpch.PRODUCT_TYPE_PROFIT_SQL.format(name_substr="widget"),
+    doc="TPC-H Q9: profit decomposition over a 6-way join (lineitem ⋈ "
+    "derived partsupp on the compound key is the real shuffle); exact "
+    "1e-4-dollar integer arithmetic.",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.product_type_profit(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        name_substr="widget",
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=tpch.IMPORTANT_STOCK_SQL.format(nation_name="NATION_9", fraction_denom=1500),
+    doc="TPC-H Q11: group-sum vs scalar-fraction HAVING, compared exactly in "
+    "bigints (val_c * denom > tot_c); scalar total via lazy broadcast "
+    "crossJoin.",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.important_stock(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        nation_name="NATION_9",
+        fraction_denom=1500,
+    )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    oracle=tpch.SHIPMODE_PRIORITY_SQL.format(
+        date_from="1997-01-01 00:00:00", date_to="1998-01-01 00:00:00"
+    ),
+    doc="TPC-H Q12: CASE-sum pivot over the orders⋈lineitem join "
+    "(deterministic keyed-hash shipmode stand-in).",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.shipmode_priority(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "orders", sf_dir)
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=tpch.TOP_SUPPLIER_SQL.format(
+        date_from="1996-01-01 00:00:00", date_to="1996-04-01 00:00:00"
+    ),
+    doc="TPC-H Q15: revenue-view argmax with ties kept -- equi-join against "
+    "the broadcast scalar max, no global sort.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.top_supplier(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "supplier", sf_dir)
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle=tpch.SUPPLIER_PART_COUNTS_SQL.format(excl_brand="Brand#12", excl_type="PROMO"),
+    doc="TPC-H Q16: distinct-supplier count per (brand,type,size) with a "
+    "broadcast anti-join excluding flagged suppliers.",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.supplier_part_counts(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+    )
+
+
+@register(
+    "tpch_q20_excess_inventory",
+    oracle=tpch.EXCESS_INVENTORY_SQL.format(
+        nation_name="NATION_9",
+        name_prefix="red",
+        date_from="1996-01-01 00:00:00",
+        date_to="1997-01-01 00:00:00",
+    ),
+    doc="TPC-H Q20: nested INs become aggregation + equi-join + integer "
+    "predicate + left-semi; correlated scalar subquery never re-scans.",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.excess_inventory_suppliers(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle=tpch.WAITING_SUPPLIERS_SQL.format(nation_name="NATION_9", k=20),
+    doc="TPC-H Q21: EXISTS/NOT-EXISTS quadruple self-reference as "
+    "left-semi + left-anti on distinct (order, supplier) pairs.",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.waiting_suppliers(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+@register(
+    "tpch_q22_global_sales",
+    oracle=tpch.GLOBAL_SALES_SQL.format(
+        codes="1, 3, 5, 7, 9", cutoff="2000-01-01 00:00:00"
+    ),
+    doc="TPC-H Q22: above-scalar-average balance (exact bal_c*cnt > sum_c "
+    "bigint compare) + no-recent-orders anti-join, per country code.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.global_sales_opportunity(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        codes=(1, 3, 5, 7, 9),
+        cutoff="2000-01-01 00:00:00",
+    )
+
+
 @register(
     "asof_purchase_attribution",
     oracle=asof.PURCHASE_CLICK_SQL,

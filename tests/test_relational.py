@@ -121,3 +121,53 @@ def test_tpch_q17_integer_small_quantity_predicate(spark):
     [row] = tpch.small_quantity_revenue(lineitem, part).collect()
     # only the (part 1, qty 10, price 70) row passes: 70 / 7 = 10 per year
     assert row["avg_yearly"] == 10.0
+
+
+def test_tpch_q21_sole_failing_supplier(spark):
+    from flink_training_exercises_spark.operators import tpch
+
+    # order 10: suppliers 1 (failed) + 2 (ok)  -> supplier 1 is the sole failer
+    # order 11: suppliers 1 + 2 both failed    -> excluded (NOT EXISTS fails)
+    # order 12: supplier 1 alone, failed       -> excluded (EXISTS fails)
+    # order 13: like order 10 but status 'O'   -> excluded (not finalized)
+    lineitem = spark.createDataFrame(
+        [
+            (10, 1, "R"), (10, 2, "N"),
+            (11, 1, "R"), (11, 2, "R"),
+            (12, 1, "R"),
+            (13, 1, "R"), (13, 2, "N"),
+        ],
+        "l_orderkey long, l_suppkey long, l_returnflag string",
+    )
+    orders = spark.createDataFrame(
+        [(10, "F"), (11, "F"), (12, "F"), (13, "O")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "s1", 0), (2, "s2", 0)], "s_suppkey long, s_name string, s_nationkey long"
+    )
+    nation = spark.createDataFrame([(0, "NATION_0")], "n_nationkey long, n_name string")
+    rows = tpch.waiting_suppliers(
+        lineitem, orders, supplier, nation, nation_name="NATION_0"
+    ).collect()
+    assert [(r["s_suppkey"], r["numwait"]) for r in rows] == [(1, 1)]
+
+
+def test_synthetic_partsupp_deterministic_and_distinct(spark):
+    from flink_training_exercises_spark.operators import tpch
+
+    lineitem = spark.createDataFrame(
+        [(1, 5, 7), (2, 5, 7), (3, 5, 8)],  # duplicate (5,7) pair collapses
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    a = {
+        (r["ps_partkey"], r["ps_suppkey"]): (r["ps_supplycost_c"], r["ps_availqty"])
+        for r in tpch.synthetic_partsupp(lineitem).collect()
+    }
+    b = {
+        (r["ps_partkey"], r["ps_suppkey"]): (r["ps_supplycost_c"], r["ps_availqty"])
+        for r in tpch.synthetic_partsupp(lineitem).collect()
+    }
+    assert a == b and set(a) == {(5, 7), (5, 8)}
+    for cost, qty in a.values():
+        assert 100 <= cost <= 100000 and 1 <= qty <= 9999
