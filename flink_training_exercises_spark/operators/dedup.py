@@ -499,3 +499,35 @@ pairs AS (
 SELECT id_a, id_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
 FROM pairs WHERE CAST(inter AS DOUBLE) / (tot - inter) >= {threshold}
 """
+
+
+def minhash_clusters_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.2,
+) -> str:
+    """Oracle twin of pairs -> connected components -> (doc, cluster-min).
+
+    DuckDB computes the transitive closure with a recursive CTE (fine at
+    oracle scale; the Spark side uses the O(log n)-round alternating
+    star algorithm instead -- a recursive closure is exactly what does NOT
+    scale, see graph.connected_components)."""
+    pairs_sql = minhash_lsh_sql(table, id_col, text_col, k, bands, threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(id, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+FROM walk GROUP BY id
+"""

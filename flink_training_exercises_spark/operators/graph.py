@@ -141,3 +141,81 @@ def weighted_pagerank(
             ranks = ranks.localCheckpoint()
     _ = spark  # session retained for future checkpoint-dir support
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Connected components (dedup-cluster closure; no reference twin -- the
+# reference stops at pair emission, but a corpus dedup needs the transitive
+# closure to pick one canonical doc per near-duplicate CLUSTER).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, comp) for every node of the undirected edge set; comp = the
+    minimum node id in the node's connected component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round is two
+    groupBy-min shuffles over the CURRENT edge set, and the edge set
+    contracts toward star graphs centered on component minima in
+    O(log n) rounds -- this is the 100 TB-safe shape (a plain
+    min-label-propagation loop needs O(diameter) rounds, unbounded on
+    chain-shaped duplicate clusters; a recursive closure join explodes
+    quadratically on cliques).
+
+    The input edge subtree is materialized ONCE via eager localCheckpoint
+    before iterating (the LSH pair generation feeding it is far more
+    expensive than the loop); each round's result is likewise
+    localCheckpoint'd, truncating lineage so the loop's plan does not grow.
+    Convergence is detected by edge-set equality (two tiny jobs per round
+    on the already-materialized sets); max_iter is a documented safety
+    bound, far above the log2 of any real corpus.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u connects to m(u) = min(N(u) + {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        ls = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every smaller neighbor (and u itself) connects to the
+        # minimum smaller neighbor. Edges are (u > v) directed after
+        # large-star, so N-(u) is exactly the v side.
+        sm = ls.groupBy("u").agg(F.min("v").alias("m"))
+        e_new = (
+            ls.join(sm, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if e_new.count() == e.count() and e_new.subtract(e).limit(1).count() == 0:
+            e = e_new
+            break
+        e = e_new
+    centers = e.select(F.col("v").alias("id"), F.col("v").alias("comp")).distinct()
+    return e.select(F.col("u").alias("id"), F.col("v").alias("comp")).union(centers)

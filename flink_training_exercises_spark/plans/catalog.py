@@ -437,6 +437,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_minhash",
+    oracle=dedup.minhash_clusters_sql(threshold=0.2),
+    doc="Transitive closure of the MinHash near-dup pairs: each clustered "
+    "doc mapped to its component's minimum doc_id (the canonical survivor). "
+    "Spark side runs alternating large-star/small-star (O(log n) rounds); "
+    "the oracle walks the closure with a recursive CTE.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    return graph.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=dedup.simhash_sql(max_hamming=3),
     doc="32-bit SimHash near-dup pairs, 4-byte banding, Hamming <= 3.",

@@ -71,3 +71,35 @@ def test_pagerank_exact_mode_close_to_float(spark):
     }
     for v in f:
         assert e[v] == pytest.approx(f[v], abs=1e-6)
+
+
+def test_connected_components_chain_clique_and_singleton_pair(spark):
+    from flink_training_exercises_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4-5 (worst case for label propagation), clique {10,11,12},
+    # pair {20,21}; edge directions and duplicates must not matter
+    edges = spark.createDataFrame(
+        [
+            (2, 1), (2, 3), (4, 3), (4, 5),
+            (10, 11), (11, 12), (10, 12), (12, 10),
+            (21, 20),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    from flink_training_exercises_spark.operators.graph import connected_components
+
+    # 64-node chain: log-round contraction must finish well under max_iter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(65)}
