@@ -125,3 +125,118 @@ SELECT shard, bin_id, count(*) AS n_docs,
        min(id) AS first_doc_id, max(id) AS last_doc_id
 FROM binned GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing and training-shard layout.
+# ---------------------------------------------------------------------------
+
+
+def mixture_expand(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    weights_ce: dict[str, int] | None = None,
+    default_ce: int = 100,
+) -> DataFrame:
+    """Source-weighted epoch mixing with fractional repetition: a doc whose
+    stratum has weight w centi-epochs (100 = 1.0) is emitted floor(w/100)
+    times, plus one more iff md5(id)'s fractional bucket < w % 100 -- so
+    "2.5 epochs of wiki" repeats every wiki doc twice and a deterministic
+    half of them a third time. Pure map: the per-row copy count is a
+    function of (stratum weight, id hash) and the expansion is an
+    exploded sequence -- no shuffle, no RNG, reproducible across engines,
+    partitionings, and cluster sizes. Output (id, stratum, copy_idx).
+    """
+    w = F.lit(default_ce)
+    for stratum, ce in sorted((weights_ce or {}).items()):
+        w = F.when(F.col(stratum_col) == stratum, F.lit(ce)).otherwise(w)
+    frac_bucket = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":mix"))) % 100
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(stratum_col).alias("stratum"),
+            (w.cast("bigint")).alias("w_ce"),
+            frac_bucket.alias("fb"),
+        )
+        .withColumn("n_copies", F.expr("w_ce div 100") + (F.col("fb") < F.col("w_ce") % 100).cast("bigint"))
+        .where(F.col("n_copies") > 0)
+        .select(
+            "id",
+            "stratum",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_copies") - 1)).alias(
+                "copy_idx"
+            ),
+        )
+    )
+
+
+def mixture_expand_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    weights_ce: dict[str, int] | None = None,
+    default_ce: int = 100,
+) -> str:
+    w = str(default_ce)
+    for stratum, ce in sorted((weights_ce or {}).items(), reverse=True):
+        w = f"CASE WHEN {stratum_col} = '{stratum}' THEN {ce} ELSE {w} END"
+    mix_expr = f"CAST({id_col} AS VARCHAR) || ':mix'"
+    fb = f"{md5_long_sql(mix_expr)} % 100"
+    return f"""
+WITH counted AS (
+  SELECT {id_col} AS id, {stratum_col} AS stratum,
+         CAST(({w}) // 100
+              + CASE WHEN {fb} < ({w}) % 100 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM {table}
+)
+SELECT id, stratum, CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+FROM counted WHERE n_copies > 0
+"""
+
+
+def shuffle_shard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global training shuffle + shard layout: shard =
+    md5(id) % n_shards, position within shard = rank by an INDEPENDENT
+    md5 key (id tie-break). The id->shard map is a pure function (a doc's
+    shard never depends on the rest of the corpus); the within-shard order
+    is uniformly pseudo-random yet reproducible. Exactly one shuffle --
+    the per-shard window sort -- which at cluster scale is
+    repartition(n_shards, shard) + sortWithinPartitions(sort_key): each
+    output file written sorted, no global sort. Output
+    (shard_id, pos, id)."""
+    sid = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":shard"))) % n_shards
+    sort_key = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":ord")))
+    win = Window.partitionBy("shard_id").orderBy("sort_key", "id")
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            sid.alias("shard_id"),
+            sort_key.alias("sort_key"),
+        )
+        .withColumn("pos", (F.row_number().over(win) - 1).cast("bigint"))
+        .select("shard_id", "pos", "id")
+    )
+
+
+def shuffle_shard_sql(
+    table: str = "documents", id_col: str = "doc_id", n_shards: int = 8
+) -> str:
+    shard_expr = f"CAST({id_col} AS VARCHAR) || ':shard'"
+    sid = f"{md5_long_sql(shard_expr)} % {n_shards}"
+    key = md5_long_sql(f"CAST({id_col} AS VARCHAR) || ':ord'")
+    return f"""
+WITH keyed AS (
+  SELECT {id_col} AS id, CAST({sid} AS BIGINT) AS shard_id, {key} AS sort_key
+  FROM {table}
+)
+SELECT shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY sort_key, id) - 1
+            AS BIGINT) AS pos,
+       id
+FROM keyed
+"""

@@ -867,6 +867,36 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(load_table(spark, "documents", sf_dir), token_budget=4096)
 
 
+_MIX_WEIGHTS = {"src0": 250, "src1": 130, "src2": 50, "src3": 0}  # centi-epochs
+
+
+@register(
+    "mixture_expand_weighted",
+    oracle=sampling.mixture_expand_sql(weights_ce=_MIX_WEIGHTS, default_ce=100),
+    doc="Source-weighted epoch mixing with fractional repetition: src0 at "
+    "2.5 epochs (every doc twice, a deterministic md5-chosen half a third "
+    "time), src1 1.3, src2 0.5, src3 dropped, rest 1.0. Pure map (explode "
+    "of a per-row copy count) -- no shuffle, no RNG, reproducible across "
+    "engines and partitionings.",
+)
+def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.mixture_expand(docs, weights_ce=_MIX_WEIGHTS, default_ce=100)
+
+
+@register(
+    "shuffle_shard_layout",
+    oracle=sampling.shuffle_shard_sql(n_shards=8),
+    doc="Deterministic global training shuffle: shard = md5(doc_id||':shard') "
+    "% 8, within-shard position = rank by an independent md5 key. One "
+    "shuffle (per-shard window sort) == repartition + sortWithinPartitions "
+    "at cluster scale; the id->shard map is corpus-independent so shards "
+    "can be re-derived for any subset.",
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.shuffle_shard(load_table(spark, "documents", sf_dir), n_shards=8)
+
+
 @register(
     "skew_salted_event_counts",
     oracle="""

@@ -338,3 +338,49 @@ def test_pii_scrub_redacts_emails_then_digits(spark):
     assert out[1]["redacted_len"] == len("Contact <EMAIL> or call <NUM> <NUM>")
     assert out[1]["redacted_fp"] == out[3]["redacted_fp"]  # deterministic
     assert out[1]["redacted_fp"] != out[2]["redacted_fp"]
+
+
+def test_mixture_expand_copy_counts(spark):
+    from flink_training_exercises_spark.operators.sampling import mixture_expand
+
+    docs = spark.createDataFrame(
+        [(i, "wiki" if i < 40 else "junk") for i in range(80)],
+        "doc_id long, source string",
+    )
+    out = mixture_expand(
+        docs, weights_ce={"wiki": 250, "junk": 0}, default_ce=100
+    ).collect()
+    per_doc = {}
+    for r in out:
+        assert r["stratum"] == "wiki"  # junk (weight 0) never appears
+        per_doc.setdefault(r["id"], []).append(r["copy_idx"])
+    assert set(per_doc) == set(range(40))
+    for doc, idxs in per_doc.items():
+        # 2.5 epochs: every wiki doc 2 or 3 times, copy_idx dense from 0
+        assert sorted(idxs) == list(range(len(idxs))) and len(idxs) in (2, 3)
+    n3 = sum(1 for idxs in per_doc.values() if len(idxs) == 3)
+    assert 0 < n3 < 40  # the fractional half is a strict, deterministic subset
+    again = mixture_expand(
+        docs, weights_ce={"wiki": 250, "junk": 0}, default_ce=100
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_shuffle_shard_dense_positions_and_determinism(spark):
+    from flink_training_exercises_spark.operators.sampling import shuffle_shard
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = shuffle_shard(docs, n_shards=4).collect()
+    assert len(out) == 300 and {r["shard_id"] for r in out} == {0, 1, 2, 3}
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+    # within-shard order decorrelated from id order: shard 0's first few ids
+    # should not simply be the smallest ids
+    first = sorted(r["id"] for r in out if r["shard_id"] == 0 and r["pos"] < 5)
+    all0 = sorted(r["id"] for r in out if r["shard_id"] == 0)
+    assert first != all0[:5]
+    again = shuffle_shard(docs, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
