@@ -35,22 +35,26 @@ from ..schemas import EVENTS
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a file-source stream (nanos normalized to
-    TIMESTAMP_NTZ exactly like the batch loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    """The events table as a file-source stream, `ts` as TIMESTAMP_NTZ with
+    the same instants as the batch loader.
+
+    The testdata stores `ts` as parquet timestamp[us] (no tz), so declaring
+    TIMESTAMP_NTZ in the stream schema reads it natively -- identical to the
+    batch path, no unit arithmetic. (A `ts LONG` schema here would surface
+    the raw int64 MICROsecond values; round 2 shipped exactly that plus a
+    nanos-assuming `div 1000`, which put the watermark in 1970 and emitted 0
+    session rows. tests/test_streaming.py::test_stream_batch_ts_parity pins
+    stream == batch max(ts) so any unit drift fails fast.)"""
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
     # the events table is a single parquet FILE; the file stream source needs
     # a directory basePath, so glob-filter within the sf dir
-    raw = (
+    return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-    )
-    return raw.withColumn(
-        "ts",
-        F.timestamp_add(
-            "MICROSECOND", F.expr("ts div 1000"), F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
-        ),
     )
 
 

@@ -13,6 +13,7 @@ from flink_training_exercises_spark.streaming.queries import (
     streaming_ride_cleansing,
 )
 from flink_training_exercises_spark.streaming.sources import (
+    events_stream,
     replay_to_files,
     rides_stream,
 )
@@ -29,6 +30,25 @@ def _drain(df, name, output_mode="append"):
     )
     q.awaitTermination(300)
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_batch_ts_parity(spark, sf_small):
+    """events_stream must yield the SAME instants as the batch loader --
+    min/max/dtype of ts all equal. Guards the round-2 unit bug where a
+    `ts LONG` stream schema surfaced raw parquet micros and a nanos-assuming
+    div 1000 put every event in 1970 (VERDICT r2 #1)."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.sources import load_table
+
+    name = f"ts_parity_{_uuid.uuid4().hex[:8]}"
+    got = _drain(events_stream(spark, sf_small).select("ts"), name)
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    s_min, s_max = got.agg(F.min("ts"), F.max("ts")).first()
+    b_min, b_max = (
+        load_table(spark, "events", sf_small).agg(F.min("ts"), F.max("ts")).first()
+    )
+    assert (s_min, s_max) == (b_min, b_max)
 
 
 def test_stream_batch_parity_popular_places(spark, sf_small):
