@@ -15,6 +15,20 @@ visible too.
 Each query is forced through full materialization with the noop sink
 (a bare .count() would let Catalyst prune computed columns and undercount
 the work).
+
+Output robustness: BENCH_r02.json came back ``parsed: null`` because the
+driver captured only the TAIL of the single (long) JSON line, losing the
+leading ``value`` field. So the full line is printed first and a SHORT
+headline-only JSON line is printed LAST -- whichever end of stdout a
+capture keeps, a parseable line with metric/value survives. The full
+result is also written to BENCH_local.json for local analysis.
+
+Cache hygiene: persisted minhash signature tables and any per-query cache
+are dropped after each query (release_persisted_signatures + clearCache),
+so no query's wall is inflated by memory pressure from an earlier one --
+the suspected cause of r2's 6.5x contamination_ngram_overlap outlier.
+Each query pays its own materialization cost; timings are independent of
+catalog order.
 """
 
 from __future__ import annotations
@@ -27,6 +41,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from flink_training_exercises_spark.operators import dedup  # noqa: E402
 from flink_training_exercises_spark.plans.catalog import CATALOG  # noqa: E402
 from flink_training_exercises_spark.session import get_spark  # noqa: E402
 
@@ -51,19 +66,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         if spec.bench:
             headline_total += timings[name]
+        dedup.release_persisted_signatures()
+        spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(headline_total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "total_all_queries_wall": round(sum(timings.values()), 3),
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(headline_total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "total_all_queries_wall": round(sum(timings.values()), 3),
+    }
+    short = {
+        "metric": "headline_queries_total_wall",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf,
+        "total_all_queries_wall": full["total_all_queries_wall"],
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+        json.dump(full, f)
+    print(json.dumps(full))
+    print(json.dumps(short))
 
 
 if __name__ == "__main__":

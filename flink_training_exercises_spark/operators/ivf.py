@@ -2,89 +2,122 @@
 scale path for embedding search (task brief: "an IVF or LSH-bucketed
 variant"; LSH lives in operators/similarity.py).
 
-Classic IVF: k-means the corpus into k centroid buckets, search only the
-``nprobe`` buckets nearest each query. At 100 TB the assignment is a
-broadcast cross join (centroids are tiny) and the probe join is an equi-join
-on centroid id -- the cross join over the corpus disappears.
+Classic IVF: k-means a bounded training sample into k centroid buckets,
+assign the corpus once, search only the ``nprobe`` buckets nearest each
+query. Scale shape (100 TB): quantizer training touches exactly TRAIN_N
+vectors (md5-deterministic TakeOrdered sample -- corpus-size-independent,
+the FAISS coarse-quantizer recipe); corpus assignment is ONE map-only
+projection (centroid distances inlined as literal expressions, argmin via
+array_min -- no join, no shuffle, no window); the probe search broadcasts
+the query set so the corpus is never shuffled.
 
 Cross-engine exactness (the interesting part): Lloyd's algorithm is made
 bit-deterministic by
   * integer-scaled vectors (floor(x*1e6) -> BIGINT),
-  * centroid updates as per-dimension BIGINT sums / member counts (integer
-    sums are order-free; the division is one exact double op),
-  * argmin with (distance, centroid-id) ordering -- ties deterministic.
-So Spark's distributed iterations and DuckDB's unrolled-CTE replay compute
-IDENTICAL centroids, assignments, and top-k results.
+  * centroid updates as per-dimension exact integer sums / member counts
+    (order-free; the division is one exact double op),
+  * argmin with (distance, centroid-id) ordering -- ties deterministic,
+  * distances as sequential double folds in dimension order.
+So the driver-side Lloyd, Spark's distributed assignment, and DuckDB's
+unrolled-CTE replay compute IDENTICAL centroids, assignments, and top-k
+results.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long, md5_long_sql
 from .similarity import _cosine, _dot, _with_int_vec, rank_topk
 
 K_CENTROIDS = 8
 KMEANS_ITERS = 3
 NPROBE = 2
 DIM = 64
+# Lloyd trains on a FIXED-SIZE deterministic sample: the TRAIN_N vectors with
+# the smallest md5(id) (ties by id). Quantizer cost is therefore independent
+# of corpus size -- at 100 TB the training set is still TRAIN_N rows and the
+# full corpus is scanned exactly once, for the final assignment (real IVF
+# practice: FAISS trains its coarse quantizer on a bounded sample). md5
+# ordering, not LIMIT-over-scan-order, so Spark and DuckDB pick the SAME rows.
+TRAIN_N = 1024
 
 
-def _sq_dist(v: Column, c: Column) -> Column:
-    """Squared L2 between BIGINT vector and DOUBLE centroid (sequential
-    fold -- same summation order as the oracle's list_sum)."""
+def _sq_dist_lit(v: Column, cent: list[float]) -> Column:
+    """Squared L2 between a BIGINT vector column and a LITERAL double
+    centroid (sequential fold -- same summation order as the oracle's
+    list_sum)."""
+    carr = F.array(*[F.lit(float(x)) for x in cent])
     return F.aggregate(
-        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, e: acc + e,
     )
 
 
-def _init_centroids(base: DataFrame, k: int) -> DataFrame:
-    """(cid, c): the k lowest-id vectors, as double arrays."""
-    w = Window.orderBy("id")
-    return (
-        base.orderBy("id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w) - 1).alias("cid"),
-            F.transform("v", lambda x: x.cast("double")).alias("c"),
-        )
+def _dist_structs(v: Column, cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<d,cid>> of distances to every centroid -- struct order
+    (d, cid) makes array_min/array_sort the argmin with deterministic
+    tie-break, matching the oracle's ORDER BY d, cid."""
+    return F.array(
+        *[
+            F.struct(_sq_dist_lit(v, c).alias("d"), F.lit(cid).cast("int").alias("cid"))
+            for cid, c in cent_rows
+        ]
     )
 
 
-def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast cross join + windowed argmin."""
-    crossed = base.crossJoin(F.broadcast(cents)).select(
-        "id", "v", "nn", "cid", _sq_dist(F.col("v"), F.col("c")).alias("d")
-    )
-    w = Window.partitionBy("id").orderBy("d", "cid")
-    return (
-        crossed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "v", "nn", "cid")
+def _assign(base: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment as a pure projection: the centroid set is
+    tiny and driver-resident, so per-centroid distances are inlined as
+    literal expressions and the argmin is array_min over (d, cid) structs --
+    no join, no shuffle, no window. At 100 TB this is ONE map-only scan of
+    the corpus, embarrassingly parallel."""
+    return base.select(
+        "id",
+        "v",
+        "nn",
+        F.array_min(_dist_structs(F.col("v"), cent_rows)).getField("cid").alias("cid"),
     )
 
 
-def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
-    """New centroids: per-dim exact integer means; empty clusters keep the
+def _lloyd(train_rows, k: int, iters: int) -> list[tuple[int, list[float]]]:
+    """Exact Lloyd over the (bounded) collected training sample, driver-side.
+
+    The sample is at most TRAIN_N rows regardless of corpus size, so
+    distributing the iterations would be pure scheduler overhead; training
+    on the driver is what FAISS does with its coarse quantizer. Arithmetic
+    is bit-identical to the DuckDB oracle CTEs: init = k lowest-id sample
+    vectors cast to double; distance = sequential double fold of
+    (BIGINT - DOUBLE)^2 in dimension order; argmin tie-breaks by (d, cid);
+    centroid update = exact integer per-dim sums (Python int = unbounded,
+    like DuckDB HUGEINT) divided once as double; empty clusters keep their
     previous centroid."""
-    sums = (
-        assigned.select("cid", F.posexplode("v").alias("dim", "vd"))
-        .groupBy("cid", "dim")
-        .agg(F.sum("vd").alias("s"), F.count(F.lit(1)).alias("n"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", (F.col("s").cast("double") / F.col("n")).alias("m")))
-                ),
-                lambda st: st["m"],
-            ).alias("c")
-        )
-    )
-    missing = prev.join(sums.select("cid"), "cid", "left_anti")
-    return sums.unionByName(missing)
+    rows = sorted(((r["id"], list(r["v"])) for r in train_rows), key=lambda t: t[0])
+    cents = [(cid, [float(x) for x in v]) for cid, (_, v) in enumerate(rows[:k])]
+    for _ in range(iters):
+        members: dict[int, list[list[int]]] = {}
+        for _, v in rows:
+            best = None
+            for cid, c in cents:
+                d = 0.0
+                for x, y in zip(v, c):
+                    e = x - y
+                    d = d + e * e
+                if best is None or (d, cid) < best:
+                    best = (d, cid)
+            members.setdefault(best[1], []).append(v)
+        cents = [
+            (
+                cid,
+                [float(sum(v[i] for v in vs)) / len(vs) for i in range(len(vs[0]))]
+                if (vs := members.get(cid))
+                else c,
+            )
+            for cid, c in cents
+        ]
+    return cents
 
 
 def kmeans_assignments(
@@ -93,25 +126,36 @@ def kmeans_assignments(
     vec_col: str = "embedding",
     n_centroids: int = K_CENTROIDS,
     iters: int = KMEANS_ITERS,
+    train_n: int = TRAIN_N,
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (assigned, centroids) after `iters` exact Lloyd iterations.
-    assigned: (id, v, nn, cid); centroids: (cid, c).
+    """Returns (assigned, centroids): exact Lloyd over the md5-sampled
+    training set (driver-side, bounded), then ONE map-only nearest-centroid
+    assignment of the full corpus. assigned: (id, v, nn, cid);
+    centroids: (cid, c).
 
-    Note: the integer-vector corpus is cached for the iteration loop and
-    stays cached while the returned DataFrames are alive -- callers doing
-    many k-means runs in one long-lived session should unpersist via
-    ``assigned.sparkSession.catalog.clearCache()`` or manage their own
-    input caching."""
-    base = _with_int_vec(emb, id_col, vec_col).cache()
-    cents = _init_centroids(base, n_centroids)
-    assigned = None
-    for _ in range(iters):
-        # materialize centroids so each iteration's plan stays flat
-        cents = cents.sparkSession.createDataFrame(cents.collect(), schema=cents.schema)
-        assigned = _assign(base, cents)
-        cents = _update(assigned, cents)
-    cents = cents.sparkSession.createDataFrame(cents.collect(), schema=cents.schema)
-    return _assign(base, cents), cents
+    The training sample is a TakeOrdered (per-partition top-n + merge -- no
+    full sort, no corpus shuffle). The corpus is scanned exactly twice at
+    any scale: sample extraction + final assignment."""
+    base = _with_int_vec(emb, id_col, vec_col)
+    cents = _train_quantizer(base, n_centroids, iters, train_n)
+    cents_df = emb.sparkSession.createDataFrame(
+        [(cid, c) for cid, c in cents], schema="cid INT, c ARRAY<DOUBLE>"
+    )
+    return _assign(base, cents), cents_df
+
+
+def _train_quantizer(
+    base: DataFrame, n_centroids: int, iters: int, train_n: int
+) -> list[tuple[int, list[float]]]:
+    """md5-deterministic bounded sample (TakeOrdered) -> driver-side Lloyd."""
+    train_rows = (
+        base.withColumn("bucket", md5_long(F.col("id").cast("string")))
+        .orderBy("bucket", "id")
+        .limit(train_n)
+        .select("id", "v")
+        .collect()
+    )
+    return _lloyd(train_rows, n_centroids, iters)
 
 
 def ivf_topk(
@@ -123,26 +167,33 @@ def ivf_topk(
     nprobe: int = NPROBE,
     topk: int = 5,
     query_mod: int = 25,
+    train_n: int = TRAIN_N,
 ) -> DataFrame:
     """IVF search: rank candidates from the nprobe nearest buckets by exact
     cosine. Output (query_id, neighbor_id, rank, cosine) -- same shape as
     the brute-force and LSH variants (whose ``k`` is this function's
-    ``topk``; ``n_centroids`` sizes the quantizer)."""
-    assigned, cents = kmeans_assignments(emb, id_col, vec_col, n_centroids, iters)
-    assigned = assigned.cache()
-    queries = assigned.where(F.col("id") % query_mod == 0).select(
+    ``topk``; ``n_centroids`` sizes the quantizer).
+
+    Scale shape: probe selection is a projection over the (small) query set
+    -- array_sort of the per-centroid distance structs, sliced to nprobe --
+    and the candidate join BROADCASTS the probed queries against the
+    assigned corpus on centroid id, so the corpus is never shuffled: one
+    map-only assignment scan, one broadcast-join scan."""
+    base = _with_int_vec(emb, id_col, vec_col)
+    cents = _train_quantizer(base, n_centroids, iters, train_n)
+    assigned = _assign(base, cents)
+    queries = base.where(F.col("id") % query_mod == 0).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
     )
-    probed = queries.crossJoin(F.broadcast(cents)).select(
-        "qid", "qv", "qnn", "cid", _sq_dist(F.col("qv"), F.col("c")).alias("d")
-    )
-    wp = Window.partitionBy("qid").orderBy("d", "cid")
-    probes = (
-        probed.withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= nprobe)
-        .select("qid", "qv", "qnn", "cid")
-    )
-    cand = probes.join(assigned, "cid").where(F.col("id") != F.col("qid"))
+    probes = queries.select(
+        "qid",
+        "qv",
+        "qnn",
+        F.explode(
+            F.slice(F.array_sort(_dist_structs(F.col("qv"), cents)), 1, nprobe)
+        ).alias("p"),
+    ).select("qid", "qv", "qnn", F.col("p.cid").alias("cid"))
+    cand = assigned.join(F.broadcast(probes), "cid").where(F.col("id") != F.col("qid"))
     scored = cand.select(
         F.col("qid").alias("query_id"),
         F.col("id").alias("neighbor_id"),
@@ -172,6 +223,7 @@ def ivf_topk_oracle(
     topk: int = 5,
     query_mod: int = 25,
     dim: int = DIM,
+    train_n: int = TRAIN_N,
 ) -> str:
     k = n_centroids
     dist_bc = _dist_sql("b.v", "c.c", dim)
@@ -182,10 +234,15 @@ def ivf_topk_oracle(
   FROM {table}
 ), basenn AS (
   SELECT id, v, list_sum([y * y for y in v]) AS nn FROM base
+), train AS (
+  SELECT id, v FROM (
+    SELECT id, v, {md5_long_sql(f"CAST(id AS VARCHAR)")} AS bucket FROM base
+    ORDER BY bucket, id LIMIT {train_n}
+  )
 ), c0 AS (
   SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
          [CAST(y AS DOUBLE) for y in v] AS c
-  FROM (SELECT id, v FROM base ORDER BY id LIMIT {k})
+  FROM (SELECT id, v FROM train ORDER BY id LIMIT {k})
 )"""
     ]
     for t in range(1, iters + 1):
@@ -194,7 +251,7 @@ def ivf_topk_oracle(
   SELECT id, v, cid FROM (
     SELECT b.id, b.v, c.cid,
            row_number() OVER (PARTITION BY b.id ORDER BY {dist_bc}, c.cid) AS rn
-    FROM base b CROSS JOIN c{t - 1} c
+    FROM train b CROSS JOIN c{t - 1} c
   ) WHERE rn = 1
 )"""
         )

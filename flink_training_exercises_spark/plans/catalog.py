@@ -75,11 +75,15 @@ def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 def queries() -> dict[str, SparkBuilder]:
-    return {name: spec.spark for name, spec in CATALOG.items()}
+    return {name: spec.spark for name, spec in _ordered_catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle
+        for name, spec in _ordered_catalog().items()
+        if spec.oracle is not None
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -833,6 +837,30 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_availablenow(spark, sf_dir)
 
 
+@register(
+    "streaming_exact_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="First-seen-wins key dedup through the real streaming engine: "
+    "dropDuplicatesWithinWatermark state, append mode, availableNow drain "
+    "(CheckpointedTaxiRideSource.java:54-170's dedup-on-restore concern). "
+    "The events table is ONE parquet file, so the drain is a single "
+    "micro-batch: no state eviction mid-run, every duplicate key is "
+    "suppressed, and the emitted set is exactly the distinct keys. Only "
+    "the key columns are projected because WHICH duplicate row survives "
+    "within a micro-batch is partition-order dependent; the key set is "
+    "not. Multi-batch eviction semantics are pytest-covered "
+    "(tests/test_streaming.py::test_streaming_exact_dedup).",
+)
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow, streaming_exact_dedup
+    from ..streaming.sources import events_stream
+
+    deduped = streaming_exact_dedup(
+        events_stream(spark, sf_dir), ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return drain_availablenow(deduped, "streaming_exact_dedup_gate")
+
+
 _SAMPLE_RATES = {"src0": 10000, "src1": 5000, "src2": 0}  # bp; default 2000
 
 
@@ -1580,3 +1608,113 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
     sf0.001 smoke check returns rows."""
     r = rides_plan.rides_view(spark, sf_dir)
     return windows.popular_places(r, window="1 day", slide="6 hours", threshold=2)
+
+
+# ---------------------------------------------------------------------------
+# Gate ordering. The driver's correctness gate records only the FIRST 50
+# entries of queries() (CORRECTNESS_r02 proved it: registration positions
+# >= 50 -- all 11 round-2 TPC-H queries, the round-1 relational family and
+# both canaries -- got no gate row at all). queries() therefore yields the
+# catalog in an explicit priority order, independent of registration order:
+#
+#   1. never-driver-gated queries and everything changed/added this round
+#      (these NEED a fresh CORRECTNESS row);
+#   2. both canaries (CLAUDE.md: check canary results before relying on
+#      driver tolerance);
+#   3. the rest of the gated surface, round-robin; long-stable round-1 rows
+#      (gated green in r01 AND r02) cede their slots last.
+#
+# Rule for future rounds: any NEW or CHANGED query goes at the TOP of this
+# list; rotate previously-listed stable rows downward. bench.py is
+# order-independent (runs all non-canary queries; headline = bench flags).
+_GATE_PRIORITY = [
+    # -- never gated through r02: 11 TPC-H added in round 2 --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales",
+    # -- never gated through r02: round-1 relational extras --
+    "asof_purchase_attribution",
+    "window_analytics",
+    "range_join_downtime_events",
+    "set_ops_clean_purchase_days",
+    "scd2_user_history",
+    "user_inactive_days",
+    "corpus_bigram_counts",
+    "rollup_counts",
+    "pivot_user_activity",
+    "value_percentiles",
+    # -- canaries: must always be inside the window --
+    "canary_timestamp_schema",
+    "canary_float_hash",
+    # -- changed or added in round 3 --
+    "streaming_sessionize",      # r2 FAIL -> fixed (stream ts unit)
+    "streaming_exact_dedup",     # new gate (VERDICT r2 #7)
+    "ann_topk_ivf",              # sample-trained quantizer (VERDICT r2 #3)
+    # -- previously gated, most operator-diverse first --
+    "streaming_popular_places",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "ann_topk_bruteforce_pandas",
+    "ann_topk_lsh",
+    "neardup_embedding_cosine",
+    "neardup_embedding_cosine_lsh",
+    "ann_recall_at_k",
+    "sessionize_events",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_repetition",
+    "pii_scrub_mails",
+    "contamination_ngram_overlap",
+    "multimodal_decode_meta",
+    "sample_stratified_documents",
+    "pack_sequences_4k",
+    "mixture_expand_weighted",
+    # ---------------- 50-entry gate window ends around here ----------------
+    "shuffle_shard_layout",
+    "skew_salted_event_counts",
+    "distinct_users_per_type",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    # -- round-1 relational family: green in r01 AND r02, cedes slots --
+    "ride_cleansing",
+    "popular_places",
+    "mail_count",
+    "member_of_the_month",
+    "member_of_the_month_joinback",
+    "reply_graph",
+    "mail_tfidf",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "travel_time_prediction_stateful",
+]
+
+
+def _ordered_catalog() -> dict[str, QuerySpec]:
+    """CATALOG in gate-priority order; unlisted names (future additions that
+    forgot the list) go FIRST so they can't silently miss the gate window."""
+    unlisted = [n for n in CATALOG if n not in _GATE_PRIORITY]
+    ordered = unlisted + [n for n in _GATE_PRIORITY if n in CATALOG]
+    return {n: CATALOG[n] for n in ordered}
