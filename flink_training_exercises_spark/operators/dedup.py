@@ -310,6 +310,106 @@ FROM verified WHERE CAST(inter AS DOUBLE) / (tot - inter) >= {threshold}
 """
 
 
+def incremental_minhash_matches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.2,
+    batch_bp: int = 2000,
+) -> DataFrame:
+    """Incremental dedup: match a NEW batch of documents against an existing
+    corpus -- the continuous-crawl shape, where each day's shard is deduped
+    against everything already ingested rather than all-pairs against
+    itself. Output (new_id, corpus_id, jaccard >= threshold).
+
+    The batch/corpus split here is a deterministic md5 predicate on the id
+    (batch = md5(id) % 10000 < batch_bp) so the DuckDB twin reproduces it;
+    in production the batch is simply the new shard's table.
+
+    Scale shape: the corpus side's banded signatures are the standing LSH
+    index (at 100 TB, a materialized table written once and appended to);
+    the new batch is orders of magnitude smaller, so its banded signatures
+    broadcast and the corpus is probed with a broadcast hash join on the
+    band key -- NO corpus shuffle, no all-pairs anything. Verification
+    fetches only the matched candidates' shingle sets. Signature pipeline,
+    band keys, and Jaccard verify are shared with minhash_lsh_pairs
+    (persisted once via persisted_signatures)."""
+    r = k // bands
+    sig_df = persisted_signatures(docs, id_col, text_col, k)
+    is_new = _md5_long_c(F.col("id").cast("string")) % 10000 < batch_bp
+    band_keys = [
+        _band_key_fold([F.col(f"s{b * r + j}") for j in range(r)], b) for b in range(bands)
+    ]
+    banded = sig_df.select("id", F.explode(F.array(*band_keys)).alias("key"))
+    new_b = banded.where(is_new).select(F.col("id").alias("new_id"), "key")
+    corp_b = banded.where(~is_new).select(F.col("id").alias("corpus_id"), "key")
+    pairs = corp_b.join(new_b, "key").select("new_id", "corpus_id").distinct()
+    hs_tbl = sig_df.select("id", "hs")
+    sn = hs_tbl.select(F.col("id"), F.col("hs").alias("sh_n"))
+    sc = hs_tbl.select(F.col("id"), F.col("hs").alias("sh_c"))
+    verified = (
+        pairs.join(sn, F.col("new_id") == sn["id"])
+        .drop("id")
+        .join(sc, F.col("corpus_id") == sc["id"])
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect("sh_n", "sh_c")).alias("inter"),
+            (F.size("sh_n") + F.size("sh_c")).alias("tot"),
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            (F.col("inter").cast("double") / (F.col("tot") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def incremental_minhash_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.2,
+    batch_bp: int = 2000,
+) -> str:
+    r = k // bands
+    sigs = minhash_signature_sql(char_shingles_sql(text_col), k)
+    sig_cols = ", ".join(f"{s} AS s{i}" for i, s in enumerate(sigs))
+    band_keys = ", ".join(
+        _band_key_fold_sql([f"s{b * r + j}" for j in range(r)], b) for b in range(bands)
+    )
+    hs = f"list_distinct([{md5_long_sql('s')} for s in {char_shingles_sql(text_col)}])"
+    is_new_n = f"{md5_long_sql('CAST(n.id AS VARCHAR)')} % 10000 < {batch_bp}"
+    is_new_c = f"{md5_long_sql('CAST(c.id AS VARCHAR)')} % 10000 < {batch_bp}"
+    return f"""
+WITH shingled AS (
+  SELECT {id_col} AS id, {hs} AS sh FROM {table}
+),
+sigs AS (SELECT {id_col} AS id, {sig_cols} FROM {table}),
+banded AS (
+  SELECT id, CAST(unnest([{band_keys}]) AS BIGINT) AS key FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+  FROM banded c JOIN banded n ON c.key = n.key
+  WHERE ({is_new_n}) AND NOT ({is_new_c})
+),
+verified AS (
+  SELECT new_id, corpus_id,
+         len(list_intersect(sn.sh, sc.sh)) AS inter,
+         len(sn.sh) + len(sc.sh) AS tot
+  FROM pairs JOIN shingled sn ON new_id = sn.id JOIN shingled sc ON corpus_id = sc.id
+)
+SELECT new_id, corpus_id, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
+FROM verified WHERE CAST(inter AS DOUBLE) / (tot - inter) >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

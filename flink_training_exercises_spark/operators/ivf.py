@@ -303,3 +303,60 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
   FROM scored
 ) WHERE rank <= {topk}"""
     return ",\n".join(parts + [final_assign, search])
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, search with partition pruning.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = K_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+    train_n: int = TRAIN_N,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index as a parquet table PARTITIONED BY centroid
+    id -- the build-once shape: at 100 TB the index is written one time and
+    every search after that reads ONLY its nprobe partitions (partition
+    pruning at the file listing level; verified by
+    tests/test_ivf.py::test_index_search_prunes_partitions). Returns the
+    trained centroids (tiny; the caller keeps them driver-side, like a
+    FAISS index header)."""
+    base = _with_int_vec(emb, id_col, vec_col)
+    cents = _train_quantizer(base, n_centroids, iters, train_n)
+    _assign(base, cents).write.mode("overwrite").partitionBy("cid").parquet(path)
+    return cents
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    nprobe: int = NPROBE,
+    topk: int = 5,
+) -> DataFrame:
+    """Search a persisted IVF index: probe selection is driver-side (the
+    centroid table is in memory), and the candidate scan carries
+    ``cid IN (probed)`` so parquet partition pruning drops every other
+    bucket before any I/O. queries: (qid, qv bigint-vec, qnn)."""
+    probed = queries.select(
+        "qid",
+        "qv",
+        "qnn",
+        F.explode(
+            F.slice(F.array_sort(_dist_structs(F.col("qv"), cents)), 1, nprobe)
+        ).alias("p"),
+    ).select("qid", "qv", "qnn", F.col("p.cid").alias("cid"))
+    index = spark.read.parquet(path)
+    cand = index.join(F.broadcast(probed), "cid").where(F.col("id") != F.col("qid"))
+    scored = cand.select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        _cosine(_dot(F.col("qv"), F.col("v")), F.col("qnn"), F.col("nn")).alias("cosine"),
+    )
+    return rank_topk(scored, topk)

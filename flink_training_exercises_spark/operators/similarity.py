@@ -291,3 +291,82 @@ def cosine_neardup_pairs_lsh(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss sign matrix)
+# ---------------------------------------------------------------------------
+
+PROJ_DIMS = 16
+# one (a, b) pair per output dimension; sign of input dim i for output dim j
+# is 1 - 2*((i*a_j + b_j) % 2) -- the formula-literal idiom of _PLANE_PARAMS,
+# drawn once from the seeded PRNG and embedded identically in the SQL twin
+_PROJ_PARAMS: list[tuple[int, int]] = []
+
+
+def _proj_params() -> list[tuple[int, int]]:
+    if not _PROJ_PARAMS:
+        from ..functions.hashing import hash_params
+
+        _PROJ_PARAMS.extend(hash_params(PROJ_DIMS, seed=0xBEEF))
+    return _PROJ_PARAMS
+
+
+def random_projection(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = PROJ_DIMS,
+) -> DataFrame:
+    """Dimensionality reduction by a deterministic +/-1 sign matrix
+    (Achlioptas-style JL transform): output dim j = sum_i v[i] * s_ji with
+    s_ji = 1 - 2*((i*a_j + b_j) % 2). Exact BIGINT arithmetic over the
+    integer-scaled vectors, so Spark and DuckDB agree bit-for-bit.
+
+    Output long-format (vec_id, dim, value) -- one scan, a per-row
+    projection, no shuffle until the caller aggregates. The projected
+    vectors are the cheap input for downstream ANN (shorter dot products)
+    or visualization; at 100 TB this is a map-only pass whose cost is
+    out_dims * in_dims multiply-adds per row."""
+    base = _with_int_vec(emb, id_col, vec_col)
+    comps = [
+        F.aggregate(
+            F.transform(
+                F.col("v"),
+                lambda x, i: x * (F.lit(1) - 2 * ((i.cast("bigint") * F.lit(a) + F.lit(b)) % 2)),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + e,
+        )
+        for a, b in _proj_params()[:out_dims]
+    ]
+    return base.select(
+        F.col("id").alias(id_col), F.posexplode(F.array(*comps)).alias("dim", "value")
+    )
+
+
+def random_projection_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = PROJ_DIMS,
+    in_dims: int = 64,
+) -> str:
+    comps = ", ".join(
+        f"list_sum([v[i + 1] * (1 - 2 * ((i * {a} + {b}) % 2)) "
+        f"for i in generate_series(0, {in_dims - 1})])"
+        for a, b in _proj_params()[:out_dims]
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         [CAST(floor(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT) for x in {vec_col}] AS v
+  FROM {table}
+),
+proj AS (
+  SELECT {id_col}, [{comps}] AS p FROM base
+)
+SELECT {id_col}, CAST(generate_subscripts(p, 1) - 1 AS INT) AS dim,
+       CAST(unnest(p) AS BIGINT) AS value
+FROM proj
+"""

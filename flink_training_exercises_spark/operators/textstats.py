@@ -315,3 +315,59 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def fingerprint_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
     return f"SELECT {id_col}, {md5_long_sql(norm)} AS fingerprint FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (tokenizer induction, step 1)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_weight: int = 5,
+) -> DataFrame:
+    """Adjacent-character-pair frequencies weighted by word frequency -- the
+    statistic BPE training computes to pick each merge (the argmax pair IS
+    the first merge). Output (pair, weight >= min_weight).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    word-count shuffle -- vocab is millions of rows however big the corpus
+    is), then pair explosion and the pair-count aggregate run over the
+    vocab weighted by frequency, never over the corpus. This is the
+    standard trick that makes BPE training corpus-size-independent after
+    one counting pass."""
+    words = _widened(docs).select(F.explode(_words(text_col)).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    pairs = freq.where(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )
+
+
+def bpe_pair_counts_sql(
+    table: str = "documents", text_col: str = "text", min_weight: int = 5
+) -> str:
+    w = _words_sql(text_col)
+    return f"""
+WITH words AS (
+  SELECT unnest({w}) AS word FROM {table}
+),
+freq AS (SELECT word, count(*) AS f FROM words GROUP BY word),
+pairs AS (
+  SELECT unnest([substr(word, i, 2) for i in generate_series(1, length(word) - 1)]) AS pair, f
+  FROM freq WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(f) AS BIGINT) AS weight
+FROM pairs GROUP BY pair HAVING sum(f) >= {min_weight}
+"""

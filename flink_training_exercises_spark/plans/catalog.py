@@ -1603,6 +1603,43 @@ def q_canary_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("avg6"))
 
 
+@register(
+    "dedup_incremental_minhash",
+    oracle=dedup.incremental_minhash_sql(),
+    doc="Incremental dedup: match a NEW batch (md5(doc_id)%10000 < 2000 "
+    "stands in for today's crawl shard) against the standing corpus via "
+    "the shared MinHash band index, exact-Jaccard verified. The "
+    "continuous-ingest shape: new-side bands broadcast against the "
+    "corpus-side band index -- no corpus shuffle, no all-pairs.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.incremental_minhash_matches(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "embedding_random_projection",
+    oracle=similarity.random_projection_sql(),
+    doc="Johnson-Lindenstrauss +/-1 sign-matrix projection 64->16 dims "
+    "(Achlioptas), exact BIGINT arithmetic over integer-scaled vectors; "
+    "long-format (vec_id, dim, value). Map-only: the cheap front-end for "
+    "downstream ANN / clustering at 100 TB.",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.random_projection(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=textstats.bpe_pair_counts_sql(),
+    doc="BPE tokenizer induction step 1: adjacent char-pair frequencies "
+    "weighted by word frequency (the argmax pair is the first merge). "
+    "Corpus collapses to its vocabulary first, so pair counting is "
+    "corpus-size-independent after one word-count shuffle.",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bpe_pair_counts(load_table(spark, "documents", sf_dir))
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -1658,6 +1695,9 @@ _GATE_PRIORITY = [
     "streaming_sessionize",      # r2 FAIL -> fixed (stream ts unit)
     "streaming_exact_dedup",     # new gate (VERDICT r2 #7)
     "ann_topk_ivf",              # sample-trained quantizer (VERDICT r2 #3)
+    "dedup_incremental_minhash", # new: batch-vs-corpus dedup
+    "embedding_random_projection",  # new: JL sign projection
+    "bpe_pair_counts",           # new: tokenizer-induction pair counts
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",

@@ -45,3 +45,39 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
     assert 0 < len(approx) <= len(exact)
     recall = len(exact & approx) / len(exact)
     assert recall > 0.1, f"recall collapsed: {recall}"
+
+
+def test_index_search_prunes_partitions(spark, sf_small, tmp_path):
+    """Persisted IVF index: search results equal the in-memory ivf_topk, and
+    the candidate scan partition-prunes to the probed cids (file listing
+    shows cid=N directories only for probed buckets)."""
+    from flink_training_exercises_spark.operators.ivf import (
+        NPROBE,
+        _dist_structs,
+        _with_int_vec,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_small)
+    path = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(emb, path)
+
+    base = _with_int_vec(emb, "vec_id", "embedding")
+    queries = base.where(F.col("id") % 25 == 0).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
+    )
+    got = search_ivf_index(spark, path, cents, queries)
+    expect = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in __import__(
+            "flink_training_exercises_spark.operators.ivf", fromlist=["ivf_topk"]
+        ).ivf_topk(emb).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect()} == expect
+
+    # pruning evidence: restrict to ONE cid and check the physical plan's
+    # partition filters mention cid (pruned at listing, not post-scan)
+    one = spark.read.parquet(path).where(F.col("cid") == 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:200]

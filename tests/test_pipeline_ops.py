@@ -384,3 +384,53 @@ def test_shuffle_shard_dense_positions_and_determinism(spark):
     assert first != all0[:5]
     again = shuffle_shard(docs, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_incremental_minhash_matches_directionality(spark):
+    """With batch_bp splitting the DOCS ids, matches must pair a NEW id with
+    a CORPUS id only (never corpus-corpus or new-new), and find the planted
+    near-dup across the split."""
+    from flink_training_exercises_spark.functions.hashing import md5_long
+
+    docs = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    split = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", (md5_long(F.col("doc_id").cast("string")) % 10000 < 5000).alias("b")
+        ).collect()
+    }
+    new_ids = {i for i, b in split.items() if b}
+    corpus_ids = set(split) - new_ids
+    # docs 1, 2, 5 are mutual near-dups; the fixture split must separate at
+    # least one such pair for the test to bite
+    assert any(a in new_ids and b in corpus_ids or a in corpus_ids and b in new_ids
+               for a, b in [(1, 2), (1, 5), (2, 5)])
+    out = dedup.incremental_minhash_matches(docs, batch_bp=5000, threshold=0.2).collect()
+    assert out, "planted cross-split near-dup not found"
+    for r in out:
+        assert r["new_id"] in new_ids and r["corpus_id"] in corpus_ids
+        assert 0.0 < r["jaccard"] <= 1.0
+    dedup.release_persisted_signatures()
+
+
+def test_random_projection_shape_and_linearity(spark):
+    """16 components per vector; doubling the input vector doubles every
+    component (the projection is linear in the integer-scaled input)."""
+    rows = [(1, [0.5] * 64), (2, [1.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.random_projection(emb).collect()
+    assert len(out) == 32
+    by = {(r["vec_id"], r["dim"]): r["value"] for r in out}
+    assert set(d for _, d in by) == set(range(16))
+    for d in range(16):
+        assert by[(2, d)] == 2 * by[(1, d)]
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "aba aba ab", "en", "s1"), (2, "aba", "en", "s1")],
+        DOC_SCHEMA,
+    )
+    out = {r["pair"]: r["weight"] for r in textstats.bpe_pair_counts(docs, min_weight=1).collect()}
+    # 'aba' x3 contributes ab+ba each x3; 'ab' x1 contributes ab x1
+    assert out == {"ab": 4, "ba": 3}
