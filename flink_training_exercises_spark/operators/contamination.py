@@ -31,18 +31,25 @@ def _words(text_col: str) -> Column:
     return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
 
 
-def _hashed_grams(w: Column, n: int) -> Column:
-    """Distinct md5-folded word n-grams; empty when the doc is shorter than
-    n (sequence() descends for start > stop, hence the guard)."""
+def _gram_strings(w: Column, n: int) -> Column:
+    """Distinct word n-gram STRINGS per doc; empty when the doc is shorter
+    than n (sequence() descends for start > stop, hence the guard).
+
+    Strings, not hashes: the md5 fold runs AFTER the explode as a row-level
+    codegen'd expression. Inside the higher-order transform it would be
+    interpreted per element -- measured 5x slower at sf0.1 (the r2 bench's
+    slowest query). The explode is pipelined (no exchange), so no raw text
+    ever crosses a shuffle either way; per-doc distinct still happens here,
+    array-side, so no row-level distinct shuffle is needed."""
     return F.when(
         F.size(w) >= n,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: md5_long(F.concat_ws(" ", F.slice(w, i, n))),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
             )
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_contamination(
@@ -61,11 +68,11 @@ def ngram_contamination(
     g = widen_scan(docs).select(
         F.col(id_col),
         (F.col(id_col) % bench_mod == 0).alias("is_bench"),
-        _hashed_grams(_words(text_col), n).alias("g"),
-    )
-    corpus = g.where(~F.col("is_bench")).select(id_col, F.explode("g").alias("gh"))
+        F.explode(_gram_strings(_words(text_col), n)).alias("gs"),
+    ).select(id_col, "is_bench", md5_long("gs").alias("gh"))
+    corpus = g.where(~F.col("is_bench")).select(id_col, "gh")
     bench = (
-        g.where(F.col("is_bench")).select(F.explode("g").alias("gh")).distinct()
+        g.where(F.col("is_bench")).select("gh").distinct()
     ).withColumn("hit", F.lit(1))
     marked = corpus.join(F.broadcast(bench), "gh", "left")
     return (
@@ -95,9 +102,11 @@ def ngram_contamination_sql(
     w = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
     slots = ", ".join("w[i]" if j == 0 else f"w[i+{j}]" for j in range(n))
     gram = f"concat_ws(' ', {slots})"
+    # distinct at the STRING level, then hash -- mirrors the Spark side
+    # (array_distinct of gram strings, md5 after the explode)
     gram_list = (
-        f"list_distinct(list_transform(range(1, len(w) - {n - 2}), "
-        f"i -> {md5_long_sql(gram)}))"
+        f"list_transform(list_distinct(list_transform(range(1, len(w) - {n - 2}), "
+        f"i -> {gram})), g -> {md5_long_sql('g')})"
     )
     return f"""
 WITH grams AS (

@@ -861,6 +861,36 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_availablenow(deduped, "streaming_exact_dedup_gate")
 
 
+@register(
+    "streaming_distinct_users",
+    oracle="""
+WITH ev AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type, user_id FROM events
+),
+mx AS (SELECT max(hour_ms) AS m FROM ev)
+SELECT hour_ms + 3600000 AS window_end_ms, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM ev, mx
+GROUP BY hour_ms, event_type, m
+HAVING hour_ms + 3600000 <= m - 60000
+""",
+    doc="Windowed distinct-user counts through the real streaming engine: "
+    "streaming aggregation forbids COUNT(DISTINCT), so this chains the two "
+    "supported stateful operators -- watermarked dropDuplicates on "
+    "(hour, event_type, user_id) feeding a windowed count (append mode, "
+    "fire-once). Counts are survivor-independent, so the batch "
+    "COUNT(DISTINCT) oracle cut at the final watermark matches exactly.",
+)
+def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow, streaming_distinct_users
+    from ..streaming.sources import events_stream
+
+    return drain_availablenow(
+        streaming_distinct_users(events_stream(spark, sf_dir)),
+        "streaming_distinct_users_gate",
+    )
+
+
 _SAMPLE_RATES = {"src0": 10000, "src1": 5000, "src2": 0}  # bp; default 2000
 
 
@@ -1698,6 +1728,8 @@ _GATE_PRIORITY = [
     "dedup_incremental_minhash", # new: batch-vs-corpus dedup
     "embedding_random_projection",  # new: JL sign projection
     "bpe_pair_counts",           # new: tokenizer-induction pair counts
+    "streaming_distinct_users",  # new: dedup->window stateful chain gate
+    "contamination_ngram_overlap",  # rewritten: codegen'd row-level md5
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",
@@ -1718,7 +1750,6 @@ _GATE_PRIORITY = [
     "text_fingerprint",
     "text_repetition",
     "pii_scrub_mails",
-    "contamination_ngram_overlap",
     "multimodal_decode_meta",
     "sample_stratified_documents",
     "pack_sequences_4k",

@@ -130,6 +130,45 @@ def drain_availablenow(stream: DataFrame, query_name: str) -> DataFrame:
     return stream.sparkSession.table(query_name)
 
 
+def streaming_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Per-window distinct-user counts through the real streaming engine.
+
+    Streaming aggregation forbids COUNT(DISTINCT), so this composes the two
+    supported stateful operators: watermarked dropDuplicates on
+    (hour, event_type, user_id) -- state evicted as the watermark passes
+    each hour -- feeding a windowed count (Spark's multi-stateful-operator
+    chain, same watermark). The count is insensitive to WHICH duplicate row
+    survives, so the result is deterministic and batch-oracle-matchable:
+    oracle = COUNT(DISTINCT user_id) per window, cut at the final
+    watermark (window_end <= max(date_trunc hour) - delay)."""
+    # hour truncation via epoch-ms arithmetic, NOT date_trunc: date_trunc on
+    # a TIMESTAMP truncates in SESSION timezone (wrong buckets on a
+    # half-hour-offset TZ); floor(epoch_ms / 3600000) is TZ-independent and
+    # matches the oracle's date_trunc over naive NTZ timestamps exactly.
+    from ..functions.time import epoch_ms
+
+    em = epoch_ms("ts")
+    ev = events.select(
+        F.timestamp_millis(em - em % 3600000).alias("hour"), "event_type", "user_id"
+    )
+    deduped = ev.withWatermark("hour", watermark).dropDuplicates(
+        ["hour", "event_type", "user_id"]
+    )
+    return (
+        deduped.groupBy(F.window("hour", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+        .select(
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "event_type",
+            "distinct_users",
+        )
+    )
+
+
 def run_sessionize_availablenow(
     spark: SparkSession,
     sf_dir: str,

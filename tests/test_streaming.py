@@ -273,3 +273,34 @@ def test_transform_with_state_matches_batch(spark, sf_small):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_distinct_users_matches_batch(spark, sf_small):
+    """dedup->windowed-count stateful chain == batch COUNT(DISTINCT) cut at
+    the final watermark."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import streaming_distinct_users
+
+    name = f"sdu_{_uuid.uuid4().hex[:8]}"
+    got = {
+        (r["window_end_ms"], r["event_type"]): r["distinct_users"]
+        for r in _drain(streaming_distinct_users(events_stream(spark, sf_small)), name).collect()
+    }
+    ev = load_table(spark, "events", sf_small).select(
+        F.unix_millis(F.date_trunc("hour", "ts").cast("timestamp")).alias("hour_ms"),
+        "event_type",
+        "user_id",
+    )
+    # TZ-independence note: cast-to-LTZ here is test-only convenience; the
+    # session fixture pins UTC. The engine path under test avoids it.
+    horizon = ev.agg(F.max("hour_ms")).first()[0] - 60000
+    expect = {
+        ((r["hour_ms"] + 3600000), r["event_type"]): r["n"]
+        for r in ev.groupBy("hour_ms", "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+        if r["hour_ms"] + 3600000 <= horizon
+    }
+    assert got == expect and len(got) > 0
