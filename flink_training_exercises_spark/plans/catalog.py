@@ -1670,6 +1670,64 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_pair_counts(load_table(spark, "documents", sf_dir))
 
 
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH q AS ({textstats.quality_score_sql()}),
+l AS ({textstats.lang_id_sql()}),
+f AS (SELECT doc_id, {dedup.normalized_prefix_key_sql("text")} AS dedup_key FROM documents),
+passed AS (
+  SELECT d.doc_id, d.source, f.dedup_key
+  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN f USING (doc_id)
+  WHERE q.quality_score >= 40 AND l.pred_lang = 'en'
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY dedup_key),
+flags AS (
+  SELECT d.doc_id, d.source,
+         p.doc_id IS NOT NULL AS p,
+         s.doc_id IS NOT NULL AS k
+  FROM documents d
+  LEFT JOIN passed p ON d.doc_id = p.doc_id
+  LEFT JOIN surv s ON d.doc_id = s.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE p) AS BIGINT) AS n_passed,
+       CAST(count(*) FILTER (WHERE k) AS BIGINT) AS n_kept
+FROM flags GROUP BY source
+""",
+    doc="End-to-end curation funnel, composing the catalog's operators in "
+    "one plan: quality filter (composite >= 40) + language filter "
+    "(pred_lang = 'en') + exact-dedup survivors (min doc_id per "
+    "normalized content key, dedup_exact's key), reported as per-source "
+    "funnel counts (n_docs -> n_passed -> n_kept). The shape a real "
+    "corpus curation run has; every stage is itself oracle-gated "
+    "separately.",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    q = textstats.quality_score(docs).select("doc_id", "quality_score")
+    lang = textstats.lang_id(docs).select("doc_id", "pred_lang")
+    fp = docs.select("doc_id", dedup.normalized_prefix_key("text").alias("dedup_key"))
+    passed = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(fp, "doc_id")
+        .where((F.col("quality_score") >= 40) & (F.col("pred_lang") == "en"))
+    )
+    surv = passed.groupBy("dedup_key").agg(F.min("doc_id").alias("doc_id"))
+    flags = (
+        docs.select("doc_id", "source")
+        .join(passed.select("doc_id", F.lit(1).alias("p")), "doc_id", "left")
+        .join(surv.select("doc_id", F.lit(1).alias("k")), "doc_id", "left")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("p").alias("n_passed"),
+        F.count("k").alias("n_kept"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -1730,6 +1788,7 @@ _GATE_PRIORITY = [
     "bpe_pair_counts",           # new: tokenizer-induction pair counts
     "streaming_distinct_users",  # new: dedup->window stateful chain gate
     "contamination_ngram_overlap",  # rewritten: codegen'd row-level md5
+    "curation_pipeline",         # new: composed quality->lang->dedup funnel
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",
