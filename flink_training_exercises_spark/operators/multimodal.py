@@ -107,3 +107,37 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+FEATURE_BUCKETS = 16
+
+
+def extract_features(
+    docs_bin: DataFrame, id_col: str = "doc_id", buckets: int = FEATURE_BUCKETS
+) -> DataFrame:
+    """Byte-histogram feature extraction over binary payloads -- unlike the
+    decode step this is REAL (no codec needed): numpy over Arrow record
+    batches, the exact plumbing a CLIP/whisper embedding UDF uses (swap the
+    histogram for a model forward pass). Long-format sparse output
+    (doc_id, bucket, cnt), only non-zero buckets."""
+    import numpy as np
+
+    div = 256 // buckets
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            bks: list = []
+            cnts: list = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8) // div
+                hist = np.bincount(arr, minlength=buckets)
+                nz = np.nonzero(hist)[0]
+                ids.extend([i] * len(nz))
+                bks.extend(int(b) for b in nz)
+                cnts.extend(int(c) for c in hist[nz])
+            yield pd.DataFrame({"doc_id": ids, "bucket": bks, "cnt": cnts})
+
+    return docs_bin.select(id_col, "payload").mapInPandas(
+        feats, schema="doc_id long, bucket int, cnt long"
+    )

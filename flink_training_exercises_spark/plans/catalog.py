@@ -408,6 +408,28 @@ def q_travel_time_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful.travel_time_stateful(rides_plan.rides_view(spark, sf_dir))
 
 
+@register(
+    "streaming_travel_time_stateful",
+    oracle=_TT_ORACLE,
+    doc="W5 through the REAL streaming engine: applyInPandasWithState keyed "
+    "per destination cell (the reference's RichFlatMapFunction+ValueState, "
+    "TravelTimePrediction.java:120-164), append mode, availableNow drain. "
+    "The single-file source makes one micro-batch, the handler orders "
+    "events by time within each key exactly like the batch twin, so the "
+    "emission set equals the batch result and the SAME oracle applies -- "
+    "the stateful streaming path is driver-gated, not just pytest'd.",
+)
+def q_streaming_travel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow
+    from ..streaming.sources import rides_stream
+    from ..streaming.stateful import streaming_travel_time
+
+    return drain_availablenow(
+        streaming_travel_time(rides_stream(spark, sf_dir)),
+        "streaming_travel_time_gate",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (task brief): dedup family.
 # ---------------------------------------------------------------------------
@@ -794,6 +816,42 @@ FROM documents
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return multimodal.decode_media(multimodal.attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+SELECT doc_id, CAST(ascii(substr(text, i, 1)) // 16 AS INT) AS bucket,
+       count(*) AS cnt
+FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+      FROM documents)
+GROUP BY 1, 2
+""",
+    doc="Multimodal feature extraction: byte-histogram over binary payloads "
+    "via numpy on Arrow record batches -- REAL computation (no codec "
+    "needed), the exact mapInPandas plumbing a CLIP/whisper embedding UDF "
+    "uses. Sparse long-format (doc_id, bucket, cnt). Oracle iterates "
+    "chars (testdata is pure ASCII, so char == byte).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.extract_features(multimodal.attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 2)) AS INT)
+         AS frame_idx
+FROM (SELECT doc_id, 1 + ascii(substr(text, 1, 1)) % 8 AS n_frames FROM documents)
+""",
+    doc="Frame sampling over decoded media: one row per sampled frame index "
+    "(explode of a stride sequence -- columnar, no UDF after the decode).",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    decoded = multimodal.decode_media(multimodal.attach_binary_payload(docs))
+    return multimodal.frame_sample(decoded, every_n=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1789,6 +1847,9 @@ _GATE_PRIORITY = [
     "streaming_distinct_users",  # new: dedup->window stateful chain gate
     "contamination_ngram_overlap",  # rewritten: codegen'd row-level md5
     "curation_pipeline",         # new: composed quality->lang->dedup funnel
+    "streaming_travel_time_stateful",  # new: applyInPandasWithState gate
+    "multimodal_feature_extract",  # new: numpy-over-Arrow byte histogram
+    "multimodal_frame_sample",   # new: stride explode over decoded frames
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",

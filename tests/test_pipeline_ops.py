@@ -434,3 +434,15 @@ def test_bpe_pair_counts_hand_computed(spark):
     out = {r["pair"]: r["weight"] for r in textstats.bpe_pair_counts(docs, min_weight=1).collect()}
     # 'aba' x3 contributes ab+ba each x3; 'ab' x1 contributes ab x1
     assert out == {"ab": 4, "ba": 3}
+
+
+def test_extract_features_hand_computed(spark):
+    docs = spark.createDataFrame([(1, "AAab", "en", "s1")], DOC_SCHEMA)
+    out = {
+        (r["doc_id"], r["bucket"]): r["cnt"]
+        for r in multimodal.extract_features(
+            multimodal.attach_binary_payload(docs)
+        ).collect()
+    }
+    # 'A' = 0x41 -> bucket 4 (x2); 'a' = 0x61, 'b' = 0x62 -> bucket 6 (x2)
+    assert out == {(1, 4): 2, (1, 6): 2}
