@@ -40,10 +40,18 @@ def _words_sql(text_expr: str) -> str:
     return f"[x for x in string_split_regex(lower({text_expr}), '\\s+') if x != '']"
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum symbol
+# (the GPT-2 pattern's skeleton). Explicit char classes, NOT \s/\w: Java
+# regex and RE2 disagree on \s (vertical tab) -- see CLAUDE.md.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
+
+
 def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens, alphabetic tokens, and BPE-ish subword count
+    """Whitespace tokens, alphabetic tokens, a BPE-ish subword estimate
     (ceil(chars/4) per token -- the standard ~4-chars-per-token estimate,
-    computed exactly in integers)."""
+    computed exactly in integers), and a real regex pre-tokenizer count
+    (letter runs / digit runs / single symbols -- the GPT-2 pattern's
+    skeleton, identical semantics in Java regex and RE2)."""
     docs = _widened(docs)
     w = _words(text_col)
     return docs.select(
@@ -55,6 +63,9 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + F.floor((F.length(x) + 3) / F.lit(4)).cast("bigint"),
         ).alias("n_subwords_est"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).cast("bigint").alias(
+            "n_regex_tokens"
+        ),
     )
 
 
@@ -64,8 +75,10 @@ def token_count_sql(table: str = "documents", id_col: str = "doc_id", text_col: 
 SELECT {id_col},
        len(w) AS n_tokens,
        len([x for x in w if regexp_matches(x, '^[a-z]+$')]) AS n_alpha_tokens,
-       CAST(list_sum([(length(x) + 3) // 4 for x in w]) AS BIGINT) AS n_subwords_est
-FROM (SELECT {id_col}, {w} AS w FROM {table})
+       CAST(list_sum([(length(x) + 3) // 4 for x in w]) AS BIGINT) AS n_subwords_est,
+       CAST(len(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}')) AS BIGINT)
+         AS n_regex_tokens
+FROM (SELECT {id_col}, {text_col}, {w} AS w FROM {table})
 """
 
 

@@ -1850,6 +1850,7 @@ _GATE_PRIORITY = [
     "streaming_travel_time_stateful",  # new: applyInPandasWithState gate
     "multimodal_feature_extract",  # new: numpy-over-Arrow byte histogram
     "multimodal_frame_sample",   # new: stride explode over decoded frames
+    "text_token_count",          # changed: + n_regex_tokens (BPE-ish regex)
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",
@@ -1864,7 +1865,6 @@ _GATE_PRIORITY = [
     "neardup_embedding_cosine_lsh",
     "ann_recall_at_k",
     "sessionize_events",
-    "text_token_count",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -37,3 +37,30 @@ def test_query_runs(spark, sf_small, name):
 )
 def test_oracle_is_valid_duckdb(duck, name):
     duck.execute(f"SELECT * FROM ({CATALOG[name].oracle}) LIMIT 5").fetchall()
+
+
+def test_gate_priority_list_is_consistent():
+    """_GATE_PRIORITY drives the driver's 50-entry correctness window: every
+    listed name must exist, no duplicates, every registered query must be
+    listed (unlisted names sort FIRST by design, but that's a safety net for
+    forgotten additions, not a steady state), and both canaries plus all
+    streaming gates must sit inside the window."""
+    from flink_training_exercises_spark.plans.catalog import _GATE_PRIORITY, queries
+
+    unknown = [n for n in _GATE_PRIORITY if n not in CATALOG]
+    assert not unknown, f"priority list names not in CATALOG: {unknown}"
+    dupes = {n for n in _GATE_PRIORITY if _GATE_PRIORITY.count(n) > 1}
+    assert not dupes, f"duplicate priority entries: {dupes}"
+    unlisted = [n for n in CATALOG if n not in _GATE_PRIORITY]
+    assert not unlisted, f"queries missing from _GATE_PRIORITY: {unlisted}"
+    window = list(queries())[:50]
+    for must in [
+        "canary_timestamp_schema",
+        "canary_float_hash",
+        "streaming_popular_places",
+        "streaming_sessionize",
+        "streaming_exact_dedup",
+        "streaming_distinct_users",
+        "streaming_travel_time_stateful",
+    ]:
+        assert must in window, f"{must} fell outside the 50-entry gate window"
