@@ -141,3 +141,53 @@ def extract_features(
     return docs_bin.select(id_col, "payload").mapInPandas(
         feats, schema="doc_id long, bucket int, cnt long"
     )
+
+
+def resize_media(
+    docs_bin: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "doc_id",
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Resize plumbing: binary payload in -> resized binary payload +
+    dimensions out, streamed through Arrow batches (binary-in/binary-out is
+    the shape an image-resize UDF has; bound task memory via
+    spark.sql.execution.arrow.maxRecordsPerBatch). The codec itself is the
+    documented deterministic fake (no PIL in this environment): output
+    payload is the input truncated/cycled to target_w*target_h bytes --
+    size-correct, content-deterministic, schema-real."""
+    if use_real_codec:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env has no codecs
+            raise NotImplementedError(
+                "real media resize requires PIL, not present in this environment"
+            ) from exc
+
+    n_out = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if not b:
+                    outs.append(b"\x00" * n_out)
+                elif len(b) >= n_out:
+                    outs.append(b[:n_out])
+                else:
+                    reps = -(-n_out // len(b))
+                    outs.append((b * reps)[:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "payload": outs,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return docs_bin.select(id_col, "payload").mapInPandas(
+        resize, schema="doc_id long, payload binary, width int, height int"
+    )

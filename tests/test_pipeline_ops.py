@@ -446,3 +446,28 @@ def test_extract_features_hand_computed(spark):
     }
     # 'A' = 0x41 -> bucket 4 (x2); 'a' = 0x61, 'b' = 0x62 -> bucket 6 (x2)
     assert out == {(1, 4): 2, (1, 6): 2}
+
+
+def test_resize_media_shapes(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab", "en", "s1"), (2, "x" * 5000, "en", "s1")], DOC_SCHEMA
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_media(
+            multimodal.attach_binary_payload(docs), target_w=8, target_h=4
+        ).collect()
+    }
+    assert all((r["width"], r["height"]) == (8, 4) for r in out.values())
+    assert len(bytes(out[1]["payload"])) == 32 == len(bytes(out[2]["payload"]))
+    # short payload cycles deterministically; long payload truncates
+    assert bytes(out[1]["payload"]) == (b"ab" * 16)
+    assert bytes(out[2]["payload"]) == b"x" * 32
+
+
+def test_resize_media_real_codec_gated(spark):
+    docs = spark.createDataFrame([(1, "ab", "en", "s1")], DOC_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_media(
+            multimodal.attach_binary_payload(docs), use_real_codec=True
+        )
