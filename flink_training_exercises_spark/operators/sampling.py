@@ -240,3 +240,48 @@ SELECT shard_id,
        id
 FROM keyed
 """
+
+
+def domain_cap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    cap: int = 20,
+) -> DataFrame:
+    """Per-domain contribution cap: keep at most ``cap`` documents per
+    domain, chosen as the cap smallest md5(id) within the domain -- the
+    standard corpus-curation guard against a single domain dominating the
+    mixture. Deterministic (pure function of ids), engine-independent, and
+    a uniform random subset in distribution since md5 order is independent
+    of any document property.
+
+    One shuffle on the domain key; the per-group top-cap is a window
+    row_number sharing that partitioning. At 100 TB prefer the same plan --
+    rank-by-hash is exactly how a cluster-side domain cap is done (no
+    per-group state, no sampling RNG to coordinate)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        md5_long(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def domain_cap_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    cap: int = 20,
+) -> str:
+    bucket = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT * EXCLUDE (__rn) FROM (
+  SELECT *, row_number() OVER (PARTITION BY {domain_col}
+            ORDER BY {bucket}, {id_col}) AS __rn
+  FROM {table}
+) WHERE __rn <= {cap}
+"""

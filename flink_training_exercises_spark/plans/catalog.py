@@ -971,6 +971,21 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "domain_cap_documents",
+    oracle="SELECT doc_id, lang, source, n_chars FROM ("
+    + sampling.domain_cap_sql(cap=18)
+    + ")",
+    doc="Per-domain contribution cap (<= 18 docs per source, the md5-rank "
+    "smallest ids win): the standard guard against one domain dominating "
+    "a training mixture. Deterministic rank-by-hash, one shuffle on the "
+    "domain key, window top-k shares it.",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.domain_cap(docs, cap=18).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
     "pack_sequences_4k",
     oracle=sampling.pack_sequences_sql(token_budget=4096),
     doc="Greedy token-budget sequence packing: per source shard in doc_id "
@@ -1851,6 +1866,7 @@ _GATE_PRIORITY = [
     "multimodal_feature_extract",  # new: numpy-over-Arrow byte histogram
     "multimodal_frame_sample",   # new: stride explode over decoded frames
     "text_token_count",          # changed: + n_regex_tokens (BPE-ish regex)
+    "domain_cap_documents",      # new: per-domain contribution cap
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",

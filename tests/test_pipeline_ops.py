@@ -471,3 +471,21 @@ def test_resize_media_real_codec_gated(spark):
         multimodal.resize_media(
             multimodal.attach_binary_payload(docs), use_real_codec=True
         )
+
+
+def test_domain_cap_respects_cap_and_determinism(spark):
+    from flink_training_exercises_spark.operators import sampling
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    capped = sampling.domain_cap(docs, cap=3)
+    sizes = {r["source"]: r["n"] for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes and all(n <= 3 for n in sizes.values())
+    # deterministic: same ids both runs
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in sampling.domain_cap(docs, cap=3).collect()}
+    assert a == b
+    # under-cap domains keep everything
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in totals.items():
+        assert sizes.get(s, 0) == min(n, 3)
