@@ -123,3 +123,59 @@ def test_travel_time_forms_agree_on_random_rides(spark, trips):
     s_ = {(r["ride_id"], r["predicted_minutes"]) for r in travel_time_stateful(rides).collect()}
     assert w == s_
     assert len(w) == len(trips)  # one prediction per START event
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_md5_long_matches_duckdb_for_any_ascii_string(spark, strings):
+    """The cross-engine keystone: md5_long (Spark conv/substring/md5) equals
+    DuckDB's CAST('0x'||substr(md5(s),1,15) AS BIGINT) for arbitrary
+    printable-ASCII strings -- every dedup/sampling/banding operator rests
+    on this equality."""
+    import duckdb
+
+    from flink_training_exercises_spark.functions.hashing import md5_long, md5_long_sql
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", md5_long("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for s in set(strings):
+        expect = con.execute(f"SELECT {md5_long_sql('?')}", [s]).fetchone()[0]
+        assert got[s] == expect, s
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=64,
+        max_size=64,
+    )
+)
+def test_random_projection_matches_python_reference(spark, vec):
+    """Projection components equal an independent Python evaluation of the
+    same +/-1 sign formula over the integer-scaled vector -- exactness, not
+    just shape."""
+    import math
+
+    from flink_training_exercises_spark.operators.similarity import (
+        _proj_params,
+        random_projection,
+    )
+
+    emb = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    got = {r["dim"]: r["value"] for r in random_projection(emb).collect()}
+    iv = [math.floor(float(__import__("numpy").float32(x)) * 1e6) for x in vec]
+    for j, (a, b) in enumerate(_proj_params()[:16]):
+        expect = sum(x * (1 - 2 * ((i * a + b) % 2)) for i, x in enumerate(iv))
+        assert got[j] == expect, j
