@@ -285,3 +285,34 @@ SELECT * EXCLUDE (__rn) FROM (
   FROM {table}
 ) WHERE __rn <= {cap}
 """
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> None:
+    """Materialize the shuffle_shard layout as physical training shards:
+    parquet partitioned by shard_id, each shard file written in the
+    deterministic pseudo-random order (repartition on the shard key +
+    sortWithinPartitions -- the cluster-scale form of the window sort: no
+    global sort, one shuffle, each task streams one sorted shard to disk).
+    A reader consuming shard directories in pos order replays the exact
+    global shuffle any engine computes from the same ids."""
+    sid = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":shard"))) % n_shards
+    sort_key = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":ord")))
+    keyed = docs.withColumn("shard_id", sid).withColumn("__sort_key", sort_key)
+    (
+        # shard_id leads the sort: dynamic-partition writes require rows
+        # ordered by the partition column and insert their own (unstable)
+        # sort if the child ordering doesn't provide it -- which would
+        # scramble the within-shard order. Leading with shard_id satisfies
+        # the writer's requirement, so the (sort_key, id) order survives.
+        keyed.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "__sort_key", id_col)
+        .drop("__sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

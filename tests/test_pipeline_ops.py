@@ -489,3 +489,32 @@ def test_domain_cap_respects_cap_and_determinism(spark):
     totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     for s, n in totals.items():
         assert sizes.get(s, 0) == min(n, 3)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Physical shards agree with the logical shuffle_shard layout: same
+    shard membership, same within-shard order (parquet row order preserved
+    per shard directory)."""
+    from flink_training_exercises_spark.operators import sampling
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "shards")
+    sampling.write_training_shards(docs, path, n_shards=4)
+    logical = {
+        (r["shard_id"], r["pos"]): r["id"]
+        for r in sampling.shuffle_shard(docs, n_shards=4).collect()
+    }
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    physical = {}
+    for d in globmod.glob(path + "/shard_id=*"):
+        sid = int(d.rsplit("=", 1)[1])
+        rows = []
+        for f in sorted(globmod.glob(d + "/part-*.parquet")):
+            rows.extend(pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist())
+        for pos, doc in enumerate(rows):
+            physical[(sid, pos)] = doc
+    assert physical == logical
