@@ -316,3 +316,72 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def length_batches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-sorted batching with padding accounting: order documents by
+    whitespace-token count (id tie-break), cut into fixed-size batches, and
+    report each batch's padding overhead (every sequence pads to the batch
+    max). Sorting by length first is the standard trick that collapses
+    padding waste versus arbitrary-order batching; the padding_frac column
+    quantifies it for THIS corpus, which is how a pipeline tunes batch
+    size. One global sort (rangepartition + window shares it).
+
+    Output (batch_id, n_docs, max_tokens, total_tokens, padding_frac)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    base = docs.select(F.col(id_col).alias("id"), F.size(words).alias("n_tok"))
+    w = Window.orderBy("n_tok", "id")
+    batched = base.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("bigint")
+    )
+    agg = batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_tokens"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    padded = agg.withColumn("padded", F.col("max_tokens") * F.col("n_docs"))
+    return padded.select(
+        "batch_id",
+        "n_docs",
+        "max_tokens",
+        "total_tokens",
+        F.when(F.col("padded") > 0,
+               (F.col("padded") - F.col("total_tokens")).cast("double") / F.col("padded"))
+        .otherwise(F.lit(0.0))
+        .alias("padding_frac"),
+    )
+
+
+def length_batches_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 32,
+) -> str:
+    w = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, len({w}) AS n_tok FROM {table}
+),
+batched AS (
+  SELECT id, n_tok,
+         (row_number() OVER (ORDER BY n_tok, id) - 1) // {batch_size} AS batch_id
+  FROM base
+),
+agg AS (
+  SELECT batch_id, count(*) AS n_docs, max(n_tok) AS max_tokens,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens
+  FROM batched GROUP BY batch_id
+)
+SELECT batch_id, n_docs, max_tokens, total_tokens,
+       CASE WHEN max_tokens * n_docs > 0
+            THEN CAST(max_tokens * n_docs - total_tokens AS DOUBLE)
+                 / (max_tokens * n_docs)
+            ELSE 0e0 END AS padding_frac
+FROM agg
+"""

@@ -986,6 +986,19 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_bucket_batches",
+    oracle=sampling.length_batches_sql(batch_size=32),
+    doc="Length-sorted batching with padding accounting: sort docs by "
+    "token count, cut into 32-doc batches, report per-batch padding "
+    "overhead (each sequence pads to the batch max) -- the statistic that "
+    "justifies length-bucketing in a training dataloader. One global "
+    "range-sort; the window and the batch aggregate share it.",
+)
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.length_batches(load_table(spark, "documents", sf_dir), batch_size=32)
+
+
+@register(
     "pack_sequences_4k",
     oracle=sampling.pack_sequences_sql(token_budget=4096),
     doc="Greedy token-budget sequence packing: per source shard in doc_id "
@@ -1867,6 +1880,7 @@ _GATE_PRIORITY = [
     "multimodal_frame_sample",   # new: stride explode over decoded frames
     "text_token_count",          # changed: + n_regex_tokens (BPE-ish regex)
     "domain_cap_documents",      # new: per-domain contribution cap
+    "length_bucket_batches",     # new: padding-aware length batching
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",
