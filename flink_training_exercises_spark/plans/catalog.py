@@ -920,6 +920,39 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 21600000 MILLISECONDS
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+    doc="Stream-stream interval join through the real engine: purchases "
+    "attributed to same-user clicks within the preceding 6 hours -- "
+    "the third stateful operator class (join state, watermark-bounded "
+    "buffer eviction). Inner-join rows emit on match, so the availableNow "
+    "drain equals the plain batch interval join with no horizon cut.",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow, streaming_interval_join
+    from ..streaming.sources import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    ev2 = events_stream(spark, sf_dir)
+    return drain_availablenow(
+        streaming_interval_join(
+            ev.where(F.col("event_type") == "click"),
+            ev2.where(F.col("event_type") == "purchase"),
+        ),
+        "streaming_interval_join_gate",
+    )
+
+
+@register(
     "streaming_distinct_users",
     oracle="""
 WITH ev AS (
@@ -1881,6 +1914,7 @@ _GATE_PRIORITY = [
     "text_token_count",          # changed: + n_regex_tokens (BPE-ish regex)
     "domain_cap_documents",      # new: per-domain contribution cap
     "length_bucket_batches",     # new: padding-aware length batching
+    "streaming_interval_join",   # new: stream-stream join gate
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",

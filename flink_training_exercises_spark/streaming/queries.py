@@ -169,6 +169,51 @@ def streaming_distinct_users(
     )
 
 
+def streaming_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap_ms: int = 21_600_000,
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to any same-user click
+    in the preceding ``max_gap_ms`` (default 6 h) -- Structured Streaming's third stateful
+    operator class (join state + watermark-bounded buffer eviction), the
+    attribution-join shape. Both inputs are watermarked event streams; the
+    time-range condition lets the engine evict click state once the
+    watermark passes ts_click + max_gap.
+
+    Inner-join results emit when matched (not held to the watermark), so an
+    availableNow drain over a single-file source emits exactly the batch
+    interval join -- the batch oracle needs no horizon cut."""
+    from ..functions.time import ntz_as_utc_instant
+
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        ntz_as_utc_instant("ts").alias("ts_c"),
+    ).withWatermark("ts_c", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        ntz_as_utc_instant("ts").alias("ts_p"),
+    ).withWatermark("ts_p", watermark)
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("ts_c") <= F.col("ts_p"))
+        & (F.col("ts_c") >= F.col("ts_p") - F.expr(f"INTERVAL {max_gap_ms} MILLISECONDS")),
+    )
+    # gap in MICROseconds: the native precision, exact on both engines
+    # (a per-side epoch_ms truncation and a diff-then-truncate disagree by
+    # 1 ms when the sub-ms parts straddle a boundary)
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.timestamp_diff("MICROSECOND", F.col("ts_c"), F.col("ts_p")).alias("gap_us"),
+    )
+
+
 def run_sessionize_availablenow(
     spark: SparkSession,
     sf_dir: str,

@@ -304,3 +304,41 @@ def test_streaming_distinct_users_matches_batch(spark, sf_small):
         if r["hour_ms"] + 3600000 <= horizon
     }
     assert got == expect and len(got) > 0
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_small):
+    """Stream-stream interval join (availableNow drain) == batch interval
+    join: inner-join rows emit on match, no horizon cut."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import streaming_interval_join
+
+    name = f"sij_{_uuid.uuid4().hex[:8]}"
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in _drain(
+            streaming_interval_join(
+                events_stream(spark, sf_small).where(F.col("event_type") == "click"),
+                events_stream(spark, sf_small).where(F.col("event_type") == "purchase"),
+            ),
+            name,
+        ).collect()
+    }
+    ev = load_table(spark, "events", sf_small)
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("tc")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("tp")
+    )
+    expect = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("tc") <= F.col("tp"))
+            & (F.col("tc") >= F.col("tp") - F.expr("INTERVAL 21600000 MILLISECONDS")),
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
