@@ -1790,6 +1790,32 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "triangle_count_edges",
+    oracle=f"""
+WITH edges AS ({graphs_plan.EDGES_SQL.format(events="events")}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+),
+closed AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT count(*) AS n_triangles FROM closed
+""",
+    doc="Global triangle count over the undirected edges graph: node-ordered "
+    "wedge join + closing-edge join (each triangle counted once as "
+    "a < b < c). Graph-analytics breadth beyond the reference's PageRank; "
+    "degree skew handled by the documented hub-splitting idiom at scale.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph as graph_ops
+
+    return graph_ops.triangle_count(graphs_plan.edges_view(spark, sf_dir))
+
+
+@register(
     "curation_pipeline",
     oracle=f"""
 WITH q AS ({textstats.quality_score_sql()}),
@@ -1915,6 +1941,7 @@ _GATE_PRIORITY = [
     "domain_cap_documents",      # new: per-domain contribution cap
     "length_bucket_batches",     # new: padding-aware length batching
     "streaming_interval_join",   # new: stream-stream join gate
+    "triangle_count_edges",      # new: node-ordered triangle count
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",

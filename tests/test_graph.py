@@ -103,3 +103,16 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(edges, max_iter=10).collect()}
     assert got == {i: 0 for i in range(65)}
+
+
+def test_triangle_count_hand_computed(spark):
+    from flink_training_exercises_spark.operators.graph import triangle_count
+
+    # K4 on {a,b,c,d} (4 triangles) + pendant edge d-e, with a duplicate and
+    # a reversed edge thrown in (canonicalization must absorb both)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("d", "e"), ("b", "a"), ("a", "b")],
+        "src string, dst string",
+    )
+    assert triangle_count(edges).first()["n_triangles"] == 4
