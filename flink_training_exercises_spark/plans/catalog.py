@@ -953,6 +953,51 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_outer",
+    oracle="""
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+              - INTERVAL 60000 MILLISECONDS AS w),
+matched AS (
+  SELECT c.click_id, p.purchase_id, c.user_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+  FROM c JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+               AND c.ts >= p.ts - INTERVAL 21600000 MILLISECONDS
+)
+SELECT purchase_id, click_id, user_id, gap_us FROM matched
+UNION ALL
+SELECT CAST(NULL AS BIGINT), c.click_id, c.user_id, CAST(NULL AS BIGINT)
+FROM c, wm
+WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+  AND c.ts + INTERVAL 21600000 MILLISECONDS < wm.w
+""",
+    doc="LEFT-OUTER stream-stream interval join: matched rows emit on "
+    "match; an unmatched click emits its null-purchase row only when the "
+    "join watermark (MIN of both sides' watermarks) passes "
+    "ts_click + max_gap -- i.e. when state eviction proves no future match "
+    "can arrive. The oracle reproduces that exact eviction horizon, so the "
+    "watermark-driven outer-emission contract itself is hash-checked.",
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow, streaming_interval_join
+    from ..streaming.sources import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    ev2 = events_stream(spark, sf_dir)
+    return drain_availablenow(
+        streaming_interval_join(
+            ev.where(F.col("event_type") == "click"),
+            ev2.where(F.col("event_type") == "purchase"),
+            how="leftOuter",
+        ),
+        "streaming_interval_join_outer_gate",
+    )
+
+
+@register(
     "streaming_distinct_users",
     oracle="""
 WITH ev AS (
@@ -1942,6 +1987,7 @@ _GATE_PRIORITY = [
     "length_bucket_batches",     # new: padding-aware length batching
     "streaming_interval_join",   # new: stream-stream join gate
     "triangle_count_edges",      # new: node-ordered triangle count
+    "streaming_interval_join_outer",  # new: outer-emission watermark gate
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",

@@ -174,17 +174,23 @@ def streaming_interval_join(
     purchases: DataFrame,
     max_gap_ms: int = 21_600_000,
     watermark: str = "60 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases matched to any same-user click
-    in the preceding ``max_gap_ms`` (default 6 h) -- Structured Streaming's third stateful
-    operator class (join state + watermark-bounded buffer eviction), the
-    attribution-join shape. Both inputs are watermarked event streams; the
-    time-range condition lets the engine evict click state once the
-    watermark passes ts_click + max_gap.
+    in the preceding ``max_gap_ms`` (default 6 h) -- Structured Streaming's
+    third stateful operator class (join state + watermark-bounded buffer
+    eviction), the attribution-join shape. Both inputs are watermarked event
+    streams; the time-range condition lets the engine evict click state once
+    the watermark passes ts_click + max_gap.
 
     Inner-join results emit when matched (not held to the watermark), so an
     availableNow drain over a single-file source emits exactly the batch
-    interval join -- the batch oracle needs no horizon cut."""
+    interval join -- the batch oracle needs no horizon cut.
+
+    For ``how="leftOuter"`` the click side is preserved: an unmatched click
+    emits a null-purchase row once the JOIN watermark -- the MIN of the two
+    sides' watermarks -- passes ts_click + max_gap (state eviction proves no
+    future match is possible). The oracle mirrors exactly that horizon."""
     from ..functions.time import ntz_as_utc_instant
 
     c = clicks.select(
@@ -197,11 +203,12 @@ def streaming_interval_join(
         F.col("user_id").alias("p_user"),
         ntz_as_utc_instant("ts").alias("ts_p"),
     ).withWatermark("ts_p", watermark)
-    joined = p.join(
-        c,
+    joined = c.join(
+        p,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("ts_c") <= F.col("ts_p"))
         & (F.col("ts_c") >= F.col("ts_p") - F.expr(f"INTERVAL {max_gap_ms} MILLISECONDS")),
+        how,
     )
     # gap in MICROseconds: the native precision, exact on both engines
     # (a per-side epoch_ms truncation and a diff-then-truncate disagree by
@@ -209,7 +216,9 @@ def streaming_interval_join(
     return joined.select(
         "purchase_id",
         "click_id",
-        F.col("p_user").alias("user_id"),
+        F.when(F.col("c_user").isNotNull(), F.col("c_user"))
+        .otherwise(F.col("p_user"))
+        .alias("user_id"),
         F.timestamp_diff("MICROSECOND", F.col("ts_c"), F.col("ts_p")).alias("gap_us"),
     )
 

@@ -62,5 +62,7 @@ def test_gate_priority_list_is_consistent():
         "streaming_exact_dedup",
         "streaming_distinct_users",
         "streaming_travel_time_stateful",
+        "streaming_interval_join",
+        "streaming_interval_join_outer",
     ]:
         assert must in window, f"{must} fell outside the 50-entry gate window"
