@@ -25,7 +25,7 @@ results.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
@@ -360,3 +360,214 @@ def search_ivf_index(
         _cosine(_dot(F.col("qv"), F.col("v")), F.col("qnn"), F.col("nn")).alias("cosine"),
     )
     return rank_topk(scored, topk)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ADC): the compression half of the FAISS pair.
+# IVF prunes WHICH vectors to score; PQ compresses HOW each is scored --
+# M sub-codebooks turn a 64-dim vector into M small codes, and a query is
+# scored against codes via per-subspace lookup (asymmetric distance
+# computation). Here: M=8 subspaces x K=16 centroids, trained per subspace on
+# the same bounded md5 sample with the same driver-side bit-exact Lloyd.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def _pq_subslice(v, j: int, d: int):
+    return F.slice(v, j * d + 1, d)
+
+
+def pq_codebooks(
+    base: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
+    train_n: int = TRAIN_N, dim: int = DIM,
+) -> list[list[tuple[int, list[float]]]]:
+    """One exact codebook per subspace, trained driver-side on the shared
+    md5 TakeOrdered sample (ONE corpus-side sample extraction; Lloyd runs
+    m times over d-dim slices of the same collected rows)."""
+    d = dim // m
+    train_rows = (
+        base.withColumn("bucket", md5_long(F.col("id").cast("string")))
+        .orderBy("bucket", "id")
+        .limit(train_n)
+        .select("id", "v")
+        .collect()
+    )
+    books = []
+    for j in range(m):
+        sub_rows = [{"id": r["id"], "v": list(r["v"])[j * d : (j + 1) * d]} for r in train_rows]
+        books.append(_lloyd(sub_rows, k, iters))
+    return books
+
+
+def pq_encode(base: DataFrame, books: list[list[tuple[int, list[float]]]], dim: int = DIM) -> DataFrame:
+    """Map-only encoding: per subspace argmin over literal centroids ->
+    (id, c0..c{m-1}). 64 dims x 8 bytes collapse to m single-byte codes --
+    the 8x-64x memory compression that lets a scan stay in cache/RAM at
+    corpus scale."""
+    m = len(books)
+    d = dim // m
+    code_cols = [
+        F.array_min(_dist_structs(_pq_subslice(F.col("v"), j, d), books[j]))
+        .getField("cid")
+        .alias(f"c{j}")
+        for j in range(m)
+    ]
+    return base.select("id", *code_cols)
+
+
+def pq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+    iters: int = PQ_ITERS,
+    topk: int = 5,
+    query_mod: int = 25,
+    train_n: int = TRAIN_N,
+    dim: int = DIM,
+) -> DataFrame:
+    """PQ-ADC top-k: queries scored against the COMPRESSED corpus. Per
+    subspace the query precomputes distances to the k centroids (a literal
+    expression array) and each corpus code row costs m array lookups + a
+    fixed-order m-term sum -- no full-vector arithmetic in the scan.
+
+    The scan is deliberately linear over the code table (that is PQ's
+    contract: compressed-domain bandwidth); at 100 TB compose with the IVF
+    partition index (build_ivf_index) so only probed buckets are ADC-
+    scanned. Output (query_id, neighbor_id, rank, approx_sqdist) ranked
+    ascending with neighbor-id tie-break -- exact-arithmetic deterministic,
+    DuckDB-replayable."""
+    d = dim // m
+    base = _with_int_vec(emb, id_col, vec_col)
+    books = pq_codebooks(base, m, k_cent, iters, train_n, dim)
+    codes = pq_encode(base, books, dim)
+    queries = base.where(F.col("id") % query_mod == 0).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = codes.join(F.broadcast(queries), F.col("id") != F.col("qid"))
+    score = None
+    for j in range(m):
+        lut = F.array(
+            *[_sq_dist_lit(_pq_subslice(F.col("qv"), j, d), c) for _, c in books[j]]
+        )
+        term = F.element_at(lut, F.col(f"c{j}") + 1)
+        score = term if score is None else score + term
+    scored = pairs.select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        score.alias("approx_sqdist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_sqdist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "approx_sqdist")
+    )
+
+
+def pq_topk_oracle(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+    iters: int = PQ_ITERS,
+    topk: int = 5,
+    query_mod: int = 25,
+    train_n: int = TRAIN_N,
+    dim: int = DIM,
+) -> str:
+    """DuckDB twin of pq_topk: per-subspace Lloyd unrolled as CTE chains
+    (the IVF oracle pattern, m times over list slices), then encode +
+    ADC scoring with the same fixed-order subspace sum."""
+    d = dim // m
+
+    def sub(expr: str, j: int) -> str:
+        return f"{expr}[{j * d + 1}:{j * d + d}]"
+
+    def dist(vexpr: str, cexpr: str) -> str:
+        return (
+            f"list_sum([(({vexpr}[i] - {cexpr}[i]) * ({vexpr}[i] - {cexpr}[i])) "
+            f"for i in generate_series(1, {d})])"
+        )
+
+    parts = [
+        f"""WITH base AS (
+  SELECT {id_col} AS id,
+         [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) for x in {vec_col}] AS v
+  FROM {table}
+), train AS (
+  SELECT id, v FROM (
+    SELECT id, v, {md5_long_sql("CAST(id AS VARCHAR)")} AS bucket FROM base
+    ORDER BY bucket, id LIMIT {train_n}
+  )
+)"""
+    ]
+    for j in range(m):
+        parts.append(
+            f"""t{j} AS (SELECT id, {sub('v', j)} AS s FROM train),
+b{j}_0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
+         [CAST(y AS DOUBLE) for y in s] AS c
+  FROM (SELECT id, s FROM t{j} ORDER BY id LIMIT {k_cent})
+)"""
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f"""a{j}_{t} AS (
+  SELECT id, s, cid FROM (
+    SELECT x.id, x.s, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist('x.s', 'c.c')}, c.cid) AS rn
+    FROM t{j} x CROSS JOIN b{j}_{t - 1} c
+  ) WHERE rn = 1
+), b{j}_{t}_new AS (
+  SELECT cid, list(CAST(sm AS DOUBLE) / n ORDER BY dim) AS c FROM (
+    SELECT cid, dim, sum(sd) AS sm, count(*) AS n FROM (
+      SELECT cid, unnest(s) AS sd, generate_subscripts(s, 1) AS dim FROM a{j}_{t}
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+), b{j}_{t} AS (
+  SELECT * FROM b{j}_{t}_new
+  UNION ALL
+  SELECT cid, c FROM b{j}_{t - 1} WHERE cid NOT IN (SELECT cid FROM b{j}_{t}_new)
+)"""
+            )
+        parts.append(
+            f"""enc{j} AS (
+  SELECT id, cid AS c{j} FROM (
+    SELECT x.id, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist(sub('x.v', j), 'c.c')}, c.cid) AS rn
+    FROM base x CROSS JOIN b{j}_{iters} c
+  ) WHERE rn = 1
+)"""
+        )
+    enc_joins = " ".join(f"JOIN enc{j} USING (id)" for j in range(1, m))
+    score_terms = " + ".join(
+        f"({dist(sub('q.v', j), f'k{j}.c')})" for j in range(m)
+    )
+    book_joins = " ".join(
+        f"JOIN b{j}_{iters} k{j} ON k{j}.cid = e.c{j}" for j in range(m)
+    )
+    parts.append(
+        f"""enc AS (
+  SELECT enc0.id, {", ".join(f"c{j}" for j in range(m))}
+  FROM enc0 {enc_joins}
+), queries AS (
+  SELECT id AS qid, v FROM base WHERE id % {query_mod} = 0
+), scored AS (
+  SELECT q.qid AS query_id, e.id AS neighbor_id,
+         {score_terms} AS approx_sqdist
+  FROM queries q JOIN enc e ON e.id != q.qid
+  {book_joins}
+)
+SELECT query_id, neighbor_id, rank, approx_sqdist FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY approx_sqdist, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    )
+    return ",\n".join(parts)

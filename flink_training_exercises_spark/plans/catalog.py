@@ -600,6 +600,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_pq",
+    oracle=ivf.pq_topk_oracle(),
+    doc="Product-quantization ADC top-k: 8 sub-codebooks (16 centroids "
+    "each, driver-trained bit-exact Lloyd on the shared md5 sample) "
+    "compress each 64-dim vector to 8 codes; queries score the COMPRESSED "
+    "corpus via per-subspace lookup tables -- the FAISS pair's other half "
+    "(IVF prunes which vectors, PQ compresses how each is scored; compose "
+    "with build_ivf_index partitions at scale). Oracle unrolls all 8 "
+    "Lloyd chains as CTEs and replays the ADC sum in the same order.",
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf.pq_topk(emb)
+
+
+@register(
     "neardup_embedding_cosine",
     oracle=f"""
 WITH base AS (SELECT * FROM ({_EMB_BASE}) WHERE id % 2 = 0)
@@ -660,12 +676,15 @@ def _ann_recall_oracle() -> str:
     bf = CATALOG["ann_topk_bruteforce"].oracle
     lsh = CATALOG["ann_topk_lsh"].oracle
     iv = CATALOG["ann_topk_ivf"].oracle
+    pq = CATALOG["ann_topk_pq"].oracle
     return f"""
-WITH bf AS ({bf}), lsh AS ({lsh}), iv AS ({iv}),
+WITH bf AS ({bf}), lsh AS ({lsh}), iv AS ({iv}), pq AS ({pq}),
 approx AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
   UNION ALL
   SELECT 'ivf' AS method, query_id, neighbor_id FROM iv
+  UNION ALL
+  SELECT 'pq' AS method, query_id, neighbor_id FROM pq
 ),
 hits AS (
   SELECT method, count(*) AS hits
@@ -681,7 +700,7 @@ FROM hits CROSS JOIN tot
     "ann_recall_at_k",
     oracle=_ann_recall_oracle(),
     doc="Quality gate for the approximate ANN paths: (query, neighbor) "
-    "pairs of LSH and IVF top-5 that appear in the exact brute-force "
+    "pairs of LSH, IVF, and PQ top-5 that appear in the exact brute-force "
     "top-5, as integer hit counts against the shared query subset -- the "
     "approximate operators are graded against ground truth, not just "
     "against their own definition.",
@@ -697,6 +716,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
         .unionByName(
             ivf.ivf_topk(emb).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id")
+        )
+        .unionByName(
+            ivf.pq_topk(emb).select(F.lit("pq").alias("method"), "query_id", "neighbor_id")
         )
     )
     hits = (
@@ -1988,6 +2010,7 @@ _GATE_PRIORITY = [
     "streaming_interval_join",   # new: stream-stream join gate
     "triangle_count_edges",      # new: node-ordered triangle count
     "streaming_interval_join_outer",  # new: outer-emission watermark gate
+    "ann_topk_pq",               # new: product-quantization ADC search
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",

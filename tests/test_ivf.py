@@ -81,3 +81,22 @@ def test_index_search_prunes_partitions(spark, sf_small, tmp_path):
     one = spark.read.parquet(path).where(F.col("cid") == 0)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_pq_recall_and_determinism(spark, sf_small):
+    """PQ-ADC is approximate: recall@5 vs exact brute force must be
+    meaningful (codebooks trained on the real sample), and two runs must
+    return identical rows (driver-side Lloyd + exact arithmetic)."""
+    from flink_training_exercises_spark.operators.ivf import pq_topk
+
+    emb = load_table(spark, "embeddings", sf_small)
+    r1 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in pq_topk(emb).collect()}
+    r2 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in pq_topk(emb).collect()}
+    assert r1 == r2 and len(r1) == 100
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") % 25 == 0).collect()
+    }
+    approx = {(q, n) for q, n, _ in r1}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.1, f"PQ recall collapsed: {recall}"
