@@ -2011,6 +2011,7 @@ _GATE_PRIORITY = [
     "triangle_count_edges",      # new: node-ordered triangle count
     "streaming_interval_join_outer",  # new: outer-emission watermark gate
     "ann_topk_pq",               # new: product-quantization ADC search
+    "ann_recall_at_k",           # changed: now also grades PQ (3 rows)
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",
@@ -2023,7 +2024,6 @@ _GATE_PRIORITY = [
     "ann_topk_lsh",
     "neardup_embedding_cosine",
     "neardup_embedding_cosine_lsh",
-    "ann_recall_at_k",
     "sessionize_events",
     "text_quality_score",
     "text_lang_id",
