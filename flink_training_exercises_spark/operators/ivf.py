@@ -571,3 +571,217 @@ SELECT query_id, neighbor_id, rank, approx_sqdist FROM (
 ) WHERE rank <= {topk}"""
     )
     return ",\n".join(parts)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = K_CENTROIDS,
+    coarse_iters: int = KMEANS_ITERS,
+    nprobe: int = NPROBE,
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    topk: int = 5,
+    query_mod: int = 25,
+    train_n: int = TRAIN_N,
+    dim: int = DIM,
+) -> DataFrame:
+    """The composed FAISS architecture: IVF coarse quantizer prunes WHICH
+    vectors each query scores (nprobe buckets), PQ codes compress HOW each
+    candidate is scored (ADC lookups, no full-vector arithmetic). One
+    map-only projection computes BOTH the coarse bucket and the m codes per
+    corpus row; the probed queries broadcast against it on bucket id; the
+    ADC sum runs over candidates only. Corpus cost at any scale: one sample
+    extraction + one combined assignment/encode scan + one broadcast-join
+    scan of the probed fraction."""
+    d = dim // m
+    base = _with_int_vec(emb, id_col, vec_col)
+    cents = _train_quantizer(base, n_centroids, coarse_iters, train_n)
+    books = pq_codebooks(base, m, k_cent, pq_iters, train_n, dim)
+    code_cols = [
+        F.array_min(_dist_structs(_pq_subslice(F.col("v"), j, d), books[j]))
+        .getField("cid")
+        .alias(f"c{j}")
+        for j in range(m)
+    ]
+    index = base.select(
+        "id",
+        F.array_min(_dist_structs(F.col("v"), cents)).getField("cid").alias("bucket"),
+        *code_cols,
+    )
+    queries = base.where(F.col("id") % query_mod == 0).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    probes = queries.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.slice(F.array_sort(_dist_structs(F.col("qv"), cents)), 1, nprobe)
+        ).alias("p"),
+    ).select("qid", "qv", F.col("p.cid").alias("bucket"))
+    cand = index.join(F.broadcast(probes), "bucket").where(F.col("id") != F.col("qid"))
+    score = None
+    for j in range(m):
+        lut = F.array(
+            *[_sq_dist_lit(_pq_subslice(F.col("qv"), j, d), c) for _, c in books[j]]
+        )
+        term = F.element_at(lut, F.col(f"c{j}") + 1)
+        score = term if score is None else score + term
+    scored = cand.select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        score.alias("approx_sqdist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_sqdist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "approx_sqdist")
+    )
+
+
+def ivf_pq_topk_oracle(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = K_CENTROIDS,
+    coarse_iters: int = KMEANS_ITERS,
+    nprobe: int = NPROBE,
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    topk: int = 5,
+    query_mod: int = 25,
+    train_n: int = TRAIN_N,
+    dim: int = DIM,
+) -> str:
+    """DuckDB twin of ivf_pq_topk: the coarse Lloyd chain + the m
+    per-subspace Lloyd chains + bucket assignment + encoding + probe
+    selection + ADC scoring, all unrolled as CTEs."""
+    d = dim // m
+
+    def sub(expr: str, j: int) -> str:
+        return f"{expr}[{j * d + 1}:{j * d + d}]"
+
+    def dist_d(vexpr: str, cexpr: str, n: int) -> str:
+        return (
+            f"list_sum([(({vexpr}[i] - {cexpr}[i]) * ({vexpr}[i] - {cexpr}[i])) "
+            f"for i in generate_series(1, {n})])"
+        )
+
+    parts = [
+        f"""WITH base AS (
+  SELECT {id_col} AS id,
+         [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) for x in {vec_col}] AS v
+  FROM {table}
+), train AS (
+  SELECT id, v FROM (
+    SELECT id, v, {md5_long_sql("CAST(id AS VARCHAR)")} AS bucket FROM base
+    ORDER BY bucket, id LIMIT {train_n}
+  )
+), co0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
+         [CAST(y AS DOUBLE) for y in v] AS c
+  FROM (SELECT id, v FROM train ORDER BY id LIMIT {n_centroids})
+)"""
+    ]
+    for t in range(1, coarse_iters + 1):
+        parts.append(
+            f"""ca{t} AS (
+  SELECT id, v, cid FROM (
+    SELECT x.id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist_d('x.v', 'c.c', dim)}, c.cid) AS rn
+    FROM train x CROSS JOIN co{t - 1} c
+  ) WHERE rn = 1
+), co{t}_new AS (
+  SELECT cid, list(CAST(sm AS DOUBLE) / n ORDER BY dim) AS c FROM (
+    SELECT cid, dim, sum(vd) AS sm, count(*) AS n FROM (
+      SELECT cid, unnest(v) AS vd, generate_subscripts(v, 1) AS dim FROM ca{t}
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+), co{t} AS (
+  SELECT * FROM co{t}_new
+  UNION ALL
+  SELECT cid, c FROM co{t - 1} WHERE cid NOT IN (SELECT cid FROM co{t}_new)
+)"""
+        )
+    parts.append(
+        f"""buckets AS (
+  SELECT id, cid AS bucket FROM (
+    SELECT x.id, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist_d('x.v', 'c.c', dim)}, c.cid) AS rn
+    FROM base x CROSS JOIN co{coarse_iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    for j in range(m):
+        parts.append(
+            f"""t{j} AS (SELECT id, {sub('v', j)} AS s FROM train),
+b{j}_0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
+         [CAST(y AS DOUBLE) for y in s] AS c
+  FROM (SELECT id, s FROM t{j} ORDER BY id LIMIT {k_cent})
+)"""
+        )
+        for t in range(1, pq_iters + 1):
+            parts.append(
+                f"""a{j}_{t} AS (
+  SELECT id, s, cid FROM (
+    SELECT x.id, x.s, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist_d('x.s', 'c.c', d)}, c.cid) AS rn
+    FROM t{j} x CROSS JOIN b{j}_{t - 1} c
+  ) WHERE rn = 1
+), b{j}_{t}_new AS (
+  SELECT cid, list(CAST(sm AS DOUBLE) / n ORDER BY dim) AS c FROM (
+    SELECT cid, dim, sum(sd) AS sm, count(*) AS n FROM (
+      SELECT cid, unnest(s) AS sd, generate_subscripts(s, 1) AS dim FROM a{j}_{t}
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+), b{j}_{t} AS (
+  SELECT * FROM b{j}_{t}_new
+  UNION ALL
+  SELECT cid, c FROM b{j}_{t - 1} WHERE cid NOT IN (SELECT cid FROM b{j}_{t}_new)
+)"""
+            )
+        parts.append(
+            f"""enc{j} AS (
+  SELECT id, cid AS c{j} FROM (
+    SELECT x.id, c.cid,
+           row_number() OVER (PARTITION BY x.id ORDER BY {dist_d(sub('x.v', j), 'c.c', d)}, c.cid) AS rn
+    FROM base x CROSS JOIN b{j}_{pq_iters} c
+  ) WHERE rn = 1
+)"""
+        )
+    enc_joins = " ".join(f"JOIN enc{j} USING (id)" for j in range(1, m))
+    score_terms = " + ".join(f"({dist_d(sub('q.v', j), f'k{j}.c', d)})" for j in range(m))
+    book_joins = " ".join(
+        f"JOIN b{j}_{pq_iters} k{j} ON k{j}.cid = e.c{j}" for j in range(m)
+    )
+    parts.append(
+        f"""enc AS (
+  SELECT enc0.id, b.bucket, {", ".join(f"c{j}" for j in range(m))}
+  FROM enc0 {enc_joins} JOIN buckets b USING (id)
+), queries AS (
+  SELECT id AS qid, v FROM base WHERE id % {query_mod} = 0
+), probes AS (
+  SELECT qid, v, cid AS bucket FROM (
+    SELECT q.qid, q.v, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {dist_d('q.v', 'c.c', dim)}, c.cid) AS rn
+    FROM queries q CROSS JOIN co{coarse_iters} c
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT q.qid AS query_id, e.id AS neighbor_id,
+         {score_terms} AS approx_sqdist
+  FROM probes q JOIN enc e USING (bucket)
+  {book_joins}
+  WHERE e.id != q.qid
+)
+SELECT query_id, neighbor_id, rank, approx_sqdist FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY approx_sqdist, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    )
+    return ",\n".join(parts)

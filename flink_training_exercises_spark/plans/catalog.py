@@ -616,6 +616,21 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_ivf_pq",
+    oracle=ivf.ivf_pq_topk_oracle(),
+    doc="The composed FAISS architecture, fully gated: IVF coarse "
+    "quantizer prunes WHICH vectors each query scores (nprobe buckets), "
+    "PQ codes compress HOW each candidate is scored (ADC lookups). One "
+    "map-only scan computes bucket + codes per corpus row; probed "
+    "queries broadcast against it; the ADC sum touches candidates only. "
+    "Oracle unrolls the coarse Lloyd chain AND all 8 subspace chains.",
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf.ivf_pq_topk(emb)
+
+
+@register(
     "neardup_embedding_cosine",
     oracle=f"""
 WITH base AS (SELECT * FROM ({_EMB_BASE}) WHERE id % 2 = 0)
@@ -2011,6 +2026,7 @@ _GATE_PRIORITY = [
     "triangle_count_edges",      # new: node-ordered triangle count
     "streaming_interval_join_outer",  # new: outer-emission watermark gate
     "ann_topk_pq",               # new: product-quantization ADC search
+    "ann_topk_ivf_pq",           # new: composed IVF-PQ (prune + compress)
     "ann_recall_at_k",           # changed: now also grades PQ (3 rows)
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",

