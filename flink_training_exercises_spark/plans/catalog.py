@@ -844,7 +844,8 @@ SELECT doc_id,
             THEN 'fake/even' ELSE 'fake/odd' END AS format,
        CAST(16 + octet_length(encode(text)) % 320 AS INT) AS width,
        CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS height,
-       CAST(1 + ascii(substr(text, 1, 1)) % 8 AS INT) AS n_frames
+       CAST(1 + CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) % 8 AS INT)
+         AS n_frames
 FROM documents
 """,
     doc="Binary payload plumbing: mapInPandas fake decode -> typed metadata "
@@ -858,17 +859,20 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_feature_extract",
     oracle="""
-SELECT doc_id, CAST(ascii(substr(text, i, 1)) // 16 AS INT) AS bucket,
+SELECT doc_id,
+       CAST(CAST('0x' || substr(hex(encode(text)), 2 * i - 1, 2) AS INT) // 16 AS INT)
+         AS bucket,
        count(*) AS cnt
-FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+FROM (SELECT doc_id, text, unnest(generate_series(1, octet_length(encode(text)))) AS i
       FROM documents)
 GROUP BY 1, 2
 """,
     doc="Multimodal feature extraction: byte-histogram over binary payloads "
     "via numpy on Arrow record batches -- REAL computation (no codec "
     "needed), the exact mapInPandas plumbing a CLIP/whisper embedding UDF "
-    "uses. Sparse long-format (doc_id, bucket, cnt). Oracle iterates "
-    "chars (testdata is pure ASCII, so char == byte).",
+    "uses. Sparse long-format (doc_id, bucket, cnt). Oracle extracts "
+    "BYTES via hex(encode(text)) - byte-true for any input, not just "
+    "ASCII.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -880,7 +884,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id, CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 2)) AS INT)
          AS frame_idx
-FROM (SELECT doc_id, 1 + ascii(substr(text, 1, 1)) % 8 AS n_frames FROM documents)
+FROM (SELECT doc_id,
+             1 + CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) % 8 AS n_frames
+      FROM documents)
 """,
     doc="Frame sampling over decoded media: one row per sampled frame index "
     "(explode of a stride sequence -- columnar, no UDF after the decode).",
