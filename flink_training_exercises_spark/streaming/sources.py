@@ -30,9 +30,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.rides import rides_view
-from ..schemas import EVENTS
-
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream, `ts` as TIMESTAMP_NTZ with
