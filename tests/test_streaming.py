@@ -342,3 +342,38 @@ def test_streaming_interval_join_matches_batch(spark, sf_small):
         ).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_sessionize_emissions_invariant_under_chunked_replay(spark, sf_small, tmp_path):
+    """The gated streaming queries drain a single-file source in ONE
+    micro-batch; this pins that the emitted session set is IDENTICAL when
+    the same events arrive as 4 chronological micro-batches with the
+    watermark advancing between them -- emission-set invariance under
+    micro-batch partitioning, the property that makes the single-batch
+    oracle valid for a real incremental stream."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.operators.sessions import streaming_sessionize
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "chunks")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    name_c = f"chunked_{_uuid.uuid4().hex[:8]}"
+    got_chunked = {
+        tuple(r) for r in _drain(streaming_sessionize(chunked), name_c).collect()
+    }
+    name_s = f"single_{_uuid.uuid4().hex[:8]}"
+    got_single = {
+        tuple(r)
+        for r in _drain(streaming_sessionize(events_stream(spark, sf_small)), name_s).collect()
+    }
+    assert len(got_single) > 100
+    assert got_chunked == got_single
