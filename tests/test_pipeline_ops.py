@@ -518,3 +518,18 @@ def test_write_training_shards_layout(spark, tmp_path):
         for pos, doc in enumerate(rows):
             physical[(sid, pos)] = doc
     assert physical == logical
+
+
+def test_lsh_recall_audit_matches_banding_curve(spark):
+    """The recall audit's hits/exact must sit in the banding-curve ballpark
+    for this corpus's [0.2, 0.3) similarity profile (1-(1-j^4)^8 is ~1.3%
+    at j=0.2, ~5.2% at j=0.3) -- and every LSH pair in the sample must be a
+    true >= threshold pair (precision 1.0: pairs are exact-verified)."""
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    row = dedup.minhash_lsh_recall(docs).first()
+    assert row["n_exact"] > 0
+    assert row["n_hits"] == row["n_lsh"]  # verified pairs are never false
+    assert 0 <= row["n_hits"] / row["n_exact"] <= 0.2
+    dedup.release_persisted_signatures()
