@@ -88,7 +88,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+    # SPARK_GRAFT_SESSION_TZ overrides the session timezone -- the driver's
+    # session is vanilla (session TZ = the box's JVM default), so the replica
+    # must be runnable with a hostile session TZ, not just a hostile system
+    # TZ (get_spark pins UTC by default, which would mask session-TZ bugs
+    # like date_trunc bucketing).
+    tz = os.environ.get("SPARK_GRAFT_SESSION_TZ")
+    extra = {"spark.sql.session.timeZone": tz} if tz else None
+    spark = get_spark("check_oracle", extra_conf=extra)
     con = duck_con(sf_dir)
 
     e = entry_query(spark, "/root/testdata/sf0.001")
