@@ -683,10 +683,20 @@ def minhash_lsh_recall(
         (_md5_long_c(F.col("id_a").cast("string")) % 10000 < sample_bp)
         & (_md5_long_c(F.col("id_b").cast("string")) % 10000 < sample_bp)
     ).select("id_a", "id_b")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-    n_hits = exact.join(lsh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hits"))
-    return n_exact.crossJoin(n_lsh).crossJoin(n_hits)
+    # single pass: full-outer-join the two pair sets and count conditionally,
+    # so the quadratic `exact` subtree and the LSH pipeline are each
+    # evaluated ONCE (three separate aggs would re-run them per agg --
+    # the re-evaluation trap in CLAUDE.md's round-2 notes)
+    marked = exact.withColumn("in_e", F.lit(1)).join(
+        lsh.withColumn("in_l", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return marked.agg(
+        F.count("in_e").alias("n_exact"),
+        F.count("in_l").alias("n_lsh"),
+        F.count(F.when(F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1)).alias(
+            "n_hits"
+        ),
+    )
 
 
 def minhash_lsh_recall_sql(

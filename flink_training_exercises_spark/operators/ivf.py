@@ -144,17 +144,24 @@ def kmeans_assignments(
     return _assign(base, cents), cents_df
 
 
-def _train_quantizer(
-    base: DataFrame, n_centroids: int, iters: int, train_n: int
-) -> list[tuple[int, list[float]]]:
-    """md5-deterministic bounded sample (TakeOrdered) -> driver-side Lloyd."""
-    train_rows = (
+def _collect_train(base: DataFrame, train_n: int) -> list:
+    """The md5-deterministic bounded training sample (TakeOrdered), collected
+    once -- coarse quantizer and PQ codebooks share the same rows."""
+    return (
         base.withColumn("bucket", md5_long(F.col("id").cast("string")))
         .orderBy("bucket", "id")
         .limit(train_n)
         .select("id", "v")
         .collect()
     )
+
+
+def _train_quantizer(
+    base: DataFrame, n_centroids: int, iters: int, train_n: int, train_rows=None
+) -> list[tuple[int, list[float]]]:
+    """md5-deterministic bounded sample (TakeOrdered) -> driver-side Lloyd."""
+    if train_rows is None:
+        train_rows = _collect_train(base, train_n)
     return _lloyd(train_rows, n_centroids, iters)
 
 
@@ -382,19 +389,14 @@ def _pq_subslice(v, j: int, d: int):
 
 def pq_codebooks(
     base: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
-    train_n: int = TRAIN_N, dim: int = DIM,
+    train_n: int = TRAIN_N, dim: int = DIM, train_rows=None,
 ) -> list[list[tuple[int, list[float]]]]:
     """One exact codebook per subspace, trained driver-side on the shared
     md5 TakeOrdered sample (ONE corpus-side sample extraction; Lloyd runs
     m times over d-dim slices of the same collected rows)."""
     d = dim // m
-    train_rows = (
-        base.withColumn("bucket", md5_long(F.col("id").cast("string")))
-        .orderBy("bucket", "id")
-        .limit(train_n)
-        .select("id", "v")
-        .collect()
-    )
+    if train_rows is None:
+        train_rows = _collect_train(base, train_n)
     books = []
     for j in range(m):
         sub_rows = [{"id": r["id"], "v": list(r["v"])[j * d : (j + 1) * d]} for r in train_rows]
@@ -598,8 +600,9 @@ def ivf_pq_topk(
     scan of the probed fraction."""
     d = dim // m
     base = _with_int_vec(emb, id_col, vec_col)
-    cents = _train_quantizer(base, n_centroids, coarse_iters, train_n)
-    books = pq_codebooks(base, m, k_cent, pq_iters, train_n, dim)
+    train_rows = _collect_train(base, train_n)
+    cents = _train_quantizer(base, n_centroids, coarse_iters, train_n, train_rows)
+    books = pq_codebooks(base, m, k_cent, pq_iters, train_n, dim, train_rows)
     code_cols = [
         F.array_min(_dist_structs(_pq_subslice(F.col("v"), j, d), books[j]))
         .getField("cid")

@@ -259,8 +259,6 @@ def domain_cap(
     row_number sharing that partitioning. At 100 TB prefer the same plan --
     rank-by-hash is exactly how a cluster-side domain cap is done (no
     per-group state, no sampling RNG to coordinate)."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy(domain_col).orderBy(
         md5_long(F.col(id_col).cast("string")), F.col(id_col)
     )
@@ -336,8 +334,10 @@ def length_batches(
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     base = docs.select(F.col(id_col).alias("id"), F.size(words).alias("n_tok"))
     w = Window.orderBy("n_tok", "id")
+    # explicit FLOOR before the int cast (CLAUDE.md determinism rule) --
+    # double division happens to be exact only for power-of-two batch sizes
     batched = base.withColumn(
-        "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("bigint")
+        "batch_id", F.floor((F.row_number().over(w) - 1) / batch_size).cast("bigint")
     )
     agg = batched.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

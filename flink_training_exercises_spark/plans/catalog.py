@@ -844,8 +844,9 @@ SELECT doc_id,
             THEN 'fake/even' ELSE 'fake/odd' END AS format,
        CAST(16 + octet_length(encode(text)) % 320 AS INT) AS width,
        CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS height,
-       CAST(1 + CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) % 8 AS INT)
-         AS n_frames
+       CAST(1 + CASE WHEN octet_length(encode(text)) > 0
+                     THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT)
+                     ELSE 0 END % 8 AS INT) AS n_frames
 FROM documents
 """,
     doc="Binary payload plumbing: mapInPandas fake decode -> typed metadata "
@@ -885,7 +886,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 2)) AS INT)
          AS frame_idx
 FROM (SELECT doc_id,
-             1 + CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) % 8 AS n_frames
+             1 + CASE WHEN octet_length(encode(text)) > 0
+                      THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT)
+                      ELSE 0 END % 8 AS n_frames
       FROM documents)
 """,
     doc="Frame sampling over decoded media: one row per sampled frame index "
@@ -2052,6 +2055,7 @@ _GATE_PRIORITY = [
     "ann_topk_ivf_pq",           # new: composed IVF-PQ (prune + compress)
     "ann_recall_at_k",           # changed: now also grades PQ (3 rows)
     "dedup_lsh_recall",          # new: LSH dedup quality bar vs exact
+    "multimodal_decode_meta",    # changed: byte-true n_frames oracle
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",
@@ -2070,11 +2074,13 @@ _GATE_PRIORITY = [
     "text_fingerprint",
     "text_repetition",
     "pii_scrub_mails",
-    "multimodal_decode_meta",
     "sample_stratified_documents",
     "pack_sequences_4k",
     "mixture_expand_weighted",
-    # ---------------- 50-entry gate window ends around here ----------------
+    # NOTE: the 50-entry window cutoff moves as the list above grows -- do
+    # NOT trust a positional marker; test_gate_priority_list_is_consistent
+    # pins the must-be-inside set, and anything below this comment should
+    # be assumed OUTSIDE the window.
     "shuffle_shard_layout",
     "skew_salted_event_counts",
     "distinct_users_per_type",
