@@ -684,6 +684,44 @@ def q_neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs_lsh(emb, threshold=0.35)
 
 
+def _embedding_clusters_oracle() -> str:
+    """Recursive-CTE closure over the (gated) embedding near-dup LSH pairs
+    -- same pattern as dedup.minhash_clusters_sql."""
+    pairs = CATALOG["neardup_embedding_cosine_lsh"].oracle
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(id, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS cluster_id
+FROM walk GROUP BY id
+"""
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=_embedding_clusters_oracle(),
+    doc="Transitive closure of the embedding near-dup LSH pairs: each "
+    "clustered vector mapped to its component minimum (the canonical "
+    "survivor) -- semantic dedup's final step, reusing the alternating "
+    "large-star/small-star components (O(log n) rounds) that the MinHash "
+    "closure uses; the oracle walks the closure with a recursive CTE.",
+)
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.35).select("id_a", "id_b")
+    return graph.connected_components(pairs).select(
+        F.col("id").alias("vec_id"), F.col("comp").alias("cluster_id")
+    )
+
+
 def _ann_recall_oracle() -> str:
     """recall@5 of the approximate ANN paths against brute force, composed
     from the three (individually gated) ANN oracles as CTEs -- integer hit
@@ -2056,6 +2094,7 @@ _GATE_PRIORITY = [
     "ann_recall_at_k",           # changed: now also grades PQ (3 rows)
     "dedup_lsh_recall",          # new: LSH dedup quality bar vs exact
     "multimodal_decode_meta",    # changed: byte-true n_frames oracle
+    "embedding_dedup_clusters",  # new: semantic dedup closure
     # -- previously gated, most operator-diverse first --
     "streaming_popular_places",
     "dedup_exact",
