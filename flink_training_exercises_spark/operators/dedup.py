@@ -39,6 +39,18 @@ def _md5_long_c(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def _jaccard_c(inter: str = "inter", tot: str = "tot") -> Column:
+    """Guarded Jaccard |A∩B| / |A∪B| from inter=|A∩B|, tot=|A|+|B|.
+
+    The denominator (tot - inter) is 0 only when two empty-shingle docs
+    pair; guard explicitly (repo rule: guard ALL divisions under ANSI)
+    rather than relying on NaN/NULL both failing the >= threshold filter.
+    NULL on zero matches the SQL twins' NULLIF -- dropped by the filter on
+    both engines, so gated output is unchanged."""
+    denom = F.col(tot) - F.col(inter)
+    return F.when(denom > 0, F.col(inter).cast("double") / denom)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -266,7 +278,7 @@ def minhash_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            (F.col("inter").cast("double") / (F.col("tot") - F.col("inter"))).alias("jaccard"),
+            _jaccard_c().alias("jaccard"),
         )
     )
     return verified.where(F.col("jaccard") >= threshold)
@@ -305,8 +317,8 @@ verified AS (
          len(sa.sh) + len(sb.sh) AS tot
   FROM pairs JOIN shingled sa ON id_a = sa.id JOIN shingled sb ON id_b = sb.id
 )
-SELECT id_a, id_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
-FROM verified WHERE CAST(inter AS DOUBLE) / (tot - inter) >= {threshold}
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / NULLIF(tot - inter, 0) AS jaccard
+FROM verified WHERE CAST(inter AS DOUBLE) / NULLIF(tot - inter, 0) >= {threshold}
 """
 
 
@@ -362,7 +374,7 @@ def incremental_minhash_matches(
         .select(
             "new_id",
             "corpus_id",
-            (F.col("inter").cast("double") / (F.col("tot") - F.col("inter"))).alias("jaccard"),
+            _jaccard_c().alias("jaccard"),
         )
     )
     return verified.where(F.col("jaccard") >= threshold)
@@ -405,8 +417,8 @@ verified AS (
          len(sn.sh) + len(sc.sh) AS tot
   FROM pairs JOIN shingled sn ON new_id = sn.id JOIN shingled sc ON corpus_id = sc.id
 )
-SELECT new_id, corpus_id, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
-FROM verified WHERE CAST(inter AS DOUBLE) / (tot - inter) >= {threshold}
+SELECT new_id, corpus_id, CAST(inter AS DOUBLE) / NULLIF(tot - inter, 0) AS jaccard
+FROM verified WHERE CAST(inter AS DOUBLE) / NULLIF(tot - inter, 0) >= {threshold}
 """
 
 
@@ -565,7 +577,7 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            (F.col("inter").cast("double") / (F.col("tot") - F.col("inter"))).alias("jaccard"),
+            _jaccard_c().alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -596,8 +608,8 @@ pairs AS (
          len(a.g) + len(b.g) AS tot
   FROM g a JOIN g b ON a.part = b.part AND a.id < b.id
 )
-SELECT id_a, id_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
-FROM pairs WHERE CAST(inter AS DOUBLE) / (tot - inter) >= {threshold}
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / NULLIF(tot - inter, 0) AS jaccard
+FROM pairs WHERE CAST(inter AS DOUBLE) / NULLIF(tot - inter, 0) >= {threshold}
 """
 
 
@@ -668,14 +680,10 @@ def minhash_lsh_recall(
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / (
-                    F.size("sh_a") + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                )
-            ).alias("j"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("tot"),
         )
+        .select("id_a", "id_b", _jaccard_c().alias("j"))
         .where(F.col("j") >= threshold)
         .select("id_a", "id_b")
     )
@@ -721,7 +729,8 @@ exact AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM sampled a JOIN sampled b ON a.id < b.id
   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold}
+        / NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0)
+        >= {threshold}
 ),
 lsh AS (
   SELECT id_a, id_b FROM ({lsh_sql}) WHERE ({in_a}) AND ({in_b})

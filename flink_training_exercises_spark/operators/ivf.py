@@ -348,9 +348,13 @@ def search_ivf_index(
     topk: int = 5,
 ) -> DataFrame:
     """Search a persisted IVF index: probe selection is driver-side (the
-    centroid table is in memory), and the candidate scan carries
-    ``cid IN (probed)`` so parquet partition pruning drops every other
-    bucket before any I/O. queries: (qid, qv bigint-vec, qnn)."""
+    centroid table is in memory, like a FAISS index header), and the union
+    of probed cids is collected (tiny: |queries| x nprobe ints) and applied
+    as a STATIC ``cid IN (...)`` filter on the index scan -- guaranteed
+    file-listing partition pruning, no reliance on runtime dynamic pruning
+    through the broadcast join (verified by
+    tests/test_ivf.py::test_index_search_prunes_partitions).
+    queries: (qid, qv bigint-vec, qnn)."""
     probed = queries.select(
         "qid",
         "qv",
@@ -359,7 +363,9 @@ def search_ivf_index(
             F.slice(F.array_sort(_dist_structs(F.col("qv"), cents)), 1, nprobe)
         ).alias("p"),
     ).select("qid", "qv", "qnn", F.col("p.cid").alias("cid"))
-    index = spark.read.parquet(path)
+    # qid x nprobe ints -- bounded by the query batch, never the corpus
+    probed_cids = sorted({r["cid"] for r in probed.select("cid").distinct().collect()})
+    index = spark.read.parquet(path).where(F.col("cid").isin(probed_cids))
     cand = index.join(F.broadcast(probed), "cid").where(F.col("id") != F.col("qid"))
     scored = cand.select(
         F.col("qid").alias("query_id"),

@@ -23,9 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DECODED_SCHEMA = (
-    "doc_id long, byte_len int, format string, width int, height int, n_frames int"
-)
+def decoded_schema(id_col: str = "doc_id") -> str:
+    return f"{id_col} long, byte_len int, format string, width int, height int, n_frames int"
+
+
+DECODED_SCHEMA = decoded_schema()
 
 
 def attach_binary_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -86,7 +88,7 @@ def decode_media(docs_bin: DataFrame, id_col: str = "doc_id", use_real_codec: bo
             metas = [_fake_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "byte_len": [len(p) for p in pdf["payload"]],
                     "format": [m[0] for m in metas],
                     "width": [m[1] for m in metas],
@@ -95,7 +97,9 @@ def decode_media(docs_bin: DataFrame, id_col: str = "doc_id", use_real_codec: bo
                 }
             )
 
-    return docs_bin.select(id_col, "payload").mapInPandas(decode, schema=DECODED_SCHEMA)
+    return docs_bin.select(id_col, "payload").mapInPandas(
+        decode, schema=decoded_schema(id_col)
+    )
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
@@ -136,10 +140,10 @@ def extract_features(
                 ids.extend([i] * len(nz))
                 bks.extend(int(b) for b in nz)
                 cnts.extend(int(c) for c in hist[nz])
-            yield pd.DataFrame({"doc_id": ids, "bucket": bks, "cnt": cnts})
+            yield pd.DataFrame({id_col: ids, "bucket": bks, "cnt": cnts})
 
     return docs_bin.select(id_col, "payload").mapInPandas(
-        feats, schema="doc_id long, bucket int, cnt long"
+        feats, schema=f"{id_col} long, bucket int, cnt long"
     )
 
 
@@ -181,7 +185,7 @@ def resize_media(
                     outs.append((b * reps)[:n_out])
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "payload": outs,
                     "width": target_w,
                     "height": target_h,
@@ -189,5 +193,5 @@ def resize_media(
             )
 
     return docs_bin.select(id_col, "payload").mapInPandas(
-        resize, schema="doc_id long, payload binary, width int, height int"
+        resize, schema=f"{id_col} long, payload binary, width int, height int"
     )

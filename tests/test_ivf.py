@@ -76,11 +76,14 @@ def test_index_search_prunes_partitions(spark, sf_small, tmp_path):
     }
     assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect()} == expect
 
-    # pruning evidence: restrict to ONE cid and check the physical plan's
-    # partition filters mention cid (pruned at listing, not post-scan)
-    one = spark.read.parquet(path).where(F.col("cid") == 0)
-    plan = one._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruning evidence on the SEARCH PATH itself: the static probed-cid
+    # isin filter must reach the index scan's PartitionFilters (pruned at
+    # file listing, not post-scan -- ADVICE r3: the old test only checked a
+    # hand-written cid==0 predicate, not the join path)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_filters = plan.split("PartitionFilters", 1)
+    assert len(scan_filters) == 2 and "cid" in scan_filters[1][:300]
+    assert "cid IN" in plan or "cid#" in scan_filters[1][:300]
 
 
 def test_pq_recall_and_determinism(spark, sf_small):

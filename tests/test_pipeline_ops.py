@@ -465,6 +465,22 @@ def test_resize_media_shapes(spark):
     assert bytes(out[2]["payload"]) == b"x" * 32
 
 
+def test_multimodal_custom_id_col_respected(spark):
+    """Non-default id_col must name the output column (ADVICE r3: the
+    mapInPandas schemas used to hard-code 'doc_id')."""
+    docs = spark.createDataFrame([(1, "AAab", "en", "s1")], DOC_SCHEMA)
+    payloads = multimodal.attach_binary_payload(docs).withColumnRenamed(
+        "doc_id", "media_id"
+    )
+    for df in (
+        multimodal.decode_media(payloads, id_col="media_id"),
+        multimodal.extract_features(payloads, id_col="media_id"),
+        multimodal.resize_media(payloads, id_col="media_id"),
+    ):
+        assert df.columns[0] == "media_id"
+        assert df.select("media_id").first()["media_id"] == 1
+
+
 def test_resize_media_real_codec_gated(spark):
     docs = spark.createDataFrame([(1, "ab", "en", "s1")], DOC_SCHEMA)
     with pytest.raises(NotImplementedError):
