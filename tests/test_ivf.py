@@ -53,7 +53,6 @@ def test_index_search_prunes_partitions(spark, sf_small, tmp_path):
     shows cid=N directories only for probed buckets)."""
     from flink_training_exercises_spark.operators.ivf import (
         NPROBE,
-        _dist_structs,
         _with_int_vec,
         build_ivf_index,
         search_ivf_index,
