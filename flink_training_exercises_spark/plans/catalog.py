@@ -32,6 +32,7 @@ from ..operators import (
     contamination,
     dedup,
     graph,
+    indexing,
     ivf,
     multimodal,
     pii,
@@ -1822,6 +1823,42 @@ def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cnt") >= 5)
     )
+
+
+@register(
+    "inverted_index_postings",
+    oracle=indexing.inverted_index_sql(),
+    doc="Inverted index build: token -> (document frequency, first-20 "
+    "posting list, comma-joined) -- the retrieval/contamination-probe "
+    "index shape. Posting lists are bounded BEFORE collection by a "
+    "row_number window on the same token partitioning as the df count, "
+    "so skewed tokens cost max_postings rows, never their full chain.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indexing.inverted_index(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "doc_typicality_bigrams",
+    oracle=indexing.doc_typicality_sql(),
+    doc="Per-document corpus-typicality in exact integers: corpus bigram "
+    "mass (counts >= 5) carried by each doc's distinct bigrams, plus "
+    "floor(1000*freq_sum/n_bigrams) -- the n-gram-LM outlier/quality "
+    "signal without cross-engine float log hazards.",
+)
+def q_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indexing.doc_typicality(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "frequent_tokens_topk",
+    oracle=indexing.frequent_tokens_topk_sql(),
+    doc="Grouped heavy hitters: top-25 tokens per language by total "
+    "occurrences (ties by token) -- vocabulary audit; one map-side-"
+    "combined shuffle, then a top-k window over the vocab-bounded counts.",
+)
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indexing.frequent_tokens_topk(load_table(spark, "documents", sf_dir))
 
 
 @register(

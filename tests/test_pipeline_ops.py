@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from flink_training_exercises_spark.operators import (
     contamination,
     dedup,
+    indexing,
     multimodal,
     pii,
     similarity,
@@ -549,3 +550,48 @@ def test_lsh_recall_audit_matches_banding_curve(spark):
     assert row["n_hits"] == row["n_lsh"]  # verified pairs are never false
     assert 0 <= row["n_hits"] / row["n_exact"] <= 0.2
     dedup.release_persisted_signatures()
+
+
+# ---------------------------------------------------------------------------
+# Indexing operators (round 4): inverted index, typicality, heavy hitters.
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(3, "a b a", "en", "s1"), (1, "b c", "en", "s1"), (2, "b", "en", "s1")],
+        DOC_SCHEMA,
+    )
+    rows = {r["token"]: r for r in indexing.inverted_index(docs, max_postings=2).collect()}
+    assert rows["a"]["df"] == 1 and rows["a"]["postings"] == "3"
+    assert rows["b"]["df"] == 3 and rows["b"]["postings"] == "1,2"  # capped at 2
+    assert rows["c"]["df"] == 1 and rows["c"]["postings"] == "1"
+
+
+def test_doc_typicality_hand_computed(spark):
+    # bigram 'a b' appears in docs 1,2 (distinct per doc); min_count=2 keeps it
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, "a b", "en", "s1"), (3, "x", "en", "s1")],
+        DOC_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in indexing.doc_typicality(docs, min_count=2).collect()}
+    # doc 1: bigrams {a b, b c}; 'a b' known with corpus cnt 2 -> freq_sum 2
+    assert (rows[1]["n_bigrams"], rows[1]["n_known"], rows[1]["freq_sum"]) == (2, 1, 2)
+    assert rows[1]["typicality_x1000"] == 1000  # floor(1000 * 2 / 2)
+    assert (rows[2]["n_bigrams"], rows[2]["freq_sum"]) == (1, 2)
+    assert 3 not in rows  # single-word doc has no bigrams on either engine
+
+
+def test_frequent_tokens_topk_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b a c", "en", "s1"), (2, "a b", "en", "s1"), (3, "z z z", "de", "s1")],
+        DOC_SCHEMA,
+    )
+    rows = [
+        (r["grp"], r["token"], r["cnt"], r["rank"])
+        for r in indexing.frequent_tokens_topk(docs, k=2)
+        .orderBy("grp", "rank")
+        .collect()
+    ]
+    # en: b x3, a x2 (c cut by k=2); ties would break by token asc
+    assert rows == [("de", "z", 3, 1), ("en", "b", 3, 1), ("en", "a", 2, 2)]
