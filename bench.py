@@ -45,6 +45,38 @@ from flink_training_exercises_spark.operators import dedup  # noqa: E402
 from flink_training_exercises_spark.plans.catalog import CATALOG  # noqa: E402
 from flink_training_exercises_spark.session import get_spark  # noqa: E402
 
+# PROPOSED headline basket v2 (VERDICT r3 #7) -- NOT active; ``value`` stays
+# the round-1 twelve for cross-round comparability. Rationale: the r1 basket
+# predates the scale-path ANN family, so its only ANN entry is
+# ann_topk_bruteforce -- the documented all-pairs oracle twin that VERDICT
+# r2/r3 rule "keep out of any future headline basket". v2 keeps the
+# reference-core seven + sessionize + the two TPC-H anchors + LSH dedup,
+# swaps the brute-force cartesian for the four gated ANN scale paths
+# (pandas block-matmul, sign-LSH, IVF, PQ), and adds the two composed
+# LLM-pipeline anchors (contamination, curation funnel) so the headline
+# tracks the 100 TB-relevant paths. Adopt only on a driver/judge re-base of
+# BASELINE; until then bench.py reports its total as
+# ``value_v2_proposed`` alongside the frozen ``value``.
+HEADLINE_V2_PROPOSAL = [
+    "ride_cleansing",
+    "popular_places",
+    "mail_count",
+    "reply_graph",
+    "mail_tfidf",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "sessionize_events",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce_pandas",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_pq",
+    "contamination_ngram_overlap",
+    "curation_pipeline",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,6 +108,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "total_all_queries_wall": round(sum(timings.values()), 3),
+        "value_v2_proposed": round(
+            sum(timings.get(n, 0.0) for n in HEADLINE_V2_PROPOSAL), 3
+        ),
+        "headline_v2_proposal": HEADLINE_V2_PROPOSAL,
     }
     short = {
         "metric": "headline_queries_total_wall",

@@ -2133,7 +2133,98 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # -- never gated through r02: 11 TPC-H added in round 2 --
+    # ======================= ROUND-4 WINDOW (50) =======================
+    # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
+    # EXACT window contents -- adding a query above the cutoff must go
+    # with a conscious ejection there, never a silent one.
+    # -- added in round 4, never driver-gated --
+    "multimodal_resize",         # new gate (VERDICT r3 #4)
+    "inverted_index_postings",   # new: token -> (df, capped postings)
+    "doc_typicality_bigrams",    # new: per-doc corpus bigram mass
+    "frequent_tokens_topk",      # new: grouped heavy hitters
+    # -- code changed in round 4 (LUT rewrite, shared training, probe
+    #    pruning, Jaccard zero-denominator guard, id_col honoring) --
+    "ann_topk_pq",               # rewritten: driver LUT + element_at ADC
+    "ann_topk_ivf_pq",           # rewritten: same LUT path
+    "ann_recall_at_k",           # changed: shared training across branches
+    "ann_topk_ivf",              # changed: static isin probe pruning
+    "dedup_incremental_minhash", # changed: guarded Jaccard denominator
+    "dedup_lsh_recall",          # changed: guarded Jaccard denominator
+    "multimodal_feature_extract",  # changed: id_col honored in UDF schema
+    # -- canaries: must always be inside the window --
+    "canary_timestamp_schema",
+    "canary_float_hash",
+    # -- evidence rotation (VERDICT r3 #1): the 18 rows whose only green
+    #    driver row is round 2 --
+    "ann_topk_bruteforce_pandas",
+    "neardup_embedding_cosine_lsh",
+    "text_repetition",
+    "pii_scrub_mails",
+    "sample_stratified_documents",
+    "pack_sequences_4k",
+    "mixture_expand_weighted",
+    "shuffle_shard_layout",
+    "skew_salted_event_counts",
+    "dedup_clusters_minhash",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    # -- r2-evidence refresh fill (latest green row r02; most
+    #    operator-diverse first). New round-4 queries eject from the
+    #    BOTTOM of this block -- update the snapshot test when they do. --
+    "ride_cleansing",
+    "popular_places",
+    "mail_count",
+    "member_of_the_month",
+    "reply_graph",
+    "mail_tfidf",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "sessionize_events",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_topk_lsh",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "distinct_users_per_type",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-4 window. First in line for
+    # the round-5 rotation: the four r2-evidence rows deferred this round
+    # (each has an in-window cousin exercising the same operator).
+    "member_of_the_month_joinback",   # r2; twin of member_of_the_month
+    "travel_time_prediction_stateful",  # r2; streaming twin gated r3
+    "ann_topk_bruteforce",            # r2; re-run inside ann_recall_at_k
+    "neardup_embedding_cosine",       # r2; lsh variant in-window
+    # -- r3-gated rows: freshest evidence, cede their slots this round --
+    "streaming_sessionize",
+    "streaming_exact_dedup",
+    "streaming_distinct_users",
+    "streaming_travel_time_stateful",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_popular_places",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "bpe_pair_counts",
+    "contamination_ngram_overlap",
+    "curation_pipeline",
+    "multimodal_frame_sample",
+    "multimodal_decode_meta",
+    "text_token_count",
+    "domain_cap_documents",
+    "length_bucket_batches",
+    "triangle_count_edges",
+    "embedding_dedup_clusters",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
@@ -2145,7 +2236,6 @@ _GATE_PRIORITY = [
     "tpch_q20_excess_inventory",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales",
-    # -- never gated through r02: round-1 relational extras --
     "asof_purchase_attribution",
     "window_analytics",
     "range_join_downtime_events",
@@ -2156,84 +2246,6 @@ _GATE_PRIORITY = [
     "rollup_counts",
     "pivot_user_activity",
     "value_percentiles",
-    # -- canaries: must always be inside the window --
-    "canary_timestamp_schema",
-    "canary_float_hash",
-    # -- changed or added in round 3 --
-    "streaming_sessionize",      # r2 FAIL -> fixed (stream ts unit)
-    "streaming_exact_dedup",     # new gate (VERDICT r2 #7)
-    "ann_topk_ivf",              # sample-trained quantizer (VERDICT r2 #3)
-    "dedup_incremental_minhash", # new: batch-vs-corpus dedup
-    "embedding_random_projection",  # new: JL sign projection
-    "bpe_pair_counts",           # new: tokenizer-induction pair counts
-    "streaming_distinct_users",  # new: dedup->window stateful chain gate
-    "contamination_ngram_overlap",  # rewritten: codegen'd row-level md5
-    "curation_pipeline",         # new: composed quality->lang->dedup funnel
-    "streaming_travel_time_stateful",  # new: applyInPandasWithState gate
-    "multimodal_feature_extract",  # new: numpy-over-Arrow byte histogram
-    "multimodal_frame_sample",   # new: stride explode over decoded frames
-    "text_token_count",          # changed: + n_regex_tokens (BPE-ish regex)
-    "domain_cap_documents",      # new: per-domain contribution cap
-    "length_bucket_batches",     # new: padding-aware length batching
-    "streaming_interval_join",   # new: stream-stream join gate
-    "triangle_count_edges",      # new: node-ordered triangle count
-    "streaming_interval_join_outer",  # new: outer-emission watermark gate
-    "ann_topk_pq",               # new: product-quantization ADC search
-    "ann_topk_ivf_pq",           # new: composed IVF-PQ (prune + compress)
-    "ann_recall_at_k",           # changed: now also grades PQ (3 rows)
-    "dedup_lsh_recall",          # new: LSH dedup quality bar vs exact
-    "multimodal_decode_meta",    # changed: byte-true n_frames oracle
-    "embedding_dedup_clusters",  # new: semantic dedup closure
-    # -- previously gated, most operator-diverse first --
-    "streaming_popular_places",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
-    "ann_topk_bruteforce_pandas",
-    "ann_topk_lsh",
-    "neardup_embedding_cosine",
-    "neardup_embedding_cosine_lsh",
-    "sessionize_events",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_repetition",
-    "pii_scrub_mails",
-    "sample_stratified_documents",
-    "pack_sequences_4k",
-    "mixture_expand_weighted",
-    # NOTE: the 50-entry window cutoff moves as the list above grows -- do
-    # NOT trust a positional marker; test_gate_priority_list_is_consistent
-    # pins the must-be-inside set, and anything below this comment should
-    # be assumed OUTSIDE the window.
-    "shuffle_shard_layout",
-    "skew_salted_event_counts",
-    "distinct_users_per_type",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
-    # -- round-1 relational family: green in r01 AND r02, cedes slots --
-    "ride_cleansing",
-    "popular_places",
-    "mail_count",
-    "member_of_the_month",
-    "member_of_the_month_joinback",
-    "reply_graph",
-    "mail_tfidf",
-    "pagerank_weighted",
-    "travel_time_prediction",
-    "travel_time_prediction_stateful",
 ]
 
 

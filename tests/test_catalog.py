@@ -39,12 +39,102 @@ def test_oracle_is_valid_duckdb(duck, name):
     duck.execute(f"SELECT * FROM ({CATALOG[name].oracle}) LIMIT 5").fetchall()
 
 
+# The EXACT round-4 gate window, in order (ADVICE r3: snapshot the full
+# window so an insertion that silently ejects the tail fails loudly).
+# Changing _GATE_PRIORITY requires updating this list in the same commit --
+# that edit is the explicit record of which row was ejected and why.
+EXPECTED_GATE_WINDOW = [
+    # round-4 additions, never driver-gated
+    "multimodal_resize",
+    "inverted_index_postings",
+    "doc_typicality_bigrams",
+    "frequent_tokens_topk",
+    # round-4 code changes
+    "ann_topk_pq",
+    "ann_topk_ivf_pq",
+    "ann_recall_at_k",
+    "ann_topk_ivf",
+    "dedup_incremental_minhash",
+    "dedup_lsh_recall",
+    "multimodal_feature_extract",
+    # canaries
+    "canary_timestamp_schema",
+    "canary_float_hash",
+    # r2-only evidence rotation (VERDICT r3 #1)
+    "ann_topk_bruteforce_pandas",
+    "neardup_embedding_cosine_lsh",
+    "text_repetition",
+    "pii_scrub_mails",
+    "sample_stratified_documents",
+    "pack_sequences_4k",
+    "mixture_expand_weighted",
+    "shuffle_shard_layout",
+    "skew_salted_event_counts",
+    "dedup_clusters_minhash",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    # r2-evidence refresh fill
+    "ride_cleansing",
+    "popular_places",
+    "mail_count",
+    "member_of_the_month",
+    "reply_graph",
+    "mail_tfidf",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "sessionize_events",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_topk_lsh",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "distinct_users_per_type",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+]
+
+
+def test_headline_v2_proposal_names_resolve():
+    """The proposed v2 headline basket (bench.py, VERDICT r3 #7) must name
+    real catalog queries and must NOT change the active basket: the
+    bench=True flags stay the round-1 twelve."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE_V2_PROPOSAL if n not in CATALOG]
+    assert not missing, missing
+    active = sorted(n for n in CATALOG if CATALOG[n].bench)
+    assert active == sorted(
+        [
+            "ride_cleansing",
+            "popular_places",
+            "mail_count",
+            "reply_graph",
+            "mail_tfidf",
+            "pagerank_weighted",
+            "travel_time_prediction",
+            "dedup_minhash_lsh",
+            "ann_topk_bruteforce",
+            "sessionize_events",
+            "tpch_q1_pricing_summary",
+            "tpch_q5_local_supplier",
+        ]
+    )
+
+
 def test_gate_priority_list_is_consistent():
     """_GATE_PRIORITY drives the driver's 50-entry correctness window: every
     listed name must exist, no duplicates, every registered query must be
     listed (unlisted names sort FIRST by design, but that's a safety net for
-    forgotten additions, not a steady state), and both canaries plus all
-    streaming gates must sit inside the window."""
+    forgotten additions, not a steady state), and the window must match the
+    EXPECTED_GATE_WINDOW snapshot exactly -- including order."""
     from flink_training_exercises_spark.plans.catalog import _GATE_PRIORITY, queries
 
     unknown = [n for n in _GATE_PRIORITY if n not in CATALOG]
@@ -53,16 +143,10 @@ def test_gate_priority_list_is_consistent():
     assert not dupes, f"duplicate priority entries: {dupes}"
     unlisted = [n for n in CATALOG if n not in _GATE_PRIORITY]
     assert not unlisted, f"queries missing from _GATE_PRIORITY: {unlisted}"
+    assert len(EXPECTED_GATE_WINDOW) == 50
     window = list(queries())[:50]
-    for must in [
-        "canary_timestamp_schema",
-        "canary_float_hash",
-        "streaming_popular_places",
-        "streaming_sessionize",
-        "streaming_exact_dedup",
-        "streaming_distinct_users",
-        "streaming_travel_time_stateful",
-        "streaming_interval_join",
-        "streaming_interval_join_outer",
-    ]:
-        assert must in window, f"{must} fell outside the 50-entry gate window"
+    assert window == EXPECTED_GATE_WINDOW, (
+        "gate window drifted from snapshot; "
+        f"ejected={sorted(set(EXPECTED_GATE_WINDOW) - set(window))} "
+        f"entered={sorted(set(window) - set(EXPECTED_GATE_WINDOW))}"
+    )
