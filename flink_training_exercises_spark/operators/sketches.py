@@ -1,0 +1,407 @@
+"""Mergeable sketches + space-filling-curve layout (round-4 breadth).
+
+The reference's aggregations are all exact; at 100 TB the first thing an
+analytics engine adds is the sketch family -- fixed-size, mergeable
+summaries whose partials combine associatively, so a 1000-executor
+aggregation ships kilobytes per task instead of re-shuffling raw keys:
+
+  * ``hll_distinct``     -- HyperLogLog distinct-count estimate (Flajolet
+    et al. 2007, the public HLL paper) per group, next to the exact
+    count(DISTINCT) twin and the relative error, so the sketch is GRADED
+    against ground truth in the same gated query (same policy as
+    ann_recall_at_k / dedup_lsh_recall).
+  * ``countmin_freq``    -- Count-Min sketch (Cormode & Muthukrishnan
+    2005) frequency estimates for the top-k heavy hitters, next to their
+    exact counts; CMS guarantees est >= exact, asserted by the query.
+  * ``zorder_layout``    -- Morton (z-order) addressing over two document
+    dimensions; the data-layout primitive behind multi-column file
+    skipping (interleaved bits keep both dimensions' range predicates
+    selective over z-ranges).
+
+Cross-engine determinism: every randomized step goes through the md5-based
+hash family (functions/hashing.py) and every sketch register / counter /
+address is computed in EXACT integer arithmetic on both engines. The only
+float ops are the final HLL estimate (one literal multiply + one divide on
+identical integers -- IEEE-deterministic) and its rounded relative error.
+
+HLL register arithmetic without floats: with m = 2**p buckets and rho
+capped at W+1 = 33 (32-bit sub-hash), the harmonic sum
+``Z = sum_j 2**(-M_j)`` scaled by 2**33 is the exact BIGINT
+``S = sum_nonempty 2**(33 - M_j) + V * 2**33`` (V = empty buckets, each
+contributing 2**(33-0)); max S = 512 * 2**33 ~ 4.4e12, far inside BIGINT.
+The raw estimate is then ``alpha_m * m^2 * 2**33 / S`` -- numerator folded
+into ONE Python-computed double literal embedded in E-notation on both
+sides. The small-range linear-counting correction (E < 2.5m) needs
+``m * ln(m/V)`` -- a libm call whose last ulp is not contractual across
+engines -- so the gated query reports the RAW estimator plus V; bias
+correction is a presentation concern, not a sketch-state concern (the
+sketch registers themselves are exact and mergeable either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    hash_params,
+    md5_long,
+    md5_long_sql,
+    permuted_hash,
+    permuted_hash_sql,
+)
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 9  # bucket bits
+HLL_M = 1 << HLL_P  # 512 buckets
+_HLL_W = 32  # sub-hash width for rho
+_HLL_RHO_CAP = _HLL_W + 1  # 33
+# alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# the whole float numerator as ONE literal: alpha * m^2 * 2^33
+HLL_NUMERATOR = _HLL_ALPHA * (HLL_M**2) * float(1 << _HLL_RHO_CAP)
+HLL_NUMERATOR_LIT = f"{HLL_NUMERATOR:.17e}"  # E-notation: DOUBLE in both engines
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate next to the exact twin.
+
+    Plan shape (the 100 TB story): the register build is ONE shuffle on
+    (group, bucket) with map-side combine -- each mapper's partial state is
+    at most m = 2**p max-registers per group regardless of input rows, the
+    defining property of the sketch. The exact count(DISTINCT) twin is the
+    expensive path HLL replaces (Spark expands it to a two-shuffle
+    distinct+count); it rides along here because the gated query's job is
+    to GRADE the estimator, mirroring ann_recall_at_k.
+
+    Fixed-size state: 512 registers * n_groups; the final fold to S is a
+    512-row-per-group aggregation, negligible at any corpus size.
+    """
+    m = 1 << p
+    h = md5_long(F.col(key_col).cast("string"))
+    # integer division via Spark SQL `div` (engine-exact; `/` would be float)
+    df2 = df.select(
+        F.col(group_col).alias("grp"),
+        h.alias("h"),
+    ).select(
+        "grp",
+        (F.col("h") % m).alias("bucket"),
+        F.expr(f"(h div {m}) % {1 << _HLL_W}").alias("w32"),
+    )
+    rho = F.when(F.col("w32") == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.lit(_HLL_RHO_CAP) - F.length(F.bin(F.col("w32")))
+    )
+    regs = (
+        df2.select("grp", "bucket", rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    folded = regs.groupBy("grp").agg(
+        # python-api shiftleft wants a literal int for numBits; the SQL
+        # function takes an expression on both engines
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")).alias(
+            "s_nonempty"
+        ),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    exact = (
+        df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("k"))
+        .groupBy("grp")
+        .agg(F.count_distinct("k").alias("n_exact"))
+    )
+    # float(HLL_NUMERATOR_LIT) round-trips to the identical double the
+    # oracle parses from the same E-notation literal
+    est = F.lit(float(HLL_NUMERATOR_LIT)) / F.col("s")
+    return (
+        folded.withColumn("v_empty", F.lit(m) - F.col("n_buckets"))
+        .withColumn(
+            "s",
+            F.col("s_nonempty")
+            + F.col("v_empty") * F.lit(1 << _HLL_RHO_CAP).cast("bigint"),
+        )
+        .join(F.broadcast(exact), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            F.round(est, 4).alias("hll_estimate"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_err"
+            ),
+            F.col("v_empty").alias("n_empty_buckets"),
+        )
+    )
+
+
+def hll_distinct_oracle(table: str, key_col: str, group_col: str, p: int = HLL_P) -> str:
+    """DuckDB twin of :func:`hll_distinct`, bit-for-bit (same md5 hash,
+    same integer registers, same single-literal float fold)."""
+    m = 1 << p
+    h = md5_long_sql(f"CAST({key_col} AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT {group_col} AS grp, {h} AS h FROM {table}
+), buckets AS (
+  SELECT grp, h % {m} AS bucket, (h // {m}) % {1 << _HLL_W} AS w32 FROM hashed
+), regs AS (
+  SELECT grp, bucket,
+         max(CASE WHEN w32 = 0 THEN {_HLL_RHO_CAP}
+                  ELSE {_HLL_RHO_CAP} - length(bin(w32)) END) AS m_j
+  FROM buckets GROUP BY 1, 2
+), folded AS (
+  SELECT grp,
+         CAST(sum(1::BIGINT << ({_HLL_RHO_CAP} - m_j)) AS BIGINT) AS s_nonempty,
+         count(*) AS n_buckets
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT {group_col} AS grp, count(DISTINCT {key_col}) AS n_exact
+  FROM {table} GROUP BY 1
+)
+SELECT f.grp AS {group_col},
+       e.n_exact,
+       round({HLL_NUMERATOR_LIT} / (s_nonempty + ({m} - n_buckets) * (1::BIGINT << {_HLL_RHO_CAP})), 4) AS hll_estimate,
+       round(abs({HLL_NUMERATOR_LIT} / (s_nonempty + ({m} - n_buckets) * (1::BIGINT << {_HLL_RHO_CAP})) - e.n_exact) / e.n_exact, 6) AS rel_err,
+       {m} - n_buckets AS n_empty_buckets
+FROM folded f JOIN exact e USING (grp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+_CMS_PARAMS = hash_params(CMS_DEPTH, seed=0xC0FFEE)
+
+
+def countmin_freq(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+    top_k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min frequency estimates for the ``top_k`` exact heavy hitters,
+    built from a pre-aggregated (key, count) relation.
+
+    Building from the AGGREGATED vocabulary -- not the raw token stream --
+    is the classic CMS-from-partials identity (the sketch of a sum is the
+    sum of sketches): the d*len(vocab) intermediate rows are vocab-bounded,
+    never corpus-bounded, and the sketch itself collapses to d*width
+    integer cells (4 KiB here) with map-side combine. The probe side joins
+    ``top_k`` keys against those d*width cells -- broadcast-sized by
+    construction. est >= exact for every key (one-sided CMS error), which
+    the gated query exposes as ``overcount``.
+
+    Scale path at 100 TB: the input (key, count) relation is itself one
+    map-side-combined shuffle (the corpus scan), and everything after is
+    constant-size. The exact top-k probe set is the audit twin.
+    """
+    base = md5_long(F.col(key_col).cast("string"))
+    cells = []
+    for r, (a, b) in enumerate(_CMS_PARAMS):
+        cells.append(
+            F.struct(
+                F.lit(r).alias("r"),
+                (permuted_hash(base, a, b) % width).alias("bucket"),
+            )
+        )
+    exploded = counts.select(
+        F.col(key_col).alias("k"),
+        F.col(count_col).alias("cnt"),
+        F.explode(F.array(*cells)).alias("cell"),
+    ).select("k", "cnt", F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+    sketch = exploded.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell_sum"))
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("k"))
+    probes = (
+        counts.select(F.col(key_col).alias("k"), F.col(count_col).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+    )
+    probe_cells = probes.select(
+        "k",
+        "cnt",
+        "rk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            permuted_hash(md5_long(F.col("k").cast("string")), a, b)
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for r, (a, b) in enumerate(_CMS_PARAMS)
+                ]
+            )
+        ).alias("cell"),
+    ).select("k", "cnt", "rk", F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("k", "cnt", "rk")
+        .agg(F.min("cell_sum").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("k").alias(key_col),
+        F.col("cnt").alias("exact_cnt"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("cnt")).alias("overcount"),
+        F.col("rk").alias("rank"),
+    )
+
+
+def countmin_freq_oracle(
+    counts_cte: str,
+    key_col: str,
+    count_col: str,
+    top_k: int = 20,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`countmin_freq` over a ``counts`` CTE named by
+    ``counts_cte`` (must expose ``{key_col}``, ``{count_col}``)."""
+    base = md5_long_sql(f"CAST({key_col} AS VARCHAR)")
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {key_col} AS k, {count_col} AS cnt, {r} AS r, "
+        f"({permuted_hash_sql(base, a, b)}) % {width} AS bucket FROM {counts_cte}"
+        for r, (a, b) in enumerate(_CMS_PARAMS)
+    )
+    return f"""
+cells AS (
+  {cell_rows}
+), sketch AS (
+  SELECT r, bucket, sum(cnt) AS cell_sum FROM cells GROUP BY 1, 2
+), probes AS (
+  SELECT {key_col} AS k, {count_col} AS cnt,
+         row_number() OVER (ORDER BY {count_col} DESC, {key_col} ASC) AS rk
+  FROM {counts_cte}
+  QUALIFY rk <= {top_k}
+), probe_cells AS (
+  SELECT p.k, p.cnt, p.rk, c.r, c.bucket
+  FROM probes p JOIN cells c ON c.k = p.k
+), est AS (
+  -- BIGINT cast: DuckDB's sum()/min-of-sum is HUGEINT -> float64 dtype
+  -- skew in the differential compare otherwise (CLAUDE.md rule)
+  SELECT pc.k, pc.cnt, pc.rk, CAST(min(s.cell_sum) AS BIGINT) AS est_cnt
+  FROM probe_cells pc JOIN sketch s USING (r, bucket)
+  GROUP BY 1, 2, 3
+)
+SELECT k AS {key_col}, cnt AS exact_cnt, est_cnt,
+       est_cnt - cnt AS overcount, rk AS rank
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_SHARDS = 64
+
+
+def _interleave_terms(x_expr: str, y_expr: str, shl, shr, bits: int) -> str:
+    """The 2*bits-term Morton interleave, generated from ONE loop so the
+    Spark and DuckDB forms can never drift; ``shl``/``shr`` format the
+    engine's shift syntax."""
+    terms = []
+    for k in range(bits):
+        terms.append(shl(f"({shr(x_expr, k)} & 1)", 2 * k))
+        terms.append(shl(f"({shr(y_expr, k)} & 1)", 2 * k + 1))
+    return " + ".join(terms)
+
+
+def _shl_spark(e: str, n: int) -> str:
+    return f"shiftleft({e}, {n})" if n else f"({e})"
+
+
+def _shr_spark(e: str, n: int) -> str:
+    return f"shiftright({e}, {n})" if n else f"({e})"
+
+
+def _shl_duck(e: str, n: int) -> str:
+    return f"(({e}) << {n})" if n else f"({e})"
+
+
+def _shr_duck(e: str, n: int) -> str:
+    return f"(({e}) >> {n})" if n else f"({e})"
+
+
+def zorder_layout(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    cat_col: str = "source",
+    bits: int = ZORDER_BITS,
+    n_shards: int = ZORDER_SHARDS,
+) -> DataFrame:
+    """Morton z-address over (length, hash(category)) and the shard each
+    document lands in under a z-range split.
+
+    Why this layout at 100 TB: writing shards in z-address ranges gives
+    every shard a bounded rectangle in (length, category) space, so BOTH
+    ``n_chars BETWEEN ...`` and ``source = ...`` predicates prune files on
+    min/max stats -- the multi-column file-skipping trick a linear sort on
+    either single column cannot provide. The address is a map-only
+    codegen'd integer expression (32 shift-and-add terms); the shard id is
+    the top log2(n_shards) bits of the 2*bits-wide address, i.e. a
+    RANGE partition of the z-curve -- no shuffle here at all; the write
+    path repartitions by ``z_shard`` exactly like write_training_shards.
+    """
+    mask = (1 << bits) - 1
+    x = f"least(CAST({length_col} AS BIGINT), {mask})"
+    y_hash = md5_long(F.col(cat_col))
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(x).alias("zx"),
+        (y_hash % (mask + 1)).alias("zy"),
+    )
+    z = _interleave_terms("zx", "zy", _shl_spark, _shr_spark, bits)
+    shard_shift = 2 * bits - (n_shards.bit_length() - 1)
+    return pre.select(
+        "doc_id",
+        "zx",
+        "zy",
+        F.expr(z).cast("bigint").alias("zaddr"),
+    ).select(
+        "doc_id",
+        "zx",
+        "zy",
+        "zaddr",
+        F.expr(f"zaddr div {1 << shard_shift}").alias("z_shard"),
+    )
+
+
+def zorder_layout_oracle(
+    table: str,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    cat_col: str = "source",
+    bits: int = ZORDER_BITS,
+    n_shards: int = ZORDER_SHARDS,
+) -> str:
+    """DuckDB twin of :func:`zorder_layout`."""
+    mask = (1 << bits) - 1
+    y = md5_long_sql(cat_col)
+    z = _interleave_terms("zx", "zy", _shl_duck, _shr_duck, bits)
+    shard_shift = 2 * bits - (n_shards.bit_length() - 1)
+    return f"""
+WITH pre AS (
+  SELECT {id_col} AS doc_id,
+         least(CAST({length_col} AS BIGINT), {mask}) AS zx,
+         ({y}) % {mask + 1} AS zy
+  FROM {table}
+), z AS (
+  SELECT doc_id, zx, zy, CAST({z} AS BIGINT) AS zaddr FROM pre
+)
+SELECT doc_id, zx, zy, zaddr, zaddr // {1 << shard_shift} AS z_shard FROM z
+"""

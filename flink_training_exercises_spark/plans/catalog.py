@@ -40,6 +40,7 @@ from ..operators import (
     relational,
     sampling,
     sessions,
+    sketches,
     skew,
     similarity,
     stateful,
@@ -1941,6 +1942,132 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch family + layout (round 4) -- fixed-size mergeable summaries and
+# the z-order write layout; each sketch gated NEXT TO its exact twin so the
+# estimator is graded against ground truth (ann_recall_at_k policy).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_distinct_users",
+    oracle=sketches.hll_distinct_oracle("events", "user_id", "event_type"),
+    doc="HyperLogLog (p=9, 512 registers) distinct users per event_type "
+    "next to the exact count(DISTINCT) twin and rounded relative error. "
+    "Registers are exact integers on both engines (md5 sub-hash, "
+    "bit-length rho); the only float op is the final single-literal fold.",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sketches.hll_distinct(ev, "user_id", "event_type")
+
+
+_CMS_COUNTS_SQL = """
+  SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token != '' GROUP BY 1
+"""
+
+
+@register(
+    "countmin_token_freq",
+    oracle=(
+        "WITH counts AS (" + _CMS_COUNTS_SQL + "), "
+        + sketches.countmin_freq_oracle("counts", "token", "cnt")
+    ),
+    doc="Count-Min sketch (4x1024 integer cells) frequency estimates for "
+    "the top-20 corpus tokens vs their exact counts; overcount >= 0 is the "
+    "CMS one-sided guarantee, visible per row.",
+)
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(textstats._words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return sketches.countmin_freq(counts, "token", "cnt")
+
+
+@register(
+    "zorder_layout_documents",
+    oracle=sketches.zorder_layout_oracle("documents"),
+    doc="Morton z-address over (n_chars, md5(source)) with the 64-way "
+    "z-range shard assignment -- the multi-column file-skipping layout; "
+    "map-only 32-term integer interleave generated from one shared loop.",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sketches.zorder_layout(docs)
+
+
+@register(
+    "value_outliers_mad",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5e0) AS med FROM c GROUP BY 1
+), dev AS (
+  SELECT c.event_type, c.cents, abs(c.cents - m.med) AS dev
+  FROM c JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5e0) AS mad FROM dev GROUP BY 1
+), outl AS (
+  SELECT d.event_type,
+         CAST(sum(CASE WHEN d.dev > 3e0 * 1.4826e0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM dev d JOIN mad a USING (event_type)
+  GROUP BY 1
+)
+SELECT m.event_type, m.med / 100 AS median_value, a.mad / 100 AS mad_value,
+       o.n_outliers, o.n_rows
+FROM med m JOIN mad a USING (event_type) JOIN outl o USING (event_type)
+""",
+    doc="Robust outlier counts per event_type: median/MAD over integer "
+    "cents (interpolated percentile parity proven by value_percentiles); "
+    "the 3*1.4826*MAD fence is evaluated on exactly-representable halves "
+    "so the double comparison is engine-identical.",
+)
+def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5e0)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "cents", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5e0)").alias("mad"))
+    outl = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+    return (
+        med.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(outl), "event_type")
+        .select(
+            "event_type",
+            (F.col("med") / 100).alias("median_value"),
+            (F.col("mad") / 100).alias("mad_value"),
+            "n_outliers",
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Harness canaries -- deliberately probe how the driver's compare treats
 # (a) raw timestamp columns and (b) rounded float aggregates. Every other
 # query avoids both; if one of these mismatches in CORRECTNESS_r{N}.json the
@@ -2138,6 +2265,10 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- added in round 4, never driver-gated --
+    "hll_distinct_users",        # new: HLL sketch vs exact twin
+    "countmin_token_freq",       # new: CMS heavy-hitter estimates
+    "zorder_layout_documents",   # new: Morton layout + z-range shards
+    "value_outliers_mad",        # new: median/MAD robust outliers
     "multimodal_resize",         # new gate (VERDICT r3 #4)
     "inverted_index_postings",   # new: token -> (df, capped postings)
     "doc_typicality_bigrams",    # new: per-doc corpus bigram mass
@@ -2187,23 +2318,23 @@ _GATE_PRIORITY = [
     "travel_time_prediction",
     "sessionize_events",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "ann_topk_lsh",
-    "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
-    "distinct_users_per_type",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
-    # the round-5 rotation: the four r2-evidence rows deferred this round
-    # (each has an in-window cousin exercising the same operator).
+    # the round-5 rotation: the eight r2-evidence rows deferred this round
+    # (each has an in-window cousin exercising the same operator family).
     "member_of_the_month_joinback",   # r2; twin of member_of_the_month
     "travel_time_prediction_stateful",  # r2; streaming twin gated r3
     "ann_topk_bruteforce",            # r2; re-run inside ann_recall_at_k
     "neardup_embedding_cosine",       # r2; lsh variant in-window
+    "dedup_ngram_jaccard",            # r2; ejected for round-4 sketches
+    "text_quality_score",             # r2; ejected for round-4 sketches
+    "text_fingerprint",               # r2; ejected for round-4 sketches
+    "distinct_users_per_type",        # r2; ejected for round-4 sketches
     # -- r3-gated rows: freshest evidence, cede their slots this round --
     "streaming_sessionize",
     "streaming_exact_dedup",

@@ -45,6 +45,10 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-4 additions, never driver-gated
+    "hll_distinct_users",
+    "countmin_token_freq",
+    "zorder_layout_documents",
+    "value_outliers_mad",
     "multimodal_resize",
     "inverted_index_postings",
     "doc_typicality_bigrams",
@@ -90,15 +94,14 @@ EXPECTED_GATE_WINDOW = [
     "travel_time_prediction",
     "sessionize_events",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "ann_topk_lsh",
-    "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
-    "distinct_users_per_type",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    # ejected for the four round-4 sketch/layout queries:
+    # dedup_ngram_jaccard, text_quality_score, text_fingerprint,
+    # distinct_users_per_type (recorded first-in-line for round 5)
 ]
 
 

@@ -1,0 +1,165 @@
+"""Sketch family + z-order layout: hand-computed invariants.
+
+The cross-engine value parity is proven by the gate (tools/check_oracle.py);
+these tests pin the SEMANTICS against independently-computed expectations --
+a pure-Python HLL/CMS/Morton reimplementation over tiny inputs -- so an
+operator edit that keeps both engines in (wrong) agreement still fails.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_training_exercises_spark.operators import sketches
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _hll_reference(keys, p=sketches.HLL_P):
+    """Independent pure-Python HLL raw estimator (same hash/register spec)."""
+    m = 1 << p
+    regs = {}
+    for k in keys:
+        h = _md5_long(str(k))
+        bucket = h % m
+        w32 = (h // m) % (1 << 32)
+        rho = 33 if w32 == 0 else 33 - w32.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s = sum(1 << (33 - mj) for mj in regs.values()) + (m - len(regs)) * (1 << 33)
+    return float(sketches.HLL_NUMERATOR_LIT) / s, m - len(regs)
+
+
+def test_hll_matches_reference_estimator(spark):
+    keys = list(range(1, 401))
+    df = spark.createDataFrame(
+        [(k, "g") for k in keys], "user_id long, event_type string"
+    )
+    row = sketches.hll_distinct(df, "user_id", "event_type").collect()[0]
+    expect_est, expect_empty = _hll_reference(keys)
+    assert row["n_exact"] == 400
+    assert row["hll_estimate"] == pytest.approx(round(expect_est, 4), abs=1e-9)
+    assert row["n_empty_buckets"] == expect_empty
+    # raw HLL on 400 keys / 512 buckets is biased but must be in the right
+    # ballpark -- a register-arithmetic bug lands orders of magnitude away
+    assert 200 < row["hll_estimate"] < 800
+
+
+def test_hll_is_insensitive_to_duplication(spark):
+    """Defining sketch property: registers are max-folds, so feeding every
+    key 7 times must produce the identical estimate row."""
+    keys = list(range(1, 101))
+    once = spark.createDataFrame(
+        [(k, "g") for k in keys], "user_id long, event_type string"
+    )
+    many = spark.createDataFrame(
+        [(k, "g") for k in keys for _ in range(7)],
+        "user_id long, event_type string",
+    )
+    r1 = sketches.hll_distinct(once, "user_id", "event_type").collect()[0]
+    r7 = sketches.hll_distinct(many, "user_id", "event_type").collect()[0]
+    assert r1["hll_estimate"] == r7["hll_estimate"]
+    assert r1["n_empty_buckets"] == r7["n_empty_buckets"]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_overcount_is_one_sided_and_exact_when_sparse(spark):
+    counts = spark.createDataFrame(
+        [(f"tok{i}", 100 - i) for i in range(30)], "token string, cnt long"
+    )
+    out = sketches.countmin_freq(counts, "token", "cnt", top_k=10).collect()
+    assert len(out) == 10
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    # top-10 by count desc = tok0..tok9
+    assert [r["token"] for r in by_rank] == [f"tok{i}" for i in range(10)]
+    for r in out:
+        assert r["overcount"] >= 0  # CMS one-sided guarantee
+        assert r["est_cnt"] >= r["exact_cnt"]
+    # 30 keys in 4x1024 cells: collisions are possible but an est more than
+    # the total remaining mass away means the sketch summed the wrong cells
+    total = sum(100 - i for i in range(30))
+    for r in out:
+        assert r["est_cnt"] <= total
+
+
+def test_countmin_estimate_equals_reference_min(spark):
+    """Independent recomputation of the d probe cells for one token."""
+    counts_rows = [(f"w{i}", i + 1) for i in range(50)]
+    counts = spark.createDataFrame(counts_rows, "token string, cnt long")
+    out = {
+        r["token"]: r["est_cnt"]
+        for r in sketches.countmin_freq(counts, "token", "cnt", top_k=50).collect()
+    }
+    # rebuild the sketch in python with the same params
+    P = (1 << 31) - 1
+    cells = {}
+    for tok, cnt in counts_rows:
+        h = _md5_long(tok)
+        for r, (a, b) in enumerate(sketches._CMS_PARAMS):
+            bucket = ((a * (h % P) + b) % P) % sketches.CMS_WIDTH
+            cells[(r, bucket)] = cells.get((r, bucket), 0) + cnt
+    for tok, _ in counts_rows:
+        h = _md5_long(tok)
+        est = min(
+            cells[(r, ((a * (h % P) + b) % P) % sketches.CMS_WIDTH)]
+            for r, (a, b) in enumerate(sketches._CMS_PARAMS)
+        )
+        assert out[tok] == est, tok
+
+
+# ---------------------------------------------------------------------------
+# Z-order
+# ---------------------------------------------------------------------------
+
+
+def _morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for k in range(bits):
+        z |= ((x >> k) & 1) << (2 * k)
+        z |= ((y >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def test_zorder_matches_reference_interleave(spark):
+    docs = spark.createDataFrame(
+        [(1, 5, "alpha"), (2, 65535, "beta"), (3, 70000, "alpha"), (4, 0, "gamma")],
+        "doc_id long, n_chars long, source string",
+    )
+    out = {r["doc_id"]: r for r in sketches.zorder_layout(docs).collect()}
+    for doc_id, n_chars, src in [(1, 5, "alpha"), (2, 65535, "beta"), (3, 70000, "alpha"), (4, 0, "gamma")]:
+        x = min(n_chars, 65535)
+        y = _md5_long(src) % 65536
+        r = out[doc_id]
+        assert r["zx"] == x and r["zy"] == y
+        assert r["zaddr"] == _morton(x, y)
+        assert r["z_shard"] == _morton(x, y) // (1 << 26)
+        assert 0 <= r["z_shard"] < sketches.ZORDER_SHARDS
+
+
+def test_zorder_shards_bound_both_dimensions(spark):
+    """The layout's point: within one z-shard, the x-range spanned is at
+    most 1/8 of the full range (top 3 shard bits come from each dimension's
+    top 3 bits), so min/max file stats prune on BOTH columns."""
+    rows = [(i, (i * 7919) % 65536, f"s{i % 11}") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long, source string")
+    stats = (
+        sketches.zorder_layout(docs)
+        .groupBy("z_shard")
+        .agg(F.min("zx").alias("xmin"), F.max("zx").alias("xmax"),
+             F.min("zy").alias("ymin"), F.max("zy").alias("ymax"))
+        .collect()
+    )
+    for r in stats:
+        assert r["xmax"] - r["xmin"] <= 65536 // 8
+        assert r["ymax"] - r["ymin"] <= 65536 // 8
