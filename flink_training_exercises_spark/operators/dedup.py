@@ -742,3 +742,105 @@ SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
        CAST(n_hits AS BIGINT) AS n_hits
 FROM ne CROSS JOIN nl CROSS JOIN nh
 """
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram coverage (exact-substring dedup statistic)
+# ---------------------------------------------------------------------------
+
+REPEAT_NGRAM_N = 8
+
+
+def repeated_ngram_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = REPEAT_NGRAM_N,
+) -> DataFrame:
+    """Per-document repeated-n-gram statistics against the whole corpus --
+    the measurement half of exact-substring deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a doc
+    whose n-grams mostly appear in OTHER docs is boilerplate or a
+    near-copy, even when no single pair-level match fires.
+
+    Output per doc (docs with >= 1 n-gram): n_grams (distinct), n_repeated
+    (grams whose corpus document-frequency >= 2), repeat_frac.
+
+    Scale shape (100 TB): per-doc DISTINCT happens array-side before the
+    explode (bounds rows at distinct-grams-per-doc), the md5 fold runs
+    row-level AFTER the explode (codegen'd, not per-element interpreted --
+    the round-3 contamination lesson), and the df count + join-back share
+    one hash partitioning on the gram key: groupBy(gh) then join on gh
+    reuses the exchange. No raw text crosses a shuffle -- only 60-bit gram
+    hashes. This is the same one-key-shuffle skeleton as
+    suffix-array-based exact-substring dedup's shard-and-count phase, with
+    n-gram granularity standing in for full suffix automata."""
+    from ..sources.loaders import widen_scan
+    from .contamination import _gram_strings, _words
+
+    grams = (
+        widen_scan(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_gram_strings(_words(text_col), n)).alias("gram"),
+        )
+        .select("doc_id", _md5_long_c(F.col("gram")).alias("gh"))
+    )
+    dfreq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(dfreq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeated"),
+        )
+    )
+    # n_grams >= 1 by construction (grouped over exploded grams); the guard
+    # keeps the ANSI division invariant explicit anyway
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_repeated",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_repeated") / F.col("n_grams"), 6),
+        ).alias("repeat_frac"),
+    )
+
+
+def repeated_ngram_coverage_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = REPEAT_NGRAM_N,
+) -> str:
+    """DuckDB twin of :func:`repeated_ngram_coverage` (same tokenizer, same
+    string-level distinct, same post-explode md5 fold)."""
+    w = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    slots = ", ".join("ws[i]" if j == 0 else f"ws[i+{j}]" for j in range(n))
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS doc_id, {w} AS ws FROM {table}
+), grams AS (
+  SELECT doc_id,
+         {md5_long_sql('g')} AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct([concat_ws(' ', {slots})
+                   for i in generate_series(1, greatest(len(ws) - {n - 1}, 0))])) AS g
+    FROM w
+  )
+), dfreq AS (
+  SELECT gh, count(*) AS df FROM grams GROUP BY 1
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_repeated
+  FROM grams JOIN dfreq USING (gh) GROUP BY 1
+)
+SELECT doc_id, n_grams, n_repeated,
+       CASE WHEN n_grams > 0
+            THEN round(CAST(n_repeated AS DOUBLE) / n_grams, 6) END AS repeat_frac
+FROM per_doc
+"""

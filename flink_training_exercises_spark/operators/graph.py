@@ -244,3 +244,96 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 4,
+    max_rounds: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core of the undirected simple graph: the maximal subgraph where
+    every node keeps degree >= k. Standard peeling -- repeatedly drop
+    nodes of degree < k -- run to fixpoint with a ``max_rounds`` cap.
+
+    Determinism contract with the SQL oracle: the oracle unrolls EXACTLY
+    ``max_rounds`` peeling rounds; this side early-exits at the fixpoint.
+    The two agree because peeling is monotone -- once stable, further
+    rounds are identity -- so any cap >= 1 yields equal results, and a cap
+    reached before convergence yields the same partially-peeled set on
+    both sides. Output: (node, core_degree) for surviving nodes.
+
+    Scale shape: each round is one join-per-endpoint + one keyed count --
+    the Pregel degree-filter iteration. Lineage is cut per round with
+    localCheckpoint (same idiom as weighted_pagerank / the CC closure);
+    one count() action per round drives the fixpoint test. At web scale
+    the expected round count is O(log n) in practice; the cap bounds the
+    gate's plan size, not the algorithm."""
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    und = und.localCheckpoint()  # reused every round; don't rescan the source
+    s = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    n_prev = s.count()
+    for _ in range(max_rounds):
+        deg = (
+            und.join(s.withColumnRenamed("node", "u"), "u")
+            .join(s.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        s2 = deg.where(F.col("d") >= k).select(F.col("u").alias("node"))
+        s2 = s2.localCheckpoint()
+        n_cur = s2.count()
+        s = s2
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    return (
+        und.join(s.withColumnRenamed("node", "u"), "u")
+        .join(s.withColumnRenamed("node", "v"), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("u").alias("node"), "core_degree")
+    )
+
+
+def kcore_sql(edges_sql: str, k: int = 4, rounds: int = 12) -> str:
+    """DuckDB twin of :func:`kcore`: exactly ``rounds`` peeling rounds
+    unrolled as CTEs (fixpoint rounds are identity, so this equals the
+    Spark side's early-exit loop -- same contract as the pagerank and
+    Lloyd unrolls)."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references its predecessor TWICE (su, sv) -- an un-materialized
+    # unroll re-expands the whole chain 2^rounds times (observed as a
+    # too-many-open-files blowup on the parquet-backed view)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src != dst)",
+        "und AS MATERIALIZED (SELECT a AS u, b AS v FROM e "
+        "UNION ALL SELECT b, a FROM e)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT u AS node FROM und "
+            f"JOIN s{i} su ON und.u = su.node "
+            f"JOIN s{i} sv ON und.v = sv.node "
+            f"GROUP BY u HAVING count(*) >= {k})"
+        )
+    parts.append(
+        f"fin AS (SELECT u, CAST(count(*) AS BIGINT) AS core_degree FROM und "
+        f"JOIN s{rounds} su ON und.u = su.node "
+        f"JOIN s{rounds} sv ON und.v = sv.node GROUP BY u)"
+    )
+    return ",\n".join(parts) + "\nSELECT u AS node, core_degree FROM fin"

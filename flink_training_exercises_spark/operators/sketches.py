@@ -221,11 +221,15 @@ def countmin_freq(
 
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("cnt"), F.asc("k"))
-    probes = (
-        counts.select(F.col(key_col).alias("k"), F.col(count_col).alias("cnt"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= top_k)
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k + driver merge -- never a global single-partition
+    # window over the whole vocabulary), then rank the top_k survivors;
+    # the window's single partition holds top_k rows, not the vocab
+    top = counts.select(
+        F.col(key_col).alias("k"), F.col(count_col).alias("cnt")
+    ).orderBy(F.desc("cnt"), F.asc("k")).limit(top_k)
+    probes = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("k")))
     )
     probe_cells = probes.select(
         "k",

@@ -1941,6 +1941,55 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_repeated_ngrams",
+    oracle=dedup.repeated_ngram_coverage_sql(),
+    doc="Exact-substring dedup statistic (Lee et al. 2021 measurement "
+    "half): per-doc distinct 8-gram count, count repeated elsewhere in "
+    "the corpus (df >= 2), and the repeat fraction; one gram-hash shuffle "
+    "shared by the df count and the join-back.",
+)
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.repeated_ngram_coverage(docs)
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 12
+# deterministic sparse interaction graph: md5 endpoints over event ids,
+# node-id space sized to a third of the event count so the expected degree
+# (~6) straddles the k=4 peeling threshold -- peeling actually iterates
+# (7 rounds at sf0.01) instead of converging trivially
+_KCORE_EDGES_SQL = f"""
+SELECT {{src}} % (SELECT greatest(count(*) // 3, 2) FROM events) AS src,
+       {{dst}} % (SELECT greatest(count(*) // 3, 2) FROM events) AS dst
+FROM events
+""".format(
+    src="CAST('0x' || substr(md5('s' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)",
+    dst="CAST('0x' || substr(md5('d' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)",
+)
+
+
+@register(
+    "kcore_interactions",
+    oracle=graph.kcore_sql(_KCORE_EDGES_SQL, k=_KCORE_K, rounds=_KCORE_ROUNDS),
+    doc="4-core of the md5-derived event interaction graph: iterative "
+    "degree peeling to fixpoint (Spark loop + localCheckpoint) vs the "
+    "oracle's 12-round unroll -- equal because fixpoint rounds are "
+    "identity. Output (node, core_degree).",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    ev = load_table(spark, "events", sf_dir)
+    n_nodes = max(ev.count() // 3, 2)
+    edges = ev.select(
+        (md5_long(F.concat(F.lit("s"), F.col("event_id").cast("string"))) % n_nodes).alias("src"),
+        (md5_long(F.concat(F.lit("d"), F.col("event_id").cast("string"))) % n_nodes).alias("dst"),
+    )
+    return graph.kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # Sketch family + layout (round 4) -- fixed-size mergeable summaries and
 # the z-order write layout; each sketch gated NEXT TO its exact twin so the
@@ -2265,6 +2314,8 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- added in round 4, never driver-gated --
+    "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
+    "kcore_interactions",        # new: iterative k-core peeling
     "hll_distinct_users",        # new: HLL sketch vs exact twin
     "countmin_token_freq",       # new: CMS heavy-hitter estimates
     "zorder_layout_documents",   # new: Morton layout + z-range shards
@@ -2321,8 +2372,6 @@ _GATE_PRIORITY = [
     "ann_topk_lsh",
     "text_lang_id",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
     # the round-5 rotation: the eight r2-evidence rows deferred this round
@@ -2335,6 +2384,8 @@ _GATE_PRIORITY = [
     "text_quality_score",             # r2; ejected for round-4 sketches
     "text_fingerprint",               # r2; ejected for round-4 sketches
     "distinct_users_per_type",        # r2; ejected for round-4 sketches
+    "tpch_q3_shipping_priority",      # r2; ejected for kcore/repeat-ngrams
+    "tpch_q5_local_supplier",         # r2; ejected for kcore/repeat-ngrams
     # -- r3-gated rows: freshest evidence, cede their slots this round --
     "streaming_sessionize",
     "streaming_exact_dedup",

@@ -45,6 +45,8 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-4 additions, never driver-gated
+    "dedup_repeated_ngrams",
+    "kcore_interactions",
     "hll_distinct_users",
     "countmin_token_freq",
     "zorder_layout_documents",
@@ -97,11 +99,10 @@ EXPECTED_GATE_WINDOW = [
     "ann_topk_lsh",
     "text_lang_id",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    # ejected for the four round-4 sketch/layout queries:
-    # dedup_ngram_jaccard, text_quality_score, text_fingerprint,
-    # distinct_users_per_type (recorded first-in-line for round 5)
+    # ejected for the six round-4 additions: dedup_ngram_jaccard,
+    # text_quality_score, text_fingerprint, distinct_users_per_type,
+    # tpch_q3_shipping_priority, tpch_q5_local_supplier (all recorded
+    # first-in-line for round 5)
 ]
 
 

@@ -116,3 +116,31 @@ def test_triangle_count_hand_computed(spark):
         "src string, dst string",
     )
     assert triangle_count(edges).first()["n_triangles"] == 4
+
+
+def test_kcore_peels_multiround_hand_computed(spark):
+    """Triangle {1,2,3} + pendant chain 3-4-5: k=2 peeling must take TWO
+    rounds (5 falls first, exposing 4), leaving exactly the triangle with
+    core degree 2 -- pins the iterative fixpoint, not just one pass."""
+    from flink_training_exercises_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cap_matches_oracle_contract(spark):
+    """A cap below the convergence round count must still produce a
+    well-defined partial peel: with max_rounds=1 on the chain graph, only
+    the first peel (node 5) happens."""
+    from flink_training_exercises_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=2, max_rounds=1).collect()}
+    # after one round: 5 dropped; 4 survives the FIRST degree test (deg 2)
+    # and its degree within the survivor set is 1 (only neighbor 3)
+    assert out == {1: 2, 2: 2, 3: 3, 4: 1}

@@ -595,3 +595,24 @@ def test_frequent_tokens_topk_hand_computed(spark):
     ]
     # en: b x3, a x2 (c cut by k=2); ties would break by token asc
     assert rows == [("de", "z", 3, 1), ("en", "b", 3, 1), ("en", "a", 2, 2)]
+
+
+def test_repeated_ngram_coverage_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b d"),
+            (3, "x y z"),
+            (4, "q"),  # shorter than n: no grams, no output row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_repeated"], r["repeat_frac"])
+        for r in dedup.repeated_ngram_coverage(docs, n=2).collect()
+    }
+    assert out == {
+        1: (2, 1, 0.5),   # grams {a b, b c}; 'a b' shared with doc 2
+        2: (2, 1, 0.5),
+        3: (2, 0, 0.0),
+    }
