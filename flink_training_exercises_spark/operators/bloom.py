@@ -1,0 +1,166 @@
+"""Bloom-filter semi-join pruning (runtime-filter pushdown, made explicit).
+
+The 100 TB join problem this solves: a selective dimension-side predicate
+should prune the fact-table scan BEFORE the shuffle. Spark's own
+`spark.sql.optimizer.runtime.bloomFilter.enabled` injects this plan
+automatically but with engine-internal (non-portable) hashing; this
+operator builds the same structure from the md5 hash family so the DuckDB
+oracle can replay it bit-for-bit and the GATED query can grade its
+false-positive behavior against the exact semi-join.
+
+Structure: M = 63 * n_words bits packed into BIGINT words (63 usable
+bits per word -- DuckDB raises on `1 << 63` where Spark wraps, so the
+sign bit is simply never used), K hash
+functions from the shared universal family. The build side aggregates
+`bit_or(1 << bit)` per word -- order-independent and mergeable (the OR of
+partial filters IS the filter of the union), so map-side combine applies
+and the final filter is n_words rows, broadcast-sized by construction.
+The probe side explodes each key into its K (word, bit) cells, joins the
+broadcast filter, and keeps keys whose K cells are all set.
+
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    hash_params,
+    md5_long,
+    md5_long_sql,
+    permuted_hash,
+    permuted_hash_sql,
+)
+
+BLOOM_WORDS = 260  # 63 bits/word = 16380 bits
+BLOOM_K = 3
+_BLOOM_PARAMS = hash_params(BLOOM_K, seed=0xB100F)
+
+
+def _cells(key_col, n_words: int):
+    """The K (word, bit) cells of a key as an array of structs."""
+    base = md5_long(key_col.cast("string"))
+    m_bits = 63 * n_words
+    out = []
+    for a, b in _BLOOM_PARAMS:
+        pos = permuted_hash(base, a, b) % m_bits
+        # explicit floor before the int cast (repo ANSI invariant); pos is
+        # < 2^15 so the double quotient is exact
+        out.append(
+            F.struct(
+                F.floor(pos / F.lit(63)).cast("bigint").alias("word"),
+                (pos % 63).alias("bit"),
+            )
+        )
+    return out
+
+
+def bloom_semijoin_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    n_words: int = BLOOM_WORDS,
+) -> DataFrame:
+    """Build a Bloom filter over ``build[build_key]``, probe every distinct
+    ``probe[probe_key]``, and grade the filter against the exact semi-join:
+    one row (n_probe_keys, n_candidates, n_true, n_false_pos).
+
+    n_candidates >= n_true always (no false negatives -- the Bloom
+    guarantee); n_false_pos is the price of the broadcast-sized filter vs
+    an exact shuffle semi-join. At scale the filter replaces the semi-join
+    SHUFFLE with a broadcast AND-mask ahead of the scan; this audit query
+    intentionally ALSO runs the exact semi-join to measure it, the same
+    estimator-vs-ground-truth pattern as hll_distinct / ann_recall_at_k."""
+    build_cells = (
+        build.select(F.col(build_key).alias("k")).distinct()
+        .select(F.explode(F.array(*_cells(F.col("k"), n_words))).alias("c"))
+        .select(F.col("c.word").alias("word"), F.col("c.bit").alias("bit"))
+    )
+    filt = build_cells.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias(
+            "bits"
+        )
+    )
+    probe_keys = probe.select(F.col(probe_key).alias("k")).distinct()
+    probe_cells = probe_keys.select(
+        "k", F.explode(F.array(*_cells(F.col("k"), n_words))).alias("c")
+    ).select("k", F.col("c.word").alias("word"), F.col("c.bit").alias("bit"))
+    hits = (
+        probe_cells.join(F.broadcast(filt), "word", "left")
+        .select(
+            "k",
+            F.when(
+                # explicit parens: & binds LOOSER than != in SQL grammars
+                F.expr(
+                    "(coalesce(bits, CAST(0 AS BIGINT)) & "
+                    "shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.sum("hit").alias("n_set"))
+    )
+    candidates = hits.where(F.col("n_set") == BLOOM_K).select("k")
+    true_members = probe_keys.join(
+        build.select(F.col(build_key).alias("k")).distinct(), "k", "left_semi"
+    )
+    n_probe = probe_keys.agg(F.count(F.lit(1)).alias("n_probe_keys"))
+    n_cand = candidates.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_true = true_members.agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        n_probe.crossJoin(n_cand)
+        .crossJoin(n_true)
+        .select(
+            "n_probe_keys",
+            "n_candidates",
+            "n_true",
+            (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
+        )
+    )
+
+
+def bloom_semijoin_audit_sql(
+    build_sql: str,
+    probe_sql: str,
+    n_words: int = BLOOM_WORDS,
+) -> str:
+    """DuckDB twin of :func:`bloom_semijoin_audit`. ``build_sql`` /
+    ``probe_sql`` must each select one column named ``k``."""
+    base = md5_long_sql("CAST(k AS VARCHAR)")
+    m_bits = 63 * n_words
+    cell_rows = " UNION ALL ".join(
+        f"SELECT k, ({permuted_hash_sql(base, a, b)}) % {m_bits} AS pos FROM bkeys"
+        for a, b in _BLOOM_PARAMS
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT k, ({permuted_hash_sql(base, a, b)}) % {m_bits} AS pos FROM pkeys"
+        for a, b in _BLOOM_PARAMS
+    )
+    return f"""
+WITH bkeys AS MATERIALIZED (SELECT DISTINCT k FROM ({build_sql})),
+pkeys AS MATERIALIZED (SELECT DISTINCT k FROM ({probe_sql})),
+bcells AS ({cell_rows}),
+filt AS (
+  SELECT pos // 63 AS word, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+  FROM bcells GROUP BY 1
+),
+pcells AS ({probe_rows}),
+hits AS (
+  SELECT p.k,
+         sum(CASE WHEN (coalesce(f.bits, 0) & (1::BIGINT << CAST(p.pos % 63 AS INT))) != 0
+                  THEN 1 ELSE 0 END) AS n_set
+  FROM pcells p LEFT JOIN filt f ON p.pos // 63 = f.word
+  GROUP BY 1
+),
+cand AS (SELECT k FROM hits WHERE n_set = {BLOOM_K}),
+tru AS (SELECT k FROM pkeys WHERE k IN (SELECT k FROM bkeys))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pkeys) AS n_probe_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM tru) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) - (SELECT CAST(count(*) AS BIGINT) FROM tru) AS n_false_pos
+"""

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.text import STOP_WORDS
 from ..operators import (
     asof,
+    bloom,
     contamination,
     dedup,
     graph,
@@ -1954,6 +1955,104 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_ngram_coverage(docs)
 
 
+@register(
+    "bloom_semijoin_orders",
+    oracle=bloom.bloom_semijoin_audit_sql(
+        "SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'",
+        "SELECT l_orderkey AS k FROM lineitem",
+    ),
+    doc="Bloom-filter semi-join pruning audit: 16384-bit md5-hashed filter "
+    "over urgent orderkeys probed by every lineitem orderkey, graded "
+    "against the exact semi-join (n_candidates >= n_true, false positives "
+    "counted). The explicit form of runtime-filter pushdown: a broadcast "
+    "AND-mask ahead of the fact scan instead of a shuffle semi-join.",
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return bloom.bloom_semijoin_audit(orders, lineitem, "o_orderkey", "l_orderkey")
+
+
+@register(
+    "dq_audit_relational",
+    oracle="""
+SELECT 'orders_without_customer' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM orders o WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_without_order',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'nonpositive_quantity', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'discount_out_of_range', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL
+SELECT 'ship_before_order', CAST(count(*) AS BIGINT)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+UNION ALL
+SELECT 'null_event_user', CAST(count(*) AS BIGINT)
+FROM events WHERE user_id IS NULL
+""",
+    doc="Data-quality audit: referential integrity (anti-joins), domain "
+    "constraints, and cross-table date-order checks as one "
+    "(check_name, n_violations) relation -- the pipeline pre-flight every "
+    "ingestion job runs before training-data materialization.",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_without_customer",
+            orders.join(
+                customer.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+        ),
+        one(
+            "lineitem_without_order",
+            lineitem.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+        ),
+        one("nonpositive_quantity", lineitem.where(F.col("l_quantity") <= 0)),
+        one(
+            "discount_out_of_range",
+            lineitem.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one(
+            "ship_before_order",
+            lineitem.join(
+                orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).where(F.col("l_shipdate") < F.col("o_orderdate")),
+        ),
+        one("null_event_user", events.where(F.col("user_id").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
 _KCORE_K = 4
 _KCORE_ROUNDS = 12
 # deterministic sparse interaction graph: md5 endpoints over event ids,
@@ -2314,6 +2413,8 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- added in round 4, never driver-gated --
+    "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
+    "dq_audit_relational",       # new: DQ pre-flight checks
     "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
     "kcore_interactions",        # new: iterative k-core peeling
     "hll_distinct_users",        # new: HLL sketch vs exact twin
@@ -2369,8 +2470,6 @@ _GATE_PRIORITY = [
     "travel_time_prediction",
     "sessionize_events",
     "dedup_simhash",
-    "ann_topk_lsh",
-    "text_lang_id",
     "tpch_q1_pricing_summary",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
@@ -2386,6 +2485,10 @@ _GATE_PRIORITY = [
     "distinct_users_per_type",        # r2; ejected for round-4 sketches
     "tpch_q3_shipping_priority",      # r2; ejected for kcore/repeat-ngrams
     "tpch_q5_local_supplier",         # r2; ejected for kcore/repeat-ngrams
+    "ann_topk_lsh",                   # r2; ejected for bloom/dq (graded
+                                      #     inside in-window ann_recall_at_k)
+    "text_lang_id",                   # r2; ejected for bloom/dq (composed
+                                      #     inside in-window curation_pipeline)
     # -- r3-gated rows: freshest evidence, cede their slots this round --
     "streaming_sessionize",
     "streaming_exact_dedup",

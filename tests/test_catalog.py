@@ -45,6 +45,8 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-4 additions, never driver-gated
+    "bloom_semijoin_orders",
+    "dq_audit_relational",
     "dedup_repeated_ngrams",
     "kcore_interactions",
     "hll_distinct_users",
@@ -96,13 +98,11 @@ EXPECTED_GATE_WINDOW = [
     "travel_time_prediction",
     "sessionize_events",
     "dedup_simhash",
-    "ann_topk_lsh",
-    "text_lang_id",
     "tpch_q1_pricing_summary",
-    # ejected for the six round-4 additions: dedup_ngram_jaccard,
+    # ejected for the eight round-4 additions: dedup_ngram_jaccard,
     # text_quality_score, text_fingerprint, distinct_users_per_type,
-    # tpch_q3_shipping_priority, tpch_q5_local_supplier (all recorded
-    # first-in-line for round 5)
+    # tpch_q3_shipping_priority, tpch_q5_local_supplier, ann_topk_lsh,
+    # text_lang_id (all recorded first-in-line for round 5)
 ]
 
 

@@ -616,3 +616,40 @@ def test_repeated_ngram_coverage_hand_computed(spark):
         2: (2, 1, 0.5),
         3: (2, 0, 0.0),
     }
+
+
+def test_bloom_semijoin_audit_reference_parity(spark):
+    """Counts must match an independent pure-Python Bloom replay: same
+    cells, same one-sided guarantee (no false negatives by construction)."""
+    import hashlib
+
+    from flink_training_exercises_spark.operators import bloom
+
+    build_keys = list(range(0, 50))
+    probe_keys = list(range(25, 150))
+    build = spark.createDataFrame([(k,) for k in build_keys], "bk long")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "pk long")
+    row = bloom.bloom_semijoin_audit(build, probe, "bk", "pk", n_words=4).collect()[0]
+
+    P = (1 << 31) - 1
+    m_bits = 63 * 4
+
+    def cells(k):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        return [((a * (h % P) + b) % P) % m_bits for a, b in bloom._BLOOM_PARAMS]
+
+    bits = set()
+    for k in build_keys:
+        bits.update(cells(k))
+    cand = [k for k in probe_keys if all(c in bits for c in cells(k))]
+    true = [k for k in probe_keys if k in set(build_keys)]
+    assert row["n_probe_keys"] == len(probe_keys)
+    assert row["n_candidates"] == len(cand)
+    assert row["n_true"] == len(true)
+    assert row["n_false_pos"] == len(cand) - len(true)
+    # Bloom one-sidedness: every true member is a candidate
+    assert set(true) <= set(cand)
+    # with a deliberately tiny 252-bit filter and 50 keys, saturation makes
+    # false positives near-certain -- the audit must therefore be counting
+    # them, not silently reporting zero
+    assert row["n_false_pos"] > 0
