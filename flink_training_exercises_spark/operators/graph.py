@@ -337,3 +337,83 @@ def kcore_sql(edges_sql: str, k: int = 4, rounds: int = 12) -> str:
         f"JOIN s{rounds} sv ON und.v = sv.node GROUP BY u)"
     )
     return ",\n".join(parts) + "\nSELECT u AS node, core_degree FROM fin"
+
+
+def sssp_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source shortest paths (unweighted -- BFS hop counts) on the
+    directed graph, the Gelly SSSP exercise shape re-expressed as an
+    iterative frontier expansion (Flink's iterate() on the reference's
+    graph surface; Pregel's canonical example).
+
+    Frontier BFS: each round joins ONLY the newly-settled frontier against
+    the edge list, anti-joins out already-settled nodes, and unions the
+    survivors in at hop h. Settled distances never change (BFS invariant),
+    so rounds after convergence are identity -- the same early-exit-vs-
+    full-unroll contract as :func:`kcore` lets the SQL twin unroll exactly
+    ``max_hops`` rounds. Output: (node, hops) for nodes within
+    ``max_hops`` of ``source``, the source itself at 0.
+
+    Scale shape (100 TB): the per-round cost is one hash join keyed on the
+    frontier (small side -- broadcastable once the frontier shrinks; AQE
+    picks that up at runtime) plus one anti-join against the settled set;
+    lineage is cut per round with localCheckpoint, one isEmpty() action
+    drives the exit. The edge list is deduplicated once up front --
+    parallel edges change nothing in BFS but multiply the join fan-out."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        edges.sparkSession.range(1)
+        .select(
+            F.lit(source).cast("bigint").alias("node"),
+            F.lit(0).cast("bigint").alias("hops"),
+        )
+        .localCheckpoint()
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+def sssp_hops_sql(edges_sql: str, source: int, max_hops: int = 8) -> str:
+    """DuckDB twin of :func:`sssp_hops`: exactly ``max_hops`` BFS rounds
+    unrolled as materialized CTEs. Each round re-expands the WHOLE settled
+    set (not just the frontier) and re-minimizes -- algebraically equal to
+    the frontier form because settled hop counts are already minimal, and
+    bounded per round by |edges| join rows (no path enumeration; a
+    WITH RECURSIVE walk would enumerate all bounded walks instead)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src != dst)",
+        f"r0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS node, "
+        "CAST(0 AS BIGINT) AS hops)",
+    ]
+    for i in range(max_hops):
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT node, CAST(min(hops) AS BIGINT) AS hops "
+            f"FROM (SELECT node, hops FROM r{i} "
+            f"UNION ALL SELECT e.dst, r{i}.hops + 1 FROM e JOIN r{i} ON e.src = r{i}.node "
+            f"WHERE r{i}.hops + 1 <= {max_hops}) GROUP BY node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, hops FROM r{max_hops}"

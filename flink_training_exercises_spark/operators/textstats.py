@@ -384,3 +384,104 @@ pairs AS (
 SELECT pair, CAST(sum(f) AS BIGINT) AS weight
 FROM pairs GROUP BY pair HAVING sum(f) >= {min_weight}
 """
+
+
+def vocab_oov_rate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    max_oov_rate: float = 0.2,
+) -> DataFrame:
+    """Tokenizer-coverage audit: per-document out-of-vocabulary rate
+    against the corpus' own top-``vocab_size`` token vocabulary (count
+    desc, token asc tiebreak), plus the keep flag a coverage filter would
+    apply (``oov_rate <= max_oov_rate``). The pre-training sanity check
+    that a tokenizer's vocabulary actually covers the corpus it will
+    tokenize.
+
+    Scale shape (100 TB): the vocabulary build is one map-side-combined
+    token count + a bounded top-k (TakeOrdered -- per-partition partial
+    top-k, driver merge of ``vocab_size`` rows); the probe side is a
+    broadcast hash join on the exploded tokens with NO shuffle before the
+    per-doc re-aggregation -- and because explode preserves partition
+    locality, the partial aggregate collapses each doc to one row
+    map-side, so the final exchange carries O(#docs) rows, not O(#tokens).
+    Empty docs survive via the left join back to the corpus (n_tokens=0,
+    oov_rate NULL, keep=false). Ratio = single division of exact BIGINTs
+    (bit-identical across engines); no float aggregation anywhere."""
+    base = _widened(docs)
+    toks = base.select(F.col(id_col), F.explode(_words(text_col)).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+    )
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.col("n_oov").cast("double") / F.col("n_tokens"),
+    )
+    return (
+        base.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0).cast("bigint")).alias("n_oov"),
+            rate.alias("oov_rate"),
+            F.when(rate <= F.lit(max_oov_rate), F.lit(True))
+            .otherwise(F.lit(False))
+            .alias("keep"),
+        )
+    )
+
+
+def vocab_oov_rate_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    max_oov_rate_sql: str = "2e-1",
+) -> str:
+    w = _words_sql(text_col)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT {id_col}, unnest({w}) AS token FROM {table}
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM toks
+    GROUP BY token ORDER BY c DESC, token LIMIT {vocab_size}
+  )
+),
+per AS (
+  SELECT t.{id_col},
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY t.{id_col}
+)
+SELECT d.{id_col},
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_oov, 0) AS n_oov,
+       CASE WHEN p.n_tokens > 0 THEN CAST(p.n_oov AS DOUBLE) / p.n_tokens END
+         AS oov_rate,
+       COALESCE(
+         CASE WHEN p.n_tokens > 0
+              THEN CAST(p.n_oov AS DOUBLE) / p.n_tokens <= {max_oov_rate_sql} END,
+         FALSE
+       ) AS keep
+FROM {table} d LEFT JOIN per p ON d.{id_col} = p.{id_col}
+"""

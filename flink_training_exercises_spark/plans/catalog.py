@@ -30,6 +30,7 @@ from ..functions.text import STOP_WORDS
 from ..operators import (
     asof,
     bloom,
+    cdc,
     contamination,
     dedup,
     graph,
@@ -2383,6 +2384,99 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: CDC MERGE semantics, Pregel-style SSSP, tokenizer
+# vocabulary-coverage audit.
+# ---------------------------------------------------------------------------
+
+# 2024-01-16 00:00:00 (naive) in epoch ms -- the change-batch cutoff.
+# epoch-ms comparison on both sides: TZ-independent by construction.
+_CDC_CUTOFF_MS = 1705363200000
+
+
+@register(
+    "cdc_merge_user_state",
+    oracle=cdc.merge_upsert_user_state_sql(_CDC_CUTOFF_MS),
+    doc="MERGE INTO semantics as one batch plan (the Delta/Hudi/Iceberg "
+    "upsert shape; reference analogue = keyed latest-state maintenance, "
+    "TravelTimePrediction.java): snapshot = latest pre-cutoff event per "
+    "user, change batch = post-cutoff events with 'error' rows as delete "
+    "markers, merged last-writer-wins by (state_ms, event_id) with "
+    "changes beating the snapshot on ties. One hash shuffle on the merge "
+    "key -- the minimum any MERGE pays.",
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.time import epoch_ms
+    from ..operators.cdc import merge_upsert
+
+    ev = load_table(spark, "events", sf_dir).withColumn("state_ms", epoch_ms("ts"))
+    pre = ev.where(F.col("state_ms") < _CDC_CUTOFF_MS)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    snapshot = (
+        pre.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            "state_ms",
+            "event_id",
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    changes = ev.where(F.col("state_ms") >= _CDC_CUTOFF_MS).select(
+        "user_id",
+        "event_type",
+        "value",
+        "state_ms",
+        "event_id",
+        (F.col("event_type") == "error").alias("is_delete"),
+    )
+    return merge_upsert(
+        snapshot, changes, keys=["user_id"], seq_cols=["state_ms", "event_id"]
+    )
+
+
+@register(
+    "sssp_event_graph",
+    oracle=graph.sssp_hops_sql(_KCORE_EDGES_SQL, source=0, max_hops=8),
+    doc="Single-source shortest paths (BFS hop counts, Gelly's SSSP "
+    "exercise / Pregel's canonical example) from node 0 on the "
+    "md5-derived directed event graph: iterative frontier expansion with "
+    "per-round localCheckpoint vs the oracle's 8-round settled-set "
+    "unroll -- equal because settled BFS distances are final, so "
+    "post-convergence rounds are identity (the kcore contract).",
+)
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    ev = load_table(spark, "events", sf_dir)
+    n_nodes = max(ev.count() // 3, 2)
+    edges = ev.select(
+        (md5_long(F.concat(F.lit("s"), F.col("event_id").cast("string"))) % n_nodes).alias("src"),
+        (md5_long(F.concat(F.lit("d"), F.col("event_id").cast("string"))) % n_nodes).alias("dst"),
+    )
+    return graph.sssp_hops(edges, source=0, max_hops=8)
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=textstats.vocab_oov_rate_sql(),
+    doc="Tokenizer-coverage audit: per-document OOV rate against the "
+    "corpus' own top-1000 token vocabulary (count desc, token asc "
+    "tiebreak) with the coverage-filter keep flag (oov_rate <= 0.2). "
+    "Vocabulary = one map-side-combined count + bounded top-k; probe = "
+    "broadcast join on the exploded tokens, re-aggregated to one row per "
+    "doc map-side before the only shuffle. Ratio is a single division of "
+    "exact BIGINTs.",
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.vocab_oov_rate(docs)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -2413,6 +2507,9 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- added in round 4, never driver-gated --
+    "cdc_merge_user_state",      # new: MERGE upsert/delete semantics
+    "sssp_event_graph",          # new: BFS shortest paths (Gelly SSSP)
+    "vocab_oov_rate",            # new: tokenizer-coverage audit
     "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
     "dq_audit_relational",       # new: DQ pre-flight checks
     "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
@@ -2468,13 +2565,15 @@ _GATE_PRIORITY = [
     "mail_tfidf",
     "pagerank_weighted",
     "travel_time_prediction",
-    "sessionize_events",
-    "dedup_simhash",
-    "tpch_q1_pricing_summary",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
-    # the round-5 rotation: the eight r2-evidence rows deferred this round
-    # (each has an in-window cousin exercising the same operator family).
+    # the round-5 rotation: the three refresh rows ejected by the batch-2
+    # additions (cdc/sssp/oov), then the eight r2-evidence rows deferred
+    # earlier this round (each has an in-window cousin exercising the same
+    # operator family).
+    "sessionize_events",              # r2; ejected for cdc_merge_user_state
+    "dedup_simhash",                  # r2; ejected for sssp_event_graph
+    "tpch_q1_pricing_summary",        # r2; ejected for vocab_oov_rate
     "member_of_the_month_joinback",   # r2; twin of member_of_the_month
     "travel_time_prediction_stateful",  # r2; streaming twin gated r3
     "ann_topk_bruteforce",            # r2; re-run inside ann_recall_at_k

@@ -45,6 +45,9 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-4 additions, never driver-gated
+    "cdc_merge_user_state",
+    "sssp_event_graph",
+    "vocab_oov_rate",
     "bloom_semijoin_orders",
     "dq_audit_relational",
     "dedup_repeated_ngrams",
@@ -96,13 +99,12 @@ EXPECTED_GATE_WINDOW = [
     "mail_tfidf",
     "pagerank_weighted",
     "travel_time_prediction",
-    "sessionize_events",
-    "dedup_simhash",
-    "tpch_q1_pricing_summary",
-    # ejected for the eight round-4 additions: dedup_ngram_jaccard,
-    # text_quality_score, text_fingerprint, distinct_users_per_type,
-    # tpch_q3_shipping_priority, tpch_q5_local_supplier, ann_topk_lsh,
-    # text_lang_id (all recorded first-in-line for round 5)
+    # ejected for the eight round-4 sketch/index additions:
+    # dedup_ngram_jaccard, text_quality_score, text_fingerprint,
+    # distinct_users_per_type, tpch_q3_shipping_priority,
+    # tpch_q5_local_supplier, ann_topk_lsh, text_lang_id; ejected for the
+    # batch-2 additions (cdc/sssp/oov): sessionize_events, dedup_simhash,
+    # tpch_q1_pricing_summary (all recorded first-in-line for round 5)
 ]
 
 

@@ -2,6 +2,7 @@
 
 import pytest
 
+from flink_training_exercises_spark.operators import graph
 from flink_training_exercises_spark.operators.graph import (
     out_weight_sums,
     transition_probabilities,
@@ -144,3 +145,34 @@ def test_kcore_cap_matches_oracle_contract(spark):
     # after one round: 5 dropped; 4 survives the FIRST degree test (deg 2)
     # and its degree within the survivor set is 1 (only neighbor 3)
     assert out == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_sssp_hand_computed(spark):
+    # 0->1->2->3 chain plus shortcut 0->2, unreachable island 7->8,
+    # parallel edge and self-loop noise
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 3), (0, 2), (7, 8), (3, 3)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.sssp_hops(edges, source=0, max_hops=8).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_sssp_hop_cap_truncates(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.sssp_hops(chain, source=0, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sssp_source_without_edges(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = graph.sssp_hops(edges, source=99, max_hops=4).collect()
+    assert [(r["node"], r["hops"]) for r in got] == [(99, 0)]

@@ -653,3 +653,66 @@ def test_bloom_semijoin_audit_reference_parity(spark):
     # false positives near-certain -- the audit must therefore be counting
     # them, not silently reporting zero
     assert row["n_false_pos"] > 0
+
+
+def test_merge_upsert_semantics(spark):
+    from flink_training_exercises_spark.operators.cdc import merge_upsert
+
+    schema = "k long, v string, seq long, is_delete boolean"
+    snapshot = spark.createDataFrame(
+        [(1, "old1", 10, False), (2, "old2", 10, False), (3, "old3", 10, False)],
+        schema,
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "new1", 20, False),   # UPDATE wins by seq
+            (2, "gone", 20, True),    # DELETE removes key 2
+            (4, "ins4", 20, False),   # INSERT new key
+            (3, "tie3", 10, False),   # exact seq tie: change beats snapshot
+            (5, "a", 20, False),      # within-batch: later seq wins
+            (5, "b", 30, False),
+        ],
+        schema,
+    )
+    got = {
+        r["k"]: (r["v"], r["seq"])
+        for r in merge_upsert(
+            snapshot, changes, keys=["k"], seq_cols=["seq"]
+        ).collect()
+    }
+    assert got == {1: ("new1", 20), 3: ("tie3", 10), 4: ("ins4", 20), 5: ("b", 30)}
+
+
+def test_merge_upsert_stale_change_loses(spark):
+    from flink_training_exercises_spark.operators.cdc import merge_upsert
+
+    schema = "k long, v string, seq long, is_delete boolean"
+    snapshot = spark.createDataFrame([(1, "cur", 50, False)], schema)
+    changes = spark.createDataFrame([(1, "late-arriving-old", 40, True)], schema)
+    got = merge_upsert(snapshot, changes, keys=["k"], seq_cols=["seq"]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, "cur")]
+
+
+def test_vocab_oov_rate_hand_computed(spark):
+    from flink_training_exercises_spark.operators.textstats import vocab_oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "zyx qwv"),          # fully OOV under vocab_size=4
+            (3, ""),                 # empty doc: NULL rate, keep=false
+            (4, "the the the"),      # fully in-vocab
+        ],
+        "doc_id long, text string",
+    )
+    # vocab_size=4 -> top-4 by (count desc, token asc): the(5), cat/mat/on...
+    # counts: the=5 cat=1 sat=1 on=1 mat=1 zyx=1 qwv=1 -> ties broken asc:
+    # vocab = {the, cat, mat, on}
+    out = {r["doc_id"]: r for r in vocab_oov_rate(docs, vocab_size=4, max_oov_rate=0.5).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (6, 1)  # 'sat' OOV
+    assert out[1]["keep"] is True
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (2, 2)
+    assert out[2]["keep"] is False
+    assert (out[3]["n_tokens"], out[3]["n_oov"]) == (0, 0)
+    assert out[3]["oov_rate"] is None and out[3]["keep"] is False
+    assert out[4]["n_oov"] == 0 and out[4]["keep"] is True
