@@ -51,6 +51,7 @@ from ..operators import (
     windows,
 )
 from ..sources import load_table
+from ..operators import timeseries
 from . import graphs as graphs_plan
 from . import mails as mails_plan
 from . import rides as rides_plan
@@ -2477,6 +2478,36 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_oov_rate(docs)
 
 
+@register(
+    "timeseries_gapfill_hourly",
+    oracle=timeseries.gapfill_ffill_sql(),
+    doc="Resample + forward-fill: each user's event series regularized "
+    "onto an hourly grid spanning their own [min, max] bucket range, "
+    "last observation carried forward through empty buckets (the metrics "
+    "warehouse resample+ffill shape). Buckets are pure epoch-ms "
+    "arithmetic (never date_trunc -- session-TZ hazard); the filled "
+    "value is a raw column value picked by a total order, never an "
+    "aggregate.",
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return timeseries.gapfill_ffill(ev)
+
+
+@register(
+    "dedup_editdistance_blocked",
+    oracle=dedup.editdistance_pairs_sql(),
+    doc="Blocked Levenshtein near-dup pairs: normalized 40-char header "
+    "prefixes compared within (lang, source) blocks, dist <= 25 -- the "
+    "record-linkage metric for short-text dedup where set-based "
+    "similarity is too coarse. Quadratic confined to co-located blocks "
+    "by an equi-join on the blocking keys.",
+)
+def q_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.editdistance_pairs(docs)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -2510,6 +2541,8 @@ _GATE_PRIORITY = [
     "cdc_merge_user_state",      # new: MERGE upsert/delete semantics
     "sssp_event_graph",          # new: BFS shortest paths (Gelly SSSP)
     "vocab_oov_rate",            # new: tokenizer-coverage audit
+    "timeseries_gapfill_hourly", # new: resample + forward fill
+    "dedup_editdistance_blocked",  # new: blocked Levenshtein pairs
     "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
     "dq_audit_relational",       # new: DQ pre-flight checks
     "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
@@ -2563,14 +2596,14 @@ _GATE_PRIORITY = [
     "member_of_the_month",
     "reply_graph",
     "mail_tfidf",
-    "pagerank_weighted",
-    "travel_time_prediction",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
-    # the round-5 rotation: the three refresh rows ejected by the batch-2
-    # additions (cdc/sssp/oov), then the eight r2-evidence rows deferred
-    # earlier this round (each has an in-window cousin exercising the same
-    # operator family).
+    # the round-5 rotation: the five refresh rows ejected by the batch-2/3
+    # additions (cdc/sssp/oov/gapfill/editdistance), then the eight
+    # r2-evidence rows deferred earlier this round (each has an in-window
+    # cousin exercising the same operator family).
+    "pagerank_weighted",              # r2; ejected for timeseries_gapfill
+    "travel_time_prediction",         # r2; ejected for dedup_editdistance
     "sessionize_events",              # r2; ejected for cdc_merge_user_state
     "dedup_simhash",                  # r2; ejected for sssp_event_graph
     "tpch_q1_pricing_summary",        # r2; ejected for vocab_oov_rate

@@ -48,6 +48,8 @@ EXPECTED_GATE_WINDOW = [
     "cdc_merge_user_state",
     "sssp_event_graph",
     "vocab_oov_rate",
+    "timeseries_gapfill_hourly",
+    "dedup_editdistance_blocked",
     "bloom_semijoin_orders",
     "dq_audit_relational",
     "dedup_repeated_ngrams",
@@ -97,14 +99,14 @@ EXPECTED_GATE_WINDOW = [
     "member_of_the_month",
     "reply_graph",
     "mail_tfidf",
-    "pagerank_weighted",
-    "travel_time_prediction",
     # ejected for the eight round-4 sketch/index additions:
     # dedup_ngram_jaccard, text_quality_score, text_fingerprint,
     # distinct_users_per_type, tpch_q3_shipping_priority,
     # tpch_q5_local_supplier, ann_topk_lsh, text_lang_id; ejected for the
-    # batch-2 additions (cdc/sssp/oov): sessionize_events, dedup_simhash,
-    # tpch_q1_pricing_summary (all recorded first-in-line for round 5)
+    # batch-2/3 additions (cdc/sssp/oov/gapfill/editdistance):
+    # sessionize_events, dedup_simhash, tpch_q1_pricing_summary,
+    # pagerank_weighted, travel_time_prediction (all recorded
+    # first-in-line for round 5)
 ]
 
 

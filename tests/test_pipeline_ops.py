@@ -716,3 +716,52 @@ def test_vocab_oov_rate_hand_computed(spark):
     assert (out[3]["n_tokens"], out[3]["n_oov"]) == (0, 0)
     assert out[3]["oov_rate"] is None and out[3]["keep"] is False
     assert out[4]["n_oov"] == 0 and out[4]["keep"] is True
+
+
+def test_gapfill_ffill_hand_computed(spark):
+    from datetime import datetime
+
+    from flink_training_exercises_spark.operators.timeseries import gapfill_ffill
+
+    H = 3_600_000
+    rows = [
+        # user 1: obs in hour 0 (two -> latest wins), gap in hour 1-2, obs hour 3
+        (1, datetime(2024, 1, 1, 0, 10), 1, 10.0),
+        (1, datetime(2024, 1, 1, 0, 50), 2, 11.0),
+        (1, datetime(2024, 1, 1, 3, 5), 3, 12.0),
+        # user 2: single observation -> single-bucket grid
+        (2, datetime(2024, 1, 1, 5, 0), 4, 99.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, value double"
+    )
+    out = {
+        (r["user_id"], r["bucket_ms"]): (r["value"], r["is_observed"])
+        for r in gapfill_ffill(ev).collect()
+    }
+    base = 1704067200000  # 2024-01-01 00:00 naive epoch ms
+    assert out[(1, base + 0 * H)] == (11.0, True)   # latest obs in bucket
+    assert out[(1, base + 1 * H)] == (11.0, False)  # carried forward
+    assert out[(1, base + 2 * H)] == (11.0, False)
+    assert out[(1, base + 3 * H)] == (12.0, True)
+    assert out[(2, base + 5 * H)] == (99.0, True)
+    assert len(out) == 5  # no buckets outside each key's own span
+
+
+def test_editdistance_pairs_blocking_and_threshold(spark):
+    from flink_training_exercises_spark.operators.dedup import editdistance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", "s1"),
+            (2, "the quick brown fux", "en", "s1"),   # dist 1, same block
+            (3, "the quick brown fox", "en", "s2"),   # identical but other block
+            (4, "completely different header text!!", "en", "s1"),  # far
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdistance_pairs(docs, max_dist=5).collect()
+    }
+    assert got == {(1, 2): 1}
