@@ -2508,6 +2508,64 @@ def q_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.editdistance_pairs(docs)
 
 
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH cl AS ({dedup.minhash_clusters_sql(threshold=0.2)}),
+q AS ({textstats.quality_score_sql()}),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+),
+r AS (
+  SELECT f.doc_id, f.cluster_id, q.quality_score,
+         row_number() OVER (PARTITION BY f.cluster_id
+                            ORDER BY q.quality_score DESC, f.doc_id) AS rk,
+         count(*) OVER (PARTITION BY f.cluster_id) AS csz
+  FROM alldocs f JOIN q ON f.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id, CAST(csz AS BIGINT) AS cluster_size,
+       quality_score, rk = 1 AS kept
+FROM r
+""",
+    doc="Canonical-document selection -- the step a real dedup pipeline "
+    "runs AFTER clustering: every doc mapped to its near-dup cluster "
+    "(MinHash pairs -> connected components; singletons are their own "
+    "cluster), then keep the best-quality doc per cluster (quality desc, "
+    "doc_id tiebreak). Output flags every doc with its cluster, cluster "
+    "size, and kept/dropped -- the survivor list plus the audit trail. "
+    "One extra shuffle on cluster_id beyond the clustering itself.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    cl = graph.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cl_id")
+    )
+    q = textstats.quality_score(docs).select("doc_id", "quality_score")
+    alldocs = (
+        docs.select("doc_id")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("cl_id"), F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    w_rank = w.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        alldocs.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            "quality_score",
+            (F.row_number().over(w_rank) == 1).alias("kept"),
+        )
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -2543,6 +2601,7 @@ _GATE_PRIORITY = [
     "vocab_oov_rate",            # new: tokenizer-coverage audit
     "timeseries_gapfill_hourly", # new: resample + forward fill
     "dedup_editdistance_blocked",  # new: blocked Levenshtein pairs
+    "dedup_keep_best",           # new: canonical survivor per cluster
     "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
     "dq_audit_relational",       # new: DQ pre-flight checks
     "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
@@ -2595,13 +2654,13 @@ _GATE_PRIORITY = [
     "mail_count",
     "member_of_the_month",
     "reply_graph",
-    "mail_tfidf",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
-    # the round-5 rotation: the five refresh rows ejected by the batch-2/3
-    # additions (cdc/sssp/oov/gapfill/editdistance), then the eight
-    # r2-evidence rows deferred earlier this round (each has an in-window
-    # cousin exercising the same operator family).
+    # the round-5 rotation: the six refresh rows ejected by the batch-2/3
+    # additions (cdc/sssp/oov/gapfill/editdistance/keep-best), then the
+    # eight r2-evidence rows deferred earlier this round (each has an
+    # in-window cousin exercising the same operator family).
+    "mail_tfidf",                     # r2; ejected for dedup_keep_best
     "pagerank_weighted",              # r2; ejected for timeseries_gapfill
     "travel_time_prediction",         # r2; ejected for dedup_editdistance
     "sessionize_events",              # r2; ejected for cdc_merge_user_state

@@ -765,3 +765,25 @@ def test_editdistance_pairs_blocking_and_threshold(spark):
         for r in editdistance_pairs(docs, max_dist=5).collect()
     }
     assert got == {(1, 2): 1}
+
+
+def test_dedup_keep_best_invariants(spark, sf_small):
+    from flink_training_exercises_spark.operators import dedup
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+
+    try:
+        rows = CATALOG["dedup_keep_best"].spark(spark, sf_small).collect()
+    finally:
+        dedup.release_persisted_signatures()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1, f"cluster {cid}: {len(kept)} kept"
+        best = min(members, key=lambda m: (-m["quality_score"], m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+        assert all(m["cluster_size"] == len(members) for m in members)
+    # singletons dominate; clustered docs exist on this corpus
+    assert any(len(m) > 1 for m in by_cluster.values())
