@@ -409,3 +409,114 @@ WITH pre AS (
 )
 SELECT doc_id, zx, zy, zaddr, zaddr // {1 << shard_shift} AS z_shard FROM z
 """
+
+
+def hll_merge_demo(
+    df: DataFrame,
+    key_col: str,
+    shard_col: str,
+    n_shards: int = 4,
+    p: int = HLL_P,
+) -> DataFrame:
+    """The merge law that makes sketches work at 100 TB, demonstrated as a
+    gated single-row result: build HLL registers independently per shard
+    (``shard_col % n_shards`` -- stand-in for executors/partitions/days),
+    merge the shard sketches by per-bucket register max, and show the
+    merged estimate EQUALS the estimate built directly over all rows.
+    max-of-maxes = max is exact, not approximate -- so ``est_equal`` must
+    be true, and a 1000-executor rollup can combine kilobyte partials
+    instead of re-shuffling raw keys (the same law lets per-day sketches
+    roll up to months).
+
+    Output: (n_shards, merged_estimate, direct_estimate, est_equal,
+    n_exact)."""
+    m = 1 << p
+    h = md5_long(F.col(key_col).cast("string"))
+    rows = df.select(
+        (F.col(shard_col) % n_shards).alias("shard"),
+        h.alias("h"),
+    ).select(
+        "shard",
+        (F.col("h") % m).alias("bucket"),
+        F.expr(f"(h div {m}) % {1 << _HLL_W}").alias("w32"),
+    )
+    rho = F.when(F.col("w32") == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.lit(_HLL_RHO_CAP) - F.length(F.bin(F.col("w32")))
+    )
+    per_shard = (
+        rows.select("shard", "bucket", rho.alias("rho"))
+        .groupBy("shard", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    merged = per_shard.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    direct = (
+        rows.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+    def fold(regs: DataFrame, alias: str) -> DataFrame:
+        f = regs.agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")
+            ).alias("s_nonempty"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        s = F.col("s_nonempty") + (F.lit(m) - F.col("n_buckets")) * F.lit(
+            1 << _HLL_RHO_CAP
+        ).cast("bigint")
+        return f.select(
+            F.round(F.lit(float(HLL_NUMERATOR_LIT)) / s, 4).alias(alias)
+        )
+
+    exact = df.agg(F.count_distinct(F.col(key_col)).alias("n_exact"))
+    return (
+        fold(merged, "merged_estimate")
+        .crossJoin(fold(direct, "direct_estimate"))
+        .crossJoin(exact)
+        .select(
+            F.lit(n_shards).cast("bigint").alias("n_shards"),
+            "merged_estimate",
+            "direct_estimate",
+            (F.col("merged_estimate") == F.col("direct_estimate")).alias("est_equal"),
+            "n_exact",
+        )
+    )
+
+
+def hll_merge_demo_oracle(
+    table: str, key_col: str, shard_col: str, n_shards: int = 4, p: int = HLL_P
+) -> str:
+    """DuckDB twin of :func:`hll_merge_demo`."""
+    m = 1 << p
+    h = md5_long_sql(f"CAST({key_col} AS VARCHAR)")
+    fold = (
+        f"round({HLL_NUMERATOR_LIT} / (CAST(sum(1::BIGINT << ({_HLL_RHO_CAP} - m_j)) AS BIGINT)"
+        f" + ({m} - count(*)) * (1::BIGINT << {_HLL_RHO_CAP})), 4)"
+    )
+    return f"""
+WITH rows_ AS (
+  SELECT {shard_col} % {n_shards} AS shard,
+         {h} % {m} AS bucket,
+         ({h} // {m}) % {1 << _HLL_W} AS w32
+  FROM {table}
+), rho AS (
+  SELECT shard, bucket,
+         CASE WHEN w32 = 0 THEN {_HLL_RHO_CAP}
+              ELSE {_HLL_RHO_CAP} - length(bin(w32)) END AS rho
+  FROM rows_
+), per_shard AS (
+  SELECT shard, bucket, max(rho) AS m_j FROM rho GROUP BY 1, 2
+), merged AS (
+  SELECT bucket, max(m_j) AS m_j FROM per_shard GROUP BY 1
+), direct AS (
+  SELECT bucket, max(rho) AS m_j FROM rho GROUP BY 1
+), m_est AS (SELECT {fold} AS merged_estimate FROM merged),
+d_est AS (SELECT {fold} AS direct_estimate FROM direct),
+exact AS (SELECT count(DISTINCT {key_col}) AS n_exact FROM {table})
+SELECT CAST({n_shards} AS BIGINT) AS n_shards,
+       merged_estimate, direct_estimate,
+       merged_estimate = direct_estimate AS est_equal,
+       n_exact
+FROM m_est, d_est, exact
+"""

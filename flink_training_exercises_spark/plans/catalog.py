@@ -2495,6 +2495,22 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_merge_shards",
+    oracle=sketches.hll_merge_demo_oracle("events", "user_id", "event_id"),
+    doc="The sketch merge law gated as a single-row result: HLL registers "
+    "built independently per shard (event_id % 4 -- stand-in for "
+    "executors/days), merged by per-bucket register max, must estimate "
+    "EXACTLY what the direct all-rows sketch estimates (max-of-maxes = "
+    "max). This is the property that lets a 1000-executor rollup combine "
+    "kilobyte partials instead of re-shuffling raw keys, and per-day "
+    "sketches roll up to months.",
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sketches.hll_merge_demo(ev, "user_id", "event_id")
+
+
+@register(
     "dedup_editdistance_blocked",
     oracle=dedup.editdistance_pairs_sql(),
     doc="Blocked Levenshtein near-dup pairs: normalized 40-char header "
@@ -2602,6 +2618,7 @@ _GATE_PRIORITY = [
     "timeseries_gapfill_hourly", # new: resample + forward fill
     "dedup_editdistance_blocked",  # new: blocked Levenshtein pairs
     "dedup_keep_best",           # new: canonical survivor per cluster
+    "hll_merge_shards",          # new: sketch merge-law gate
     "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
     "dq_audit_relational",       # new: DQ pre-flight checks
     "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
@@ -2653,13 +2670,13 @@ _GATE_PRIORITY = [
     "popular_places",
     "mail_count",
     "member_of_the_month",
-    "reply_graph",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
-    # the round-5 rotation: the six refresh rows ejected by the batch-2/3
-    # additions (cdc/sssp/oov/gapfill/editdistance/keep-best), then the
-    # eight r2-evidence rows deferred earlier this round (each has an
-    # in-window cousin exercising the same operator family).
+    # the round-5 rotation: the seven refresh rows ejected by the batch-2/3
+    # additions (cdc/sssp/oov/gapfill/editdistance/keep-best/hll-merge),
+    # then the eight r2-evidence rows deferred earlier this round (each has
+    # an in-window cousin exercising the same operator family).
+    "reply_graph",                    # r2; ejected for hll_merge_shards
     "mail_tfidf",                     # r2; ejected for dedup_keep_best
     "pagerank_weighted",              # r2; ejected for timeseries_gapfill
     "travel_time_prediction",         # r2; ejected for dedup_editdistance

@@ -163,3 +163,35 @@ def test_zorder_shards_bound_both_dimensions(spark):
     for r in stats:
         assert r["xmax"] - r["xmin"] <= 65536 // 8
         assert r["ymax"] - r["ymin"] <= 65536 // 8
+
+
+def test_hll_merge_law_exact(spark):
+    from flink_training_exercises_spark.operators.sketches import hll_merge_demo
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(500)], "k long, shard long"
+    )
+    row = hll_merge_demo(df, "k", "shard", n_shards=3).collect()[0]
+    # max-of-maxes = max: merged sketch must EQUAL the direct sketch
+    assert row["est_equal"] is True
+    assert row["merged_estimate"] == row["direct_estimate"]
+    assert row["n_exact"] == 500
+    # the RAW estimator is reported (no linear-counting correction -- see
+    # sketches.py docstring), which biases LOW when n ~ m: only sanity
+    assert 0 < row["direct_estimate"] < 1000
+
+
+def test_hll_merge_invariant_to_shard_count(spark):
+    from flink_training_exercises_spark.operators.sketches import hll_merge_demo
+
+    df = spark.createDataFrame(
+        [(i * 31 + 7, i) for i in range(300)], "k long, shard long"
+    )
+    ests = {
+        n: hll_merge_demo(df, "k", "shard", n_shards=n).collect()[0][
+            "merged_estimate"
+        ]
+        for n in (1, 2, 8)
+    }
+    # sharding is presentation only -- the merged sketch is shard-invariant
+    assert len(set(ests.values())) == 1
