@@ -22,6 +22,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def merge_latest(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+) -> DataFrame:
+    """Last-writer-wins merge that KEEPS the winning row whole -- including
+    any delete marker. This is the associative inner step of MERGE: because
+    the winner per key depends only on the max ``seq_cols`` tuple (changes
+    beating snapshot on exact ties), folding change batches through
+    ``merge_latest`` in ANY grouping yields the same final state, which is
+    what makes the incremental/streaming form (foreachBatch) equal to the
+    one-shot batch form. Delete markers must stay in the state as
+    tombstones until the final read -- filtering them per step would let an
+    older row resurrect a deleted key in a later batch."""
+    s = snapshot.withColumn("_src", F.lit(0))
+    c = changes.withColumn("_src", F.lit(1))
+    merged = s.unionByName(c)
+    order = [F.desc(x) for x in seq_cols] + [F.desc("_src")]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "_src")
+    )
+
+
 def merge_upsert(
     snapshot: DataFrame,
     changes: DataFrame,
@@ -40,15 +67,10 @@ def merge_upsert(
     keys appear (INSERT), existing keys take the winning row's values
     (UPDATE). Output drops the helper columns.
     """
-    s = snapshot.withColumn("_src", F.lit(0))
-    c = changes.withColumn("_src", F.lit(1))
-    merged = s.unionByName(c)
-    order = [F.desc(x) for x in seq_cols] + [F.desc("_src")]
-    w = Window.partitionBy(*keys).orderBy(*order)
     return (
-        merged.withColumn("_rk", F.row_number().over(w))
-        .where((F.col("_rk") == 1) & (~F.col(delete_col)))
-        .drop("_rk", "_src", delete_col)
+        merge_latest(snapshot, changes, keys, seq_cols)
+        .where(~F.col(delete_col))
+        .drop(delete_col)
     )
 
 

@@ -2511,6 +2511,48 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_cdc_merge",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, value, epoch_ms(ts) AS state_ms, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, event_type, value, state_ms, event_id
+FROM r WHERE rk = 1 AND event_type != 'error'
+""",
+    doc="Streaming MERGE through the real engine (foreachBatch upsert "
+    "sink -- the Delta/Hudi streaming-materialized-view shape): the event "
+    "stream folds per micro-batch onto a parquet state table via "
+    "cdc.merge_latest ('error' rows = delete tombstones, kept in state so "
+    "later batches can't resurrect deleted keys); final drained state = "
+    "the one-shot batch LWW result because the merge is associative by "
+    "key. Batch-boundary invariance pinned by "
+    "tests/test_streaming.py::test_streaming_cdc_merge_chunked.",
+)
+def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.time import epoch_ms
+    from ..streaming.queries import run_cdc_merge_availablenow
+    from ..streaming.sources import events_stream
+
+    changes = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "value",
+        epoch_ms("ts").alias("state_ms"),
+        "event_id",
+        (F.col("event_type") == "error").alias("is_delete"),
+    )
+    return run_cdc_merge_availablenow(
+        changes,
+        keys=["user_id"],
+        seq_cols=["state_ms", "event_id"],
+        query_name="streaming_cdc_merge_gate",
+    )
+
+
+@register(
     "dedup_editdistance_blocked",
     oracle=dedup.editdistance_pairs_sql(),
     doc="Blocked Levenshtein near-dup pairs: normalized 40-char header "
@@ -2619,6 +2661,7 @@ _GATE_PRIORITY = [
     "dedup_editdistance_blocked",  # new: blocked Levenshtein pairs
     "dedup_keep_best",           # new: canonical survivor per cluster
     "hll_merge_shards",          # new: sketch merge-law gate
+    "streaming_cdc_merge",       # new: foreachBatch MERGE sink
     "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
     "dq_audit_relational",       # new: DQ pre-flight checks
     "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
@@ -2669,13 +2712,14 @@ _GATE_PRIORITY = [
     "ride_cleansing",
     "popular_places",
     "mail_count",
-    "member_of_the_month",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
-    # the round-5 rotation: the seven refresh rows ejected by the batch-2/3
-    # additions (cdc/sssp/oov/gapfill/editdistance/keep-best/hll-merge),
-    # then the eight r2-evidence rows deferred earlier this round (each has
-    # an in-window cousin exercising the same operator family).
+    # the round-5 rotation: the eight refresh rows ejected by the batch-2/3
+    # additions (cdc/sssp/oov/gapfill/editdistance/keep-best/hll-merge/
+    # streaming-cdc), then the eight r2-evidence rows deferred earlier this
+    # round (each has an in-window cousin exercising the same operator
+    # family).
+    "member_of_the_month",            # r2; ejected for streaming_cdc_merge
     "reply_graph",                    # r2; ejected for hll_merge_shards
     "mail_tfidf",                     # r2; ejected for dedup_keep_best
     "pagerank_weighted",              # r2; ejected for timeseries_gapfill

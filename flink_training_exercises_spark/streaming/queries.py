@@ -242,3 +242,56 @@ def run_sessionize_availablenow(
     from .sources import events_stream
 
     return drain_availablenow(streaming_sessionize(events_stream(spark, sf_dir)), query_name)
+
+
+def run_cdc_merge_availablenow(
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    query_name: str,
+    delete_col: str = "is_delete",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming MERGE (the foreachBatch upsert-sink pattern, the
+    Delta/Hudi streaming-materialized-view shape): each micro-batch is
+    folded onto a parquet-backed state table with
+    ``operators/cdc.merge_latest`` -- last-writer-wins by ``seq_cols``,
+    delete markers kept as tombstones -- and the final drained state
+    (tombstones dropped) is returned.
+
+    Correctness does NOT depend on batch boundaries: merge_latest is
+    associative-by-key (the winner is whoever holds the max seq tuple),
+    so any chunking of the change stream -- one batch or fifty -- folds to
+    the same state as the one-shot batch merge; pytest pins that under
+    chunked replay. Tombstones are the load-bearing detail: dropping
+    deletes per batch would let an older row in a later batch resurrect a
+    deleted key.
+
+    Scale shape: per batch, one hash shuffle on the merge key of
+    |state| + |batch| rows -- exactly what a Delta MERGE pays; the state
+    table would be bucketed by key in a real layout, reducing it to the
+    batch side only. State is materialized per batch (localCheckpoint)
+    before the overwrite so the lazy parquet read never races its own
+    rewrite."""
+    from ..operators.cdc import merge_latest
+
+    spark = changes.sparkSession
+    state_dir = tempfile.mkdtemp(prefix=f"fte_{query_name}_state_") + "/state"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            state = spark.read.parquet(state_dir)
+        except Exception:
+            # first batch: no standing state yet -- reduce the batch alone
+            state = batch_df.limit(0)
+        new_state = merge_latest(state, batch_df, keys, seq_cols)
+        new_state = new_state.localCheckpoint()  # cut lineage BEFORE overwrite
+        new_state.write.mode("overwrite").parquet(state_dir)
+
+    writer = changes.writeStream.foreachBatch(apply_batch).outputMode("update").option(
+        "checkpointLocation", tempfile.mkdtemp(prefix=f"fte_{query_name}_ck_")
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    final = spark.read.parquet(state_dir)
+    return final.where(~F.col(delete_col)).drop(delete_col)

@@ -377,3 +377,67 @@ def test_sessionize_emissions_invariant_under_chunked_replay(spark, sf_small, tm
     }
     assert len(got_single) > 100
     assert got_chunked == got_single
+
+
+def test_streaming_cdc_merge_chunked(spark, sf_small, tmp_path):
+    """Batch-boundary invariance of the foreachBatch MERGE: folding the
+    change stream in 4 chronological micro-batches must land on exactly
+    the one-shot batch LWW state -- including deletes applied across
+    batch boundaries (tombstones in state)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        run_cdc_merge_availablenow,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "chunks")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def project(df):
+        return df.select(
+            "user_id",
+            "event_type",
+            "value",
+            epoch_ms("ts").alias("state_ms"),
+            "event_id",
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+
+    chunked = project(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = {
+        tuple(r)
+        for r in run_cdc_merge_availablenow(
+            chunked,
+            keys=["user_id"],
+            seq_cols=["state_ms", "event_id"],
+            query_name=f"cdc_chunked_{_uuid.uuid4().hex[:8]}",
+        ).collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("state_ms"), F.desc("event_id"))
+    want = {
+        tuple(r)
+        for r in project(ev)
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (~F.col("is_delete")))
+        .drop("rk", "is_delete")
+        .collect()
+    }
+    assert got == want and got
+    # deletes must actually occur in the final window for the tombstone
+    # path to be exercised
+    assert project(ev).withColumn("rk", F.row_number().over(w)).where(
+        (F.col("rk") == 1) & F.col("is_delete")
+    ).count() > 0
