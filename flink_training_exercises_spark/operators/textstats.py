@@ -485,3 +485,129 @@ SELECT d.{id_col},
        ) AS keep
 FROM {table} d LEFT JOIN per p ON d.{id_col} = p.{id_col}
 """
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """ACTUAL BPE merge training (Sennrich et al. 2016), ``n_merges``
+    rounds: start from character symbols over the alpha-word vocabulary,
+    each round pick the max-weight adjacent symbol pair (weight desc,
+    pair asc tiebreak) and merge it corpus-wide, greedily left-to-right.
+    Output: one row per learned merge (merge_rank, left_sym, right_sym,
+    merged, weight). ``bpe_pair_counts`` is round 1's statistic; this is
+    the induction loop tokenizer training actually runs.
+
+    Representation: symbol sequences live in a DOUBLE-delimited string
+    (``||a||b||c||``) so each round's merge is ONE literal
+    ``replace(sym, '|a||b|', '|ab|')`` -- boundary-safe (symbols are
+    alpha-only, delimiters can't occur inside them; the single-pipe
+    pattern edges anchor on the inner pipe of each double delimiter, so a
+    symbol can never match as a prefix/suffix of a longer one) and
+    greedy-left-to-right non-overlapping by the semantics of ``replace``
+    on BOTH engines -- exactly BPE's merge order within a word.
+
+    Scale shape (100 TB): the corpus collapses to its vocabulary once
+    (the bpe_pair_counts trick -- training cost is vocab-bounded,
+    corpus-size-independent after one counting pass); each round is one
+    map-only merge over the vocab + one pair-count shuffle + a driver
+    collect of exactly ONE argmax row (the trained artifact, same policy
+    as the IVF quantizer's bounded training collect). State lineage is
+    cut per round with localCheckpoint."""
+    words = _widened(docs).select(F.explode(_words(text_col)).alias("word"))
+    words = words.where(F.col("word").rlike("^[a-z]+$"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    state = freq.select(
+        F.concat(
+            F.lit("|"), F.regexp_replace("word", "(.)", "|$1|"), F.lit("|")
+        ).alias("sym"),
+        "f",
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        syms = F.filter(F.split("sym", "[|]"), lambda x: x != "")
+        pairs = state.select(syms.alias("s"), "f").where(F.size("s") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at("s", i).alias("a"),
+                        F.element_at("s", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "f",
+        )
+        best_rows = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best_rows:
+            break
+        a, b, weight = best_rows[0]["a"], best_rows[0]["b"], best_rows[0]["weight"]
+        merges.append((rank, a, b, a + b, int(weight)))
+        state = state.select(
+            F.expr(
+                f"replace(sym, '|{a}||{b}|', '|{a}{b}|')"
+            ).alias("sym"),
+            "f",
+        ).localCheckpoint()
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "merge_rank BIGINT, left_sym STRING, right_sym STRING, "
+        "merged STRING, weight BIGINT",
+    )
+
+
+def bpe_train_merges_sql(
+    table: str = "documents", text_col: str = "text", n_merges: int = 3
+) -> str:
+    """DuckDB twin of :func:`bpe_train_merges`: the full induction loop
+    unrolled as CTE rounds, the argmax pair threaded through scalar
+    subqueries into each round's literal replace."""
+    w = _words_sql(text_col)
+    parts = [
+        f"""WITH words AS (
+  SELECT unnest({w}) AS word FROM {table}
+)""",
+        "alphaw AS (SELECT word FROM words WHERE regexp_matches(word, '^[a-z]+$'))",
+        "freq AS (SELECT word, count(*) AS f FROM alphaw GROUP BY word)",
+        "s0 AS MATERIALIZED (SELECT '|' || regexp_replace(word, '(.)', '|\\1|', 'g')"
+        " || '|' AS sym, f FROM freq)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""p{r} AS (
+  SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b, f FROM (
+    SELECT unnest([syms[i] || ' ' || syms[i + 1]
+                   for i in generate_series(1, len(syms) - 1)]) AS pr, f
+    FROM (SELECT [x for x in string_split(sym, '|') if x != ''] AS syms, f
+          FROM {prev})
+    WHERE len(syms) >= 2
+  )
+)"""
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT a, b, CAST(sum(f) AS BIGINT) AS weight "
+            f"FROM p{r} GROUP BY a, b ORDER BY weight DESC, a, b LIMIT 1)"
+        )
+        if r < n_merges:
+            parts.append(
+                f"s{r} AS MATERIALIZED (SELECT replace(sym, "
+                f"'|' || (SELECT a FROM b{r}) || '||' || (SELECT b FROM b{r}) || '|', "
+                f"'|' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || '|') AS sym, f "
+                f"FROM s{r - 1})"
+            )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, weight FROM b{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

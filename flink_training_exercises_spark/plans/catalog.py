@@ -2511,6 +2511,24 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_train_merges",
+    oracle=textstats.bpe_train_merges_sql(),
+    doc="ACTUAL BPE merge induction (Sennrich et al. 2016), 3 rounds: "
+    "character symbols over the alpha-word vocabulary, each round's "
+    "argmax adjacent pair merged corpus-wide (greedy left-to-right via "
+    "boundary-safe literal replace on a double-delimited symbol string). "
+    "bpe_pair_counts is round 1's statistic; this runs the loop. Oracle "
+    "= full 3-round CTE unroll with the argmax threaded through scalar "
+    "subqueries. Training cost is vocab-bounded (corpus-size-independent "
+    "after one counting pass); the per-round driver collect is exactly "
+    "one argmax row (IVF training-collect policy).",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.bpe_train_merges(docs)
+
+
+@register(
     "streaming_cdc_merge",
     oracle="""
 WITH r AS (
@@ -2662,6 +2680,7 @@ _GATE_PRIORITY = [
     "dedup_keep_best",           # new: canonical survivor per cluster
     "hll_merge_shards",          # new: sketch merge-law gate
     "streaming_cdc_merge",       # new: foreachBatch MERGE sink
+    "bpe_train_merges",          # new: real BPE induction loop
     "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
     "dq_audit_relational",       # new: DQ pre-flight checks
     "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
@@ -2711,14 +2730,14 @@ _GATE_PRIORITY = [
     #    BOTTOM of this block -- update the snapshot test when they do. --
     "ride_cleansing",
     "popular_places",
-    "mail_count",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
-    # the round-5 rotation: the eight refresh rows ejected by the batch-2/3
+    # the round-5 rotation: the nine refresh rows ejected by the batch-2/3
     # additions (cdc/sssp/oov/gapfill/editdistance/keep-best/hll-merge/
-    # streaming-cdc), then the eight r2-evidence rows deferred earlier this
-    # round (each has an in-window cousin exercising the same operator
-    # family).
+    # streaming-cdc/bpe-train), then the eight r2-evidence rows deferred
+    # earlier this round (each has an in-window cousin exercising the same
+    # operator family).
+    "mail_count",                     # r2; ejected for bpe_train_merges
     "member_of_the_month",            # r2; ejected for streaming_cdc_merge
     "reply_graph",                    # r2; ejected for hll_merge_shards
     "mail_tfidf",                     # r2; ejected for dedup_keep_best

@@ -787,3 +787,38 @@ def test_dedup_keep_best_invariants(spark, sf_small):
         assert all(m["cluster_size"] == len(members) for m in members)
     # singletons dominate; clustered docs exist on this corpus
     assert any(len(m) > 1 for m in by_cluster.values())
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    from flink_training_exercises_spark.operators.textstats import bpe_train_merges
+
+    # vocab: "abab" x3, "ab" x2, "cd" x4  (lowercase alpha only)
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab cd cd cd cd")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=3).collect()]
+    # round 1 pairs: (a,b)x2 per abab x3 + (b,a)x1 per abab x3 + (a,b) x2
+    #   + (c,d) x4 -> argmax (a,b)=8
+    # round 2: abab -> [ab, ab] x3, ab -> [ab] x2; pairs: (ab,ab)x3, (c,d)x4
+    #   -> argmax (c,d)=4
+    # round 3: remaining pairs: (ab,ab)x3 -> argmax (ab,ab)=3 (greedy
+    #   left-to-right merged both 'ab's in round 2, one adjacent pair left)
+    assert got == [
+        (1, "a", "b", "ab", 8),
+        (2, "c", "d", "cd", 4),
+        (3, "ab", "ab", "abab", 3),
+    ]
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    from flink_training_exercises_spark.operators.textstats import bpe_train_merges
+
+    # "aaa": round-1 pairs (a,a)x2 -> merge (a,a); greedy l-to-r leaves
+    # [aa, a], so round 2's best is (aa, a), weight 1
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=2).collect()]
+    assert got == [(1, "a", "a", "aa", 2), (2, "a", "aa", "aaa", 1)] or got == [
+        (1, "a", "a", "aa", 2),
+        (2, "aa", "a", "aaa", 1),
+    ]
