@@ -370,3 +370,77 @@ SELECT {id_col}, CAST(generate_subscripts(p, 1) - 1 AS INT) AS dim,
        CAST(unnest(p) AS BIGINT) AS value
 FROM proj
 """
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Int8 embedding quantization -- the 4x storage/bandwidth compression
+    every large-scale vector pipeline applies before indexing: each vector
+    is L2-normalized and its components mapped to ``floor(127 * x / ||x||)``
+    (symmetric scalar quantization; zero-norm vectors quantize to zeros,
+    same guard as cosine). Output is the per-vector quantization summary
+    in EXACT integers -- (vec_id, norm2, q_sum, q_l1, q_min, q_max) -- so
+    the gate hashes stable values; the q vector itself is the obvious
+    payload column in production.
+
+    Determinism: components are the integer-scaled embeddings (floor x*1e6,
+    the package-wide convention), norm2 is an exact BIGINT dot, and the
+    only float steps are one sqrt + one division on identical inputs
+    (IEEE-deterministic) before an immediate floor back to BIGINT; the
+    summary sums are integer folds, order-free.
+
+    Scale shape: map-only (one projection, no shuffle, no state) --
+    quantization composes with any downstream index build at scan speed.
+    """
+    v = _with_int_vec(df, id_col, vec_col)
+    sq = F.sqrt(F.col("nn").cast("double"))
+    q = F.when(
+        F.col("nn") > 0,
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor((F.lit(127).cast("bigint") * x) / sq).cast("bigint"),
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0).cast("bigint")))
+    out = v.withColumn("q", q)
+    fold = lambda c: F.aggregate(  # noqa: E731 -- local integer fold helper
+        c, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("nn").alias("norm2"),
+        fold(F.col("q")).alias("q_sum"),
+        fold(F.transform(F.col("q"), lambda x: F.abs(x))).alias("q_l1"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
+def quantize_int8_sql(
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    iv = f"[CAST(floor(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT) for x in {vec_col}]"
+    return f"""
+WITH iv AS (
+  SELECT {id_col}, {iv} AS v FROM {table}
+),
+n AS (
+  SELECT {id_col}, v,
+         CAST(list_sum([x * x for x in v]) AS BIGINT) AS nn
+  FROM iv
+),
+q AS (
+  SELECT {id_col}, nn,
+         CASE WHEN nn > 0
+              THEN [CAST(floor(127 * x / sqrt(CAST(nn AS DOUBLE))) AS BIGINT)
+                    for x in v]
+              ELSE [CAST(0 AS BIGINT) for x in v] END AS qv
+  FROM n
+)
+SELECT {id_col}, nn AS norm2,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum([abs(x) for x in qv]) AS BIGINT) AS q_l1,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max
+FROM q
+"""

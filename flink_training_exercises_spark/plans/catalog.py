@@ -2290,6 +2290,20 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    oracle=similarity.quantize_int8_sql(),
+    doc="Int8 embedding quantization (symmetric scalar, floor(127*x/||x||) "
+    "over the integer-scaled vectors; zero-norm guard) -- the 4x "
+    "compression step before index build. Map-only, no shuffle; gated on "
+    "the exact-integer per-vector summary (norm2, q_sum, q_l1, q_min, "
+    "q_max) so the only float steps are one sqrt + one division before "
+    "an immediate floor.",
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
     "bpe_pair_counts",
     oracle=textstats.bpe_pair_counts_sql(),
     doc="BPE tokenizer induction step 1: adjacent char-pair frequencies "
@@ -2681,6 +2695,7 @@ _GATE_PRIORITY = [
     "hll_merge_shards",          # new: sketch merge-law gate
     "streaming_cdc_merge",       # new: foreachBatch MERGE sink
     "bpe_train_merges",          # new: real BPE induction loop
+    "embedding_quantize_int8",   # new: int8 scalar quantization
     "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
     "dq_audit_relational",       # new: DQ pre-flight checks
     "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
@@ -2729,14 +2744,14 @@ _GATE_PRIORITY = [
     #    operator-diverse first). New round-4 queries eject from the
     #    BOTTOM of this block -- update the snapshot test when they do. --
     "ride_cleansing",
-    "popular_places",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-4 window. First in line for
-    # the round-5 rotation: the nine refresh rows ejected by the batch-2/3
+    # the round-5 rotation: the ten refresh rows ejected by the batch-2/3
     # additions (cdc/sssp/oov/gapfill/editdistance/keep-best/hll-merge/
-    # streaming-cdc/bpe-train), then the eight r2-evidence rows deferred
-    # earlier this round (each has an in-window cousin exercising the same
-    # operator family).
+    # streaming-cdc/bpe-train/int8-quantize), then the eight r2-evidence
+    # rows deferred earlier this round (each has an in-window cousin
+    # exercising the same operator family).
+    "popular_places",                 # r2; ejected for embedding_quantize
     "mail_count",                     # r2; ejected for bpe_train_merges
     "member_of_the_month",            # r2; ejected for streaming_cdc_merge
     "reply_graph",                    # r2; ejected for hll_merge_shards
