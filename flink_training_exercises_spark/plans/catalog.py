@@ -2179,6 +2179,55 @@ FROM med m JOIN mad a USING (event_type) JOIN outl o USING (event_type)
     "the 3*1.4826*MAD fence is evaluated on exactly-representable halves "
     "so the double comparison is engine-identical.",
 )
+@register(
+    "value_histogram",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), r AS (
+  SELECT event_type, min(cents) AS mn, max(cents) AS mx FROM c GROUP BY 1
+), b AS (
+  SELECT c.event_type,
+         ((c.cents - r.mn) * 20) // (r.mx - r.mn + 1) AS bin,
+         r.mn, r.mx
+  FROM c JOIN r USING (event_type)
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       mn AS mn_cents, mx AS mx_cents
+FROM b GROUP BY event_type, bin, mn, mx
+""",
+    doc="Per-type 20-bin equi-width histogram over integer cents -- the "
+    "profiling staple next to value_percentiles and value_outliers_mad. "
+    "Bin assignment is PURE integer arithmetic ((cents-mn)*20 div "
+    "(span+1), nonneg numerator so div/floor agree across engines); two "
+    "map-side-combined shuffles (range, then (type,bin) counts) with the "
+    "tiny range relation broadcast back. Empty bins are absent by "
+    "construction.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    b = ev.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        F.expr("((cents - mn) * 20) div (mx - mn + 1)").alias("bin"),
+        "mn",
+        "mx",
+    )
+    return b.groupBy("event_type", "bin", "mn", "mx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        "event_type",
+        "bin",
+        "n",
+        F.col("mn").alias("mn_cents"),
+        F.col("mx").alias("mx_cents"),
+    )
+
+
 def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
@@ -2696,6 +2745,7 @@ _GATE_PRIORITY = [
     "streaming_cdc_merge",       # new: foreachBatch MERGE sink
     "bpe_train_merges",          # new: real BPE induction loop
     "embedding_quantize_int8",   # new: int8 scalar quantization
+    "value_histogram",           # new: integer equi-width histogram
     "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
     "dq_audit_relational",       # new: DQ pre-flight checks
     "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
@@ -2743,14 +2793,14 @@ _GATE_PRIORITY = [
     # -- r2-evidence refresh fill (latest green row r02; most
     #    operator-diverse first). New round-4 queries eject from the
     #    BOTTOM of this block -- update the snapshot test when they do. --
-    "ride_cleansing",
     # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-4 window. First in line for
-    # the round-5 rotation: the ten refresh rows ejected by the batch-2/3
-    # additions (cdc/sssp/oov/gapfill/editdistance/keep-best/hll-merge/
-    # streaming-cdc/bpe-train/int8-quantize), then the eight r2-evidence
-    # rows deferred earlier this round (each has an in-window cousin
-    # exercising the same operator family).
+    # Everything below is OUTSIDE the round-4 window (the entire r2-refresh
+    # block is now ejected -- the window is all round-4-new/changed +
+    # canaries + the 18-row VERDICT rotation). First in line for the
+    # round-5 rotation: the eleven ejected refresh rows, then the eight
+    # r2-evidence rows deferred earlier this round (each has an in-window
+    # cousin exercising the same operator family).
+    "ride_cleansing",                 # r2; ejected for value_histogram
     "popular_places",                 # r2; ejected for embedding_quantize
     "mail_count",                     # r2; ejected for bpe_train_merges
     "member_of_the_month",            # r2; ejected for streaming_cdc_merge

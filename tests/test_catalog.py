@@ -55,6 +55,7 @@ EXPECTED_GATE_WINDOW = [
     "streaming_cdc_merge",
     "bpe_train_merges",
     "embedding_quantize_int8",
+    "value_histogram",
     "bloom_semijoin_orders",
     "dq_audit_relational",
     "dedup_repeated_ngrams",
@@ -98,16 +99,16 @@ EXPECTED_GATE_WINDOW = [
     "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity",
     # r2-evidence refresh fill
-    "ride_cleansing",
     # ejected for the eight round-4 sketch/index additions:
     # dedup_ngram_jaccard, text_quality_score, text_fingerprint,
     # distinct_users_per_type, tpch_q3_shipping_priority,
     # tpch_q5_local_supplier, ann_topk_lsh, text_lang_id; ejected for the
     # batch-2/3 additions (cdc/sssp/oov/gapfill/editdistance/keep-best/
-    # hll-merge/streaming-cdc/bpe-train/int8-quantize): sessionize_events,
-    # dedup_simhash, tpch_q1_pricing_summary, pagerank_weighted,
-    # travel_time_prediction, mail_tfidf, reply_graph, member_of_the_month,
-    # mail_count, popular_places (all recorded first-in-line for round 5)
+    # hll-merge/streaming-cdc/bpe-train/int8-quantize/histogram):
+    # sessionize_events, dedup_simhash, tpch_q1_pricing_summary,
+    # pagerank_weighted, travel_time_prediction, mail_tfidf, reply_graph,
+    # member_of_the_month, mail_count, popular_places, ride_cleansing
+    # (all recorded first-in-line for round 5)
 ]
 
 

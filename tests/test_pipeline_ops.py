@@ -822,3 +822,18 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
         (1, "a", "a", "aa", 2),
         (2, "aa", "a", "aaa", 1),
     ]
+
+
+def test_value_histogram_bins_exact(spark):
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["value_histogram"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, bins in by_type.items():
+        assert all(0 <= r["bin"] <= 19 for r in bins)
+        mn, mx = bins[0]["mn_cents"], bins[0]["mx_cents"]
+        assert all((r["mn_cents"], r["mx_cents"]) == (mn, mx) for r in bins)
+        assert sum(r["n"] for r in bins) > 0
