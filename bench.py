@@ -33,6 +33,7 @@ catalog order.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -100,6 +101,12 @@ def main() -> None:
             headline_total += timings[name]
         dedup.release_persisted_signatures()
         spark.catalog.clearCache()
+        # drop Python refs to per-query localCheckpoint RDDs (CC/kcore/
+        # sssp/bpe loops) promptly so the JVM ContextCleaner can unpersist
+        # them between queries instead of letting executor memory pressure
+        # bleed into later timings
+        df = None
+        gc.collect()
 
     full = {
         "metric": "headline_queries_total_wall",
