@@ -2152,34 +2152,6 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "value_outliers_mad",
-    oracle="""
-WITH c AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
-), med AS (
-  SELECT event_type, quantile_cont(cents, 0.5e0) AS med FROM c GROUP BY 1
-), dev AS (
-  SELECT c.event_type, c.cents, abs(c.cents - m.med) AS dev
-  FROM c JOIN med m USING (event_type)
-), mad AS (
-  SELECT event_type, quantile_cont(dev, 0.5e0) AS mad FROM dev GROUP BY 1
-), outl AS (
-  SELECT d.event_type,
-         CAST(sum(CASE WHEN d.dev > 3e0 * 1.4826e0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-         CAST(count(*) AS BIGINT) AS n_rows
-  FROM dev d JOIN mad a USING (event_type)
-  GROUP BY 1
-)
-SELECT m.event_type, m.med / 100 AS median_value, a.mad / 100 AS mad_value,
-       o.n_outliers, o.n_rows
-FROM med m JOIN mad a USING (event_type) JOIN outl o USING (event_type)
-""",
-    doc="Robust outlier counts per event_type: median/MAD over integer "
-    "cents (interpolated percentile parity proven by value_percentiles); "
-    "the 3*1.4826*MAD fence is evaluated on exactly-representable halves "
-    "so the double comparison is engine-identical.",
-)
-@register(
     "value_histogram",
     oracle="""
 WITH c AS (
@@ -2228,6 +2200,34 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_outliers_mad",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5e0) AS med FROM c GROUP BY 1
+), dev AS (
+  SELECT c.event_type, c.cents, abs(c.cents - m.med) AS dev
+  FROM c JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5e0) AS mad FROM dev GROUP BY 1
+), outl AS (
+  SELECT d.event_type,
+         CAST(sum(CASE WHEN d.dev > 3e0 * 1.4826e0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM dev d JOIN mad a USING (event_type)
+  GROUP BY 1
+)
+SELECT m.event_type, m.med / 100 AS median_value, a.mad / 100 AS mad_value,
+       o.n_outliers, o.n_rows
+FROM med m JOIN mad a USING (event_type) JOIN outl o USING (event_type)
+""",
+    doc="Robust outlier counts per event_type: median/MAD over integer "
+    "cents (interpolated percentile parity proven by value_percentiles); "
+    "the 3*1.4826*MAD fence is evaluated on exactly-representable halves "
+    "so the double comparison is engine-identical.",
+)
 def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")

@@ -160,3 +160,14 @@ def test_gate_priority_list_is_consistent():
         f"ejected={sorted(set(EXPECTED_GATE_WINDOW) - set(window))} "
         f"entered={sorted(set(window) - set(EXPECTED_GATE_WINDOW))}"
     )
+
+
+def test_no_stacked_registrations():
+    """Two catalog names bound to the same builder function = a @register
+    block inserted between another entry's decorator and its def (the
+    value_histogram/value_outliers_mad round-4 bug: both names silently
+    served the histogram). Every registered name must own a distinct
+    function."""
+    fns = [spec.spark for spec in CATALOG.values()]
+    dupes = {f.__name__ for f in fns if fns.count(f) > 1}
+    assert not dupes, f"stacked @register decorators on: {dupes}"

@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 
@@ -19,6 +20,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from flink_training_exercises_spark.operators.dedup import (  # noqa: E402
+    release_persisted_signatures,
+)
 from flink_training_exercises_spark.plans.catalog import CATALOG, entry_query  # noqa: E402
 from flink_training_exercises_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from flink_training_exercises_spark.session import get_spark  # noqa: E402
@@ -129,6 +133,13 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             print(f"OK    {name}: {len(sdf)} rows match")
+        # same hygiene as bench.py: drop per-query localCheckpoint refs
+        # (CC/kcore/SSSP/BPE loops) so the ContextCleaner unpersists them
+        # instead of letting executor pressure slow later queries
+        sdf = odf = None
+        release_persisted_signatures()
+        spark.catalog.clearCache()
+        gc.collect()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
