@@ -837,3 +837,57 @@ def test_value_histogram_bins_exact(spark):
         mn, mx = bins[0]["mn_cents"], bins[0]["mx_cents"]
         assert all((r["mn_cents"], r["mx_cents"]) == (mn, mx) for r in bins)
         assert sum(r["n"] for r in bins) > 0
+
+
+def test_gapfill_custom_step_quarter_hour(spark):
+    from datetime import datetime
+
+    from flink_training_exercises_spark.operators.timeseries import gapfill_ffill
+
+    Q = 900_000  # 15 min
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 7), 1, 5.0), (1, datetime(2024, 1, 1, 0, 50), 2, 6.0)],
+        "user_id long, ts timestamp_ntz, event_id long, value double",
+    )
+    rows = sorted(
+        gapfill_ffill(ev, step_ms=Q).collect(), key=lambda r: r["bucket_ms"]
+    )
+    # buckets: 00:00 (obs 5.0), 00:15, 00:30 (filled), 00:45 (obs 6.0)
+    assert [r["is_observed"] for r in rows] == [True, False, False, True]
+    assert [r["value"] for r in rows] == [5.0, 5.0, 5.0, 6.0]
+
+
+def test_merge_upsert_composite_key(spark):
+    from flink_training_exercises_spark.operators.cdc import merge_upsert
+
+    schema = "k1 long, k2 string, v string, seq long, is_delete boolean"
+    snap = spark.createDataFrame([(1, "x", "old", 10, False)], schema)
+    chg = spark.createDataFrame(
+        [(1, "x", "new", 20, False), (1, "y", "other-key", 20, False)], schema
+    )
+    got = {
+        (r["k1"], r["k2"]): r["v"]
+        for r in merge_upsert(snap, chg, keys=["k1", "k2"], seq_cols=["seq"]).collect()
+    }
+    assert got == {(1, "x"): "new", (1, "y"): "other-key"}
+
+
+def test_sssp_respects_edge_direction(spark):
+    from flink_training_exercises_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: r["hops"] for r in graph.sssp_hops(edges, source=3, max_hops=5).collect()
+    }
+    # no outgoing edges from 3: only the source itself
+    assert got == {3: 0}
+
+
+def test_vocab_oov_full_coverage_when_vocab_is_large(spark):
+    from flink_training_exercises_spark.operators.textstats import vocab_oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in vocab_oov_rate(docs, vocab_size=100).collect()}
+    assert all(r["n_oov"] == 0 and r["keep"] for r in out.values())
