@@ -181,7 +181,7 @@ agg AS (
 )
 SELECT doc_id, n_bigrams, n_known, CAST(freq_sum AS BIGINT) AS freq_sum,
        CAST(CASE WHEN n_bigrams > 0
-                 THEN floor(1000.0 * freq_sum / n_bigrams) ELSE 0 END AS BIGINT)
+                 THEN floor(1e3 * freq_sum / n_bigrams) ELSE 0 END AS BIGINT)
          AS typicality_x1000
 FROM agg
 """

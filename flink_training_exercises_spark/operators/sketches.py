@@ -260,7 +260,9 @@ def countmin_freq(
         F.col("cnt").alias("exact_cnt"),
         "est_cnt",
         (F.col("est_cnt") - F.col("cnt")).alias("overcount"),
-        F.col("rk").alias("rank"),
+        # BIGINT: Spark row_number() is int32 but DuckDB's is BIGINT --
+        # align the rank dtype with the oracle's bare `rk AS rank`
+        F.col("rk").cast("bigint").alias("rank"),
     )
 
 

@@ -49,13 +49,13 @@ def gapfill_ffill(
     rows frame -- linear, no re-sort beyond the window's own). Dense keys
     collapse to one observation per bucket BEFORE the grid join.
     """
-    epoch_ms = F.timestamp_diff(
-        "MILLISECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), F.col(ts_col)
-    )
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    ms = _epoch_ms(ts_col)
     obs = events.select(
         F.col(key_col).alias("key"),
-        (epoch_ms - epoch_ms % step_ms).alias("bucket_ms"),
-        epoch_ms.alias("_ms"),
+        (ms - ms % step_ms).alias("bucket_ms"),
+        ms.alias("_ms"),
         F.col(seq_col).alias("_seq"),
         F.col(value_col).alias("value"),
     )

@@ -1963,7 +1963,8 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'",
         "SELECT l_orderkey AS k FROM lineitem",
     ),
-    doc="Bloom-filter semi-join pruning audit: 16384-bit md5-hashed filter "
+    doc="Bloom-filter semi-join pruning audit: 16380-bit (260 words x 63 "
+    "usable bits, sign bit unused) md5-hashed filter "
     "over urgent orderkeys probed by every lineitem orderkey, graded "
     "against the exact semi-join (n_candidates >= n_true, false positives "
     "counted). The explicit form of runtime-filter pushdown: a broadcast "
@@ -1982,11 +1983,13 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT 'orders_without_customer' AS check_name,
        CAST(count(*) AS BIGINT) AS n_violations
-FROM orders o WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 UNION ALL
 SELECT 'lineitem_without_order',
        CAST(count(*) AS BIGINT)
-FROM lineitem l WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 UNION ALL
 SELECT 'nonpositive_quantity', CAST(count(*) AS BIGINT)
 FROM lineitem WHERE l_quantity <= 0

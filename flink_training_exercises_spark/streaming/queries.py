@@ -9,6 +9,7 @@ reference's EventTime windows (PopularPlaces.java:71-97).
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -279,9 +280,12 @@ def run_cdc_merge_availablenow(
     state_dir = tempfile.mkdtemp(prefix=f"fte_{query_name}_state_") + "/state"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        # existence check, NOT try/except: a transient read error on batch
+        # N>1 must FAIL the query, never silently reset the merge state
+        # (tombstones included) to empty
+        if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
-        except Exception:
+        else:
             # first batch: no standing state yet -- reduce the batch alone
             state = batch_df.limit(0)
         new_state = merge_latest(state, batch_df, keys, seq_cols)
