@@ -67,6 +67,19 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 "(cast the oracle column explicitly)"
             )
             continue
+        if sv.dtype != ov.dtype and not (
+            sv.dtype == object and ov.dtype == object
+        ):
+            # WARNING only: the driver demonstrably TOLERATES width skew
+            # (dedup_simhash int32/int8, text_token_count / text_lang_id /
+            # pii_scrub_mails / length_bucket_batches int32/int64 all have
+            # green r1-r3 driver rows, and canary_timestamp_schema probes
+            # ns/us). Int-vs-FLOAT skew above stays a failure. Keep new
+            # queries width-aligned anyway -- it costs one cast.
+            print(
+                f"      WARN {name} col {c}: dtype width skew "
+                f"spark={sv.dtype} oracle={ov.dtype} (driver-tolerated)"
+            )
         if s_float or o_float:
             sv64 = sv.astype(np.float64)
             ov64 = ov.astype(np.float64)
