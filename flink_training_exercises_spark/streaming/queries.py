@@ -251,7 +251,8 @@ def run_cdc_merge_availablenow(
     seq_cols: list[str],
     query_name: str,
     delete_col: str = "is_delete",
-    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Streaming MERGE (the foreachBatch upsert-sink pattern, the
     Delta/Hudi streaming-materialized-view shape): each micro-batch is
@@ -273,11 +274,21 @@ def run_cdc_merge_availablenow(
     table would be bucketed by key in a real layout, reducing it to the
     batch side only. State is materialized per batch (localCheckpoint)
     before the overwrite so the lazy parquet read never races its own
-    rewrite."""
+    rewrite.
+
+    Pass a persistent ``checkpoint_dir`` + ``state_dir`` pair to resume an
+    interrupted run: the WAL skips already-committed batches and new ones
+    fold onto the standing state (and because LWW merge is idempotent,
+    even an at-least-once replay of a committed batch cannot corrupt it --
+    tests/test_streaming.py::test_streaming_cdc_merge_checkpoint_resume).
+    """
     from ..operators.cdc import merge_latest
 
     spark = changes.sparkSession
-    state_dir = tempfile.mkdtemp(prefix=f"fte_{query_name}_state_") + "/state"
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix=f"fte_{query_name}_state_") + "/state"
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix=f"fte_{query_name}_ck_")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # existence check, NOT try/except: a transient read error on batch
@@ -293,7 +304,7 @@ def run_cdc_merge_availablenow(
         new_state.write.mode("overwrite").parquet(state_dir)
 
     writer = changes.writeStream.foreachBatch(apply_batch).outputMode("update").option(
-        "checkpointLocation", tempfile.mkdtemp(prefix=f"fte_{query_name}_ck_")
+        "checkpointLocation", checkpoint_dir
     )
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()

@@ -441,3 +441,84 @@ def test_streaming_cdc_merge_chunked(spark, sf_small, tmp_path):
     assert project(ev).withColumn("rk", F.row_number().over(w)).where(
         (F.col("rk") == 1) & F.col("is_delete")
     ).count() > 0
+
+
+def test_streaming_cdc_merge_checkpoint_resume(spark, sf_small, tmp_path):
+    """W6 for the foreachBatch MERGE: drain the first half of the change
+    stream, 'crash' (query ends), then resume with the SAME checkpoint and
+    state dirs after the second half arrives -- the WAL skips committed
+    batches, new ones fold onto the standing parquet state (tombstones
+    included), and the final state equals the one-shot batch LWW."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        run_cdc_merge_availablenow,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    staged = str(tmp_path / "staged")
+    replay_to_files(ev, "ts", staged, n_chunks=4)
+    chunks = sorted(os.listdir(staged))
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for c in chunks[:2]:
+        shutil.copy(os.path.join(staged, c), os.path.join(live, c))
+
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def project(df):
+        return df.select(
+            "user_id",
+            "event_type",
+            "value",
+            epoch_ms("ts").alias("state_ms"),
+            "event_id",
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+
+    def stream():
+        return project(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(live)
+        )
+
+    ck = str(tmp_path / "ck")
+    state = str(tmp_path / "state")
+    name = f"cdc_resume_{_uuid.uuid4().hex[:8]}"
+    # run 1: only the first two chunks exist; drains and terminates
+    partial = run_cdc_merge_availablenow(
+        stream(), ["user_id"], ["state_ms", "event_id"], name + "_a",
+        checkpoint_dir=ck, state_dir=state,
+    ).count()
+    assert partial > 0
+    # the rest of the stream arrives; resume from the same checkpoint
+    for c in chunks[2:]:
+        shutil.copy(os.path.join(staged, c), os.path.join(live, c))
+    got = {
+        tuple(r)
+        for r in run_cdc_merge_availablenow(
+            stream(), ["user_id"], ["state_ms", "event_id"], name + "_b",
+            checkpoint_dir=ck, state_dir=state,
+        ).collect()
+    }
+    w = W.partitionBy("user_id").orderBy(F.desc("state_ms"), F.desc("event_id"))
+    want = {
+        tuple(r)
+        for r in project(ev)
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (~F.col("is_delete")))
+        .drop("rk", "is_delete")
+        .collect()
+    }
+    assert got == want and got
