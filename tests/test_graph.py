@@ -176,3 +176,16 @@ def test_sssp_source_without_edges(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     got = graph.sssp_hops(edges, source=99, max_hops=4).collect()
     assert [(r["node"], r["hops"]) for r in got] == [(99, 0)]
+
+
+def test_sssp_rounds_past_convergence_are_identity(spark):
+    # the oracle unrolls EXACTLY max_hops rounds while the Spark side
+    # early-exits at the empty frontier; they agree because settled BFS
+    # distances are final -- pin it: a cap far above the diameter yields
+    # the same result as the tight cap
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (3, 4)], "src long, dst long"
+    )
+    tight = {(r["node"], r["hops"]) for r in graph.sssp_hops(edges, 0, max_hops=4).collect()}
+    loose = {(r["node"], r["hops"]) for r in graph.sssp_hops(edges, 0, max_hops=20).collect()}
+    assert tight == loose == {(0, 0), (1, 1), (2, 1), (3, 2), (4, 3)}
