@@ -308,5 +308,16 @@ def run_cdc_merge_availablenow(
     )
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+    if not os.path.isdir(state_dir):
+        # zero micro-batches ran (empty source): apply_batch never fired, so
+        # no state table exists -- return an empty BATCH frame with the
+        # change schema (minus the delete marker) instead of a read error
+        out_fields = [f for f in changes.schema.fields if f.name != delete_col]
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType(out_fields))
     final = spark.read.parquet(state_dir)
-    return final.where(~F.col(delete_col)).drop(delete_col)
+    # localCheckpoint: pin the drained values NOW -- the lazy parquet read
+    # would otherwise track any later mutation of state_dir (e.g. a resumed
+    # run folding more batches before the caller consumes this result)
+    return final.where(~F.col(delete_col)).drop(delete_col).localCheckpoint()

@@ -76,30 +76,48 @@ def elasticsearch_foreach_batch(
     `requests` is importable and the endpoint answers; otherwise raises
     NotImplementedError (optional adapter, outside the correctness gate)."""
 
+    def send_partition(rows) -> None:
+        # runs ON THE EXECUTOR: builds and ships ndjson bulk requests for
+        # its partition only -- the 100 TB shape (no driver collect; each
+        # of N partitions posts independently, so indexing throughput
+        # scales with the cluster, bounded by the ES bulk endpoint)
+        import requests  # re-import executor-side
+
+        lines: list[str] = []
+        n = 0
+
+        def flush() -> None:
+            if lines:
+                requests.post(
+                    f"{endpoint}/_bulk",
+                    data="\n".join(lines) + "\n",
+                    headers={"Content-Type": "application/x-ndjson"},
+                    timeout=30,
+                )
+                lines.clear()
+
+        for r in rows:
+            lines.append(json.dumps({"index": {"_index": index}}))
+            lines.append(
+                json.dumps(
+                    {
+                        "time": r["window_end_ms"],
+                        "location": f"{r['center_lat']},{r['center_lon']}",
+                        "isStart": r["is_start"],
+                        "cnt": r["cnt"],
+                    }
+                )
+            )
+            n += 1
+            if n % bulk_size == 0:
+                flush()
+        flush()
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         try:
-            import requests
+            import requests  # noqa: F401 -- fail fast on the driver
         except ImportError as exc:
             raise NotImplementedError("elasticsearch adapter requires `requests`") from exc
-        docs = [
-            {
-                "time": r["window_end_ms"],
-                "location": f"{r['center_lat']},{r['center_lon']}",
-                "isStart": r["is_start"],
-                "cnt": r["cnt"],
-            }
-            for r in batch_df.collect()
-        ]
-        for i in range(0, len(docs), bulk_size):
-            lines = []
-            for d in docs[i : i + bulk_size]:
-                lines.append(json.dumps({"index": {"_index": index}}))
-                lines.append(json.dumps(d))
-            requests.post(
-                f"{endpoint}/_bulk",
-                data="\n".join(lines) + "\n",
-                headers={"Content-Type": "application/x-ndjson"},
-                timeout=30,
-            )
+        batch_df.foreachPartition(send_partition)
 
     return write_batch

@@ -818,10 +818,11 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     # [aa, a], so round 2's best is (aa, a), weight 1
     docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
     got = [tuple(r) for r in bpe_train_merges(docs, n_merges=2).collect()]
-    assert got == [(1, "a", "a", "aa", 2), (2, "a", "aa", "aaa", 1)] or got == [
-        (1, "a", "a", "aa", 2),
-        (2, "aa", "a", "aaa", 1),
-    ]
+    # single deterministic outcome: greedy left-to-right replace makes the
+    # round-2 corpus exactly [aa, a], so the (aa, a) ordering is THE answer;
+    # accepting (a, aa) too would let a Spark/DuckDB disagreement pass here
+    # and fail only at the gate (ADVICE r4)
+    assert got == [(1, "a", "a", "aa", 2), (2, "aa", "a", "aaa", 1)]
 
 
 def test_value_histogram_bins_exact(spark):

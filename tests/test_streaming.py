@@ -522,3 +522,48 @@ def test_streaming_cdc_merge_checkpoint_resume(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_es_sink_batch_fn_is_distributed():
+    """S8 adapter keeps the 100 TB shape even while env-gated: the
+    foreachBatch function must ship per-partition bulk requests
+    (foreachPartition), never collect the micro-batch to the driver
+    (VERDICT r4 #6)."""
+    import inspect
+
+    from flink_training_exercises_spark.streaming.sinks import (
+        elasticsearch_foreach_batch,
+    )
+
+    src = inspect.getsource(elasticsearch_foreach_batch)
+    assert ".collect(" not in src
+    assert "foreachPartition" in src
+
+
+def test_cdc_merge_empty_source_returns_empty_batch_df(spark, tmp_path):
+    """Zero micro-batches (empty source dir): no state table is ever
+    written -- the runner must return an empty batch DataFrame with the
+    change schema minus the delete marker, not raise path-not-found
+    (ADVICE r4)."""
+    import os
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_cdc_merge_availablenow,
+    )
+
+    src_dir = str(tmp_path / "empty_src")
+    os.makedirs(src_dir)
+    changes = (
+        spark.readStream.schema("user_id long, state_ms long, is_delete boolean")
+        .parquet(src_dir)
+    )
+    out = run_cdc_merge_availablenow(
+        changes,
+        keys=["user_id"],
+        seq_cols=["state_ms"],
+        query_name="cdc_empty_gate_test",
+        checkpoint_dir=str(tmp_path / "ck"),
+        state_dir=str(tmp_path / "state"),
+    )
+    assert out.columns == ["user_id", "state_ms"]
+    assert out.count() == 0

@@ -67,9 +67,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 "(cast the oracle column explicitly)"
             )
             continue
-        if sv.dtype != ov.dtype and not (
-            sv.dtype == object and ov.dtype == object
-        ):
+        if sv.dtype != ov.dtype:
             # WARNING only: the driver demonstrably TOLERATES width skew
             # (dedup_simhash int32/int8, text_token_count / text_lang_id /
             # pii_scrub_mails / length_bucket_batches int32/int64 all have
