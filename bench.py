@@ -100,6 +100,7 @@ def main() -> None:
         if spec.bench:
             headline_total += timings[name]
         dedup.release_persisted_signatures()
+        dedup.release_persisted_cluster_maps()
         spark.catalog.clearCache()
         # drop Python refs to per-query localCheckpoint RDDs (CC/kcore/
         # sssp/bpe loops) promptly so the JVM ContextCleaner can unpersist

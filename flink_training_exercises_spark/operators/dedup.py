@@ -146,6 +146,39 @@ def release_persisted_signatures() -> None:
     _SIG_PERSISTED.clear()
 
 
+_CLUSTER_PERSISTED: dict[int, DataFrame] = {}
+
+
+def persisted_cluster_map(pairs: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK-persisted (id, comp) connected-components closure of
+    a near-dup pair relation, memoized on the pair plan (same pattern as
+    :func:`persisted_signatures`). dedup_clusters_minhash, dedup_keep_best
+    and embedding_dedup_clusters all consume the SAME closure, so one
+    session computes MinHash/LSH + the CC loop once and every later
+    consumer reads the persisted (id -> component) map instead of
+    re-running the whole subtree. release_persisted_cluster_maps() drops
+    them (bench.py / check_oracle.py call it between queries, keeping
+    per-query timings order-independent). At 100 TB this is the
+    materialized cluster-assignment table a dedup pipeline writes once
+    and joins everywhere downstream (survivor selection, audit trails,
+    shard layout)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from . import graph
+
+    key = pairs.semanticHash()
+    if key not in _CLUSTER_PERSISTED:
+        cc = graph.connected_components(pairs)
+        _CLUSTER_PERSISTED[key] = cc.persist(StorageLevel.MEMORY_AND_DISK)
+    return _CLUSTER_PERSISTED[key]
+
+
+def release_persisted_cluster_maps() -> None:
+    for df in _CLUSTER_PERSISTED.values():
+        df.unpersist()
+    _CLUSTER_PERSISTED.clear()
+
+
 def signatures_from_hashes(hs_df: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k permuted min-hashes over an (id, hs) table -> (id, hs, s0..s{k-1})."""
     def perm(a: int, b: int):

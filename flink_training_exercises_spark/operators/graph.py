@@ -264,12 +264,22 @@ def kcore(
     reached before convergence yields the same partially-peeled set on
     both sides. Output: (node, core_degree) for surviving nodes.
 
-    Scale shape: each round is one join-per-endpoint + one keyed count --
-    the Pregel degree-filter iteration. Lineage is cut per round with
-    localCheckpoint (same idiom as weighted_pagerank / the CC closure);
-    one count() action per round drives the fixpoint test. At web scale
-    the expected round count is O(log n) in practice; the cap bounds the
-    gate's plan size, not the algorithm."""
+    Scale shape (incremental peeling, VERDICT r4 #3): degrees over the
+    full edge list are computed ONCE; each round then (1) splits the
+    degree state into removed (d < k) and survivors, (2) joins the edge
+    list against ONLY the removed set to count each survivor's lost
+    neighbors, and (3) subtracts. The per-round join is keyed on the
+    REMOVED set -- which shrinks geometrically in practice -- instead of
+    re-joining the full edge list against the full surviving set twice,
+    so per-round cost decays with the frontier rather than staying
+    O(|E|) for every round. Degrees within the survivor-induced subgraph
+    equal old-degree minus removed-neighbor count (removal is
+    round-synchronous), so the per-round survivor sets -- and therefore
+    the fixpoint contract with the unrolled oracle -- are IDENTICAL to
+    the recompute form. Lineage is cut per round with localCheckpoint
+    (same idiom as weighted_pagerank / the CC closure); one isEmpty()
+    action per round drives the fixpoint test. The cap bounds the gate's
+    plan size, not the algorithm."""
     e = (
         edges.where(F.col(src) != F.col(dst))
         .select(
@@ -282,29 +292,34 @@ def kcore(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     und = und.localCheckpoint()  # reused every round; don't rescan the source
-    s = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
-    n_prev = s.count()
-    for _ in range(max_rounds):
-        deg = (
-            und.join(s.withColumnRenamed("node", "u"), "u")
-            .join(s.withColumnRenamed("node", "v"), "v")
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        s2 = deg.where(F.col("d") >= k).select(F.col("u").alias("node"))
-        s2 = s2.localCheckpoint()
-        n_cur = s2.count()
-        s = s2
-        if n_cur == n_prev:
-            break
-        n_prev = n_cur
-    return (
-        und.join(s.withColumnRenamed("node", "u"), "u")
-        .join(s.withColumnRenamed("node", "v"), "v")
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .select(F.col("u").alias("node"), "core_degree")
+    # invariant: deg = (node, d) with d = the node's degree within the
+    # current surviving-node-induced subgraph; initially the full graph
+    deg = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("u").alias("node"), "d")
+        .localCheckpoint()
     )
+    for _ in range(max_rounds):
+        removed = deg.where(F.col("d") < k).select("node")
+        if removed.isEmpty():
+            break
+        dec = (
+            und.join(removed.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("dec"))
+            .select(F.col("u").alias("node"), "dec")
+        )
+        deg = (
+            deg.where(F.col("d") >= k)
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("d") - F.coalesce(F.col("dec"), F.lit(0))).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    return deg.select("node", F.col("d").alias("core_degree"))
 
 
 def kcore_sql(edges_sql: str, k: int = 4, rounds: int = 12) -> str:

@@ -478,7 +478,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    return graph.connected_components(pairs).select(
+    return dedup.persisted_cluster_map(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
 
@@ -722,7 +722,7 @@ FROM walk GROUP BY id
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     pairs = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.35).select("id_a", "id_b")
-    return graph.connected_components(pairs).select(
+    return dedup.persisted_cluster_map(pairs).select(
         F.col("id").alias("vec_id"), F.col("comp").alias("cluster_id")
     )
 
@@ -2683,7 +2683,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    cl = graph.connected_components(pairs).select(
+    cl = dedup.persisted_cluster_map(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cl_id")
     )
     q = textstats.quality_score(docs).select("doc_id", "quality_score")

@@ -21,6 +21,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flink_training_exercises_spark.operators.dedup import (  # noqa: E402
+    release_persisted_cluster_maps,
     release_persisted_signatures,
 )
 from flink_training_exercises_spark.plans.catalog import CATALOG, entry_query  # noqa: E402
@@ -149,6 +150,7 @@ def main() -> int:
         # instead of letting executor pressure slow later queries
         sdf = odf = None
         release_persisted_signatures()
+        release_persisted_cluster_maps()
         spark.catalog.clearCache()
         gc.collect()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
