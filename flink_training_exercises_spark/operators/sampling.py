@@ -199,6 +199,7 @@ def shuffle_shard(
     docs: DataFrame,
     id_col: str = "doc_id",
     n_shards: int = 8,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic global training shuffle + shard layout: shard =
     md5(id) % n_shards, position within shard = rank by an INDEPENDENT
@@ -208,7 +209,10 @@ def shuffle_shard(
     the per-shard window sort -- which at cluster scale is
     repartition(n_shards, shard) + sortWithinPartitions(sort_key): each
     output file written sorted, no global sort. Output
-    (shard_id, pos, id)."""
+    (shard_id, pos, id [, extra_cols...]); ``extra_cols`` ride through the
+    layout so composed pipelines don't need a join-back (which would
+    re-evaluate the input subtree on both sides)."""
+    extra = list(extra_cols or [])
     sid = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":shard"))) % n_shards
     sort_key = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":ord")))
     win = Window.partitionBy("shard_id").orderBy("sort_key", "id")
@@ -217,9 +221,10 @@ def shuffle_shard(
             F.col(id_col).alias("id"),
             sid.alias("shard_id"),
             sort_key.alias("sort_key"),
+            *[F.col(c) for c in extra],
         )
         .withColumn("pos", (F.row_number().over(win) - 1).cast("bigint"))
-        .select("shard_id", "pos", "id")
+        .select("shard_id", "pos", "id", *extra)
     )
 
 

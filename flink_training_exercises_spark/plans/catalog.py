@@ -2708,6 +2708,79 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_roundtrip_oracle() -> str:
+    """CTE-unrolled twin of the composed ingest round-trip: the incremental
+    MinHash match (shared with dedup_incremental_minhash), the survivor
+    anti-join, the MERGE fold (disjoint keys here, so LWW == union -- the
+    operator chain is what's pinned), and the md5 shard layout (shared
+    with shuffle_shard_layout)."""
+    from ..functions.hashing import md5_long_sql
+
+    is_new = f"{md5_long_sql('CAST(doc_id AS VARCHAR)')} % 10000 < 2000"
+    sid = md5_long_sql("CAST(doc_id AS VARCHAR) || ':shard'")
+    key = md5_long_sql("CAST(doc_id AS VARCHAR) || ':ord'")
+    return f"""
+WITH incr AS ({dedup.incremental_minhash_sql()}),
+merged AS (
+  SELECT doc_id, 'standing' AS status FROM documents WHERE NOT ({is_new})
+  UNION ALL
+  SELECT doc_id, 'ingested' AS status FROM documents
+  WHERE ({is_new}) AND doc_id NOT IN (SELECT new_id FROM incr)
+),
+keyed AS (
+  SELECT doc_id, status, CAST({sid} % 8 AS BIGINT) AS shard_id, {key} AS sort_key
+  FROM merged
+)
+SELECT doc_id, status, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY sort_key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@register(
+    "incremental_corpus_roundtrip",
+    oracle=_incremental_roundtrip_oracle(),
+    doc="Composed continuous-ingest round-trip (VERDICT r4 #7): a new "
+    "crawl batch (md5(doc_id)%10000 < 2000) is deduped against the "
+    "standing corpus via the broadcast MinHash band probe "
+    "(dedup.incremental_minhash_matches), near-dup batch docs are "
+    "dropped, survivors fold onto the corpus through the MERGE operator "
+    "(cdc.merge_latest -- LWW by doc_id; keys are disjoint here so the "
+    "merge is a union, but the chain exercises the exact operator the "
+    "streaming twin drains through), and the merged corpus is laid out "
+    "into md5 training shards (sampling.shuffle_shard, status riding "
+    "through). Pins the PIPELINE composition the way curation_pipeline "
+    "pins the batch funnel. Output (doc_id, status, shard_id, pos). "
+    "Scale shape: each stage is individually 100 TB-safe (broadcast "
+    "band probe, one merge-key shuffle, one shard-window shuffle) and "
+    "the composition adds NO extra shuffle beyond its stages.",
+)
+def q_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    docs = load_table(spark, "documents", sf_dir)
+    matches = dedup.incremental_minhash_matches(docs)
+    is_new = md5_long(F.col("doc_id").cast("string")) % 10000 < 2000
+    standing = docs.where(~is_new).select("doc_id")
+    batch = docs.where(is_new).select("doc_id")
+    dup_ids = matches.select(F.col("new_id").alias("doc_id")).distinct()
+    survivors = batch.join(dup_ids, "doc_id", "left_anti")
+    snap = standing.select(
+        "doc_id", F.lit("standing").alias("status"), F.lit(0).alias("seq")
+    )
+    ins = survivors.select(
+        "doc_id", F.lit("ingested").alias("status"), F.lit(1).alias("seq")
+    )
+    merged = cdc.merge_latest(snap, ins, keys=["doc_id"], seq_cols=["seq"]).drop("seq")
+    sharded = sampling.shuffle_shard(
+        merged, id_col="doc_id", n_shards=8, extra_cols=["status"]
+    )
+    return sharded.select(
+        F.col("id").alias("doc_id"), "status", "shard_id", "pos"
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -2733,102 +2806,51 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-4 WINDOW (50) =======================
+    # ======================= ROUND-5 WINDOW (50) =======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # -- added in round 4, never driver-gated --
-    "cdc_merge_user_state",      # new: MERGE upsert/delete semantics
-    "sssp_event_graph",          # new: BFS shortest paths (Gelly SSSP)
-    "vocab_oov_rate",            # new: tokenizer-coverage audit
-    "timeseries_gapfill_hourly", # new: resample + forward fill
-    "dedup_editdistance_blocked",  # new: blocked Levenshtein pairs
-    "dedup_keep_best",           # new: canonical survivor per cluster
-    "hll_merge_shards",          # new: sketch merge-law gate
-    "streaming_cdc_merge",       # new: foreachBatch MERGE sink
-    "bpe_train_merges",          # new: real BPE induction loop
-    "embedding_quantize_int8",   # new: int8 scalar quantization
-    "value_histogram",           # new: integer equi-width histogram
-    "bloom_semijoin_orders",     # new: Bloom runtime-filter audit
-    "dq_audit_relational",       # new: DQ pre-flight checks
-    "dedup_repeated_ngrams",     # new: exact-substring dedup statistic
-    "kcore_interactions",        # new: iterative k-core peeling
-    "hll_distinct_users",        # new: HLL sketch vs exact twin
-    "countmin_token_freq",       # new: CMS heavy-hitter estimates
-    "zorder_layout_documents",   # new: Morton layout + z-range shards
-    "value_outliers_mad",        # new: median/MAD robust outliers
-    "multimodal_resize",         # new gate (VERDICT r3 #4)
-    "inverted_index_postings",   # new: token -> (df, capped postings)
-    "doc_typicality_bigrams",    # new: per-doc corpus bigram mass
-    "frequent_tokens_topk",      # new: grouped heavy hitters
-    # -- code changed in round 4 (LUT rewrite, shared training, probe
-    #    pruning, Jaccard zero-denominator guard, id_col honoring) --
-    "ann_topk_pq",               # rewritten: driver LUT + element_at ADC
-    "ann_topk_ivf_pq",           # rewritten: same LUT path
-    "ann_recall_at_k",           # changed: shared training across branches
-    "ann_topk_ivf",              # changed: static isin probe pruning
-    "dedup_incremental_minhash", # changed: guarded Jaccard denominator
-    "dedup_lsh_recall",          # changed: guarded Jaccard denominator
-    "multimodal_feature_extract",  # changed: id_col honored in UDF schema
+    # -- new or code-changed in round 5 --
+    "incremental_corpus_roundtrip", # NEW: composed ingest round-trip (VERDICT r4 #7)
+    "dedup_clusters_minhash",       # changed: persisted cluster-map registry
+    "dedup_keep_best",              # changed: persisted cluster-map registry
+    "embedding_dedup_clusters",     # changed: persisted cluster-map registry
+    "kcore_interactions",           # changed: incremental-degree peeling
+    "streaming_cdc_merge",          # changed: empty-source guard + pinned result
+    "shuffle_shard_layout",         # changed: extra_cols passthrough
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
-    # -- evidence rotation (VERDICT r3 #1): the 18 rows whose only green
-    #    driver row is round 2 --
-    "ann_topk_bruteforce_pandas",
-    "neardup_embedding_cosine_lsh",
-    "text_repetition",
-    "pii_scrub_mails",
-    "sample_stratified_documents",
-    "pack_sequences_4k",
-    "mixture_expand_weighted",
-    "shuffle_shard_layout",
-    "skew_salted_event_counts",
-    "dedup_clusters_minhash",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
-    # -- r2-evidence refresh fill (latest green row r02; most
-    #    operator-diverse first). New round-4 queries eject from the
-    #    BOTTOM of this block -- update the snapshot test when they do. --
-    # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-4 window (the entire r2-refresh
-    # block is now ejected -- the window is all round-4-new/changed +
-    # canaries + the 18-row VERDICT rotation). First in line for the
-    # round-5 rotation: the eleven ejected refresh rows, then the eight
-    # r2-evidence rows deferred earlier this round (each has an in-window
-    # cousin exercising the same operator family).
-    "ride_cleansing",                 # r2; ejected for value_histogram
-    "popular_places",                 # r2; ejected for embedding_quantize
-    "mail_count",                     # r2; ejected for bpe_train_merges
-    "member_of_the_month",            # r2; ejected for streaming_cdc_merge
-    "reply_graph",                    # r2; ejected for hll_merge_shards
-    "mail_tfidf",                     # r2; ejected for dedup_keep_best
-    "pagerank_weighted",              # r2; ejected for timeseries_gapfill
-    "travel_time_prediction",         # r2; ejected for dedup_editdistance
-    "sessionize_events",              # r2; ejected for cdc_merge_user_state
-    "dedup_simhash",                  # r2; ejected for sssp_event_graph
-    "tpch_q1_pricing_summary",        # r2; ejected for vocab_oov_rate
-    "member_of_the_month_joinback",   # r2; twin of member_of_the_month
-    "travel_time_prediction_stateful",  # r2; streaming twin gated r3
-    "ann_topk_bruteforce",            # r2; re-run inside ann_recall_at_k
-    "neardup_embedding_cosine",       # r2; lsh variant in-window
-    "dedup_ngram_jaccard",            # r2; ejected for round-4 sketches
-    "text_quality_score",             # r2; ejected for round-4 sketches
-    "text_fingerprint",               # r2; ejected for round-4 sketches
-    "distinct_users_per_type",        # r2; ejected for round-4 sketches
-    "tpch_q3_shipping_priority",      # r2; ejected for kcore/repeat-ngrams
-    "tpch_q5_local_supplier",         # r2; ejected for kcore/repeat-ngrams
-    "ann_topk_lsh",                   # r2; ejected for bloom/dq (graded
-                                      #     inside in-window ann_recall_at_k)
-    "text_lang_id",                   # r2; ejected for bloom/dq (composed
-                                      #     inside in-window curation_pipeline)
-    # -- r3-gated rows: freshest evidence, cede their slots this round --
+    # -- evidence rotation (VERDICT r4 #1): all 23 rows whose latest
+    #    green driver row is round 2 -- the eleven r4-ejected refresh
+    #    rows, the eight deferred r2 rows, and the four stragglers --
+    "sessionize_events",
+    "dedup_simhash",
+    "tpch_q1_pricing_summary",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "mail_tfidf",
+    "reply_graph",
+    "member_of_the_month",
+    "mail_count",
+    "popular_places",
+    "ride_cleansing",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_fingerprint",
+    "distinct_users_per_type",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "ann_topk_lsh",
+    "text_lang_id",
+    "member_of_the_month_joinback",
+    "travel_time_prediction_stateful",
+    "ann_topk_bruteforce",
+    "neardup_embedding_cosine",
+    # -- r3-evidence refresh fill (18): with the slots left, re-gate the
+    #    oldest remaining evidence (whole streaming family + diverse
+    #    batch operators, all last gated r3) so after r5 no row is more
+    #    than two rounds stale --
     "streaming_sessionize",
     "streaming_exact_dedup",
     "streaming_distinct_users",
@@ -2846,9 +2868,15 @@ _GATE_PRIORITY = [
     "multimodal_decode_meta",
     "text_token_count",
     "domain_cap_documents",
-    "length_bucket_batches",
     "triangle_count_edges",
-    "embedding_dedup_clusters",
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-5 window. First in line for
+    # the round-6 rotation: the 22 r3-evidence rows that did not fit
+    # (TPC-H q2/q9/q11/q12/q15/q16/q18-q22 family, asof/window/range/
+    # set-ops/scd2/rollup/pivot/percentiles, length_bucket_batches),
+    # then the r4-gated block (freshest evidence).
+    # -- r3-evidence, deferred to round 6 --
+    "length_bucket_batches",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
@@ -2870,6 +2898,50 @@ _GATE_PRIORITY = [
     "rollup_counts",
     "pivot_user_activity",
     "value_percentiles",
+    # -- r4-gated rows: freshest evidence, cede their slots this round --
+    "cdc_merge_user_state",
+    "sssp_event_graph",
+    "vocab_oov_rate",
+    "timeseries_gapfill_hourly",
+    "dedup_editdistance_blocked",
+    "hll_merge_shards",
+    "bpe_train_merges",
+    "embedding_quantize_int8",
+    "value_histogram",
+    "bloom_semijoin_orders",
+    "dq_audit_relational",
+    "dedup_repeated_ngrams",
+    "hll_distinct_users",
+    "countmin_token_freq",
+    "zorder_layout_documents",
+    "value_outliers_mad",
+    "multimodal_resize",
+    "inverted_index_postings",
+    "doc_typicality_bigrams",
+    "frequent_tokens_topk",
+    "ann_topk_pq",
+    "ann_topk_ivf_pq",
+    "ann_recall_at_k",
+    "ann_topk_ivf",
+    "dedup_incremental_minhash",
+    "dedup_lsh_recall",
+    "multimodal_feature_extract",
+    "ann_topk_bruteforce_pandas",
+    "neardup_embedding_cosine_lsh",
+    "text_repetition",
+    "pii_scrub_mails",
+    "sample_stratified_documents",
+    "pack_sequences_4k",
+    "mixture_expand_weighted",
+    "skew_salted_event_counts",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
 ]
 
 

@@ -39,76 +39,68 @@ def test_oracle_is_valid_duckdb(duck, name):
     duck.execute(f"SELECT * FROM ({CATALOG[name].oracle}) LIMIT 5").fetchall()
 
 
-# The EXACT round-4 gate window, in order (ADVICE r3: snapshot the full
+# The EXACT round-5 gate window, in order (ADVICE r3: snapshot the full
 # window so an insertion that silently ejects the tail fails loudly).
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-4 additions, never driver-gated
-    "cdc_merge_user_state",
-    "sssp_event_graph",
-    "vocab_oov_rate",
-    "timeseries_gapfill_hourly",
-    "dedup_editdistance_blocked",
+    # round-5 new / code-changed
+    "incremental_corpus_roundtrip",
+    "dedup_clusters_minhash",
     "dedup_keep_best",
-    "hll_merge_shards",
-    "streaming_cdc_merge",
-    "bpe_train_merges",
-    "embedding_quantize_int8",
-    "value_histogram",
-    "bloom_semijoin_orders",
-    "dq_audit_relational",
-    "dedup_repeated_ngrams",
+    "embedding_dedup_clusters",
     "kcore_interactions",
-    "hll_distinct_users",
-    "countmin_token_freq",
-    "zorder_layout_documents",
-    "value_outliers_mad",
-    "multimodal_resize",
-    "inverted_index_postings",
-    "doc_typicality_bigrams",
-    "frequent_tokens_topk",
-    # round-4 code changes
-    "ann_topk_pq",
-    "ann_topk_ivf_pq",
-    "ann_recall_at_k",
-    "ann_topk_ivf",
-    "dedup_incremental_minhash",
-    "dedup_lsh_recall",
-    "multimodal_feature_extract",
+    "streaming_cdc_merge",
+    "shuffle_shard_layout",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # r2-only evidence rotation (VERDICT r3 #1)
-    "ann_topk_bruteforce_pandas",
-    "neardup_embedding_cosine_lsh",
-    "text_repetition",
-    "pii_scrub_mails",
-    "sample_stratified_documents",
-    "pack_sequences_4k",
-    "mixture_expand_weighted",
-    "shuffle_shard_layout",
-    "skew_salted_event_counts",
-    "dedup_clusters_minhash",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
-    # r2-evidence refresh fill
-    # ejected for the eight round-4 sketch/index additions:
-    # dedup_ngram_jaccard, text_quality_score, text_fingerprint,
-    # distinct_users_per_type, tpch_q3_shipping_priority,
-    # tpch_q5_local_supplier, ann_topk_lsh, text_lang_id; ejected for the
-    # batch-2/3 additions (cdc/sssp/oov/gapfill/editdistance/keep-best/
-    # hll-merge/streaming-cdc/bpe-train/int8-quantize/histogram):
-    # sessionize_events, dedup_simhash, tpch_q1_pricing_summary,
-    # pagerank_weighted, travel_time_prediction, mail_tfidf, reply_graph,
-    # member_of_the_month, mail_count, popular_places, ride_cleansing
-    # (all recorded first-in-line for round 5)
+    # the 23 r2-evidence rows (VERDICT r4 #1 rotation, complete)
+    "sessionize_events",
+    "dedup_simhash",
+    "tpch_q1_pricing_summary",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "mail_tfidf",
+    "reply_graph",
+    "member_of_the_month",
+    "mail_count",
+    "popular_places",
+    "ride_cleansing",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_fingerprint",
+    "distinct_users_per_type",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "ann_topk_lsh",
+    "text_lang_id",
+    "member_of_the_month_joinback",
+    "travel_time_prediction_stateful",
+    "ann_topk_bruteforce",
+    "neardup_embedding_cosine",
+    # r3-evidence refresh fill (18)
+    "streaming_sessionize",
+    "streaming_exact_dedup",
+    "streaming_distinct_users",
+    "streaming_travel_time_stateful",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_popular_places",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "bpe_pair_counts",
+    "contamination_ngram_overlap",
+    "curation_pipeline",
+    "multimodal_frame_sample",
+    "multimodal_decode_meta",
+    "text_token_count",
+    "domain_cap_documents",
+    "triangle_count_edges",
+    # ejected to fit: the entire r4-new/changed block (fresh r4 rows)
+    # and the 22 remaining r3 rows -- all recorded first-in-line for
+    # round 6 in catalog._GATE_PRIORITY
 ]
 
 

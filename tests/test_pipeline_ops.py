@@ -892,3 +892,53 @@ def test_vocab_oov_full_coverage_when_vocab_is_large(spark):
     )
     out = {r["doc_id"]: r for r in vocab_oov_rate(docs, vocab_size=100).collect()}
     assert all(r["n_oov"] == 0 and r["keep"] for r in out.values())
+
+
+def test_shuffle_shard_extra_cols_passthrough(spark):
+    """extra_cols must ride through the shard layout without changing
+    shard assignment or within-shard order (they are not part of the
+    shard or sort keys)."""
+    from flink_training_exercises_spark.operators.sampling import shuffle_shard
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("grp")
+    )
+    base = {(r.shard_id, r.pos, r.id) for r in shuffle_shard(docs).collect()}
+    ext = shuffle_shard(docs, extra_cols=["grp"]).collect()
+    assert {(r.shard_id, r.pos, r.id) for r in ext} == base
+    assert all(r.grp == r.id % 3 for r in ext)
+
+
+def test_incremental_roundtrip_composition_invariants(spark, sf_small):
+    """The composed ingest round-trip must agree with its stages run
+    individually: standing docs all present as 'standing', batch docs
+    present as 'ingested' iff they had NO near-dup match against the
+    corpus, matched batch docs absent, and per-shard positions dense
+    0..n-1."""
+    from collections import defaultdict
+
+    from flink_training_exercises_spark.functions.hashing import md5_long
+    from flink_training_exercises_spark.operators import dedup
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+    from flink_training_exercises_spark.sources import load_table
+
+    out = CATALOG["incremental_corpus_roundtrip"].spark(spark, sf_small).collect()
+    docs = load_table(spark, "documents", sf_small)
+    is_new = md5_long(F.col("doc_id").cast("string")) % 10000 < 2000
+    standing_ids = {r.doc_id for r in docs.where(~is_new).select("doc_id").collect()}
+    batch_ids = {r.doc_id for r in docs.where(is_new).select("doc_id").collect()}
+    matched = {
+        r.new_id
+        for r in dedup.incremental_minhash_matches(docs)
+        .select("new_id")
+        .distinct()
+        .collect()
+    }
+    statuses = {r.doc_id: r.status for r in out}
+    assert {d for d, v in statuses.items() if v == "standing"} == standing_ids
+    assert {d for d, v in statuses.items() if v == "ingested"} == batch_ids - matched
+    assert not (matched & set(statuses))
+    shards = defaultdict(list)
+    for r in out:
+        shards[r.shard_id].append(r.pos)
+    assert all(sorted(v) == list(range(len(v))) for v in shards.values())
