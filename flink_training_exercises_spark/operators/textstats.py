@@ -565,6 +565,125 @@ def bpe_train_merges(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Tokenizer APPLICATION -- encode the corpus with the merges learned
+    by :func:`bpe_train_merges`: per document, every alpha word is split
+    to character symbols and the learned merges are replayed in rank
+    order (the same boundary-safe double-delimited literal replace the
+    trainer uses), then token counts are aggregated per doc. Output
+    (id, n_words, n_chars, n_tokens) -- all exact BIGINTs, so the gate
+    is hash-exact; n_chars = pre-merge symbol count, n_tokens = post-
+    merge, the corpus-level compression the tokenizer actually buys.
+
+    Scale shape (100 TB): encoding work is VOCAB-bounded, not
+    corpus-bounded -- the distinct alpha words are encoded once
+    (map-only literal replaces over one vocab-sized relation) and the
+    per-word token counts broadcast back onto the (doc, word) stream,
+    which then collapses map-side to one row per doc. The merge table
+    itself is the trainer's bounded driver artifact (n_merges rows),
+    inlined as literals -- exactly how a trained tokenizer ships."""
+    merges = [
+        (r["left_sym"], r["right_sym"], r["merged"])
+        for r in bpe_train_merges(docs, text_col=text_col, n_merges=n_merges).collect()
+    ]
+    base = _widened(docs)
+    toks = base.select(F.col(id_col), F.explode(_words(text_col)).alias("word"))
+    alpha = toks.where(F.col("word").rlike("^[a-z]+$"))
+    sym = F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "|$1|"), F.lit("|"))
+    enc = alpha.select("word").distinct().select("word", sym.alias("sym"))
+    for a, b, m in merges:
+        enc = enc.select(
+            "word", F.expr(f"replace(sym, '|{a}||{b}|', '|{m}|')").alias("sym")
+        )
+    word_tokens = enc.select(
+        "word",
+        F.size(F.filter(F.split("sym", "[|]"), lambda x: x != "")).cast(
+            "bigint"
+        ).alias("n_sym"),
+    )
+    per = (
+        alpha.join(F.broadcast(word_tokens), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_sym").alias("n_tokens"),
+        )
+    )
+    return (
+        base.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_words"), F.lit(0).cast("bigint")).alias("n_words"),
+            F.coalesce(F.col("n_chars").cast("bigint"), F.lit(0).cast("bigint")).alias(
+                "n_chars"
+            ),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+        )
+    )
+
+
+def bpe_encode_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> str:
+    """DuckDB twin of :func:`bpe_encode`: the trainer's unrolled CTE chain
+    (shared with bpe_train_merges_sql) replayed over the distinct word
+    vocabulary via scalar-subquery literal replaces."""
+    w = _words_sql(text_col)
+    train = bpe_train_merges_sql(table, text_col, n_merges)
+    parts = [
+        f"WITH merges AS MATERIALIZED ({train})",
+        f"""toksd AS MATERIALIZED (
+  SELECT {id_col}, word FROM (
+    SELECT {id_col}, unnest({w}) AS word FROM {table}
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+)""",
+        "enc0 AS (SELECT word, '|' || regexp_replace(word, '(.)', '|\\1|', 'g')"
+        " || '|' AS sym FROM (SELECT DISTINCT word FROM toksd))",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"enc{r} AS (SELECT word, replace(sym, "
+            f"'|' || (SELECT left_sym FROM merges WHERE merge_rank = {r}) || '||' || "
+            f"(SELECT right_sym FROM merges WHERE merge_rank = {r}) || '|', "
+            f"'|' || (SELECT merged FROM merges WHERE merge_rank = {r}) || '|') AS sym "
+            f"FROM enc{r - 1})"
+        )
+    parts.append(
+        f"wt AS (SELECT word, CAST(len([x for x in string_split(sym, '|') "
+        f"if x != '']) AS BIGINT) AS n_sym FROM enc{n_merges})"
+    )
+    parts.append(
+        f"""per AS (
+  SELECT t.{id_col},
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+         CAST(sum(wt.n_sym) AS BIGINT) AS n_tokens
+  FROM toksd t JOIN wt ON t.word = wt.word
+  GROUP BY t.{id_col}
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT d.{id_col},
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_chars, 0) AS n_chars,
+       COALESCE(p.n_tokens, 0) AS n_tokens
+FROM {table} d LEFT JOIN per p ON d.{id_col} = p.{id_col}
+"""
+    )
+
+
 def bpe_train_merges_sql(
     table: str = "documents", text_col: str = "text", n_merges: int = 3
 ) -> str:

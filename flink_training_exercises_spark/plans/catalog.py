@@ -2637,6 +2637,47 @@ def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_encode_corpus",
+    oracle=textstats.bpe_encode_sql(),
+    doc="Tokenizer APPLICATION: encode every document with the merges "
+    "learned by bpe_train_merges (replayed in rank order over the "
+    "distinct word vocabulary -- vocab-bounded work, broadcast join "
+    "back, map-side per-doc collapse). Output per doc: n_words, "
+    "n_chars (pre-merge symbols), n_tokens (post-merge) -- the "
+    "compression the tokenizer buys, all exact BIGINTs. Completes the "
+    "train->apply tokenizer loop the way streaming_cdc_merge completes "
+    "batch MERGE.",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.bpe_encode(docs)
+
+
+@register(
+    "streaming_enrich_static",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, epoch_ms(e.ts) AS ts_ms,
+       c.c_mktsegment AS segment, n.n_name AS nation
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+    doc="Stream-static dimension enrichment through the real engine: the "
+    "event stream inner-joined per micro-batch to a broadcast dimension "
+    "graph (customer |><| nation) on user_id. Stateless -- rows emit on "
+    "processing, no watermark state -- so the availableNow drain equals "
+    "the plain batch join and the oracle needs no horizon cut. The "
+    "canonical star-schema enrichment every event pipeline runs.",
+)
+def q_streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import run_enrich_static_availablenow
+
+    return run_enrich_static_availablenow(
+        spark, sf_dir, "streaming_enrich_static_gate"
+    )
+
+
+@register(
     "dedup_editdistance_blocked",
     oracle=dedup.editdistance_pairs_sql(),
     doc="Blocked Levenshtein near-dup pairs: normalized 40-char header "
@@ -2811,6 +2852,8 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- new or code-changed in round 5 --
+    "streaming_enrich_static",      # NEW: stream-static broadcast enrichment
+    "bpe_encode_corpus",            # NEW: tokenizer application (train->apply loop)
     "incremental_corpus_roundtrip", # NEW: composed ingest round-trip (VERDICT r4 #7)
     "dedup_clusters_minhash",       # changed: persisted cluster-map registry
     "dedup_keep_best",              # changed: persisted cluster-map registry
@@ -2867,15 +2910,16 @@ _GATE_PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_decode_meta",
     "text_token_count",
-    "domain_cap_documents",
-    "triangle_count_edges",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-5 window. First in line for
     # the round-6 rotation: the 22 r3-evidence rows that did not fit
     # (TPC-H q2/q9/q11/q12/q15/q16/q18-q22 family, asof/window/range/
     # set-ops/scd2/rollup/pivot/percentiles, length_bucket_batches),
     # then the r4-gated block (freshest evidence).
-    # -- r3-evidence, deferred to round 6 --
+    # -- r3-evidence, deferred to round 6 (domain_cap / triangles ejected
+    #    for the two round-5 additions above) --
+    "domain_cap_documents",
+    "triangle_count_edges",
     "length_bucket_batches",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",

@@ -245,6 +245,48 @@ def run_sessionize_availablenow(
     return drain_availablenow(streaming_sessionize(events_stream(spark, sf_dir)), query_name)
 
 
+def run_enrich_static_availablenow(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """Stream-static dimension enrichment -- the canonical Structured
+    Streaming join shape a real event pipeline runs on every record:
+    the event stream inner-joined to a BROADCAST dimension graph
+    (customer |><| nation) keyed on user_id. Stateless (no watermark
+    state, no eviction horizon): every matched row emits on processing,
+    so the availableNow drain equals the plain batch join and the oracle
+    needs no horizon cut.
+
+    Scale shape (100 TB): the dimension side is built once per
+    micro-batch plan from bounded dim tables and broadcast -- the stream
+    side never shuffles; per-record cost is a hash-map probe inside
+    whole-stage codegen. The two-hop dim graph (customer -> nation)
+    collapses into ONE broadcast relation before the stream join, which
+    is exactly how a star-schema enrichment should land on a cluster."""
+    from ..functions.time import epoch_ms
+    from ..sources.loaders import load_table
+    from .sources import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    dim = F.broadcast(
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"]).select(
+            F.col("c_custkey").alias("dim_key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    joined = ev.join(dim, ev["user_id"] == dim["dim_key"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        epoch_ms("ts").alias("ts_ms"),
+        "segment",
+        "nation",
+    )
+    return drain_availablenow(joined, query_name)
+
+
 def run_cdc_merge_availablenow(
     changes: DataFrame,
     keys: list[str],

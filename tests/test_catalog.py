@@ -45,6 +45,8 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-5 new / code-changed
+    "streaming_enrich_static",
+    "bpe_encode_corpus",
     "incremental_corpus_roundtrip",
     "dedup_clusters_minhash",
     "dedup_keep_best",
@@ -96,8 +98,6 @@ EXPECTED_GATE_WINDOW = [
     "multimodal_frame_sample",
     "multimodal_decode_meta",
     "text_token_count",
-    "domain_cap_documents",
-    "triangle_count_edges",
     # ejected to fit: the entire r4-new/changed block (fresh r4 rows)
     # and the 22 remaining r3 rows -- all recorded first-in-line for
     # round 6 in catalog._GATE_PRIORITY

@@ -942,3 +942,15 @@ def test_incremental_roundtrip_composition_invariants(spark, sf_small):
     for r in out:
         shards[r.shard_id].append(r.pos)
     assert all(sorted(v) == list(range(len(v))) for v in shards.values())
+
+
+def test_bpe_encode_hand_computed(spark):
+    """Encode replays the learned merges in rank order, vocab-bounded.
+    Corpus 'abab ab cd': round 1 merges (a,b) w=3; round 2 tiebreak picks
+    (ab,ab) over (c,d) ('ab' < 'c'). Encoded: abab->1 token, ab->1,
+    cd->2."""
+    from flink_training_exercises_spark.operators.textstats import bpe_encode
+
+    docs = spark.createDataFrame([(1, "abab ab cd")], "doc_id long, text string")
+    got = bpe_encode(docs, n_merges=2).collect()
+    assert [tuple(r) for r in got] == [(1, 3, 8, 4)]
