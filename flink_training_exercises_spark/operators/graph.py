@@ -276,7 +276,8 @@ def kcore(
     equal old-degree minus removed-neighbor count (removal is
     round-synchronous), so the per-round survivor sets -- and therefore
     the fixpoint contract with the unrolled oracle -- are IDENTICAL to
-    the recompute form. Lineage is cut per round with localCheckpoint
+    the recompute form (including zero-degree survivors at the cap,
+    which both forms exclude from the output). Lineage is cut per round with localCheckpoint
     (same idiom as weighted_pagerank / the CC closure); one isEmpty()
     action per round drives the fixpoint test. The cap bounds the gate's
     plan size, not the algorithm."""
@@ -319,7 +320,11 @@ def kcore(
             )
             .localCheckpoint()
         )
-    return deg.select("node", F.col("d").alias("core_degree"))
+    # d > 0: a node can survive a round's degree test yet lose ALL its
+    # neighbors in that same round (cap reached mid-peel). The recompute
+    # form -- and the oracle's final join against the survivor set -- emit
+    # no row for such zero-degree survivors, so neither do we.
+    return deg.where(F.col("d") > 0).select("node", F.col("d").alias("core_degree"))
 
 
 def kcore_sql(edges_sql: str, k: int = 4, rounds: int = 12) -> str:

@@ -213,6 +213,9 @@ def shuffle_shard(
     layout so composed pipelines don't need a join-back (which would
     re-evaluate the input subtree on both sides)."""
     extra = list(extra_cols or [])
+    reserved = {"id", "shard_id", "sort_key", "pos", id_col}
+    clash = reserved.intersection(extra)
+    assert not clash, f"extra_cols collide with layout columns: {sorted(clash)}"
     sid = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":shard"))) % n_shards
     sort_key = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":ord")))
     win = Window.partitionBy("shard_id").orderBy("sort_key", "id")

@@ -651,11 +651,16 @@ def bpe_encode_sql(
         " || '|' AS sym FROM (SELECT DISTINCT word FROM toksd))",
     ]
     for r in range(1, n_merges + 1):
+        # COALESCE('0') guards ranks the trainer never learned (corpus with
+        # < n_merges mergeable pairs): the pattern/replacement collapse to
+        # '0', and replace(sym, '0', '0') is identity -- matching the Spark
+        # side's early loop exit. Unguarded, the NULL scalar subquery would
+        # NULL the whole sym column and zero every n_tokens.
         parts.append(
             f"enc{r} AS (SELECT word, replace(sym, "
-            f"'|' || (SELECT left_sym FROM merges WHERE merge_rank = {r}) || '||' || "
-            f"(SELECT right_sym FROM merges WHERE merge_rank = {r}) || '|', "
-            f"'|' || (SELECT merged FROM merges WHERE merge_rank = {r}) || '|') AS sym "
+            f"COALESCE('|' || (SELECT left_sym FROM merges WHERE merge_rank = {r}) || '||' || "
+            f"(SELECT right_sym FROM merges WHERE merge_rank = {r}) || '|', '0'), "
+            f"COALESCE('|' || (SELECT merged FROM merges WHERE merge_rank = {r}) || '|', '0')) AS sym "
             f"FROM enc{r - 1})"
         )
     parts.append(

@@ -2890,10 +2890,10 @@ _GATE_PRIORITY = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # -- r3-evidence refresh fill (18): with the slots left, re-gate the
+    # -- r3-evidence refresh fill (16): with the slots left, re-gate the
     #    oldest remaining evidence (whole streaming family + diverse
-    #    batch operators, all last gated r3) so after r5 no row is more
-    #    than two rounds stale --
+    #    batch operators, all last gated r3; domain_cap/triangles later
+    #    ceded their two slots to the round-5 additions) --
     "streaming_sessionize",
     "streaming_exact_dedup",
     "streaming_distinct_users",

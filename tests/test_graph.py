@@ -147,6 +147,23 @@ def test_kcore_cap_matches_oracle_contract(spark):
     assert out == {1: 2, 2: 2, 3: 3, 4: 1}
 
 
+def test_kcore_cap_drops_zero_degree_survivors(spark):
+    """Path 1-2-3 with k=2, max_rounds=1: round 1 removes endpoints 1 and
+    3; node 2 passes the degree test but loses BOTH neighbors in the same
+    round. The recompute form's final join -- and the SQL oracle's unroll
+    -- emit no row for such zero-degree survivors, so neither may the
+    incremental form (round-5 review finding, verified divergence)."""
+    import duckdb
+
+    from flink_training_exercises_spark.operators.graph import kcore, kcore_sql
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert kcore(edges, k=2, max_rounds=1).collect() == []
+    con = duckdb.connect()
+    sql = kcore_sql("SELECT * FROM (VALUES (1, 2), (2, 3)) t(src, dst)", k=2, rounds=1)
+    assert con.execute(sql).fetchall() == []
+
+
 def test_sssp_hand_computed(spark):
     # 0->1->2->3 chain plus shortcut 0->2, unreachable island 7->8,
     # parallel edge and self-loop noise

@@ -954,3 +954,24 @@ def test_bpe_encode_hand_computed(spark):
     docs = spark.createDataFrame([(1, "abab ab cd")], "doc_id long, text string")
     got = bpe_encode(docs, n_merges=2).collect()
     assert [tuple(r) for r in got] == [(1, 3, 8, 4)]
+
+
+def test_bpe_encode_oracle_handles_fewer_merges_than_requested(spark, tmp_path):
+    """Corpus with only ONE mergeable pair ('ab'): the Spark trainer breaks
+    early and encode replays one merge (n_tokens=1); the oracle's unrolled
+    enc2/enc3 rounds see NULL scalar subqueries for the missing ranks and
+    must replay as identity (the '0'-sentinel COALESCE), not NULL the
+    symbol column (round-5 review finding, verified divergence)."""
+    import duckdb
+
+    from flink_training_exercises_spark.operators.textstats import (
+        bpe_encode,
+        bpe_encode_sql,
+    )
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_encode(docs, n_merges=3).collect()]
+    assert got == [(1, 1, 2, 1)]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1 AS doc_id, 'ab' AS text")
+    assert con.execute(bpe_encode_sql(n_merges=3)).fetchall() == [(1, 1, 2, 1)]
