@@ -179,3 +179,34 @@ def test_random_projection_matches_python_reference(spark, vec):
     for j, (a, b) in enumerate(_proj_params()[:16]):
         expect = sum(x * (1 - 2 * ((i * a + b) % 2)) for i, x in enumerate(iv))
         assert got[j] == expect, j
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=3),  # k
+    st.integers(min_value=1, max_value=4),  # max_rounds (may cap mid-peel)
+)
+def test_kcore_matches_sql_oracle_on_random_graphs(spark, edges, k, rounds):
+    """Differential: the incremental Spark peeling must equal the oracle's
+    exact round unroll on ANY small graph, for ANY cap -- including caps
+    reached mid-peel (the zero-degree-survivor class the round-5 review
+    caught) and self-loop / duplicate-edge noise."""
+    import duckdb
+
+    from flink_training_exercises_spark.operators.graph import kcore, kcore_sql
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["node"], r["core_degree"])
+           for r in kcore(df, k=k, max_rounds=rounds).collect()}
+    values = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = kcore_sql(f"SELECT * FROM (VALUES {values}) t(src, dst)", k=k, rounds=rounds)
+    want = set(duckdb.connect().execute(sql).fetchall())
+    assert got == want
