@@ -210,3 +210,84 @@ def test_kcore_matches_sql_oracle_on_random_graphs(spark, edges, k, rounds):
     sql = kcore_sql(f"SELECT * FROM (VALUES {values}) t(src, dst)", k=k, rounds=rounds)
     want = set(duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Differential: alternating large-star/small-star must equal a plain
+    union-find (component = min member) on ANY small graph, with
+    self-loop and duplicate/reversed-edge noise."""
+    from flink_training_exercises_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["id"], r["comp"]) for r in connected_components(df).collect()}
+
+    nodes = {n for e in edges for n in e if e[0] != e[1]}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comps = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    want = {(n, min(members)) for members in comps.values() for n in members}
+    assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=4),  # hop cap
+)
+def test_sssp_matches_python_bfs(spark, edges, cap):
+    """Differential: frontier BFS must equal a reference BFS truncated at
+    the hop cap on ANY small digraph (parallel edges, self-loops,
+    unreachable nodes)."""
+    from collections import deque
+
+    from flink_training_exercises_spark.operators.graph import sssp_hops
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["node"], r["hops"]) for r in sssp_hops(df, source=0, max_hops=cap).collect()}
+
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    dist = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        if dist[u] >= cap:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got == set(dist.items())
