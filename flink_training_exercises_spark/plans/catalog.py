@@ -2636,6 +2636,184 @@ def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_case_sql(id_expr: str) -> str:
+    """80/10/10 deterministic split label for a doc-id expression."""
+    from ..functions.hashing import md5_long_sql
+
+    h = md5_long_sql(f"CAST({id_expr} AS VARCHAR) || ':split'") + " % 100"
+    return f"CASE WHEN {h} < 80 THEN 'train' WHEN {h} < 90 THEN 'val' ELSE 'test' END"
+
+
+def _split_leakage_oracle() -> str:
+    return f"""
+WITH pairs AS ({dedup.minhash_lsh_sql(threshold=0.2)}),
+lab AS (
+  SELECT {_split_case_sql('id_a')} AS ca, {_split_case_sql('id_b')} AS cb FROM pairs
+)
+SELECT least(ca, cb) AS split_a, greatest(ca, cb) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY 1, 2
+"""
+
+
+@register(
+    "split_leakage_neardup",
+    oracle=_split_leakage_oracle(),
+    doc="Train/val/test split leakage through NEAR-duplicates: documents "
+    "are assigned splits by a deterministic md5 hash (80/10/10 -- the "
+    "split every pipeline ships), then the MinHash near-dup pairs are "
+    "labeled by their endpoints' splits and counted per (split_a <= "
+    "split_b) bucket. Off-diagonal buckets are evaluation contamination "
+    "that exact-match decontamination (contamination_ngram_overlap) "
+    "cannot see -- the near-dup leakage audit from the dedup literature. "
+    "Shares the persisted signature/cluster machinery; one extra "
+    "map-only labeling + a 6-bucket aggregate on top of the pair join.",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
+
+    def split_c(c):
+        h = md5_long(F.concat(c.cast("string"), F.lit(":split"))) % 100
+        return (
+            F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+        )
+
+    sa, sb = split_c(F.col("id_a")), split_c(F.col("id_b"))
+    return (
+        pairs.select(F.least(sa, sb).alias("split_a"), F.greatest(sa, sb).alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "funnel_user_stages",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+t1 AS (SELECT user_id, min(ms) AS t_view_ms FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(ms) AS t_click_ms FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND ms > t_view_ms GROUP BY 1),
+t3 AS (SELECT e.user_id, min(ms) AS t_signup_ms FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'signup' AND ms > t_click_ms GROUP BY 1),
+t4 AS (SELECT e.user_id, min(ms) AS t_purchase_ms FROM e JOIN t3 USING (user_id)
+       WHERE event_type = 'purchase' AND ms > t_signup_ms GROUP BY 1)
+SELECT t1.user_id,
+       CAST(1 + (CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t4.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS funnel_depth,
+       t_view_ms,
+       COALESCE(t_click_ms, -1) AS t_click_ms,
+       COALESCE(t_signup_ms, -1) AS t_signup_ms,
+       COALESCE(t_purchase_ms, -1) AS t_purchase_ms
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+LEFT JOIN t4 ON t1.user_id = t4.user_id
+""",
+    doc="ORDERED conversion funnel (view -> click -> signup -> purchase): "
+    "each stage's timestamp is the first occurrence STRICTLY AFTER the "
+    "previous stage's -- the sequential-funnel semantics (a click before "
+    "any view does not count), not mere event-type possession. Output "
+    "per user reaching stage 1: funnel_depth + per-stage first-reach "
+    "epoch ms (-1 for unreached). Scale shape: one keyed min per stage "
+    "over a stream pre-filtered to that stage's type, each joined to the "
+    "shrinking prior-stage cohort -- the per-stage relations decay like "
+    "the conversion rate, and everything is keyed on user_id so a real "
+    "deployment co-partitions all four aggregations in one shuffle.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.time import epoch_ms
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", epoch_ms("ts").alias("ms")
+    )
+
+    def stage(prev, etype, prev_col, out_col):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ms") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ms").alias(out_col))
+        )
+
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_view_ms"))
+    )
+    t2 = stage(t1, "click", "t_view_ms", "t_click_ms")
+    t3 = stage(t2, "signup", "t_click_ms", "t_signup_ms")
+    t4 = stage(t3, "purchase", "t_signup_ms", "t_purchase_ms")
+    notnull = lambda c: F.when(F.col(c).isNull(), 0).otherwise(1)  # noqa: E731
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .join(t4, "user_id", "left")
+        .select(
+            "user_id",
+            (1 + notnull("t_click_ms") + notnull("t_signup_ms") + notnull("t_purchase_ms"))
+            .cast("bigint")
+            .alias("funnel_depth"),
+            "t_view_ms",
+            F.coalesce("t_click_ms", F.lit(-1)).alias("t_click_ms"),
+            F.coalesce("t_signup_ms", F.lit(-1)).alias("t_signup_ms"),
+            F.coalesce("t_purchase_ms", F.lit(-1)).alias("t_purchase_ms"),
+        )
+    )
+
+
+_WEEK_MS = 7 * 86400000
+_COHORT_ORIGIN_MS = 1704067200000  # 2024-01-01, epoch ms of the NTZ instant
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, (epoch_ms(ts) - {_COHORT_ORIGIN_MS}) // {_WEEK_MS} AS wk
+  FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+act AS (SELECT DISTINCT user_id, wk FROM e)
+SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    doc="Retention cohort matrix: users bucketed by first-active week "
+    "(pure epoch-ms integer division from a fixed origin -- never "
+    "date_trunc, which buckets in session TZ), counted per (cohort_week, "
+    "week_offset) of later activity. The canonical warehouse retention "
+    "query. Two keyed shuffles (per-user min + the distinct); the cohort "
+    "aggregate is tiny. Integer week arithmetic is engine-exact (per-"
+    "engine integer division: Spark `div`, DuckDB `//`).",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.time import epoch_ms
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", epoch_ms("ts").alias("ms"))
+        .select(
+            "user_id",
+            F.expr(f"(ms - {_COHORT_ORIGIN_MS}) div {_WEEK_MS}").alias("wk"),
+        )
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 @register(
     "bpe_encode_corpus",
     oracle=textstats.bpe_encode_sql(),
@@ -2852,6 +3030,9 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- new or code-changed in round 5 --
+    "split_leakage_neardup",        # NEW: near-dup train/test leakage audit
+    "funnel_user_stages",           # NEW: ordered conversion funnel
+    "retention_cohorts",            # NEW: cohort retention matrix
     "streaming_enrich_static",      # NEW: stream-static broadcast enrichment
     "bpe_encode_corpus",            # NEW: tokenizer application (train->apply loop)
     "incremental_corpus_roundtrip", # NEW: composed ingest round-trip (VERDICT r4 #7)
@@ -2890,7 +3071,7 @@ _GATE_PRIORITY = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # -- r3-evidence refresh fill (16): with the slots left, re-gate the
+    # -- r3-evidence refresh fill (13): with the slots left, re-gate the
     #    oldest remaining evidence (whole streaming family + diverse
     #    batch operators, all last gated r3; domain_cap/triangles later
     #    ceded their two slots to the round-5 additions) --
@@ -2907,17 +3088,18 @@ _GATE_PRIORITY = [
     "bpe_pair_counts",
     "contamination_ngram_overlap",
     "curation_pipeline",
-    "multimodal_frame_sample",
-    "multimodal_decode_meta",
-    "text_token_count",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-5 window. First in line for
     # the round-6 rotation: the 22 r3-evidence rows that did not fit
     # (TPC-H q2/q9/q11/q12/q15/q16/q18-q22 family, asof/window/range/
     # set-ops/scd2/rollup/pivot/percentiles, length_bucket_batches),
     # then the r4-gated block (freshest evidence).
-    # -- r3-evidence, deferred to round 6 (domain_cap / triangles ejected
-    #    for the two round-5 additions above) --
+    # -- r3-evidence, deferred to round 6 (domain_cap/triangles/multimodal
+    #    decode+frames/token_count ceded their slots to the five late
+    #    round-5 additions; all have in-family r4/r5-gated cousins) --
+    "multimodal_frame_sample",
+    "multimodal_decode_meta",
+    "text_token_count",
     "domain_cap_documents",
     "triangle_count_edges",
     "length_bucket_batches",

@@ -45,6 +45,9 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-5 new / code-changed
+    "split_leakage_neardup",
+    "funnel_user_stages",
+    "retention_cohorts",
     "streaming_enrich_static",
     "bpe_encode_corpus",
     "incremental_corpus_roundtrip",
@@ -81,7 +84,7 @@ EXPECTED_GATE_WINDOW = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # r3-evidence refresh fill (18)
+    # r3-evidence refresh fill (13)
     "streaming_sessionize",
     "streaming_exact_dedup",
     "streaming_distinct_users",
@@ -95,9 +98,6 @@ EXPECTED_GATE_WINDOW = [
     "bpe_pair_counts",
     "contamination_ngram_overlap",
     "curation_pipeline",
-    "multimodal_frame_sample",
-    "multimodal_decode_meta",
-    "text_token_count",
     # ejected to fit: the entire r4-new/changed block (fresh r4 rows)
     # and the 22 remaining r3 rows -- all recorded first-in-line for
     # round 6 in catalog._GATE_PRIORITY
