@@ -113,12 +113,24 @@ def replay_to_files(
     (the file stream source lists FILES, not Spark's part-file dirs)."""
     import shutil
 
+    import time as _time
+
     stage, parts = _stage_chunks(df, time_col, n_chunks)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
+    base = _time.time()
     for i, part in enumerate(parts):
         path = os.path.join(out_dir, f"chunk-{start_index + i:04d}.parquet")
         shutil.move(part, path)
+        # shutil.move preserves the part file's mtime, and the parallel
+        # staged write finishes parts in ARBITRARY order -- but Spark's
+        # FileStreamSource processes files ordered by modification time,
+        # so under maxFilesPerTrigger a later chunk could be consumed
+        # first and its watermark would drop the earlier chunk's rows
+        # (observed as an intermittent chunked-replay sessionize flake).
+        # Stamp strictly increasing mtimes in chunk order.
+        mt = base + i
+        os.utime(path, (mt, mt))
         paths.append(path)
     shutil.rmtree(stage, ignore_errors=True)
     return paths
@@ -164,6 +176,8 @@ def paced_feed(
     chunk_t0s = [mins[int(p.split("__chunk=")[-1].split(os.sep)[0])] for p in parts]
     t0_event = min(chunk_t0s)
 
+    last_mt = [0.0]
+
     def run() -> None:
         os.makedirs(out_dir, exist_ok=True)
         start_wall = _time.monotonic()
@@ -172,7 +186,14 @@ def paced_feed(
             delay = target_wall - (_time.monotonic() - start_wall)
             if delay > 0:
                 _time.sleep(delay)
-            shutil.move(part, os.path.join(out_dir, f"chunk-{i:04d}.parquet"))
+            path = os.path.join(out_dir, f"chunk-{i:04d}.parquet")
+            shutil.move(part, path)
+            # same mtime discipline as replay_to_files: fast pacing can
+            # release two chunks inside one mtime tick, and the preserved
+            # part-file mtimes are in arbitrary order
+            mt = _time.time()
+            os.utime(path, (max(mt, last_mt[0] + 0.001),) * 2)
+            last_mt[0] = max(mt, last_mt[0] + 0.001)
         shutil.rmtree(stage, ignore_errors=True)
 
     t = threading.Thread(target=run, daemon=True)
