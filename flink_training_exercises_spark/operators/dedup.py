@@ -947,3 +947,112 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM d a JOIN d b ON {blocks} AND a.id < b.id
 WHERE levenshtein(a.t, b.t) <= {max_dist}
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-wide segment dedup (keep-first)
+# ---------------------------------------------------------------------------
+
+SEGMENT_WORDS = 3  # non-overlapping segment width, in tokens
+_SEG_PACK = 1 << 20  # seg_idx packing radix: supports docs up to ~3M tokens
+
+
+def segment_dedup_keepfirst(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style segment-hash dedup (Wenzek et al. 2020 dedup stage): cut
+    each document into non-overlapping ``SEGMENT_WORDS``-token segments, hash
+    them, and keep only the FIRST occurrence of every distinct segment across
+    the whole corpus (first = lowest (doc_id, seg_idx)). CCNet segments on
+    lines; this corpus has no newlines, so the segmenter is a fixed-width
+    token grid -- the corpus-wide keep-first shape is identical.
+
+    Output per doc: segment counts and token counts before/after dedup --
+    the doc-level retention profile a curation pipeline thresholds on.
+
+    Determinism: segments are md5-folded (cross-engine identical); the
+    keep-first winner is the minimum of ``doc_id * 2^20 + seg_idx`` over
+    each hash -- exact BIGINT, no ties possible.
+
+    Scale shape (100 TB): segmenting is a per-row array expression (no
+    shuffle); the only wide stage is ONE window over the segment hash (the
+    same single shuffle any corpus-wide groupBy pays), then a groupBy on
+    doc_id that AQE plans off the exploded size. A segment duplicated
+    billions of times lands in one partition only for a min() -- constant
+    state per key, no list materialization, so skew degrades to a cheap
+    running min rather than a blowup."""
+    from pyspark.sql import Window
+
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    n_seg = F.floor((F.size(w) - F.lit(1)) / F.lit(SEGMENT_WORDS)).cast("int") + F.lit(1)
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda k: F.struct(
+            k.cast("bigint").alias("seg_idx"),
+            F.concat_ws(" ", F.slice(w, k * SEGMENT_WORDS + 1, SEGMENT_WORDS)).alias(
+                "seg"
+            ),
+            F.size(F.slice(w, k * SEGMENT_WORDS + 1, SEGMENT_WORDS))
+            .cast("bigint")
+            .alias("nw"),
+        ),
+    )
+    exploded = (
+        docs.where(F.size(w) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(segs).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.nw").alias("nw"),
+            _md5_long_c(F.col("s.seg")).alias("gh"),
+        )
+    )
+    packed = F.col("doc_id") * F.lit(_SEG_PACK) + F.col("seg_idx")
+    kept = (
+        packed == F.min(packed).over(Window.partitionBy("gh"))
+    ).cast("bigint")
+    marked = exploded.select("doc_id", "nw", kept.alias("kept"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("kept").alias("n_kept_segments"),
+        F.sum("nw").alias("n_words_total"),
+        F.sum(F.col("nw") * F.col("kept")).alias("n_words_kept"),
+    )
+
+
+def segment_dedup_keepfirst_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`segment_dedup_keepfirst` (same tokenizer, same
+    fixed-width grid, same packed-min keep-first rule)."""
+    w = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    n = SEGMENT_WORDS
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS doc_id, {w} AS ws FROM {table}
+), seg AS (
+  SELECT doc_id, s.seg_idx AS seg_idx, s.nw AS nw,
+         {md5_long_sql('s.seg')} AS gh
+  FROM (
+    SELECT doc_id,
+           unnest([struct_pack(
+                     seg_idx := CAST(k AS BIGINT),
+                     seg := array_to_string(list_slice(ws, k * {n} + 1, k * {n} + {n}), ' '),
+                     nw := CAST(len(list_slice(ws, k * {n} + 1, k * {n} + {n})) AS BIGINT))
+                   for k in generate_series(0, (len(ws) - 1) // {n})]) AS s
+    FROM w WHERE len(ws) > 0
+  )
+), marked AS (
+  SELECT doc_id, nw,
+         CASE WHEN doc_id * {_SEG_PACK} + seg_idx =
+                   min(doc_id * {_SEG_PACK} + seg_idx) OVER (PARTITION BY gh)
+              THEN 1 ELSE 0 END AS kept
+  FROM seg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(kept) AS BIGINT) AS n_kept_segments,
+       CAST(sum(nw) AS BIGINT) AS n_words_total,
+       CAST(sum(nw * kept) AS BIGINT) AS n_words_kept
+FROM marked GROUP BY doc_id
+"""

@@ -735,3 +735,185 @@ def bpe_train_merges_sql(
         for r in range(1, n_merges + 1)
     ]
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-filter flags (Rae et al. 2021, Table A1 heuristics)
+# ---------------------------------------------------------------------------
+
+# The canonical Gopher "must contain >= 2 of these" stopword list.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-rule document quality flags (Rae et al. 2021 §A1.1): word-count
+    bounds, mean-word-length bounds, alphabetic-word fraction, and stopword
+    presence, plus the combined pass flag. The batch form of the reference's
+    per-record filter stage (RideCleansing.java:68-76 is the same shape over
+    rides) applied to LLM corpus curation.
+
+    Determinism: every threshold is an integer cross-multiplication
+    (``3*n_words <= sum_chars`` instead of ``sum_chars/n_words >= 3``) so no
+    float division exists on either engine; flags ship as INT 0/1.
+
+    Scale shape (100 TB): map-only -- one projection over the corpus scan,
+    no shuffle, no UDF; every expression is codegen'd (split/filter/aggregate
+    HOFs + comparisons). Composes with curation_pipeline as a pushed-down
+    predicate."""
+    docs = _widened(docs)
+    w = _words(text_col)
+    n_words = F.size(w).cast("bigint")
+    sum_len = F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(w, s))).cast("int")
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).cast("int")
+    f_wc = (n_words >= 50) & (n_words <= 100000)
+    f_mwl = (n_words > 0) & (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+    f_alpha = (n_words > 0) & (n_alpha.cast("bigint") * 10 >= n_words * 8)
+    f_stop = n_stop >= 2
+    as_int = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_chars"),
+        n_stop.alias("n_stop_distinct"),
+        n_alpha.alias("n_alpha_words"),
+        as_int(f_wc).alias("flag_word_count"),
+        as_int(f_mwl).alias("flag_mean_word_len"),
+        as_int(f_alpha).alias("flag_alpha_frac"),
+        as_int(f_stop).alias("flag_stopwords"),
+        as_int(f_wc & f_mwl & f_alpha & f_stop).alias("passes_gopher"),
+    )
+
+
+def gopher_quality_flags_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOP_WORDS)
+    w = _words_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {w} AS w FROM {table}
+),
+agg AS (
+  SELECT {id_col},
+         CAST(len(w) AS BIGINT) AS n_words,
+         COALESCE(CAST(list_sum([length(x) for x in w]) AS BIGINT), 0) AS sum_word_chars,
+         CAST(len([s for s in [{stop_list}] IF list_contains(w, s)]) AS INT) AS n_stop_distinct,
+         CAST(len([x for x in w IF regexp_matches(x, '^[a-z]+$')]) AS INT) AS n_alpha_words
+  FROM base
+)
+SELECT {id_col}, n_words, sum_word_chars, n_stop_distinct, n_alpha_words,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT)
+         AS flag_word_count,
+       CAST(CASE WHEN n_words > 0 AND sum_word_chars >= 3 * n_words
+                  AND sum_word_chars <= 10 * n_words THEN 1 ELSE 0 END AS INT)
+         AS flag_mean_word_len,
+       CAST(CASE WHEN n_words > 0 AND CAST(n_alpha_words AS BIGINT) * 10 >= n_words * 8
+            THEN 1 ELSE 0 END AS INT) AS flag_alpha_frac,
+       CAST(CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS INT) AS flag_stopwords,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND n_words > 0 AND sum_word_chars >= 3 * n_words
+                  AND sum_word_chars <= 10 * n_words
+                  AND CAST(n_alpha_words AS BIGINT) * 10 >= n_words * 8
+                  AND n_stop_distinct >= 2 THEN 1 ELSE 0 END AS INT) AS passes_gopher
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (pretraining / RAG sequence prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 32  # chunk width, in tokens
+CHUNK_STRIDE = 24  # stride between chunk starts (8-token overlap)
+
+
+def chunk_sliding_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Cut each document into overlapping fixed-width token windows (the
+    chunking step of context-window packing and RAG indexing): chunk ``k``
+    covers tokens ``[k*stride + 1, k*stride + width]``; the final chunk is
+    the (possibly shorter) tail, so every token lands in >= 1 chunk.
+
+    Output: one row per chunk with its 1-based start token, token count,
+    and an md5-folded content hash (the join key chunk-level dedup or an
+    embedding index would use downstream).
+
+    Scale shape (100 TB): map-only -- per-row array expressions plus one
+    pipelined explode; no shuffle at all (chunk rows inherit the scan's
+    partitioning). The explode factor is ~n_tokens/stride, bounded by each
+    doc's own length, never corpus-global state."""
+    w = _words(text_col)
+    n = F.size(w)
+    n_chunks = F.when(n <= width, F.lit(1)).otherwise(
+        F.floor((n - F.lit(width) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+        + F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            (k * stride + 1).cast("int").alias("start_token"),
+            F.size(F.slice(w, k * stride + 1, width)).cast("int").alias("n_tokens"),
+            F.concat_ws(" ", F.slice(w, k * stride + 1, width)).alias("chunk"),
+        ),
+    )
+    from ..functions.hashing import md5_long
+
+    return (
+        docs.where(n > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_token").alias("start_token"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            md5_long(F.col("c.chunk")).alias("chunk_hash"),
+        )
+    )
+
+
+def chunk_sliding_windows_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    from ..functions.hashing import md5_long_sql
+
+    w = _words_sql(text_col)
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS doc_id, {w} AS ws FROM {table}
+), n AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+         CASE WHEN len(ws) <= {width} THEN 1
+              ELSE (len(ws) - {width} + {stride - 1}) // {stride} + 1 END AS n_chunks
+  FROM w WHERE len(ws) > 0
+), chunk AS (
+  SELECT doc_id, c.chunk_idx AS chunk_idx, c.start_token AS start_token,
+         c.n_tokens AS n_tokens, {md5_long_sql('c.chunk')} AS chunk_hash
+  FROM (
+    SELECT doc_id,
+           unnest([struct_pack(
+                     chunk_idx := CAST(k AS INT),
+                     start_token := CAST(k * {stride} + 1 AS INT),
+                     n_tokens := CAST(len(list_slice(ws, k * {stride} + 1,
+                                                     k * {stride} + {width})) AS INT),
+                     chunk := array_to_string(list_slice(ws, k * {stride} + 1,
+                                                         k * {stride} + {width}), ' '))
+                   for k in generate_series(0, n_chunks - 1)]) AS c
+    FROM n
+  )
+)
+SELECT doc_id, chunk_idx, start_token, n_tokens, chunk_hash FROM chunk
+"""

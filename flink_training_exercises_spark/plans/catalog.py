@@ -3000,6 +3000,60 @@ def q_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality-filter flags (Rae et al. 2021 Table A1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=textstats.gopher_quality_flags_sql(),
+    doc="Gopher-rule quality flags per document (word-count bounds, "
+    "mean-word-length bounds, alphabetic-word fraction, canonical 8-word "
+    "stopword presence) plus the combined pass flag; every threshold an "
+    "integer cross-multiplication, map-only over the corpus scan.",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.gopher_quality_flags(docs)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-wide segment dedup (keep-first)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_dedup_keepfirst",
+    oracle=dedup.segment_dedup_keepfirst_sql(),
+    doc="CCNet-style segment-hash dedup (Wenzek et al. 2020): fixed-width "
+    "token segments hashed corpus-wide, first occurrence (lowest doc_id, "
+    "seg_idx) kept, per-doc retention counts; one window shuffle on the "
+    "segment hash.",
+)
+def q_segment_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.segment_dedup_keepfirst(docs)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (context-window / RAG sequence prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_sliding_windows",
+    oracle=textstats.chunk_sliding_windows_sql(),
+    doc="Overlapping fixed-width token windows per document (32-token "
+    "chunks, stride 24, tail chunk included) with md5-folded content "
+    "hashes; map-only, shuffle-free -- the chunking stage ahead of "
+    "pack_sequences_4k and embedding indexing.",
+)
+def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.chunk_sliding_windows(docs)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -3030,6 +3084,9 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- new or code-changed in round 5 --
+    "gopher_quality_flags",         # NEW: Gopher-rule quality filter flags
+    "segment_dedup_keepfirst",      # NEW: CCNet-style segment-hash dedup
+    "chunk_sliding_windows",        # NEW: sliding-window token chunking
     "split_leakage_neardup",        # NEW: near-dup train/test leakage audit
     "funnel_user_stages",           # NEW: ordered conversion funnel
     "retention_cohorts",            # NEW: cohort retention matrix

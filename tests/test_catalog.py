@@ -45,6 +45,9 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-5 new / code-changed
+    "gopher_quality_flags",
+    "segment_dedup_keepfirst",
+    "chunk_sliding_windows",
     "split_leakage_neardup",
     "funnel_user_stages",
     "retention_cohorts",
@@ -95,12 +98,12 @@ EXPECTED_GATE_WINDOW = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "embedding_random_projection",
-    "bpe_pair_counts",
-    "contamination_ngram_overlap",
-    "curation_pipeline",
-    # ejected to fit: the entire r4-new/changed block (fresh r4 rows)
-    # and the 22 remaining r3 rows -- all recorded first-in-line for
-    # round 6 in catalog._GATE_PRIORITY
+    # ejected to fit: the entire r4-new/changed block (fresh r4 rows),
+    # the 22 remaining r3 rows, and -- late, for the three session-2
+    # additions (gopher_quality_flags / segment_dedup_keepfirst /
+    # chunk_sliding_windows) -- bpe_pair_counts,
+    # contamination_ngram_overlap and curation_pipeline (r3 evidence);
+    # all recorded first-in-line for round 6 in catalog._GATE_PRIORITY
 ]
 
 

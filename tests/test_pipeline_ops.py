@@ -975,3 +975,75 @@ def test_bpe_encode_oracle_handles_fewer_merges_than_requested(spark, tmp_path):
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT 1 AS doc_id, 'ab' AS text")
     assert con.execute(bpe_encode_sql(n_merges=3)).fetchall() == [(1, 1, 2, 1)]
+
+
+def test_gopher_quality_flags_hand_computed(spark):
+    from flink_training_exercises_spark.operators.textstats import gopher_quality_flags
+
+    passing = "the and with of " + " ".join(["data"] * 56)  # 60 words
+    docs = spark.createDataFrame(
+        [
+            # 10 words, sum_len 29 -> mean < 3 fails, word count fails,
+            # 4 distinct Gopher stopwords (the/and/with/of)
+            (1, "the cat and the dog with a bone of joy"),
+            # 60 words, sum_len 236: every rule passes
+            (2, passing),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["sum_word_chars"]) == (10, 29)
+    assert r1["n_stop_distinct"] == 4 and r1["n_alpha_words"] == 10
+    assert (r1["flag_word_count"], r1["flag_mean_word_len"]) == (0, 0)
+    assert (r1["flag_alpha_frac"], r1["flag_stopwords"]) == (1, 1)
+    assert r1["passes_gopher"] == 0
+    r2 = out[2]
+    assert (r2["n_words"], r2["sum_word_chars"]) == (60, 236)
+    assert (
+        r2["flag_word_count"],
+        r2["flag_mean_word_len"],
+        r2["flag_alpha_frac"],
+        r2["flag_stopwords"],
+        r2["passes_gopher"],
+    ) == (1, 1, 1, 1, 1)
+
+
+def test_segment_dedup_keepfirst_hand_computed(spark):
+    from flink_training_exercises_spark.operators.dedup import segment_dedup_keepfirst
+
+    docs = spark.createDataFrame(
+        [
+            # segments: [a b c][a b c][d] -- second is a within-doc dup
+            (1, "a b c a b c d"),
+            # [a b c] duplicates doc 1's first segment; [x y z] is novel
+            (2, "a b c x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup_keepfirst(docs).collect()}
+    assert (out[1]["n_segments"], out[1]["n_kept_segments"]) == (3, 2)
+    assert (out[1]["n_words_total"], out[1]["n_words_kept"]) == (7, 4)
+    assert (out[2]["n_segments"], out[2]["n_kept_segments"]) == (2, 1)
+    assert (out[2]["n_words_total"], out[2]["n_words_kept"]) == (6, 3)
+
+
+def test_chunk_sliding_windows_hand_computed(spark):
+    from flink_training_exercises_spark.operators.textstats import chunk_sliding_windows
+
+    ten = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, ten), (2, ten), (3, "a b c")], "doc_id long, text string"
+    )
+    rows = chunk_sliding_windows(docs, width=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_token"] for r in c1] == [1, 4, 7]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4]
+    # identical text -> identical chunk hashes (the dedup/index join key)
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_hash"] for r in c1] == [r["chunk_hash"] for r in c2]
+    # short doc: single tail chunk
+    assert [(r["start_token"], r["n_tokens"]) for r in by_doc[3]] == [(1, 3)]
