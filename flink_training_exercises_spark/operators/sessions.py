@@ -120,3 +120,83 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition (first-order Markov) counts
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event stream:
+    order every user's events by (ts, seq) -- a TOTAL order, so lag() is
+    deterministic -- pair each event with its predecessor's type, and count
+    corpus-wide (prev_type, next_type) transitions plus how many distinct
+    users exhibit each. ``p_next`` is the row-conditional transition
+    probability P(next | prev): a BIGINT/BIGINT division, bit-identical
+    cross-engine (identical operands, one IEEE division).
+
+    The sequence-modeling twin of sessionize(): behavioral cloning / user
+    simulation pipelines train on exactly this matrix.
+
+    Scale shape (100 TB): ONE hash shuffle on user_col for the lag window
+    (per-user state is a sort, not a buffer), then a groupBy on the ~|types|^2
+    transition space, which partial-aggregates map-side to almost nothing.
+    The probability window runs over |types| rows -- trivial."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    pairs = events.select(
+        F.col(user_col).alias("uid"),
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("uid").alias("n_users"),
+    )
+    tot = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        "n_users",
+        (F.col("n_transitions").cast("double") / tot).alias("p_next"),
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`event_transitions` (same total order, same
+    BIGINT/BIGINT probability division)."""
+    return f"""
+WITH seq AS (
+  SELECT {user_col} AS uid, {type_col} AS next_type,
+         lag({type_col}) OVER (PARTITION BY {user_col}
+                               ORDER BY {ts_col}, {seq_col}) AS prev_type
+  FROM {table}
+),
+t AS (
+  SELECT prev_type, next_type,
+         CAST(count(*) AS BIGINT) AS n_transitions,
+         CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions, n_users,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS p_next
+FROM t
+"""

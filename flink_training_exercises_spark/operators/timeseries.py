@@ -130,3 +130,111 @@ SELECT g.key AS {key_col},
 FROM grid g LEFT JOIN per_bucket p
   ON g.key = p.key AND g.bucket_ms = p.bucket_ms
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly flags (exact-integer baseline statistics)
+# ---------------------------------------------------------------------------
+
+ZSCORE_LOOKBACK = 20  # baseline window: the 20 events BEFORE the current one
+ZSCORE_MIN_N = 10  # minimum baseline rows before flagging
+ZSCORE_K = 3  # flag when |x - mean| > K * sample stddev
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection with EXACT integer
+    statistics: each event is compared against the mean/stddev of its own
+    key's previous ``ZSCORE_LOOKBACK`` values (a trailing frame that
+    excludes the current row, so an outlier never masks itself).
+
+    Cross-engine determinism: values are fixed-pointed to integer cents
+    (explicit floor(x*100 + 0.5), CLAUDE.md rule), and the z-score test
+    |x - mean| > K*stddev is algebraically cleared of divisions:
+
+        (n*x - s)^2 * (n - 1) > K^2 * n * (n*ss - s^2)
+
+    over BIGINT count/sum/sum-of-squares window aggregates -- no float
+    exists anywhere, so both engines agree bit for bit. (Magnitudes:
+    |cents| < 2^26 keeps every product far inside BIGINT.)
+
+    Scale shape (100 TB): ONE hash shuffle on key_col; the window is a
+    bounded trailing ROWS frame over the already co-located, sorted series
+    -- O(1) state per row, no second shuffle, no UDF."""
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
+    base = events.select(
+        F.col(seq_col).alias("event_id"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        cents.alias("cents"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("_ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    st = base.select(
+        "event_id",
+        "key",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_baseline"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("bigint").alias("s"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("ss"),
+    )
+    n, x, s, ss = (F.col(c) for c in ("n_baseline", "cents", "s", "ss"))
+    dev = n * x - s
+    flagged = (n >= ZSCORE_MIN_N) & (
+        dev * dev * (n - 1) > ZSCORE_K * ZSCORE_K * n * (n * ss - s * s)
+    )
+    return st.select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        "cents",
+        n.cast("int").alias("n_baseline"),
+        F.when(flagged, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_anomaly"),
+    )
+
+
+def rolling_zscore_anomalies_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`rolling_zscore_anomalies` (same fixed-point
+    cents, same division-free BIGINT test)."""
+    k2 = ZSCORE_K * ZSCORE_K
+    return f"""
+WITH c AS (
+  SELECT {seq_col} AS event_id, {key_col} AS user_id, {ts_col} AS _ts,
+         CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS cents
+  FROM {table}
+),
+st AS (
+  SELECT event_id, user_id, cents,
+         CAST(count(*) OVER w AS BIGINT) AS n_baseline,
+         CAST(COALESCE(sum(cents) OVER w, 0) AS BIGINT) AS s,
+         CAST(COALESCE(sum(cents * cents) OVER w, 0) AS BIGINT) AS ss
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY _ts, event_id
+               ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, cents,
+       CAST(n_baseline AS INT) AS n_baseline,
+       CAST(CASE WHEN n_baseline >= {ZSCORE_MIN_N}
+                  AND (n_baseline * cents - s) * (n_baseline * cents - s)
+                      * (n_baseline - 1)
+                      > {k2} * n_baseline * (n_baseline * ss - s * s)
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM st
+"""

@@ -3054,6 +3054,37 @@ def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_sliding_windows(docs)
 
 
+# ---------------------------------------------------------------------------
+# Event-transition Markov counts + rolling z-score anomalies
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transitions_markov",
+    oracle=sessions.event_transitions_sql(),
+    doc="First-order Markov transition matrix over per-user event streams "
+    "(lag over the (ts, event_id) total order, corpus-wide pair counts, "
+    "distinct-user support, BIGINT/BIGINT conditional probability); one "
+    "user-keyed window shuffle + a tiny |types|^2 groupBy.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return sessions.event_transitions(events)
+
+
+@register(
+    "anomaly_rolling_zscore",
+    oracle=timeseries.rolling_zscore_anomalies_sql(),
+    doc="Per-user rolling z-score anomaly flags over a trailing 20-event "
+    "baseline (current row excluded): integer-cents fixed point and a "
+    "division-free BIGINT test (n*x-s)^2*(n-1) > 9*n*(n*ss-s^2), so both "
+    "engines agree bit for bit; one keyed window shuffle, O(1) row state.",
+)
+def q_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return timeseries.rolling_zscore_anomalies(events)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -3084,6 +3115,8 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- new or code-changed in round 5 --
+    "event_transitions_markov",     # NEW: first-order Markov transition matrix
+    "anomaly_rolling_zscore",       # NEW: exact-integer rolling z-score flags
     "gopher_quality_flags",         # NEW: Gopher-rule quality filter flags
     "segment_dedup_keepfirst",      # NEW: CCNet-style segment-hash dedup
     "chunk_sliding_windows",        # NEW: sliding-window token chunking

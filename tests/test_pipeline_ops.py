@@ -1047,3 +1047,61 @@ def test_chunk_sliding_windows_hand_computed(spark):
     assert [r["chunk_hash"] for r in c1] == [r["chunk_hash"] for r in c2]
     # short doc: single tail chunk
     assert [(r["start_token"], r["n_tokens"]) for r in by_doc[3]] == [(1, 3)]
+
+
+def test_event_transitions_hand_computed(spark):
+    from datetime import datetime
+
+    from flink_training_exercises_spark.operators.sessions import event_transitions
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    events = spark.createDataFrame(
+        [
+            (1, t(1), 1, "A", 0.0),
+            (2, t(2), 1, "B", 0.0),
+            (3, t(3), 1, "A", 0.0),
+            (4, t(1), 2, "A", 0.0),
+            (5, t(2), 2, "B", 0.0),
+            # user 3: same timestamp -- event_id breaks the tie: X then Y
+            (6, t(5), 3, "X", 0.0),
+            (7, t(5), 3, "Y", 0.0),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in event_transitions(events).collect()
+    }
+    assert set(out) == {("A", "B"), ("B", "A"), ("X", "Y")}
+    assert (out[("A", "B")]["n_transitions"], out[("A", "B")]["n_users"]) == (2, 2)
+    assert (out[("B", "A")]["n_transitions"], out[("B", "A")]["n_users"]) == (1, 1)
+    assert out[("A", "B")]["p_next"] == 1.0 and out[("X", "Y")]["p_next"] == 1.0
+
+
+def test_rolling_zscore_hand_computed(spark):
+    from datetime import datetime
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [(i, t(i), 1, "v", 1.0) for i in range(1, 11)]  # flat baseline
+    rows.append((11, t(11), 1, "v", 50.0))  # spike: zero-variance baseline
+    rows.append((12, t(12), 1, "v", 1.0))  # normal again (spike in baseline)
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = {r["event_id"]: r for r in rolling_zscore_anomalies(events).collect()}
+    # events 1-10 never reach ZSCORE_MIN_N=10 baseline rows -> never flagged
+    assert all(out[i]["is_anomaly"] == 0 for i in range(1, 11))
+    assert out[10]["n_baseline"] == 9
+    # event 11: n=10, s=1000, ss=100000 -> zero variance, x=5000 -> flagged
+    assert (out[11]["n_baseline"], out[11]["cents"], out[11]["is_anomaly"]) == (
+        10,
+        5000,
+        1,
+    )
+    # event 12: baseline now CONTAINS the spike -> huge variance -> not flagged
+    assert (out[12]["n_baseline"], out[12]["is_anomaly"]) == (11, 0)
