@@ -1105,3 +1105,167 @@ def test_rolling_zscore_hand_computed(spark):
     )
     # event 12: baseline now CONTAINS the spike -> huge variance -> not flagged
     assert (out[12]["n_baseline"], out[12]["is_anomaly"]) == (11, 0)
+
+
+def test_segment_dedup_properties_random_corpus(spark):
+    """Corpus-level invariants on a random corpus: total kept segments ==
+    number of DISTINCT segments, token totals are preserved, and a doc's
+    kept counts never exceed its totals."""
+    import random
+
+    from flink_training_exercises_spark.operators.dedup import (
+        SEGMENT_WORDS,
+        segment_dedup_keepfirst,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> many dup segments
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+        for i in range(40)
+    ]
+    out = segment_dedup_keepfirst(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).collect()
+
+    distinct_segments = set()
+    totals = {}
+    for doc_id, text in docs:
+        ws = text.split()
+        segs = [
+            " ".join(ws[k * SEGMENT_WORDS : (k + 1) * SEGMENT_WORDS])
+            for k in range((len(ws) - 1) // SEGMENT_WORDS + 1)
+        ]
+        distinct_segments.update(segs)
+        totals[doc_id] = (len(segs), len(ws))
+    assert sum(r["n_kept_segments"] for r in out) == len(distinct_segments)
+    for r in out:
+        n_segs, n_words = totals[r["doc_id"]]
+        assert r["n_segments"] == n_segs and r["n_words_total"] == n_words
+        assert 0 <= r["n_kept_segments"] <= r["n_segments"]
+        assert 0 <= r["n_words_kept"] <= r["n_words_total"]
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Every token of every doc lands in >= 1 chunk; chunk starts follow the
+    stride grid; per-doc chunk count matches the closed-form formula."""
+    import random
+
+    from flink_training_exercises_spark.operators.textstats import (
+        chunk_sliding_windows,
+    )
+
+    rng = random.Random(11)
+    docs = [
+        (i, " ".join(f"t{j}" for j in range(rng.randint(1, 90))))
+        for i in range(30)
+    ]
+    width, stride = 8, 5
+    rows = chunk_sliding_windows(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        width=width,
+        stride=stride,
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in docs:
+        n = len(text.split())
+        expect_chunks = 1 if n <= width else (n - width + stride - 1) // stride + 1
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert len(chunks) == expect_chunks
+        covered = set()
+        for r in chunks:
+            assert r["start_token"] == r["chunk_idx"] * stride + 1
+            covered.update(range(r["start_token"], r["start_token"] + r["n_tokens"]))
+        assert covered == set(range(1, n + 1))
+
+
+def test_event_transitions_probabilities_sum_to_one(spark):
+    """On a random event log: transition counts reconstruct from a Python
+    replay, and P(next|prev) sums to 1 for every prev state."""
+    import random
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.sessions import event_transitions
+
+    rng = random.Random(13)
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=rng.randint(0, 500)), rng.randint(1, 12),
+         rng.choice("ABCD"), 0.0)
+        for i in range(400)
+    ]
+    out = event_transitions(
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+        )
+    ).collect()
+
+    expected = Counter()
+    by_user = {}
+    for eid, ts, uid, et, _ in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    for uid, seq in by_user.items():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            expected[(a, b)] += 1
+    got = {(r["prev_type"], r["next_type"]): r["n_transitions"] for r in out}
+    assert got == dict(expected)
+    by_prev = {}
+    for r in out:
+        by_prev.setdefault(r["prev_type"], []).append(r["p_next"])
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-9, prev
+
+
+def test_rolling_zscore_matches_integer_reference(spark):
+    """Exact replay of the integer-cents window math in plain Python on a
+    random series must agree row for row (the operator's claim is bit
+    parity, so the test asserts equality, not tolerance)."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        ZSCORE_LOOKBACK,
+        ZSCORE_MIN_N,
+        rolling_zscore_anomalies,
+    )
+
+    rng = random.Random(17)
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for uid in range(1, 5):
+        for k in range(60):
+            eid += 1
+            v = rng.uniform(0.0, 50.0) if rng.random() > 0.05 else rng.uniform(200.0, 400.0)
+            rows.append((eid, t0 + timedelta(seconds=k), uid, "v", round(v, 4)))
+    out = {
+        r["event_id"]: r
+        for r in rolling_zscore_anomalies(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+            )
+        ).collect()
+    }
+    series = {}
+    for eid2, ts, uid, _, v in rows:
+        series.setdefault(uid, []).append((ts, eid2, v))
+    for uid, seq in series.items():
+        seq.sort()
+        cents_seq = [math.floor(v * 1e2 + 0.5) for _, _, v in seq]
+        for i, (_, eid2, _) in enumerate(seq):
+            base = cents_seq[max(0, i - ZSCORE_LOOKBACK) : i]
+            n, x = len(base), cents_seq[i]
+            s, ss = sum(base), sum(c * c for c in base)
+            flag = int(
+                n >= ZSCORE_MIN_N
+                and (n * x - s) ** 2 * (n - 1) > 9 * n * (n * ss - s * s)
+            )
+            r = out[eid2]
+            assert (r["cents"], r["n_baseline"], r["is_anomaly"]) == (x, n, flag)
