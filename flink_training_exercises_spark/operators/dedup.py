@@ -983,6 +983,9 @@ def segment_dedup_keepfirst(
     running min rather than a blowup."""
     from pyspark.sql import Window
 
+    from ..sources.loaders import widen_scan
+
+    docs = widen_scan(docs)
     w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     n_seg = F.floor((F.size(w) - F.lit(1)) / F.lit(SEGMENT_WORDS)).cast("int") + F.lit(1)
     segs = F.transform(

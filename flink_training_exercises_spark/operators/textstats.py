@@ -851,6 +851,7 @@ def chunk_sliding_windows(
     pipelined explode; no shuffle at all (chunk rows inherit the scan's
     partitioning). The explode factor is ~n_tokens/stride, bounded by each
     doc's own length, never corpus-global state."""
+    docs = _widened(docs)
     w = _words(text_col)
     n = F.size(w)
     n_chunks = F.when(n <= width, F.lit(1)).otherwise(
