@@ -3085,6 +3085,27 @@ def q_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rolling_zscore_anomalies(events)
 
 
+@register(
+    "streaming_anomaly_zscore",
+    oracle=timeseries.rolling_zscore_anomalies_sql(),
+    doc="Rolling z-score anomalies through the REAL streaming engine: "
+    "applyInPandasWithState keyed per user, ValueState = the trailing "
+    "<= 20 integer-cents values, append mode, availableNow drain. Cents "
+    "are fixed-pointed JVM-side before the handler and the state walk is "
+    "pure integer arithmetic, so the emission set equals the batch twin "
+    "and the SAME oracle applies (the streaming_travel_time_stateful "
+    "gating pattern).",
+)
+def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow
+    from ..streaming.sources import events_stream
+    from ..streaming.stateful import streaming_zscore
+
+    return drain_availablenow(
+        streaming_zscore(events_stream(spark, sf_dir)), "streaming_zscore_gate"
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -3115,6 +3136,7 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- new or code-changed in round 5 --
+    "streaming_anomaly_zscore",     # NEW: stateful streaming z-score twin
     "event_transitions_markov",     # NEW: first-order Markov transition matrix
     "anomaly_rolling_zscore",       # NEW: exact-integer rolling z-score flags
     "gopher_quality_flags",         # NEW: Gopher-rule quality filter flags

@@ -20,6 +20,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -142,4 +143,89 @@ def streaming_travel_time_tws(rides: DataFrame) -> DataFrame:
             outputMode="append",
             timeMode="none",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score anomalies (keyed trailing-window ValueState)
+# ---------------------------------------------------------------------------
+
+ZSCORE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("n_baseline", T.IntegerType()),
+        T.StructField("is_anomaly", T.IntegerType()),
+    ]
+)
+# state = the key's trailing <= ZSCORE_LOOKBACK cents values, oldest first
+ZSCORE_STATE_SCHEMA = T.StructType([T.StructField("tail", T.ArrayType(T.LongType()))])
+
+
+def _zscore_handle(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from ..operators.timeseries import ZSCORE_K, ZSCORE_LOOKBACK, ZSCORE_MIN_N
+
+    tail = list(state.get[0]) if state.exists else []
+    uid = int(key[0])
+    ids: list[int] = []
+    xs: list[int] = []
+    ns: list[int] = []
+    flags: list[int] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ev_us", "event_id"], kind="mergesort")
+        for event_id, x in zip(pdf["event_id"], pdf["cents"]):
+            x = int(x)
+            n, s, ss = len(tail), sum(tail), sum(c * c for c in tail)
+            flag = int(
+                n >= ZSCORE_MIN_N
+                and (n * x - s) ** 2 * (n - 1) > ZSCORE_K * ZSCORE_K * n * (n * ss - s * s)
+            )
+            ids.append(int(event_id))
+            xs.append(x)
+            ns.append(n)
+            flags.append(flag)
+            tail.append(x)
+            if len(tail) > ZSCORE_LOOKBACK:
+                tail.pop(0)
+    state.update((tail,))
+    yield pd.DataFrame(
+        {
+            "event_id": ids,
+            "user_id": [uid] * len(ids),
+            "cents": xs,
+            "n_baseline": ns,
+            "is_anomaly": flags,
+        }
+    )
+
+
+def streaming_zscore(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.rolling_zscore_anomalies``:
+    per-user ValueState holding the trailing <= 20 integer-cents values
+    (the reference's RichFlatMapFunction + ValueState shape,
+    TravelTimePrediction.java:120-164, applied to anomaly scoring). The
+    cents fixed-pointing happens JVM-side BEFORE the handler (same
+    floor(x*100 + 0.5) expression as the batch twin); the Python state walk
+    is pure integer arithmetic, so emissions are bit-identical to the batch
+    operator whenever rows arrive in event-time order -- which the
+    single-file source (one micro-batch, handler sorts per key) and the
+    chronological replay feeder both guarantee. State is O(LOOKBACK) longs
+    per key -- constant memory per user at any scale."""
+    from ..functions.time import ntz_epoch
+
+    feats = events.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * F.lit(1e2) + F.lit(5e-1)).cast("bigint").alias("cents"),
+        F.timestamp_diff("MICROSECOND", ntz_epoch(), F.col("ts")).alias("ev_us"),
+    )
+    return feats.groupBy("user_id").applyInPandasWithState(
+        _zscore_handle,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

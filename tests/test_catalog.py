@@ -45,6 +45,7 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-5 new / code-changed
+    "streaming_anomaly_zscore",
     "event_transitions_markov",
     "anomaly_rolling_zscore",
     "gopher_quality_flags",
@@ -97,13 +98,12 @@ EXPECTED_GATE_WINDOW = [
     "streaming_interval_join",
     "streaming_interval_join_outer",
     "streaming_popular_places",
-    "dedup_exact",
     # ejected to fit: the entire r4-new/changed block (fresh r4 rows),
-    # the 22 remaining r3 rows, and -- late, for the five session-2
-    # additions (event_transitions_markov / anomaly_rolling_zscore /
-    # gopher_quality_flags / segment_dedup_keepfirst /
-    # chunk_sliding_windows) -- dedup_minhash_lsh,
-    # embedding_random_projection, bpe_pair_counts,
+    # the 22 remaining r3 rows, and -- late, for the six session-2
+    # additions (streaming_anomaly_zscore / event_transitions_markov /
+    # anomaly_rolling_zscore / gopher_quality_flags /
+    # segment_dedup_keepfirst / chunk_sliding_windows) -- dedup_exact,
+    # dedup_minhash_lsh, embedding_random_projection, bpe_pair_counts,
     # contamination_ngram_overlap and curation_pipeline (r3 evidence);
     # all recorded first-in-line for round 6 in catalog._GATE_PRIORITY
 ]

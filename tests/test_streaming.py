@@ -567,3 +567,33 @@ def test_cdc_merge_empty_source_returns_empty_batch_df(spark, tmp_path):
     )
     assert out.columns == ["user_id", "state_ms"]
     assert out.count() == 0
+
+
+def test_streaming_zscore_invariant_under_chunked_replay(spark, sf_small, tmp_path):
+    """The gated streaming z-score drains a single-file source in one
+    micro-batch; this pins that per-key ValueState carries the trailing
+    window ACROSS micro-batches: the same events arriving as 4
+    chronological chunks must emit exactly the batch operator's rows."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.stateful import streaming_zscore
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "zchunks")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    name = f"zchunked_{_uuid.uuid4().hex[:8]}"
+    got_chunked = {tuple(r) for r in _drain(streaming_zscore(chunked), name).collect()}
+    want = {tuple(r) for r in rolling_zscore_anomalies(ev).collect()}
+    assert len(want) > 500
+    assert got_chunked == want
