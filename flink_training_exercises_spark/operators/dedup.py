@@ -1010,7 +1010,17 @@ def segment_dedup_keepfirst(
             _md5_long_c(F.col("s.seg")).alias("gh"),
         )
     )
-    packed = F.col("doc_id") * F.lit(_SEG_PACK) + F.col("seg_idx")
+    # guard the packing radix: a seg_idx >= 2^20 would alias into the next
+    # doc_id's key range and silently corrupt the keep-first winner -- fail
+    # loudly instead (both engines; the oracle twin carries the same guard)
+    packed = F.when(
+        F.col("seg_idx") < _SEG_PACK,
+        F.col("doc_id") * F.lit(_SEG_PACK) + F.col("seg_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("segment index exceeds packing radix 2^20; raise _SEG_PACK")
+        )
+    )
     kept = (
         packed == F.min(packed).over(Window.partitionBy("gh"))
     ).cast("bigint")
@@ -1045,12 +1055,16 @@ WITH w AS (
                    for k in generate_series(0, (len(ws) - 1) // {n})]) AS s
     FROM w WHERE len(ws) > 0
   )
+), packed AS (
+  SELECT doc_id, nw, gh,
+         CASE WHEN seg_idx < {_SEG_PACK} THEN doc_id * {_SEG_PACK} + seg_idx
+              ELSE error('segment index exceeds packing radix 2^20') END AS pk
+  FROM seg
 ), marked AS (
   SELECT doc_id, nw,
-         CASE WHEN doc_id * {_SEG_PACK} + seg_idx =
-                   min(doc_id * {_SEG_PACK} + seg_idx) OVER (PARTITION BY gh)
+         CASE WHEN pk = min(pk) OVER (PARTITION BY gh)
               THEN 1 ELSE 0 END AS kept
-  FROM seg
+  FROM packed
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_segments,

@@ -851,6 +851,11 @@ def chunk_sliding_windows(
     pipelined explode; no shuffle at all (chunk rows inherit the scan's
     partitioning). The explode factor is ~n_tokens/stride, bounded by each
     doc's own length, never corpus-global state."""
+    if not (0 < stride <= width):
+        raise ValueError(
+            "chunk stride must satisfy 0 < stride <= width, or tokens "
+            "between consecutive windows would be silently dropped"
+        )
     docs = _widened(docs)
     w = _words(text_col)
     n = F.size(w)
@@ -891,6 +896,11 @@ def chunk_sliding_windows_sql(
 ) -> str:
     from ..functions.hashing import md5_long_sql
 
+    if not (0 < stride <= width):
+        raise ValueError(
+            "chunk stride must satisfy 0 < stride <= width, or tokens "
+            "between consecutive windows would be silently dropped"
+        )
     w = _words_sql(text_col)
     return f"""
 WITH w AS (

@@ -160,8 +160,12 @@ def rolling_zscore_anomalies(
         (n*x - s)^2 * (n - 1) > K^2 * n * (n*ss - s^2)
 
     over BIGINT count/sum/sum-of-squares window aggregates -- no float
-    exists anywhere, so both engines agree bit for bit. (Magnitudes:
-    |cents| < 2^26 keeps every product far inside BIGINT.)
+    exists anywhere, so both engines agree bit for bit. Magnitude bound:
+    the largest term is K^2 * n * (n*ss - s^2) <= K^2 * n^3 * cents^2 =
+    72000 * cents^2, so |cents| <= 2^23 (values up to ~$83k) stays inside
+    BIGINT; beyond that Spark's ANSI mode raises ARITHMETIC_OVERFLOW
+    rather than silently wrapping (rescale the fixed point for wider
+    domains).
 
     Scale shape (100 TB): ONE hash shuffle on key_col; the window is a
     bounded trailing ROWS frame over the already co-located, sorted series

@@ -3194,18 +3194,20 @@ _GATE_PRIORITY = [
     "streaming_interval_join",
     "streaming_interval_join_outer",
     "streaming_popular_places",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_random_projection",
-    "bpe_pair_counts",
-    "contamination_ngram_overlap",
-    "curation_pipeline",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-5 window. First in line for
     # the round-6 rotation: the 22 r3-evidence rows that did not fit
     # (TPC-H q2/q9/q11/q12/q15/q16/q18-q22 family, asof/window/range/
     # set-ops/scd2/rollup/pivot/percentiles, length_bucket_batches),
     # then the r4-gated block (freshest evidence).
+    # -- r3-evidence, ejected late for the six session-2 additions
+    #    (gopher/segment-dedup/chunking/transitions/zscore x2) --
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "bpe_pair_counts",
+    "contamination_ngram_overlap",
+    "curation_pipeline",
     # -- r3-evidence, deferred to round 6 (domain_cap/triangles/multimodal
     #    decode+frames/token_count ceded their slots to the five late
     #    round-5 additions; all have in-family r4/r5-gated cousins) --

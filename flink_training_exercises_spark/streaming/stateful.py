@@ -57,18 +57,24 @@ def _handle(
         sxx, sxy = [0] * N_BUCKETS, [0] * N_BUCKETS
     out_ids: list[int] = []
     out_preds: list[int] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ev_ms", "ride_id", "is_start"], kind="mergesort")
-        for ride_id, is_start, bucket, x_m, y_ms in zip(
-            pdf["ride_id"], pdf["is_start"], pdf["bucket"], pdf["x_m"], pdf["y_ms"]
-        ):
-            b, x = int(bucket), int(x_m)
-            if is_start:
-                out_ids.append(int(ride_id))
-                out_preds.append(_predict(sxx[b], sxy[b], x))
-            else:
-                sxx[b] += x * x
-                sxy[b] += x * int(y_ms)
+    # a key's micro-batch rows can arrive as SEVERAL Arrow chunks
+    # (maxRecordsPerBatch); event-time order only holds across the whole
+    # batch if we concatenate before the single sort
+    chunks = list(pdfs)
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame(
+        columns=["ev_ms", "ride_id", "is_start", "bucket", "x_m", "y_ms"]
+    )
+    pdf = pdf.sort_values(["ev_ms", "ride_id", "is_start"], kind="mergesort")
+    for ride_id, is_start, bucket, x_m, y_ms in zip(
+        pdf["ride_id"], pdf["is_start"], pdf["bucket"], pdf["x_m"], pdf["y_ms"]
+    ):
+        b, x = int(bucket), int(x_m)
+        if is_start:
+            out_ids.append(int(ride_id))
+            out_preds.append(_predict(sxx[b], sxy[b], x))
+        else:
+            sxx[b] += x * x
+            sxy[b] += x * int(y_ms)
     state.update((sxx, sxy))
     yield pd.DataFrame({"ride_id": out_ids, "predicted_minutes": out_preds})
 
@@ -116,8 +122,14 @@ def streaming_travel_time_tws(rides: DataFrame) -> DataFrame:
                 sxx, sxy = [0] * N_BUCKETS, [0] * N_BUCKETS
             out_ids: list[int] = []
             out_preds: list[int] = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ev_ms", "ride_id", "is_start"], kind="mergesort")
+            chunks = list(rows)
+            pdf = (
+                pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+            )
+            if len(pdf):
+                pdf = pdf.sort_values(
+                    ["ev_ms", "ride_id", "is_start"], kind="mergesort"
+                )
                 for ride_id, is_start, bucket, x_m, y_ms in zip(
                     pdf["ride_id"], pdf["is_start"], pdf["bucket"], pdf["x_m"], pdf["y_ms"]
                 ):
@@ -174,22 +186,28 @@ def _zscore_handle(
     xs: list[int] = []
     ns: list[int] = []
     flags: list[int] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ev_us", "event_id"], kind="mergesort")
-        for event_id, x in zip(pdf["event_id"], pdf["cents"]):
-            x = int(x)
-            n, s, ss = len(tail), sum(tail), sum(c * c for c in tail)
-            flag = int(
-                n >= ZSCORE_MIN_N
-                and (n * x - s) ** 2 * (n - 1) > ZSCORE_K * ZSCORE_K * n * (n * ss - s * s)
-            )
-            ids.append(int(event_id))
-            xs.append(x)
-            ns.append(n)
-            flags.append(flag)
-            tail.append(x)
-            if len(tail) > ZSCORE_LOOKBACK:
-                tail.pop(0)
+    # concatenate ALL Arrow chunks before the one sort: per-chunk sorting
+    # would break event-time order whenever a key's batch spans chunks
+    # (maxRecordsPerBatch), silently diverging from the batch twin
+    chunks = list(pdfs)
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame(
+        columns=["ev_us", "event_id", "cents"]
+    )
+    pdf = pdf.sort_values(["ev_us", "event_id"], kind="mergesort")
+    for event_id, x in zip(pdf["event_id"], pdf["cents"]):
+        x = int(x)
+        n, s, ss = len(tail), sum(tail), sum(c * c for c in tail)
+        flag = int(
+            n >= ZSCORE_MIN_N
+            and (n * x - s) ** 2 * (n - 1) > ZSCORE_K * ZSCORE_K * n * (n * ss - s * s)
+        )
+        ids.append(int(event_id))
+        xs.append(x)
+        ns.append(n)
+        flags.append(flag)
+        tail.append(x)
+        if len(tail) > ZSCORE_LOOKBACK:
+            tail.pop(0)
     state.update((tail,))
     yield pd.DataFrame(
         {

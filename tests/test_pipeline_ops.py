@@ -1269,3 +1269,16 @@ def test_rolling_zscore_matches_integer_reference(spark):
             )
             r = out[eid2]
             assert (r["cents"], r["n_baseline"], r["is_anomaly"]) == (x, n, flag)
+
+
+def test_chunk_windows_reject_gapping_stride(spark):
+    from flink_training_exercises_spark.operators.textstats import (
+        chunk_sliding_windows,
+        chunk_sliding_windows_sql,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_sliding_windows(docs, width=4, stride=6)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_sliding_windows_sql(width=4, stride=6)

@@ -597,3 +597,38 @@ def test_streaming_zscore_invariant_under_chunked_replay(spark, sf_small, tmp_pa
     want = {tuple(r) for r in rolling_zscore_anomalies(ev).collect()}
     assert len(want) > 500
     assert got_chunked == want
+
+
+def test_streaming_zscore_invariant_under_tiny_arrow_chunks(spark, sf_small):
+    """A key's micro-batch rows arriving as MANY Arrow chunks (tiny
+    maxRecordsPerBatch) must not break event-time ordering: the handler
+    concatenates chunks before its single sort, so emissions still equal
+    the batch operator exactly."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.sources import events_stream
+    from flink_training_exercises_spark.streaming.stateful import streaming_zscore
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        name = f"ztiny_{_uuid.uuid4().hex[:8]}"
+        got = {
+            tuple(r)
+            for r in _drain(
+                streaming_zscore(events_stream(spark, sf_small)), name
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    want = {tuple(r) for r in rolling_zscore_anomalies(load_table(spark, "events", sf_small)).collect()}
+    assert len(want) > 500
+    assert got == want
