@@ -522,3 +522,160 @@ SELECT CAST({n_shards} AS BIGINT) AS n_shards,
        n_exact
 FROM m_est, d_est, exact
 """
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning audit: does the z-order layout actually skip files?
+# ---------------------------------------------------------------------------
+
+ZONEMAP_LEN_LO = 100
+ZONEMAP_LEN_HI = 150
+ZONEMAP_CAT = "src3"
+
+
+def _cat_point(bits: int = ZORDER_BITS) -> int:
+    """md5-fold of the category literal, identical to the zy computation on
+    both engines (same md5 -> first-15-hex-digits -> mod fold)."""
+    import hashlib
+
+    mask = (1 << bits) - 1
+    return int(hashlib.md5(ZONEMAP_CAT.encode()).hexdigest()[:15], 16) % (mask + 1)
+
+
+def zonemap_pruning_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    cat_col: str = "source",
+    bits: int = ZORDER_BITS,
+    n_shards: int = ZORDER_SHARDS,
+) -> DataFrame:
+    """Grade what a layout actually buys: per-shard zone maps (min/max of
+    the raw length and category-hash dimensions -- zone maps always store
+    RAW column stats, whatever the placement) under three shard
+    assignments, probed by the two predicate shapes file skipping serves
+    -- a length range (``zx BETWEEN lo AND hi``) and a category point
+    (``zy = h(cat)``). A shard is SCANNED when its zone interval overlaps
+    the predicate; matched-row counts are layout-invariant (same rows,
+    different placement), which the result makes visible.
+
+      * ``naive``         -- hash placement: every predicate smears across
+        essentially all shards (the no-layout baseline);
+      * ``zorder``        -- the gated :func:`zorder_layout` address. On a
+        corpus whose lengths never reach the top zx bits (every doc here
+        is < 2^10 chars of a 16-bit axis) the 64-way TOP-BIT split is
+        driven by the category dimension alone -- category pruning is
+        excellent, length pruning nonexistent. The audit exposes exactly
+        this failure mode instead of hiding it;
+      * ``zorder_scaled`` -- same Morton interleave after range-scaling
+        the length axis to full bit width ((zx-mn)*mask / span, the
+        Delta/Iceberg OPTIMIZE ZORDER practice): BOTH predicates prune.
+
+    This is the audit form of what a lakehouse reader does with parquet
+    row-group stats.
+
+    Scale shape (100 TB): the layouts are map-only projections over one
+    shared z projection; the scaling range is a 2-value global agg
+    broadcast as a 1-row crossJoin (the adjudicated scalar pattern); zone
+    maps are one groupBy per ~n_shards keys with map-side partials; the
+    audit fold is over 3 x n_shards rows. Nothing driver-side."""
+    from ..functions.hashing import md5_long
+
+    pt = _cat_point(bits)
+    mask = (1 << bits) - 1
+    shard_shift = 2 * bits - (n_shards.bit_length() - 1)
+    z = zorder_layout(docs, id_col, length_col, cat_col, bits, n_shards)
+    zl = z.select(
+        "zx", "zy", F.lit("zorder").alias("layout"), F.col("z_shard").alias("shard")
+    )
+    nl = z.select(
+        "zx",
+        "zy",
+        F.lit("naive").alias("layout"),
+        (md5_long(F.col("doc_id").cast("string")) % F.lit(n_shards)).alias("shard"),
+    )
+    rng = z.agg(F.min("zx").alias("_mn"), F.max("zx").alias("_mx"))
+    sxe = f"(((zx - _mn) * {mask}) div greatest(_mx - _mn, 1))"
+    sz = _interleave_terms("sx", "zy", _shl_spark, _shr_spark, bits)
+    sl = (
+        z.crossJoin(F.broadcast(rng))
+        .selectExpr("zx", "zy", f"{sxe} AS sx")
+        .selectExpr(
+            "zx",
+            "zy",
+            "'zorder_scaled' AS layout",
+            f"CAST({sz} AS BIGINT) div {1 << shard_shift} AS shard",
+        )
+    )
+    both = zl.unionAll(nl).unionAll(sl)
+    in_len = F.col("zx").between(ZONEMAP_LEN_LO, ZONEMAP_LEN_HI)
+    is_cat = F.col("zy") == pt
+    zone = both.groupBy("layout", "shard").agg(
+        F.min("zx").alias("mn_len"),
+        F.max("zx").alias("mx_len"),
+        F.min("zy").alias("mn_cat"),
+        F.max("zy").alias("mx_cat"),
+        F.sum(F.when(in_len, F.lit(1)).otherwise(F.lit(0))).alias("rows_len"),
+        F.sum(F.when(is_cat, F.lit(1)).otherwise(F.lit(0))).alias("rows_cat"),
+    )
+    scan_len = ~((F.col("mx_len") < ZONEMAP_LEN_LO) | (F.col("mn_len") > ZONEMAP_LEN_HI))
+    scan_cat = (F.lit(pt) >= F.col("mn_cat")) & (F.lit(pt) <= F.col("mx_cat"))
+    return zone.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum(F.when(scan_len, F.lit(1)).otherwise(F.lit(0))).alias("shards_scanned_len"),
+        F.sum(F.when(scan_cat, F.lit(1)).otherwise(F.lit(0))).alias("shards_scanned_cat"),
+        F.sum("rows_len").alias("rows_matched_len"),
+        F.sum("rows_cat").alias("rows_matched_cat"),
+    )
+
+
+def zonemap_pruning_audit_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    cat_col: str = "source",
+    bits: int = ZORDER_BITS,
+    n_shards: int = ZORDER_SHARDS,
+) -> str:
+    """DuckDB twin of :func:`zonemap_pruning_audit` (zorder oracle as a CTE,
+    same literals, same integer folds)."""
+    pt = _cat_point(bits)
+    lo, hi = ZONEMAP_LEN_LO, ZONEMAP_LEN_HI
+    mask = (1 << bits) - 1
+    shard_shift = 2 * bits - (n_shards.bit_length() - 1)
+    naive = f"{md5_long_sql(f'CAST({id_col} AS VARCHAR)')} % {n_shards}"
+    sz = _interleave_terms("sx", "zy", _shl_duck, _shr_duck, bits)
+    return f"""
+WITH zl AS ({zorder_layout_oracle(table, id_col, length_col, cat_col, bits, n_shards)}),
+rng AS (SELECT min(zx) AS _mn, max(zx) AS _mx FROM zl),
+sc AS (
+  SELECT zx, zy, ((zx - _mn) * {mask}) // greatest(_mx - _mn, 1) AS sx
+  FROM zl, rng
+),
+u AS (
+  SELECT zx, zy, 'zorder' AS layout, z_shard AS shard FROM zl
+  UNION ALL
+  SELECT zx, zy, 'naive' AS layout, {naive} AS shard FROM zl
+  UNION ALL
+  SELECT zx, zy, 'zorder_scaled' AS layout,
+         CAST({sz} AS BIGINT) // {1 << shard_shift} AS shard
+  FROM sc
+),
+zone AS (
+  SELECT layout, shard,
+         min(zx) AS mn_len, max(zx) AS mx_len,
+         min(zy) AS mn_cat, max(zy) AS mx_cat,
+         CAST(count(*) FILTER (WHERE zx BETWEEN {lo} AND {hi}) AS BIGINT) AS rows_len,
+         CAST(count(*) FILTER (WHERE zy = {pt}) AS BIGINT) AS rows_cat
+  FROM u GROUP BY layout, shard
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(count(*) FILTER (WHERE NOT (mx_len < {lo} OR mn_len > {hi})) AS BIGINT)
+         AS shards_scanned_len,
+       CAST(count(*) FILTER (WHERE {pt} >= mn_cat AND {pt} <= mx_cat) AS BIGINT)
+         AS shards_scanned_cat,
+       CAST(sum(rows_len) AS BIGINT) AS rows_matched_len,
+       CAST(sum(rows_cat) AS BIGINT) AS rows_matched_cat
+FROM zone GROUP BY layout
+"""

@@ -3106,6 +3106,23 @@ def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zonemap_pruning_audit",
+    oracle=sketches.zonemap_pruning_audit_sql(),
+    doc="Zone-map file-skipping audit: per-shard min/max stats on the raw "
+    "(length, category-hash) dimensions under naive hash placement, the "
+    "gated z-order layout, and a range-scaled z-order (the OPTIMIZE "
+    "ZORDER practice), probed by a length-range and a category-point "
+    "predicate. Exposes that unscaled z-ordering of sub-2^10-char docs "
+    "on a 16-bit axis yields category-only pruning; the scaled layout "
+    "prunes both. Matched-row counts are layout-invariant by "
+    "construction. Map-only layouts + one ~n_shards groupBy.",
+)
+def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sketches.zonemap_pruning_audit(docs)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -3136,6 +3153,7 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- new or code-changed in round 5 --
+    "zonemap_pruning_audit",        # NEW: zone-map skipping audit, 3 layouts
     "streaming_anomaly_zscore",     # NEW: stateful streaming z-score twin
     "event_transitions_markov",     # NEW: first-order Markov transition matrix
     "anomaly_rolling_zscore",       # NEW: exact-integer rolling z-score flags
@@ -3192,7 +3210,6 @@ _GATE_PRIORITY = [
     "streaming_distinct_users",
     "streaming_travel_time_stateful",
     "streaming_interval_join",
-    "streaming_interval_join_outer",
     "streaming_popular_places",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-5 window. First in line for
@@ -3200,8 +3217,11 @@ _GATE_PRIORITY = [
     # (TPC-H q2/q9/q11/q12/q15/q16/q18-q22 family, asof/window/range/
     # set-ops/scd2/rollup/pivot/percentiles, length_bucket_batches),
     # then the r4-gated block (freshest evidence).
-    # -- r3-evidence, ejected late for the six session-2 additions
-    #    (gopher/segment-dedup/chunking/transitions/zscore x2) --
+    # -- r3-evidence, ejected late for the seven session-2 additions
+    #    (gopher/segment-dedup/chunking/transitions/zscore x2/zonemap);
+    #    the outer interval-join twin ceded its slot so the inner twin
+    #    AND streaming_popular_places could both stay gated --
+    "streaming_interval_join_outer",
     "dedup_exact",
     "dedup_minhash_lsh",
     "embedding_random_projection",

@@ -195,3 +195,31 @@ def test_hll_merge_invariant_to_shard_count(spark):
     }
     # sharding is presentation only -- the merged sketch is shard-invariant
     assert len(set(ests.values())) == 1
+
+
+def test_zonemap_audit_layout_invariants(spark, sf_small):
+    """Matched-row counts are identical across layouts (placement cannot
+    change which rows satisfy a predicate); the scaled z-layout never scans
+    more shards than naive for either predicate; the raw z-layout's
+    category pruning beats naive."""
+    from flink_training_exercises_spark.operators.sketches import (
+        zonemap_pruning_audit,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    out = {r["layout"]: r for r in zonemap_pruning_audit(docs).collect()}
+    assert set(out) == {"naive", "zorder", "zorder_scaled"}
+    assert (
+        out["naive"]["rows_matched_len"]
+        == out["zorder"]["rows_matched_len"]
+        == out["zorder_scaled"]["rows_matched_len"]
+    )
+    assert (
+        out["naive"]["rows_matched_cat"]
+        == out["zorder"]["rows_matched_cat"]
+        == out["zorder_scaled"]["rows_matched_cat"]
+    )
+    assert out["zorder_scaled"]["shards_scanned_len"] <= out["naive"]["shards_scanned_len"]
+    assert out["zorder_scaled"]["shards_scanned_cat"] <= out["naive"]["shards_scanned_cat"]
+    assert out["zorder"]["shards_scanned_cat"] < out["naive"]["shards_scanned_cat"]
