@@ -242,3 +242,105 @@ SELECT event_id, user_id, cents,
                  THEN 1 ELSE 0 END AS INT) AS is_anomaly
 FROM st
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Pearson correlation from exact integer sums
+# ---------------------------------------------------------------------------
+
+DAY_MS = 86_400_000
+
+
+def value_hour_correlation(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-type Pearson correlation between the event value (integer cents)
+    and the UTC hour-of-day -- the seasonality screen a metrics pipeline
+    runs before modeling. ``corr()`` itself is banned under the
+    cross-engine gate (running-moment float accumulation is
+    order-dependent); instead the five sufficient statistics are EXACT
+    BIGINT sums (every term < 2^62 for |cents| <= 2^23 and 10^12 rows per
+    group is still safe for sx/sy; sxx bounds the same way as the z-score
+    operator), and the closed form
+
+        r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))
+
+    runs in DOUBLE over identical operands with an identical expression
+    tree on both engines -- every IEEE op (including sqrt, which is
+    correctly rounded by the standard) is then bit-deterministic.
+
+    Hour-of-day is pure epoch arithmetic ((epoch_ms % day) // hour), never
+    ``hour()`` -- session-TZ independent (CLAUDE.md date_trunc rule).
+
+    Scale shape (100 TB): one groupBy on the handful of event types with
+    map-side partial BIGINT sums -- integer partials commute, so AQE
+    retries and partition order can never perturb the statistics."""
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    ms = _epoch_ms(ts_col)
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint").alias("x"),
+        (ms % F.lit(DAY_MS)).alias("_msday"),
+    ).selectExpr("event_type", "x", f"_msday div {HOUR_MS} AS y")
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    prod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = F.when(prod > 0, (n * sxy - sx * sy) / F.sqrt(prod))
+    return agg.select(
+        "event_type",
+        F.col("n"),
+        F.col("sx").alias("sum_cents"),
+        F.col("sy").alias("sum_hours"),
+        r.alias("pearson_r"),
+    )
+
+
+def value_hour_correlation_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`value_hour_correlation` (same BIGINT sums,
+    IDENTICAL double expression tree for the closed form)."""
+    return f"""
+WITH c AS (
+  SELECT {type_col} AS event_type,
+         CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS x,
+         (epoch_ms({ts_col}) % {DAY_MS}) // {HOUR_MS} AS y
+  FROM {table}
+),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM c GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n, sx, sy,
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS prod,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+  FROM a
+)
+SELECT event_type, n, sx AS sum_cents, sy AS sum_hours,
+       CASE WHEN prod > 0e0 THEN num / sqrt(prod) END AS pearson_r
+FROM d
+"""

@@ -3123,6 +3123,21 @@ def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.zonemap_pruning_audit(docs)
 
 
+@register(
+    "value_hour_correlation",
+    oracle=timeseries.value_hour_correlation_sql(),
+    doc="Per-type Pearson correlation of value (integer cents) vs UTC "
+    "hour-of-day from EXACT BIGINT sufficient statistics (built-in corr() "
+    "is order-dependent float accumulation); the closed form runs in "
+    "double over identical operands with an identical expression tree, so "
+    "every IEEE op including sqrt is bit-deterministic cross-engine. One "
+    "groupBy over |event_types| keys, integer map-side partials.",
+)
+def q_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return timeseries.value_hour_correlation(events)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -3153,6 +3168,7 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- new or code-changed in round 5 --
+    "value_hour_correlation",       # NEW: exact-sums deterministic Pearson r
     "zonemap_pruning_audit",        # NEW: zone-map skipping audit, 3 layouts
     "streaming_anomaly_zscore",     # NEW: stateful streaming z-score twin
     "event_transitions_markov",     # NEW: first-order Markov transition matrix
@@ -3207,7 +3223,6 @@ _GATE_PRIORITY = [
     #    ceded their two slots to the round-5 additions) --
     "streaming_sessionize",
     "streaming_exact_dedup",
-    "streaming_distinct_users",
     "streaming_travel_time_stateful",
     "streaming_interval_join",
     "streaming_popular_places",
@@ -3217,11 +3232,14 @@ _GATE_PRIORITY = [
     # (TPC-H q2/q9/q11/q12/q15/q16/q18-q22 family, asof/window/range/
     # set-ops/scd2/rollup/pivot/percentiles, length_bucket_batches),
     # then the r4-gated block (freshest evidence).
-    # -- r3-evidence, ejected late for the seven session-2 additions
-    #    (gopher/segment-dedup/chunking/transitions/zscore x2/zonemap);
-    #    the outer interval-join twin ceded its slot so the inner twin
-    #    AND streaming_popular_places could both stay gated --
+    # -- r3-evidence, ejected late for the eight session-2 additions
+    #    (gopher/segment-dedup/chunking/transitions/zscore x2/zonemap/
+    #    correlation); the outer interval-join twin and
+    #    streaming_distinct_users ceded their slots so the inner join
+    #    twin, streaming_exact_dedup (same drop-dup mechanism) and
+    #    streaming_popular_places all stay gated --
     "streaming_interval_join_outer",
+    "streaming_distinct_users",
     "dedup_exact",
     "dedup_minhash_lsh",
     "embedding_random_projection",

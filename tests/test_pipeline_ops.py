@@ -1282,3 +1282,59 @@ def test_chunk_windows_reject_gapping_stride(spark):
         chunk_sliding_windows(docs, width=4, stride=6)
     with pytest.raises(ValueError, match="stride"):
         chunk_sliding_windows_sql(width=4, stride=6)
+
+
+def test_value_hour_correlation_matches_closed_form(spark):
+    """The operator's claim is bit determinism of the closed form over
+    exact integer sums -- replay the identical expression in Python IEEE
+    doubles and assert EXACT equality (and sanity vs numpy within 1e-12)."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        value_hour_correlation,
+    )
+
+    rng = random.Random(23)
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            t0 + timedelta(minutes=rng.randint(0, 60 * 24 * 10)),
+            rng.randint(1, 5),
+            rng.choice(["A", "B"]),
+            round(rng.uniform(0.0, 300.0), 4),
+        )
+        for i in range(500)
+    ]
+    out = {
+        r["event_type"]: r
+        for r in value_hour_correlation(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+            )
+        ).collect()
+    }
+    for et in ("A", "B"):
+        xs, ys = [], []
+        for _, ts, _, t, v in rows:
+            if t == et:
+                xs.append(math.floor(v * 1e2 + 0.5))
+                ys.append(
+                    (int((ts - datetime(1970, 1, 1)).total_seconds() * 1000) % 86400000)
+                    // 3600000
+                )
+        n = float(len(xs))
+        sx, sy = float(sum(xs)), float(sum(ys))
+        sxx = float(sum(x * x for x in xs))
+        syy = float(sum(y * y for y in ys))
+        sxy = float(sum(x * y for x, y in zip(xs, ys)))
+        prod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        want = (n * sxy - sx * sy) / math.sqrt(prod)
+        assert out[et]["pearson_r"] == want  # bit-exact, not approximate
+        assert abs(want - np.corrcoef(xs, ys)[0, 1]) < 1e-12
+        assert out[et]["n"] == len(xs) and out[et]["sum_cents"] == sum(xs)
