@@ -200,3 +200,137 @@ SELECT prev_type, next_type, n_transitions, n_users,
          AS p_next
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-k session paths (ordered event-type sequences per session)
+# ---------------------------------------------------------------------------
+
+SESSION_PATH_MAX_EVENTS = 10  # path truncation: first N events of a session
+SESSION_PATH_TOPK = 20
+
+
+def session_path_topk(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_ms: int = DEFAULT_GAP_MS,
+    max_events: int = SESSION_PATH_MAX_EVENTS,
+    k: int = SESSION_PATH_TOPK,
+) -> DataFrame:
+    """The k most common session journeys per journey length: each session's
+    ordered event-type sequence (same gap rule as :func:`sessionize`,
+    truncated to its first ``max_events`` events), counted corpus-wide and
+    ranked by (count desc, path asc) within each path length. The
+    sequence-mining staple behind funnel discovery and UX-path analysis.
+
+    Ordered aggregation cross-engine: Spark has no ORDER BY inside
+    aggregate functions, so the path is ``sort_array(collect_list(
+    struct(rn, type)))`` -- rn is a row_number over the session's total
+    order, unique, so the sort is deterministic -- mirrored in DuckDB by
+    ``string_agg(type, '>' ORDER BY rn)``. The '>' delimiter is safe for
+    this schema's event types; a general deployment would reject types
+    containing it.
+
+    Scale shape (100 TB): the session assignment and per-session
+    aggregation are keyed on user (two windows over one user-hash
+    shuffle's co-location, then a groupBy); the ranking window runs over
+    the aggregated (path, count) relation -- bounded by distinct truncated
+    paths, orders of magnitude smaller than the event log -- partitioned
+    by path length, emitting <= k rows per length (the
+    frequent_tokens_topk shape)."""
+    from ..functions.time import epoch_ms
+
+    w = Window.partitionBy(user_col).orderBy("ev_ms", id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = events.select(
+        F.col(user_col),
+        F.col(id_col),
+        epoch_ms(time_col).alias("ev_ms"),
+        F.col(type_col).alias("etype"),
+    )
+    gap = F.col("ev_ms") - F.lag("ev_ms").over(w)
+    sid = base.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > gap_ms), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("is_new").over(run))
+    wn = Window.partitionBy(user_col, "session_id").orderBy("ev_ms", id_col)
+    truncated = sid.withColumn("rn", F.row_number().over(wn)).where(
+        F.col("rn") <= max_events
+    )
+    paths = truncated.groupBy(user_col, "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", F.col("etype").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("path"),
+        F.count(F.lit(1)).cast("int").alias("path_len"),
+    )
+    counts = paths.groupBy("path", "path_len").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    wr = Window.partitionBy("path_len").orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("path_len", "rank", "path", "n_sessions")
+    )
+
+
+def session_path_topk_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_ms: int = DEFAULT_GAP_MS,
+    max_events: int = SESSION_PATH_MAX_EVENTS,
+    k: int = SESSION_PATH_TOPK,
+) -> str:
+    """DuckDB twin of :func:`session_path_topk` (string_agg ORDER BY rn ==
+    the sort_array(collect_list(struct)) form)."""
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS uid, {id_col} AS eid, epoch_ms({time_col}) AS ev_ms,
+         {type_col} AS etype
+  FROM {table}
+),
+marked AS (
+  SELECT *, CASE WHEN ev_ms - lag(ev_ms) OVER w IS NULL
+                   OR ev_ms - lag(ev_ms) OVER w > {gap_ms} THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY uid ORDER BY ev_ms, eid)
+),
+sid AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY uid ORDER BY ev_ms, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+),
+tr AS (
+  SELECT uid, session_id, etype,
+         row_number() OVER (PARTITION BY uid, session_id
+                            ORDER BY ev_ms, eid) AS rn
+  FROM sid
+),
+paths AS (
+  SELECT uid, session_id,
+         string_agg(etype, '>' ORDER BY rn) AS path,
+         CAST(count(*) AS INT) AS path_len
+  FROM tr WHERE rn <= {max_events} GROUP BY uid, session_id
+),
+counts AS (
+  SELECT path, path_len, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path, path_len
+)
+SELECT path_len, rank, path, n_sessions FROM (
+  SELECT path_len, path, n_sessions,
+         CAST(row_number() OVER (PARTITION BY path_len
+                                 ORDER BY n_sessions DESC, path) AS INT) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""

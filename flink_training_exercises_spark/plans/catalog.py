@@ -3138,6 +3138,21 @@ def q_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.value_hour_correlation(events)
 
 
+@register(
+    "session_path_topk",
+    oracle=sessions.session_path_topk_sql(),
+    doc="Top-k session journeys per path length: ordered event-type "
+    "sequences per session (sessionize gap rule, first-10 truncation), "
+    "counted corpus-wide, ranked (count desc, path asc). Ordered "
+    "aggregation cross-engine: sort_array(collect_list(struct(rn, t))) "
+    "== string_agg(t ORDER BY rn). Ranking window runs over the "
+    "path-bounded aggregate, <= k rows per length.",
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return sessions.session_path_topk(events)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -3168,6 +3183,7 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- new or code-changed in round 5 --
+    "session_path_topk",            # NEW: top-k ordered session journeys
     "value_hour_correlation",       # NEW: exact-sums deterministic Pearson r
     "zonemap_pruning_audit",        # NEW: zone-map skipping audit, 3 layouts
     "streaming_anomaly_zscore",     # NEW: stateful streaming z-score twin
@@ -3223,7 +3239,6 @@ _GATE_PRIORITY = [
     #    ceded their two slots to the round-5 additions) --
     "streaming_sessionize",
     "streaming_exact_dedup",
-    "streaming_travel_time_stateful",
     "streaming_interval_join",
     "streaming_popular_places",
     # ===================== CUTOFF: 50 entries above =====================
@@ -3232,14 +3247,17 @@ _GATE_PRIORITY = [
     # (TPC-H q2/q9/q11/q12/q15/q16/q18-q22 family, asof/window/range/
     # set-ops/scd2/rollup/pivot/percentiles, length_bucket_batches),
     # then the r4-gated block (freshest evidence).
-    # -- r3-evidence, ejected late for the eight session-2 additions
+    # -- r3-evidence, ejected late for the nine session-2 additions
     #    (gopher/segment-dedup/chunking/transitions/zscore x2/zonemap/
-    #    correlation); the outer interval-join twin and
-    #    streaming_distinct_users ceded their slots so the inner join
-    #    twin, streaming_exact_dedup (same drop-dup mechanism) and
-    #    streaming_popular_places all stay gated --
+    #    correlation/session-paths); the outer interval-join twin,
+    #    streaming_distinct_users and streaming_travel_time_stateful
+    #    ceded their slots -- each mechanism keeps in-window coverage via
+    #    the inner join twin, streaming_exact_dedup (same drop-dup
+    #    mechanism) and streaming_anomaly_zscore (same
+    #    applyInPandasWithState mechanism, r5-new) --
     "streaming_interval_join_outer",
     "streaming_distinct_users",
+    "streaming_travel_time_stateful",
     "dedup_exact",
     "dedup_minhash_lsh",
     "embedding_random_projection",

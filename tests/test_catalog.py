@@ -45,6 +45,7 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-5 new / code-changed
+    "session_path_topk",
     "value_hour_correlation",
     "zonemap_pruning_audit",
     "streaming_anomaly_zscore",
@@ -95,22 +96,22 @@ EXPECTED_GATE_WINDOW = [
     # r3-evidence refresh fill (13)
     "streaming_sessionize",
     "streaming_exact_dedup",
-    "streaming_travel_time_stateful",
     "streaming_interval_join",
     "streaming_popular_places",
     # ejected to fit: the entire r4-new/changed block (fresh r4 rows),
-    # the 22 remaining r3 rows, and -- late, for the eight session-2
-    # additions (value_hour_correlation / zonemap_pruning_audit /
-    # streaming_anomaly_zscore / event_transitions_markov /
-    # anomaly_rolling_zscore / gopher_quality_flags /
-    # segment_dedup_keepfirst / chunk_sliding_windows) -- dedup_exact,
-    # dedup_minhash_lsh, embedding_random_projection, bpe_pair_counts,
+    # the 22 remaining r3 rows, and -- late, for the nine session-2
+    # additions (session_path_topk / value_hour_correlation /
+    # zonemap_pruning_audit / streaming_anomaly_zscore /
+    # event_transitions_markov / anomaly_rolling_zscore /
+    # gopher_quality_flags / segment_dedup_keepfirst /
+    # chunk_sliding_windows) -- dedup_exact, dedup_minhash_lsh,
+    # embedding_random_projection, bpe_pair_counts,
     # contamination_ngram_overlap, curation_pipeline,
-    # streaming_interval_join_outer and streaming_distinct_users (the
-    # outer join twin and the drop-dup cousin ceded their slots so the
-    # inner join twin, streaming_exact_dedup and
-    # streaming_popular_places all stay; all r3 evidence); all recorded
-    # first-in-line for round 6 in catalog._GATE_PRIORITY
+    # streaming_interval_join_outer, streaming_distinct_users and
+    # streaming_travel_time_stateful (each ejected streaming mechanism
+    # keeps in-window coverage: inner join twin, streaming_exact_dedup,
+    # streaming_anomaly_zscore respectively; all r3 evidence); all
+    # recorded first-in-line for round 6 in catalog._GATE_PRIORITY
 ]
 
 

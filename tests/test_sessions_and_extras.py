@@ -99,3 +99,51 @@ def test_approx_count_distinct_accuracy(spark, sf_small):
         F.approx_count_distinct("user_id").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_session_path_topk_hand_computed(spark):
+    """Two users, known sessions: paths are ordered by event time with
+    event_id tie-break, truncated at max_events, ranked (count desc,
+    path asc) within path length."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.sessions import session_path_topk
+
+    t0 = datetime(2024, 1, 1)
+    m = lambda k: t0 + timedelta(minutes=k)
+    rows = [
+        # user 1, session 1: A>B (gap 1 min), then 40-min gap -> session 2: A>B
+        (1, m(0), 1, "A", 0.0),
+        (2, m(1), 1, "B", 0.0),
+        (3, m(41), 1, "A", 0.0),
+        (4, m(42), 1, "B", 0.0),
+        # user 2, one session: A>B  (same path, third occurrence)
+        (5, m(0), 2, "A", 0.0),
+        (6, m(1), 2, "B", 0.0),
+        # user 3, singleton session: C
+        (7, m(0), 3, "C", 0.0),
+        # user 4: same-timestamp pair -- event_id orders X before Y
+        (8, m(0), 4, "X", 0.0),
+        (9, m(0), 4, "Y", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = session_path_topk(events, max_events=2, k=5).collect()
+    by = {(r["path_len"], r["rank"]): r for r in out}
+    assert by[(2, 1)]["path"] == "A>B" and by[(2, 1)]["n_sessions"] == 3
+    assert by[(2, 2)]["path"] == "X>Y" and by[(2, 2)]["n_sessions"] == 1
+    assert by[(1, 1)]["path"] == "C" and by[(1, 1)]["n_sessions"] == 1
+    # truncation: a 3-event session contributes its first-2 path
+    ev2 = events.unionAll(
+        spark.createDataFrame(
+            [(10, m(2), 2, "Z", 0.0)],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+        )
+    )
+    out2 = {
+        (r["path_len"], r["path"]): r["n_sessions"]
+        for r in session_path_topk(ev2, max_events=2, k=5).collect()
+    }
+    assert out2[(2, "A>B")] == 3  # user 2's session still truncates to A>B
