@@ -21,6 +21,62 @@ from ..functions.time import epoch_ms, ntz_as_utc_instant
 DEFAULT_GAP_MS = 30 * 60 * 1000
 
 
+def _with_session_ids(
+    events: DataFrame,
+    user_col: str,
+    time_col: str,
+    id_col: str,
+    gap_ms: int,
+    payload: dict,
+) -> DataFrame:
+    """Shared session-id assignment (lag-gap mark + running cumsum over the
+    (ev_ms, id) total order). The gap rule -- strictly-greater-than
+    ``gap_ms`` starts a new session -- is gate-critical and must stay
+    identical between :func:`sessionize` and :func:`session_path_topk`;
+    it lives ONLY here, with :func:`_session_sql_prefix` as its one SQL
+    twin. ``payload`` maps extra output names to Column expressions."""
+    w = Window.partitionBy(user_col).orderBy("ev_ms", id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = events.select(
+        F.col(user_col),
+        F.col(id_col),
+        epoch_ms(time_col).alias("ev_ms"),
+        *[expr.alias(name) for name, expr in payload.items()],
+    )
+    gap = F.col("ev_ms") - F.lag("ev_ms").over(w)
+    return base.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > gap_ms), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("is_new").over(run))
+
+
+def _session_sql_prefix(
+    table: str,
+    user_col: str,
+    time_col: str,
+    id_col: str,
+    gap_ms: int,
+    payload_sql: str,
+) -> str:
+    """DuckDB twin of :func:`_with_session_ids`: the base/marked/sid CTE
+    prefix (terminates with the ``sid`` relation) shared by every
+    session-keyed oracle."""
+    return f"""base AS (
+  SELECT {user_col}, {id_col}, epoch_ms({time_col}) AS ev_ms, {payload_sql}
+  FROM {table}
+),
+marked AS (
+  SELECT *, CASE WHEN ev_ms - lag(ev_ms) OVER w IS NULL
+                   OR ev_ms - lag(ev_ms) OVER w > {gap_ms} THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY ev_ms, {id_col})
+),
+sid AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY {user_col} ORDER BY ev_ms, {id_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)"""
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",
@@ -32,19 +88,14 @@ def sessionize(
     """Per-user sessions: (user_id, session_id, session_start_ms,
     session_end_ms, n_events, total_value). One shuffle on user_id; the
     cumulative-sum session id needs no second shuffle (same partitioning)."""
-    w = Window.partitionBy(user_col).orderBy("ev_ms", id_col)
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
-    base = events.select(
-        F.col(user_col),
-        F.col(id_col),
-        epoch_ms(time_col).alias("ev_ms"),
-        cents.alias("cents"),
+    with_sid = _with_session_ids(
+        events,
+        user_col,
+        time_col,
+        id_col,
+        gap_ms,
+        {"cents": F.round(F.col(value_col) * 100).cast("bigint")},
     )
-    gap = F.col("ev_ms") - F.lag("ev_ms").over(w)
-    with_sid = base.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > gap_ms), 1).otherwise(0)
-    ).withColumn("session_id", F.sum("is_new").over(run))
     return (
         with_sid.groupBy(user_col, "session_id")
         .agg(
@@ -72,23 +123,16 @@ def sessionize_sql(
     value_col: str = "value",
     gap_ms: int = DEFAULT_GAP_MS,
 ) -> str:
+    prefix = _session_sql_prefix(
+        table,
+        user_col,
+        time_col,
+        id_col,
+        gap_ms,
+        f"CAST(round({value_col} * 100) AS BIGINT) AS cents",
+    )
     return f"""
-WITH base AS (
-  SELECT {user_col}, {id_col}, epoch_ms({time_col}) AS ev_ms,
-         CAST(round({value_col} * 100) AS BIGINT) AS cents
-  FROM {table}
-),
-marked AS (
-  SELECT *, CASE WHEN ev_ms - lag(ev_ms) OVER w IS NULL
-                   OR ev_ms - lag(ev_ms) OVER w > {gap_ms} THEN 1 ELSE 0 END AS is_new
-  FROM base
-  WINDOW w AS (PARTITION BY {user_col} ORDER BY ev_ms, {id_col})
-),
-sid AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY {user_col} ORDER BY ev_ms, {id_col}
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-)
+WITH {prefix}
 SELECT {user_col}, CAST(session_id AS BIGINT) AS session_id,
        min(ev_ms) AS session_start_ms,
        max(ev_ms) AS session_end_ms, count(*) AS n_events,
@@ -241,20 +285,9 @@ def session_path_topk(
     paths, orders of magnitude smaller than the event log -- partitioned
     by path length, emitting <= k rows per length (the
     frequent_tokens_topk shape)."""
-    from ..functions.time import epoch_ms
-
-    w = Window.partitionBy(user_col).orderBy("ev_ms", id_col)
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    base = events.select(
-        F.col(user_col),
-        F.col(id_col),
-        epoch_ms(time_col).alias("ev_ms"),
-        F.col(type_col).alias("etype"),
+    sid = _with_session_ids(
+        events, user_col, time_col, id_col, gap_ms, {"etype": F.col(type_col)}
     )
-    gap = F.col("ev_ms") - F.lag("ev_ms").over(w)
-    sid = base.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > gap_ms), 1).otherwise(0)
-    ).withColumn("session_id", F.sum("is_new").over(run))
     wn = Window.partitionBy(user_col, "session_id").orderBy("ev_ms", id_col)
     truncated = sid.withColumn("rn", F.row_number().over(wn)).where(
         F.col("rn") <= max_events
@@ -294,34 +327,22 @@ def session_path_topk_sql(
 ) -> str:
     """DuckDB twin of :func:`session_path_topk` (string_agg ORDER BY rn ==
     the sort_array(collect_list(struct)) form)."""
+    prefix = _session_sql_prefix(
+        table, user_col, time_col, id_col, gap_ms, f"{type_col} AS etype"
+    )
     return f"""
-WITH base AS (
-  SELECT {user_col} AS uid, {id_col} AS eid, epoch_ms({time_col}) AS ev_ms,
-         {type_col} AS etype
-  FROM {table}
-),
-marked AS (
-  SELECT *, CASE WHEN ev_ms - lag(ev_ms) OVER w IS NULL
-                   OR ev_ms - lag(ev_ms) OVER w > {gap_ms} THEN 1 ELSE 0 END AS is_new
-  FROM base
-  WINDOW w AS (PARTITION BY uid ORDER BY ev_ms, eid)
-),
-sid AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY uid ORDER BY ev_ms, eid
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-),
+WITH {prefix},
 tr AS (
-  SELECT uid, session_id, etype,
-         row_number() OVER (PARTITION BY uid, session_id
-                            ORDER BY ev_ms, eid) AS rn
+  SELECT {user_col}, session_id, etype,
+         row_number() OVER (PARTITION BY {user_col}, session_id
+                            ORDER BY ev_ms, {id_col}) AS rn
   FROM sid
 ),
 paths AS (
-  SELECT uid, session_id,
+  SELECT {user_col}, session_id,
          string_agg(etype, '>' ORDER BY rn) AS path,
          CAST(count(*) AS INT) AS path_len
-  FROM tr WHERE rn <= {max_events} GROUP BY uid, session_id
+  FROM tr WHERE rn <= {max_events} GROUP BY {user_col}, session_id
 ),
 counts AS (
   SELECT path, path_len, CAST(count(*) AS BIGINT) AS n_sessions

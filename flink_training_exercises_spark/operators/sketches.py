@@ -574,40 +574,36 @@ def zonemap_pruning_audit(
     This is the audit form of what a lakehouse reader does with parquet
     row-group stats.
 
-    Scale shape (100 TB): the layouts are map-only projections over one
-    shared z projection; the scaling range is a 2-value global agg
-    broadcast as a 1-row crossJoin (the adjudicated scalar pattern); zone
-    maps are one groupBy per ~n_shards keys with map-side partials; the
-    audit fold is over 3 x n_shards rows. Nothing driver-side."""
-    from ..functions.hashing import md5_long
-
+    Scale shape (100 TB): TWO corpus passes total -- a 2-value min/max agg
+    over the length column (pass 1, broadcast back as the adjudicated
+    1-row scalar crossJoin), then ONE scan that computes all three shard
+    assignments per row and explodes them (pass 2); the union-of-branches
+    form would re-evaluate the z projection once per layout. Zone maps
+    are one groupBy per ~n_shards keys with map-side partials; the audit
+    fold is over 3 x n_shards rows. Nothing driver-side."""
     pt = _cat_point(bits)
     mask = (1 << bits) - 1
     shard_shift = 2 * bits - (n_shards.bit_length() - 1)
     z = zorder_layout(docs, id_col, length_col, cat_col, bits, n_shards)
-    zl = z.select(
-        "zx", "zy", F.lit("zorder").alias("layout"), F.col("z_shard").alias("shard")
-    )
-    nl = z.select(
-        "zx",
-        "zy",
-        F.lit("naive").alias("layout"),
-        (md5_long(F.col("doc_id").cast("string")) % F.lit(n_shards)).alias("shard"),
-    )
     rng = z.agg(F.min("zx").alias("_mn"), F.max("zx").alias("_mx"))
     sxe = f"(((zx - _mn) * {mask}) div greatest(_mx - _mn, 1))"
-    sz = _interleave_terms("sx", "zy", _shl_spark, _shr_spark, bits)
-    sl = (
+    sz = _interleave_terms(sxe, "zy", _shl_spark, _shr_spark, bits)
+    assigned = (
         z.crossJoin(F.broadcast(rng))
-        .selectExpr("zx", "zy", f"{sxe} AS sx")
         .selectExpr(
             "zx",
             "zy",
-            "'zorder_scaled' AS layout",
-            f"CAST({sz} AS BIGINT) div {1 << shard_shift} AS shard",
+            "named_struct('layout', 'zorder', 'shard', z_shard) AS a1",
+            "named_struct('layout', 'naive', 'shard', "
+            f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
+            f"AS BIGINT) % {n_shards}) AS a2",
+            "named_struct('layout', 'zorder_scaled', 'shard', "
+            f"CAST({sz} AS BIGINT) div {1 << shard_shift}) AS a3",
         )
+        .selectExpr("zx", "zy", "explode(array(a1, a2, a3)) AS ls")
+        .selectExpr("zx", "zy", "ls.layout AS layout", "ls.shard AS shard")
     )
-    both = zl.unionAll(nl).unionAll(sl)
+    both = assigned
     in_len = F.col("zx").between(ZONEMAP_LEN_LO, ZONEMAP_LEN_HI)
     is_cat = F.col("zy") == pt
     zone = both.groupBy("layout", "shard").agg(
@@ -644,22 +640,23 @@ def zonemap_pruning_audit_sql(
     mask = (1 << bits) - 1
     shard_shift = 2 * bits - (n_shards.bit_length() - 1)
     naive = f"{md5_long_sql(f'CAST({id_col} AS VARCHAR)')} % {n_shards}"
-    sz = _interleave_terms("sx", "zy", _shl_duck, _shr_duck, bits)
+    sxe = f"(((zx - _mn) * {mask}) // greatest(_mx - _mn, 1))"
+    sz = _interleave_terms(sxe, "zy", _shl_duck, _shr_duck, bits)
     return f"""
 WITH zl AS ({zorder_layout_oracle(table, id_col, length_col, cat_col, bits, n_shards)}),
 rng AS (SELECT min(zx) AS _mn, max(zx) AS _mx FROM zl),
-sc AS (
-  SELECT zx, zy, ((zx - _mn) * {mask}) // greatest(_mx - _mn, 1) AS sx
-  FROM zl, rng
-),
 u AS (
-  SELECT zx, zy, 'zorder' AS layout, z_shard AS shard FROM zl
-  UNION ALL
-  SELECT zx, zy, 'naive' AS layout, {naive} AS shard FROM zl
-  UNION ALL
-  SELECT zx, zy, 'zorder_scaled' AS layout,
-         CAST({sz} AS BIGINT) // {1 << shard_shift} AS shard
-  FROM sc
+  SELECT zx, zy, s.layout AS layout, s.shard AS shard
+  FROM (
+    SELECT zx, zy,
+           unnest([
+             struct_pack(layout := 'zorder', shard := z_shard),
+             struct_pack(layout := 'naive', shard := {naive}),
+             struct_pack(layout := 'zorder_scaled',
+                         shard := CAST({sz} AS BIGINT) // {1 << shard_shift})
+           ]) AS s
+    FROM zl, rng
+  )
 ),
 zone AS (
   SELECT layout, shard,

@@ -262,9 +262,7 @@ def value_hour_correlation(
     runs before modeling. ``corr()`` itself is banned under the
     cross-engine gate (running-moment float accumulation is
     order-dependent); instead the five sufficient statistics are EXACT
-    BIGINT sums (every term < 2^62 for |cents| <= 2^23 and 10^12 rows per
-    group is still safe for sx/sy; sxx bounds the same way as the z-score
-    operator), and the closed form
+    BIGINT sums, and the closed form
 
         r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))
 
@@ -277,7 +275,15 @@ def value_hour_correlation(
 
     Scale shape (100 TB): one groupBy on the handful of event types with
     map-side partial BIGINT sums -- integer partials commute, so AQE
-    retries and partition order can never perturb the statistics."""
+    retries and partition order can never perturb the statistics.
+    Exactness bound: the binding term is sxx = sum(cents^2), so a group
+    stays inside BIGINT while n * max(cents)^2 < 2^63 -- ~3.8e9 rows per
+    group at this table's ~$500 values, far under a 100 TB group count.
+    Past it, Spark ANSI raises ARITHMETIC_OVERFLOW (loud, not wrong);
+    the mitigation is rescaling the fixed point (whole units instead of
+    cents buys 10^4x more rows) or salting each group into k sub-sums
+    that individually stay exact and combining the k closed-form-ready
+    partials in double."""
     from ..functions.time import epoch_ms as _epoch_ms
 
     ms = _epoch_ms(ts_col)

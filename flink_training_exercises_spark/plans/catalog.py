@@ -3233,10 +3233,10 @@ _GATE_PRIORITY = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # -- r3-evidence refresh fill (13): with the slots left, re-gate the
-    #    oldest remaining evidence (whole streaming family + diverse
-    #    batch operators, all last gated r3; domain_cap/triangles later
-    #    ceded their two slots to the round-5 additions) --
+    # -- r3-evidence refresh fill (4 remaining of the original 13): the
+    #    session-2 additions progressively ejected the rest (each named
+    #    below the cutoff); what stays is the mechanism-diverse streaming
+    #    core, all last gated r3 --
     "streaming_sessionize",
     "streaming_exact_dedup",
     "streaming_interval_join",

@@ -93,7 +93,7 @@ EXPECTED_GATE_WINDOW = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # r3-evidence refresh fill (13)
+    # r3-evidence refresh fill (4 remaining of the original 13)
     "streaming_sessionize",
     "streaming_exact_dedup",
     "streaming_interval_join",
