@@ -147,3 +147,31 @@ def test_session_path_topk_hand_computed(spark):
         for r in session_path_topk(ev2, max_events=2, k=5).collect()
     }
     assert out2[(2, "A>B")] == 3  # user 2's session still truncates to A>B
+
+
+def test_session_gap_rule_boundary(spark):
+    """The shared session rule (_with_session_ids) is STRICTLY-greater-than:
+    events spaced at exactly gap_ms stay in ONE session; gap_ms + 1ms
+    splits. Pinned here because sessionize AND session_path_topk both ride
+    on the single helper."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.sessions import (
+        session_path_topk,
+        sessionize,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    gap = 60_000  # 1 min for the test
+    mk = lambda eid, ms, et: (eid, t0 + timedelta(milliseconds=ms), 1, et, 1.0)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    exact = spark.createDataFrame([mk(1, 0, "A"), mk(2, gap, "B")], schema)
+    split = spark.createDataFrame([mk(1, 0, "A"), mk(2, gap + 1, "B")], schema)
+    assert len(sessionize(exact, gap_ms=gap).collect()) == 1
+    assert len(sessionize(split, gap_ms=gap).collect()) == 2
+    assert [r["path"] for r in session_path_topk(exact, gap_ms=gap).collect()] == ["A>B"]
+    assert sorted(
+        r["path"] for r in session_path_topk(split, gap_ms=gap).collect()
+    ) == ["A", "B"]
