@@ -632,3 +632,66 @@ def test_streaming_zscore_invariant_under_tiny_arrow_chunks(spark, sf_small):
     want = {tuple(r) for r in rolling_zscore_anomalies(load_table(spark, "events", sf_small)).collect()}
     assert len(want) > 500
     assert got == want
+
+
+def test_streaming_zscore_checkpoint_resume(spark, sf_small, tmp_path):
+    """W6 for the stateful z-score: drain the first half of the stream to a
+    checkpointed file sink, 'crash', then resume with the SAME checkpoint
+    after the rest arrives -- the state store restores every user's
+    trailing-cents tail, so the union of emissions equals the batch
+    operator exactly once (no gaps, no duplicates)."""
+    import os
+    import shutil
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.stateful import streaming_zscore
+
+    ev = load_table(spark, "events", sf_small)
+    staged = str(tmp_path / "staged")
+    replay_to_files(ev, "ts", staged, n_chunks=4)
+    chunks = sorted(os.listdir(staged))
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for c in chunks[:2]:
+        shutil.copy(os.path.join(staged, c), os.path.join(live, c))
+
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def stream():
+        return streaming_zscore(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(live)
+        )
+
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    def drain_once():
+        q = (
+            stream()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain_once()
+    n_partial = spark.read.parquet(sink).count()
+    assert 0 < n_partial < ev.count()
+    for c in chunks[2:]:
+        shutil.copy(os.path.join(staged, c), os.path.join(live, c))
+    drain_once()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    want = sorted(tuple(r) for r in rolling_zscore_anomalies(ev).collect())
+    assert got == want  # exactly-once AND state-tail continuity across the crash
