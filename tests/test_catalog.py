@@ -174,3 +174,32 @@ def test_no_stacked_registrations():
     fns = [spec.spark for spec in CATALOG.values()]
     dupes = {f.__name__ for f in fns if fns.count(f) > 1}
     assert not dupes, f"stacked @register decorators on: {dupes}"
+
+
+def test_evidence_ages_tool_runs_clean():
+    """tools/evidence_ages.py: every query's LATEST driver row must be
+    green (exit 0), and its never-gated set must be exactly the catalog
+    entries the driver has not yet seen (i.e. the current round's new
+    queries, all inside the gate window so they get their first row)."""
+    import subprocess
+    import sys
+
+    from flink_training_exercises_spark.plans.catalog import queries
+
+    res = subprocess.run(
+        [sys.executable, "tools/evidence_ages.py"],
+        capture_output=True,
+        text=True,
+        cwd=".",
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    never = {
+        line.split()[1]
+        for line in res.stdout.splitlines()
+        if line.strip().startswith("never")
+    }
+    window = set(list(queries())[:50])
+    assert never <= window, (
+        f"never-gated queries outside the gate window (would stay "
+        f"evidence-less after this round): {sorted(never - window)}"
+    )
