@@ -588,22 +588,21 @@ def zonemap_pruning_audit(
     rng = z.agg(F.min("zx").alias("_mn"), F.max("zx").alias("_mx"))
     sxe = f"(((zx - _mn) * {mask}) div greatest(_mx - _mn, 1))"
     sz = _interleave_terms(sxe, "zy", _shl_spark, _shr_spark, bits)
-    assigned = (
-        z.crossJoin(F.broadcast(rng))
-        .selectExpr(
-            "zx",
-            "zy",
-            "named_struct('layout', 'zorder', 'shard', z_shard) AS a1",
-            "named_struct('layout', 'naive', 'shard', "
-            f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) "
-            f"AS BIGINT) % {n_shards}) AS a2",
-            "named_struct('layout', 'zorder_scaled', 'shard', "
-            f"CAST({sz} AS BIGINT) div {1 << shard_shift}) AS a3",
-        )
-        .selectExpr("zx", "zy", "explode(array(a1, a2, a3)) AS ls")
-        .selectExpr("zx", "zy", "ls.layout AS layout", "ls.shard AS shard")
+    lay = lambda name, shard: F.struct(
+        F.lit(name).alias("layout"), shard.alias("shard")
     )
-    both = assigned
+    a1 = lay("zorder", F.col("z_shard"))
+    # shared md5_long helper, NOT an inlined recipe -- keeps the Spark side
+    # and the oracle's md5_long_sql twin from ever desyncing
+    a2 = lay("naive", md5_long(F.col("doc_id").cast("string")) % F.lit(n_shards))
+    a3 = lay(
+        "zorder_scaled", F.expr(f"CAST({sz} AS BIGINT) div {1 << shard_shift}")
+    )
+    both = (
+        z.crossJoin(F.broadcast(rng))
+        .select("zx", "zy", F.explode(F.array(a1, a2, a3)).alias("ls"))
+        .select("zx", "zy", F.col("ls.layout").alias("layout"), F.col("ls.shard").alias("shard"))
+    )
     in_len = F.col("zx").between(ZONEMAP_LEN_LO, ZONEMAP_LEN_HI)
     is_cat = F.col("zy") == pt
     zone = both.groupBy("layout", "shard").agg(

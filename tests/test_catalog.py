@@ -186,11 +186,12 @@ def test_evidence_ages_tool_runs_clean():
 
     from flink_training_exercises_spark.plans.catalog import queries
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run(
-        [sys.executable, "tools/evidence_ages.py"],
+        [sys.executable, os.path.join(repo_root, "tools", "evidence_ages.py")],
         capture_output=True,
         text=True,
-        cwd=".",
+        cwd=repo_root,
     )
     assert res.returncode == 0, res.stdout + res.stderr
     never = {

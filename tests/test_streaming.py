@@ -469,7 +469,7 @@ def test_streaming_cdc_merge_checkpoint_resume(spark, sf_small, tmp_path):
     live = str(tmp_path / "live")
     os.makedirs(live)
     for c in chunks[:2]:
-        shutil.copy(os.path.join(staged, c), os.path.join(live, c))
+        shutil.copy2(os.path.join(staged, c), os.path.join(live, c))
 
     schema = (
         "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
@@ -504,7 +504,7 @@ def test_streaming_cdc_merge_checkpoint_resume(spark, sf_small, tmp_path):
     assert partial > 0
     # the rest of the stream arrives; resume from the same checkpoint
     for c in chunks[2:]:
-        shutil.copy(os.path.join(staged, c), os.path.join(live, c))
+        shutil.copy2(os.path.join(staged, c), os.path.join(live, c))
     got = {
         tuple(r)
         for r in run_cdc_merge_availablenow(
@@ -656,7 +656,7 @@ def test_streaming_zscore_checkpoint_resume(spark, sf_small, tmp_path):
     live = str(tmp_path / "live")
     os.makedirs(live)
     for c in chunks[:2]:
-        shutil.copy(os.path.join(staged, c), os.path.join(live, c))
+        shutil.copy2(os.path.join(staged, c), os.path.join(live, c))
 
     schema = (
         "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
@@ -689,7 +689,7 @@ def test_streaming_zscore_checkpoint_resume(spark, sf_small, tmp_path):
     n_partial = spark.read.parquet(sink).count()
     assert 0 < n_partial < ev.count()
     for c in chunks[2:]:
-        shutil.copy(os.path.join(staged, c), os.path.join(live, c))
+        shutil.copy2(os.path.join(staged, c), os.path.join(live, c))
     drain_once()
 
     got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())

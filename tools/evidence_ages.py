@@ -38,12 +38,19 @@ def green(row: dict) -> bool:
     )
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def main() -> int:
     window = 50
     if "--window" in sys.argv:
-        window = int(sys.argv[sys.argv.index("--window") + 1])
+        idx = sys.argv.index("--window") + 1
+        if idx >= len(sys.argv) or not sys.argv[idx].isdigit():
+            print("usage: evidence_ages.py [--window N]", file=sys.stderr)
+            return 2
+        window = int(sys.argv[idx])
     rounds: dict[int, dict] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", path)
         if m:
             rounds[int(m.group(1))] = json.load(open(path))
