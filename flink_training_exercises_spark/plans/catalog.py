@@ -3153,6 +3153,207 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_path_topk(events)
 
 
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, event_id AS version_id,
+         epoch_ms(ts) AS valid_from_ms,
+         epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS valid_to_ms
+  FROM events WHERE event_type = 'view'
+),
+facts AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts_ms, f.cents, d.version_id, d.valid_from_ms
+FROM facts f JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from_ms <= f.ts_ms
+ AND (d.valid_to_ms IS NULL OR f.ts_ms < d.valid_to_ms)
+""",
+    doc="Point-in-time (temporal) join: each purchase enriched with the "
+    "SCD2 attribute version valid AT its event time (half-open "
+    "[valid_from, valid_to) intervals from scd2_user_history's lead "
+    "construction; a purchase exactly on a version boundary matches the "
+    "NEW version -- strict < on valid_to). Spark shape: hash equi-join "
+    "on user_id with the interval predicate as a residual filter -- one "
+    "shuffle per side, never a range-cartesian; per-user version chains "
+    "are bounded, so the residual scan per probe row is O(versions per "
+    "user) at any corpus scale.",
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.time import epoch_ms
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_id").alias("version_id"),
+        epoch_ms("ts").alias("valid_from_ms"),
+        epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        epoch_ms("ts").alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["d_user_id"])
+        & (dim["valid_from_ms"] <= facts["ts_ms"])
+        & (dim["valid_to_ms"].isNull() | (facts["ts_ms"] < dim["valid_to_ms"])),
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_ms", "cents", "version_id", "valid_from_ms"
+    )
+
+
+@register(
+    "cube_user_type_day",
+    oracle="""
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(CAST(date_part('day', ts) AS INT) AS STRING), 'ALL') AS day,
+       CAST(GROUPING(event_type, CAST(date_part('day', ts) AS INT)) AS INT) AS gid,
+       count(*) AS cnt,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY CUBE(event_type, CAST(date_part('day', ts) AS INT))
+""",
+    doc="CUBE grouping sets (all four (event_type, day) marginals -- "
+    "ROLLUP's hierarchy plus the (ALL, day) slice) with the GROUPING id "
+    "disambiguating real keys from subtotal keys (first column = most "
+    "significant bit in BOTH engines, verified). Spark computes a CUBE "
+    "as ONE expand + one hash aggregate -- 4x the agg input rows, still "
+    "a single shuffle; exact integer cents re-combine under AQE.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.dayofmonth("ts").alias("day_raw"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents_v"),
+    )
+    return (
+        ev.cube("event_type", "day_raw")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents_v").alias("cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day_raw").cast("string"), F.lit("ALL")).alias("day"),
+            "gid",
+            "cnt",
+            "cents",
+        )
+    )
+
+
+@register(
+    "snapshot_diff_documents",
+    oracle="""
+WITH snap_a AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+),
+snap_b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       a.h AS old_hash, b.h AS new_hash
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+""",
+    doc="Corpus snapshot diff -- the incremental-ingest primitive: two "
+    "snapshots (derived deterministically from `documents` by doc_id "
+    "residue filters, with a text mutation standing in for re-crawled "
+    "pages) full-outer-joined on doc_id and classified added / removed / "
+    "changed by content hash; unchanged rows are filtered out so the "
+    "delta, not the corpus, is the output. 100 TB: one hash shuffle on "
+    "doc_id per side (or zero with both snapshots bucketed by doc_id at "
+    "write time -- sources/bucketing.py); content comparison is on "
+    "16-byte hashes, never raw text movement.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    snap_a = docs.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("old_hash")
+    )
+    snap_b = docs.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("b_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("new_hash"),
+    )
+    diff = snap_a.join(snap_b, snap_a["a_id"] == snap_b["b_id"], "full_outer")
+    return diff.where(
+        F.col("a_id").isNull()
+        | F.col("b_id").isNull()
+        | (F.col("old_hash") != F.col("new_hash"))
+    ).select(
+        F.coalesce("a_id", "b_id").alias("doc_id"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    )
+
+
+_SALTED_JOIN_DIM = [(t, len(t)) for t in ("click", "error", "purchase", "signup", "view")]
+
+
+@register(
+    "skew_salted_join_events",
+    oracle="""
+WITH dim AS (SELECT * FROM (VALUES """
+    + ", ".join(f"('{t}', {w})" for t, w in _SALTED_JOIN_DIM)
+    + """) AS t(event_type, type_weight))
+SELECT e.event_type, d.type_weight, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1, 2
+""",
+    doc="Salted replicate-and-broadcast JOIN under the hash gate "
+    "(companion to skew_salted_event_counts' salted aggregation): events "
+    "carry only 5 distinct event_type keys -- the worst join-skew case, "
+    "every key hot -- so the small dimension is replicated over "
+    "salt_buckets and the big side salted uniformly, spreading each hot "
+    "key over salt_buckets tasks. The downstream integer aggregate is "
+    "salt-assignment-invariant, so the rewrite must equal the plain "
+    "join + GROUP BY bit-for-bit under ANY partitioning (the "
+    "SPARK_GRAFT_CPUS sweep exercises exactly that).",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents_v")
+    )
+    dim = spark.createDataFrame(
+        _SALTED_JOIN_DIM, "d_event_type string, type_weight int"
+    )
+    joined = skew.salted_broadcast_join(ev, dim, "event_type", "d_event_type")
+    return (
+        joined.groupBy("event_type", "type_weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents_v").alias("cents"),
+        )
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: PopularPlaces with a density-adjusted threshold so the
     sf0.001 smoke check returns rows."""
@@ -3183,6 +3384,10 @@ _GATE_PRIORITY = [
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
     # -- new or code-changed in round 5 --
+    "scd2_point_in_time_join",      # NEW: temporal PIT enrichment join
+    "cube_user_type_day",           # NEW: CUBE grouping sets + GROUPING id
+    "snapshot_diff_documents",      # NEW: corpus snapshot delta (full outer)
+    "skew_salted_join_events",      # NEW: salted replicate-broadcast join
     "session_path_topk",            # NEW: top-k ordered session journeys
     "value_hour_correlation",       # NEW: exact-sums deterministic Pearson r
     "zonemap_pruning_audit",        # NEW: zone-map skipping audit, 3 layouts

@@ -45,6 +45,10 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-5 new / code-changed
+    "scd2_point_in_time_join",
+    "cube_user_type_day",
+    "snapshot_diff_documents",
+    "skew_salted_join_events",
     "session_path_topk",
     "value_hour_correlation",
     "zonemap_pruning_audit",
@@ -93,12 +97,12 @@ EXPECTED_GATE_WINDOW = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # r3-evidence refresh fill (4 remaining of the original 13)
-    "streaming_sessionize",
-    "streaming_exact_dedup",
-    "streaming_interval_join",
-    "streaming_popular_places",
-    # ejected to fit: the entire r4-new/changed block (fresh r4 rows),
+    # ejected to fit (r3-evidence refresh fill, displaced by the four
+    # session-3 additions): streaming_sessionize, streaming_exact_dedup,
+    # streaming_interval_join, streaming_popular_places (all r3 rows;
+    # streaming coverage in-window stays via streaming_anomaly_zscore,
+    # streaming_enrich_static, streaming_cdc_merge);
+    # also ejected earlier: the entire r4-new/changed block (fresh r4 rows),
     # the 22 remaining r3 rows, and -- late, for the nine session-2
     # additions (session_path_topk / value_hour_correlation /
     # zonemap_pruning_audit / streaming_anomaly_zscore /

@@ -1338,3 +1338,37 @@ def test_value_hour_correlation_matches_closed_form(spark):
         assert out[et]["pearson_r"] == want  # bit-exact, not approximate
         assert abs(want - np.corrcoef(xs, ys)[0, 1]) < 1e-12
         assert out[et]["n"] == len(xs) and out[et]["sum_cents"] == sum(xs)
+
+
+def test_snapshot_diff_statuses_match_residue_rules(spark, sf_small):
+    """The diff classification must equal the status derivable from the
+    doc_id residues alone: removed = only-in-A (id % 7 == 0, % 10 != 0),
+    added = only-in-B (id % 10 == 0, % 7 != 0), changed = in both with the
+    ' v2' mutation (id % 13 == 0); everything else is unchanged and absent."""
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+    from flink_training_exercises_spark.sources import load_table
+
+    ids = [
+        r["doc_id"] for r in load_table(spark, "documents", sf_small).select("doc_id").collect()
+    ]
+    expected = {}
+    for i in ids:
+        in_a, in_b = i % 10 != 0, i % 7 != 0
+        if in_a and not in_b:
+            expected[i] = "removed"
+        elif in_b and not in_a:
+            expected[i] = "added"
+        elif in_a and in_b and i % 13 == 0:
+            expected[i] = "changed"
+    got = {
+        r["doc_id"]: r["status"]
+        for r in CATALOG["snapshot_diff_documents"].spark(spark, sf_small).collect()
+    }
+    assert got == expected
+    for r in CATALOG["snapshot_diff_documents"].spark(spark, sf_small).collect():
+        if r["status"] == "added":
+            assert r["old_hash"] is None and r["new_hash"] is not None
+        elif r["status"] == "removed":
+            assert r["old_hash"] is not None and r["new_hash"] is None
+        else:
+            assert r["old_hash"] != r["new_hash"]

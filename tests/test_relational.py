@@ -171,3 +171,101 @@ def test_synthetic_partsupp_deterministic_and_distinct(spark):
     assert a == b and set(a) == {(5, 7), (5, 8)}
     for cost, qty in a.values():
         assert 100 <= cost <= 100000 and 1 <= qty <= 9999
+
+
+# --- round-5 session-3 relational additions (catalog-inline queries) ------
+
+
+def _write_events(spark, tmp_path, rows):
+    """Stage a hand events table where load_table expects it."""
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_pit_join_boundary_semantics(spark, tmp_path):
+    """A purchase exactly ON a version boundary belongs to the NEW version
+    (half-open intervals, strict < on valid_to), zero-width versions (two
+    'view's at the same ts) never match, and purchases before the first
+    version are dropped by the inner join."""
+    from datetime import datetime
+
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: versions at :10 (v=101) and :20 (v=102)
+            (101, t(10), 1, "view", 0.0, ""),
+            (102, t(20), 1, "view", 0.0, ""),
+            (900, t(5), 1, "purchase", 1.0, ""),   # before first version: dropped
+            (901, t(15), 1, "purchase", 1.0, ""),  # inside [10, 20): v101
+            (902, t(20), 1, "purchase", 1.0, ""),  # ON the boundary: v102
+            (903, t(25), 1, "purchase", 1.0, ""),  # open-ended current: v102
+            # user 2: two versions at the SAME ts -- the first (lower
+            # event_id) is zero-width and must never match
+            (201, t(10), 2, "view", 0.0, ""),
+            (202, t(10), 2, "view", 0.0, ""),
+            (910, t(10), 2, "purchase", 1.0, ""),
+            (911, t(30), 2, "purchase", 1.0, ""),
+        ],
+    )
+    got = {
+        r["event_id"]: r["version_id"]
+        for r in CATALOG["scd2_point_in_time_join"].spark(spark, sf).collect()
+    }
+    assert got == {901: 101, 902: 102, 903: 102, 910: 202, 911: 202}
+
+
+def test_cube_marginals_consistent(spark, sf_small):
+    """Every CUBE slice must re-aggregate to the same grand total, and the
+    'ALL' labels must agree with the GROUPING id bits (event_type = bit 1,
+    day = bit 0)."""
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["cube_user_type_day"].spark(spark, sf_small).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    assert len(by_gid[3]) == 1
+    total = by_gid[3][0]
+    for gid in (0, 1, 2):
+        assert sum(r["cnt"] for r in by_gid[gid]) == total["cnt"]
+        assert sum(r["cents"] for r in by_gid[gid]) == total["cents"]
+    for r in rows:
+        assert (r["event_type"] == "ALL") == bool(r["gid"] & 2)
+        assert (r["day"] == "ALL") == bool(r["gid"] & 1)
+
+
+def test_salted_join_equals_direct(spark, sf_small):
+    """The salted replicate-and-broadcast join rewrite must reproduce the
+    plain join + GROUP BY exactly (the property that makes it safe to drop
+    in at a hot key)."""
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+    from flink_training_exercises_spark.sources import load_table
+
+    got = {
+        (r["event_type"], r["type_weight"]): (r["n_events"], r["cents"])
+        for r in CATALOG["skew_salted_join_events"].spark(spark, sf_small).collect()
+    }
+    ev = load_table(spark, "events", sf_small)
+    direct = {
+        (r["event_type"], len(r["event_type"])): (r["n"], r["c"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == direct and len(got) == 5
