@@ -269,3 +269,38 @@ def test_salted_join_equals_direct(spark, sf_small):
         .collect()
     }
     assert got == direct and len(got) == 5
+
+
+def test_pit_join_matches_python_reference_random(spark, tmp_path):
+    """Randomized pin: on an arbitrary event set, the PIT join's match for
+    each purchase must equal 'the (ts, event_id)-maximal version with
+    ts <= purchase ts' -- the closed-form equivalent of the half-open
+    interval chain. Deterministic seed; one Spark run."""
+    import random
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+
+    rng = random.Random(20260814)
+    base = datetime(2024, 3, 1)
+    rows, versions, purchases = [], {}, []
+    for eid in range(1, 241):
+        u = rng.randint(1, 5)
+        t = base + timedelta(minutes=rng.randint(0, 40))
+        kind = rng.choice(["view", "purchase", "click"])
+        rows.append((eid, t, u, kind, 1.0, ""))
+        if kind == "view":
+            versions.setdefault(u, []).append((t, eid))
+        elif kind == "purchase":
+            purchases.append((eid, u, t))
+    expected = {}
+    for eid, u, t in purchases:
+        cands = [(ts, vid) for ts, vid in versions.get(u, []) if ts <= t]
+        if cands:
+            expected[eid] = max(cands)[1]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_id"]: r["version_id"]
+        for r in CATALOG["scd2_point_in_time_join"].spark(spark, sf).collect()
+    }
+    assert got == expected and expected  # non-vacuous
