@@ -49,3 +49,66 @@ def test_bucketed_join_is_shuffle_free(spark, sf_small):
 
     spark.sql(f"DROP TABLE IF EXISTS {li}")
     spark.sql(f"DROP TABLE IF EXISTS {od}")
+
+
+def test_snapshot_diff_bucketed_is_shuffle_free(spark, sf_small):
+    """The snapshot_diff_documents scale claim (SCALE.md): with both
+    snapshots bucketed by doc_id at write time, the full-outer diff join
+    needs no Exchange -- only (doc_id, 16-byte hash) is stored, and the
+    classification matches the catalog query exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"snap_a_{suffix}", f"snap_b_{suffix}"
+    docs = load_table(spark, "documents", sf_small)
+    write_bucketed(
+        docs.where(F.col("doc_id") % 10 != 0).select(
+            F.col("doc_id").alias("a_id"), F.md5("text").alias("old_hash")
+        ),
+        ta,
+        "a_id",
+        8,
+        sort_col="a_id",
+    )
+    write_bucketed(
+        docs.where(F.col("doc_id") % 7 != 0).select(
+            F.col("doc_id").alias("b_id"),
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text"))
+            ).alias("new_hash"),
+        ),
+        tb,
+        "b_id",
+        8,
+        sort_col="b_id",
+    )
+    a, b = spark.table(ta), spark.table(tb)
+    diff = (
+        a.join(b, a["a_id"] == b["b_id"], "full_outer")
+        .where(
+            F.col("a_id").isNull()
+            | F.col("b_id").isNull()
+            | (F.col("old_hash") != F.col("new_hash"))
+        )
+        .select(
+            F.coalesce("a_id", "b_id").alias("doc_id"),
+            F.when(F.col("a_id").isNull(), "added")
+            .when(F.col("b_id").isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+        )
+    )
+    assert not plan_has_exchange(diff)
+    got = {(r["doc_id"], r["status"]) for r in diff.collect()}
+    expected = {
+        (r["doc_id"], r["status"])
+        for r in CATALOG["snapshot_diff_documents"].spark(spark, sf_small).collect()
+    }
+    assert got == expected and got
+
+    spark.sql(f"DROP TABLE IF EXISTS {ta}")
+    spark.sql(f"DROP TABLE IF EXISTS {tb}")
