@@ -695,3 +695,49 @@ def test_streaming_zscore_checkpoint_resume(spark, sf_small, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
     want = sorted(tuple(r) for r in rolling_zscore_anomalies(ev).collect())
     assert got == want  # exactly-once AND state-tail continuity across the crash
+
+
+def test_streaming_pit_enrichment_matches_batch(spark, sf_small):
+    """Stream-static POINT-IN-TIME enrichment: the purchase stream joined
+    to the batch-built SCD2 version dimension on user_id PLUS the half-open
+    interval residual. Stateless inner stream-static join => the availableNow
+    drain must equal the batch scd2_point_in_time_join catalog query
+    row-for-row (including boundary and zero-width-version semantics)."""
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+    from flink_training_exercises_spark.sources import load_table
+
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_small)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = F.broadcast(
+        ev.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_id").alias("version_id"),
+            epoch_ms("ts").alias("valid_from_ms"),
+            epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
+        )
+    )
+    stream = events_stream(spark, sf_small).where(F.col("event_type") == "purchase")
+    facts = stream.select(
+        "event_id",
+        "user_id",
+        epoch_ms("ts").alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["d_user_id"])
+        & (dim["valid_from_ms"] <= facts["ts_ms"])
+        & (dim["valid_to_ms"].isNull() | (facts["ts_ms"] < dim["valid_to_ms"])),
+    ).select("event_id", "user_id", "ts_ms", "cents", "version_id", "valid_from_ms")
+    got = {
+        tuple(r)
+        for r in _drain(joined, f"pit_enrich_{uuid.uuid4().hex[:8]}").collect()
+    }
+    expected = {
+        tuple(r)
+        for r in CATALOG["scd2_point_in_time_join"].spark(spark, sf_small).collect()
+    }
+    assert got == expected and expected
