@@ -94,8 +94,21 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("bench")
 
-    # one tiny warmup so JVM/codegen startup isn't billed to the first query
+    # Untimed warmup (VERDICT r5 #7) so JVM/codegen/Arrow cold-start isn't
+    # billed to whatever query happens to run first (doc_typicality measured
+    # 8.5 s cold vs 1.1 s warm on identical code). Three legs:
+    #   1. tiny JVM expression eval (session + codegen bootstrap),
+    #   2. a real parquet scan + hash agg on lineitem (vectorized reader,
+    #      whole-stage codegen, shuffle machinery),
+    #   3. a one-row mapInPandas round-trip (Python worker pool + Arrow
+    #      serialization path used by the pandas-UDF operators).
+    # Headline basket and per-query timings are unchanged -- this runs
+    # before the first timed query and is never recorded.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).groupBy(
+        "l_returnflag"
+    ).count().collect()
+    spark.range(8).mapInPandas(lambda it: it, "id long").collect()
 
     timings: dict[str, float] = {}
     headline_total = 0.0

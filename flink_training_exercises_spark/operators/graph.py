@@ -437,3 +437,98 @@ def sssp_hops_sql(edges_sql: str, source: int, max_hops: int = 8) -> str:
             f"WHERE r{i}.hops + 1 <= {max_hops}) GROUP BY node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, hops FROM r{max_hops}"
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous min-label propagation on the UNDIRECTED graph -- the
+    deterministic community-labeling iteration on the reference's Gelly
+    iteration surface (PageRankWithEdgeWeights.java:102-104's iterate()),
+    and the one canonical vertex-centric algorithm the graph family
+    (PageRank, CC, triangles, k-core, SSSP) was still missing.
+
+    Every node starts labeled with its own id; each synchronous round every
+    node takes the MIN over its own label and all neighbor labels. After
+    ``rounds`` rounds a node's label is the minimum node id within
+    ``rounds`` hops -- at fixpoint, the component minimum (the
+    deterministic variant of frequency-based LPA: same propagation
+    schedule, min instead of mode, so no tie-break nondeterminism).
+    Post-convergence rounds are identity (min is idempotent over a settled
+    neighborhood), which is what lets the SQL twin unroll exactly
+    ``rounds`` rounds while this loop may exit early -- the same contract
+    as :func:`kcore` / :func:`sssp_hops`. Output: (node, label).
+
+    Scale shape (100 TB): per round, ONE hash join of the invariant
+    symmetrized edge list against the label state keyed on node plus one
+    groupBy(node) min -- both shuffles keyed the same, so a cluster run
+    co-partitions them once (the PageRank layout note above applies
+    verbatim). The edge list is deduplicated and localCheckpoint'd once up
+    front; label state is ~|V| rows regardless of round. The early-exit
+    probe is one isEmpty() on the changed-label diff per round."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # after symmetrization every endpoint occurs as src, so this is V
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        neigh = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy(und["src"].alias("node"))
+            .agg(F.min("label").alias("nl"))
+        )
+        nxt = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.alias("n").join(labels.alias("o"), "node").where(
+            F.col("n.label") != F.col("o.label")
+        )
+        labels = nxt
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`label_propagation`: exactly ``rounds`` min-label
+    rounds unrolled as materialized CTEs (the sssp_hops_sql pattern). Each
+    round min-folds every node's own label with all neighbor labels --
+    identical to the synchronous Spark iteration round-for-round, and equal
+    to the (possibly early-exited) loop because post-convergence rounds are
+    identity."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges WHERE src != dst "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges WHERE src != dst))",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT node, CAST(min(label) AS BIGINT) AS label "
+            f"FROM (SELECT node, label FROM l{i} "
+            f"UNION ALL SELECT e.src AS node, l{i}.label FROM e JOIN l{i} ON e.dst = l{i}.node) "
+            "GROUP BY node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, label FROM l{rounds}"

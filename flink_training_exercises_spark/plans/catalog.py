@@ -2529,6 +2529,30 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_propagation_communities",
+    oracle=graph.label_propagation_sql(_KCORE_EDGES_SQL, rounds=6),
+    doc="Synchronous min-label propagation (deterministic LPA variant: min "
+    "instead of mode, so no tie-break nondeterminism) on the undirected "
+    "md5-derived event graph: 6 rounds, each node's label becomes the "
+    "minimum node id within 6 hops -- community labels at fixpoint equal "
+    "the component minimum. Spark loop with early exit + per-round "
+    "localCheckpoint vs the oracle's 6-round unrolled CTE -- equal by the "
+    "post-convergence-rounds-are-identity contract (kcore/sssp). One "
+    "edges|><|labels join + one min groupBy per round, both keyed on node.",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    ev = load_table(spark, "events", sf_dir)
+    n_nodes = max(ev.count() // 3, 2)
+    edges = ev.select(
+        (md5_long(F.concat(F.lit("s"), F.col("event_id").cast("string"))) % n_nodes).alias("src"),
+        (md5_long(F.concat(F.lit("d"), F.col("event_id").cast("string"))) % n_nodes).alias("dst"),
+    )
+    return graph.label_propagation(edges, rounds=6)
+
+
+@register(
     "vocab_oov_rate",
     oracle=textstats.vocab_oov_rate_sql(),
     doc="Tokenizer-coverage audit: per-document OOV rate against the "
@@ -3153,9 +3177,9 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_path_topk(events)
 
 
-@register(
-    "scd2_point_in_time_join",
-    oracle="""
+# Shared by scd2_point_in_time_join (batch) and streaming_pit_enrichment
+# (its stream-static twin): the drain is stateless, so both equal this SQL.
+_SCD2_PIT_SQL = """
 WITH dim AS (
   SELECT user_id, event_id AS version_id,
          epoch_ms(ts) AS valid_from_ms,
@@ -3173,7 +3197,12 @@ FROM facts f JOIN dim d
   ON f.user_id = d.user_id
  AND d.valid_from_ms <= f.ts_ms
  AND (d.valid_to_ms IS NULL OR f.ts_ms < d.valid_to_ms)
-""",
+"""
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=_SCD2_PIT_SQL,
     doc="Point-in-time (temporal) join: each purchase enriched with the "
     "SCD2 attribute version valid AT its event time (half-open "
     "[valid_from, valid_to) intervals from scd2_user_history's lead "
@@ -3211,6 +3240,28 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_id", "user_id", "ts_ms", "cents", "version_id", "valid_from_ms"
+    )
+
+
+@register(
+    "streaming_pit_enrichment",
+    oracle=_SCD2_PIT_SQL,
+    doc="Stream-static POINT-IN-TIME enrichment through the real engine: "
+    "the purchase stream joined per micro-batch to the broadcast "
+    "batch-built SCD2 version dimension on user_id plus the half-open "
+    "interval residual -- the temporal upgrade of streaming_enrich_static "
+    "(version valid AT event time, not current state). Stateless inner "
+    "stream-static join => the availableNow drain equals the batch "
+    "scd2_point_in_time_join row-for-row and the oracle is the same SQL, "
+    "no horizon cut. Boundary semantics carried through the engine: a "
+    "purchase exactly on a version boundary takes the NEW version, "
+    "zero-width versions never match.",
+)
+def q_streaming_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import run_pit_enrichment_availablenow
+
+    return run_pit_enrichment_availablenow(
+        spark, sf_dir, "streaming_pit_enrichment_gate"
     )
 
 
@@ -3379,105 +3430,31 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-5 WINDOW (50) =======================
+    # ======================= ROUND-6 WINDOW (50) =======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # -- new or code-changed in round 5 --
-    "scd2_point_in_time_join",      # NEW: temporal PIT enrichment join
-    "cube_user_type_day",           # NEW: CUBE grouping sets + GROUPING id
-    "snapshot_diff_documents",      # NEW: corpus snapshot delta (full outer)
-    "skew_salted_join_events",      # NEW: salted replicate-broadcast join
-    "session_path_topk",            # NEW: top-k ordered session journeys
-    "value_hour_correlation",       # NEW: exact-sums deterministic Pearson r
-    "zonemap_pruning_audit",        # NEW: zone-map skipping audit, 3 layouts
-    "streaming_anomaly_zscore",     # NEW: stateful streaming z-score twin
-    "event_transitions_markov",     # NEW: first-order Markov transition matrix
-    "anomaly_rolling_zscore",       # NEW: exact-integer rolling z-score flags
-    "gopher_quality_flags",         # NEW: Gopher-rule quality filter flags
-    "segment_dedup_keepfirst",      # NEW: CCNet-style segment-hash dedup
-    "chunk_sliding_windows",        # NEW: sliding-window token chunking
-    "split_leakage_neardup",        # NEW: near-dup train/test leakage audit
-    "funnel_user_stages",           # NEW: ordered conversion funnel
-    "retention_cohorts",            # NEW: cohort retention matrix
-    "streaming_enrich_static",      # NEW: stream-static broadcast enrichment
-    "bpe_encode_corpus",            # NEW: tokenizer application (train->apply loop)
-    "incremental_corpus_roundtrip", # NEW: composed ingest round-trip (VERDICT r4 #7)
-    "dedup_clusters_minhash",       # changed: persisted cluster-map registry
-    "dedup_keep_best",              # changed: persisted cluster-map registry
-    "embedding_dedup_clusters",     # changed: persisted cluster-map registry
-    "kcore_interactions",           # changed: incremental-degree peeling
-    "streaming_cdc_merge",          # changed: empty-source guard + pinned result
-    "shuffle_shard_layout",         # changed: extra_cols passthrough
+    # Round-6 rotation (VERDICT r5 #1, computed by tools/evidence_ages.py):
+    # ALL 40 rows whose latest green driver row is round 3, plus both
+    # canaries, plus 8 fill rows from the oldest r4 families. New round-6
+    # queries go at the TOP as they land, each ejecting the last r4-fill
+    # row (update EXPECTED_GATE_WINDOW in the same commit).
+    # -- new in round 6 --
+    "streaming_pit_enrichment",     # NEW: stream-static PIT enrichment (VERDICT r5 #2)
+    "label_propagation_communities",  # NEW: synchronous min-label LPA (VERDICT r5 #3)
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
-    # -- evidence rotation (VERDICT r4 #1): all 23 rows whose latest
-    #    green driver row is round 2 -- the eleven r4-ejected refresh
-    #    rows, the eight deferred r2 rows, and the four stragglers --
-    "sessionize_events",
-    "dedup_simhash",
-    "tpch_q1_pricing_summary",
-    "pagerank_weighted",
-    "travel_time_prediction",
-    "mail_tfidf",
-    "reply_graph",
-    "member_of_the_month",
-    "mail_count",
-    "popular_places",
-    "ride_cleansing",
-    "dedup_ngram_jaccard",
-    "text_quality_score",
-    "text_fingerprint",
-    "distinct_users_per_type",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "ann_topk_lsh",
-    "text_lang_id",
-    "member_of_the_month_joinback",
-    "travel_time_prediction_stateful",
-    "ann_topk_bruteforce",
-    "neardup_embedding_cosine",
-    # -- r3-evidence refresh fill (4 remaining of the original 13): the
-    #    session-2 additions progressively ejected the rest (each named
-    #    below the cutoff); what stays is the mechanism-diverse streaming
-    #    core, all last gated r3 --
+    # -- r3-evidence rotation: the full streaming family ejected across
+    #    round-5 sessions --
     "streaming_sessionize",
     "streaming_exact_dedup",
     "streaming_interval_join",
-    "streaming_popular_places",
-    # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-5 window. First in line for
-    # the round-6 rotation: the 22 r3-evidence rows that did not fit
-    # (TPC-H q2/q9/q11/q12/q15/q16/q18-q22 family, asof/window/range/
-    # set-ops/scd2/rollup/pivot/percentiles, length_bucket_batches),
-    # then the r4-gated block (freshest evidence).
-    # -- r3-evidence, ejected late for the nine session-2 additions
-    #    (gopher/segment-dedup/chunking/transitions/zscore x2/zonemap/
-    #    correlation/session-paths); the outer interval-join twin,
-    #    streaming_distinct_users and streaming_travel_time_stateful
-    #    ceded their slots -- each mechanism keeps in-window coverage via
-    #    the inner join twin, streaming_exact_dedup (same drop-dup
-    #    mechanism) and streaming_anomaly_zscore (same
-    #    applyInPandasWithState mechanism, r5-new) --
     "streaming_interval_join_outer",
+    "streaming_popular_places",
     "streaming_distinct_users",
     "streaming_travel_time_stateful",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_random_projection",
-    "bpe_pair_counts",
-    "contamination_ngram_overlap",
-    "curation_pipeline",
-    # -- r3-evidence, deferred to round 6 (domain_cap/triangles/multimodal
-    #    decode+frames/token_count ceded their slots to the five late
-    #    round-5 additions; all have in-family r4/r5-gated cousins) --
-    "multimodal_frame_sample",
-    "multimodal_decode_meta",
-    "text_token_count",
-    "domain_cap_documents",
-    "triangle_count_edges",
-    "length_bucket_batches",
+    # -- r3-evidence rotation: the 11 long-deferred TPC-H rows --
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
@@ -3489,23 +3466,44 @@ _GATE_PRIORITY = [
     "tpch_q20_excess_inventory",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales",
+    # -- r3-evidence rotation: relational / temporal / shaping rows --
     "asof_purchase_attribution",
     "window_analytics",
     "range_join_downtime_events",
     "set_ops_clean_purchase_days",
     "scd2_user_history",
     "user_inactive_days",
-    "corpus_bigram_counts",
     "rollup_counts",
     "pivot_user_activity",
     "value_percentiles",
-    # -- r4-gated rows: freshest evidence, cede their slots this round --
+    "length_bucket_batches",
+    # -- r3-evidence rotation: text / dedup / pipeline rows --
+    "corpus_bigram_counts",
+    "text_token_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "bpe_pair_counts",
+    "contamination_ngram_overlap",
+    "curation_pipeline",
+    "domain_cap_documents",
+    # -- r3-evidence rotation: graph + multimodal stragglers --
+    "triangle_count_edges",
+    "multimodal_frame_sample",
+    "multimodal_decode_meta",
+    # -- r4-evidence fill (8 slots; first ejected as round-6 queries land) --
     "cdc_merge_user_state",
     "sssp_event_graph",
     "vocab_oov_rate",
     "timeseries_gapfill_hourly",
     "dedup_editdistance_blocked",
     "hll_merge_shards",
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-6 window.
+    # -- remaining r4-evidence rows (next in line after the fill block);
+    #    embedding_quantize_int8 and bpe_train_merges ejected from the
+    #    fill block for streaming_pit_enrichment and
+    #    label_propagation_communities --
     "bpe_train_merges",
     "embedding_quantize_int8",
     "value_histogram",
@@ -3543,6 +3541,55 @@ _GATE_PRIORITY = [
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity",
+    # -- r5-evidence rows: freshest, cede their slots this round --
+    "scd2_point_in_time_join",
+    "cube_user_type_day",
+    "snapshot_diff_documents",
+    "skew_salted_join_events",
+    "session_path_topk",
+    "value_hour_correlation",
+    "zonemap_pruning_audit",
+    "streaming_anomaly_zscore",
+    "event_transitions_markov",
+    "anomaly_rolling_zscore",
+    "gopher_quality_flags",
+    "segment_dedup_keepfirst",
+    "chunk_sliding_windows",
+    "split_leakage_neardup",
+    "funnel_user_stages",
+    "retention_cohorts",
+    "streaming_enrich_static",
+    "bpe_encode_corpus",
+    "incremental_corpus_roundtrip",
+    "dedup_clusters_minhash",
+    "dedup_keep_best",
+    "embedding_dedup_clusters",
+    "kcore_interactions",
+    "streaming_cdc_merge",
+    "shuffle_shard_layout",
+    "sessionize_events",
+    "dedup_simhash",
+    "tpch_q1_pricing_summary",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "mail_tfidf",
+    "reply_graph",
+    "member_of_the_month",
+    "mail_count",
+    "popular_places",
+    "ride_cleansing",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_fingerprint",
+    "distinct_users_per_type",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "ann_topk_lsh",
+    "text_lang_id",
+    "member_of_the_month_joinback",
+    "travel_time_prediction_stateful",
+    "ann_topk_bruteforce",
+    "neardup_embedding_cosine",
 ]
 
 

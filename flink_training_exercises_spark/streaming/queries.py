@@ -287,6 +287,61 @@ def run_enrich_static_availablenow(
     return drain_availablenow(joined, query_name)
 
 
+def run_pit_enrichment_availablenow(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """Stream-static POINT-IN-TIME enrichment: the purchase stream joined
+    per micro-batch to the batch-built SCD2 version dimension (view events
+    -> half-open [valid_from, valid_to) version intervals via lead()) on
+    user_id PLUS the interval residual -- each purchase picks up the
+    attribute version valid AT its event time, the temporal upgrade of
+    run_enrich_static's current-state join (the reference's
+    enrich-at-event-time idea, TravelTimePrediction.java:93-114).
+
+    Stateless inner stream-static join => rows emit on processing, no
+    watermark state, so the availableNow drain equals the batch
+    scd2_point_in_time_join row-for-row (including the boundary rule: a
+    purchase exactly on a version boundary takes the NEW version -- strict
+    < on valid_to -- and zero-width versions never match). The oracle is
+    the same SQL, no horizon cut.
+
+    Scale shape (100 TB): the dim is bounded (one row per attribute
+    version) and broadcast once per micro-batch plan; the stream side
+    never shuffles -- per-record cost is a hash probe on user_id plus an
+    O(versions-per-user) residual interval scan inside codegen. A
+    range-cartesian never appears because user_id is an equi-key."""
+    from pyspark.sql import Window as W
+
+    from ..functions.time import epoch_ms
+    from ..sources.loaders import load_table
+    from .sources import events_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = F.broadcast(
+        ev.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_id").alias("version_id"),
+            epoch_ms("ts").alias("valid_from_ms"),
+            epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
+        )
+    )
+    stream = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    facts = stream.select(
+        "event_id",
+        "user_id",
+        epoch_ms("ts").alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["d_user_id"])
+        & (dim["valid_from_ms"] <= facts["ts_ms"])
+        & (dim["valid_to_ms"].isNull() | (facts["ts_ms"] < dim["valid_to_ms"])),
+    ).select("event_id", "user_id", "ts_ms", "cents", "version_id", "valid_from_ms")
+    return drain_availablenow(joined, query_name)
+
+
 def run_cdc_merge_availablenow(
     changes: DataFrame,
     keys: list[str],

@@ -44,78 +44,67 @@ def test_oracle_is_valid_duckdb(duck, name):
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-5 new / code-changed
-    "scd2_point_in_time_join",
-    "cube_user_type_day",
-    "snapshot_diff_documents",
-    "skew_salted_join_events",
-    "session_path_topk",
-    "value_hour_correlation",
-    "zonemap_pruning_audit",
-    "streaming_anomaly_zscore",
-    "event_transitions_markov",
-    "anomaly_rolling_zscore",
-    "gopher_quality_flags",
-    "segment_dedup_keepfirst",
-    "chunk_sliding_windows",
-    "split_leakage_neardup",
-    "funnel_user_stages",
-    "retention_cohorts",
-    "streaming_enrich_static",
-    "bpe_encode_corpus",
-    "incremental_corpus_roundtrip",
-    "dedup_clusters_minhash",
-    "dedup_keep_best",
-    "embedding_dedup_clusters",
-    "kcore_interactions",
-    "streaming_cdc_merge",
-    "shuffle_shard_layout",
+    # round-6 new
+    "streaming_pit_enrichment",
+    "label_propagation_communities",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # the 23 r2-evidence rows (VERDICT r4 #1 rotation, complete)
-    "sessionize_events",
-    "dedup_simhash",
-    "tpch_q1_pricing_summary",
-    "pagerank_weighted",
-    "travel_time_prediction",
-    "mail_tfidf",
-    "reply_graph",
-    "member_of_the_month",
-    "mail_count",
-    "popular_places",
-    "ride_cleansing",
-    "dedup_ngram_jaccard",
-    "text_quality_score",
-    "text_fingerprint",
-    "distinct_users_per_type",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "ann_topk_lsh",
-    "text_lang_id",
-    "member_of_the_month_joinback",
-    "travel_time_prediction_stateful",
-    "ann_topk_bruteforce",
-    "neardup_embedding_cosine",
-    # ejected to fit (r3-evidence refresh fill, displaced by the four
-    # session-3 additions): streaming_sessionize, streaming_exact_dedup,
-    # streaming_interval_join, streaming_popular_places (all r3 rows;
-    # streaming coverage in-window stays via streaming_anomaly_zscore,
-    # streaming_enrich_static, streaming_cdc_merge);
-    # also ejected earlier: the entire r4-new/changed block (fresh r4 rows),
-    # the 22 remaining r3 rows, and -- late, for the nine session-2
-    # additions (session_path_topk / value_hour_correlation /
-    # zonemap_pruning_audit / streaming_anomaly_zscore /
-    # event_transitions_markov / anomaly_rolling_zscore /
-    # gopher_quality_flags / segment_dedup_keepfirst /
-    # chunk_sliding_windows) -- dedup_exact, dedup_minhash_lsh,
-    # embedding_random_projection, bpe_pair_counts,
-    # contamination_ngram_overlap, curation_pipeline,
-    # streaming_interval_join_outer, streaming_distinct_users and
-    # streaming_travel_time_stateful (each ejected streaming mechanism
-    # keeps in-window coverage: inner join twin, streaming_exact_dedup,
-    # streaming_anomaly_zscore respectively; all r3 evidence); all
-    # recorded first-in-line for round 6 in catalog._GATE_PRIORITY
+    # r3-evidence rotation (all 40 rows whose latest driver row was r3):
+    # streaming family, deferred TPC-H, relational/temporal, text/dedup,
+    # graph/multimodal
+    "streaming_sessionize",
+    "streaming_exact_dedup",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_popular_places",
+    "streaming_distinct_users",
+    "streaming_travel_time_stateful",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales",
+    "asof_purchase_attribution",
+    "window_analytics",
+    "range_join_downtime_events",
+    "set_ops_clean_purchase_days",
+    "scd2_user_history",
+    "user_inactive_days",
+    "rollup_counts",
+    "pivot_user_activity",
+    "value_percentiles",
+    "length_bucket_batches",
+    "corpus_bigram_counts",
+    "text_token_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "bpe_pair_counts",
+    "contamination_ngram_overlap",
+    "curation_pipeline",
+    "domain_cap_documents",
+    "triangle_count_edges",
+    "multimodal_frame_sample",
+    "multimodal_decode_meta",
+    # r4-evidence fill (ejected one-by-one as round-6 additions land)
+    "cdc_merge_user_state",
+    "sssp_event_graph",
+    "vocab_oov_rate",
+    "timeseries_gapfill_hourly",
+    "dedup_editdistance_blocked",
+    "hll_merge_shards",
+    # ejected to fit: embedding_quantize_int8 and bpe_train_merges (r4-fill
+    # rows, for streaming_pit_enrichment and label_propagation_communities);
+    # everything with r5 evidence (the whole round-5
+    # window) and the 35 freshest r4 rows -- all recorded below the
+    # cutoff in catalog._GATE_PRIORITY
 ]
 
 

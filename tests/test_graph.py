@@ -206,3 +206,66 @@ def test_sssp_rounds_past_convergence_are_identity(spark):
     tight = {(r["node"], r["hops"]) for r in graph.sssp_hops(edges, 0, max_hops=4).collect()}
     loose = {(r["node"], r["hops"]) for r in graph.sssp_hops(edges, 0, max_hops=20).collect()}
     assert tight == loose == {(0, 0), (1, 1), (2, 1), (3, 2), (4, 3)}
+
+
+def test_label_propagation_hand_computed(spark):
+    # two components: chain 5-6-7-8 (min 5) and triangle 10-11-12 (min 10),
+    # plus self-loop and parallel-edge noise; directed input must be
+    # treated as undirected (8->5 reaches 5 via the symmetrized edges)
+    edges = spark.createDataFrame(
+        [(6, 5), (6, 7), (8, 7), (10, 11), (11, 12), (12, 10), (5, 5), (6, 7)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(edges, rounds=10).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_bounded_rounds_is_min_within_hops(spark):
+    # on a 0-1-2-3-4-5 chain, after 2 rounds node k's label is min id
+    # within 2 hops -- the bounded-round semantics the oracle unrolls
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(chain, rounds=2).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+
+def test_label_propagation_rounds_past_convergence_are_identity(spark):
+    # the early-exit-vs-full-unroll contract (kcore/sssp): a round cap far
+    # above the diameter yields the same labels as the tight cap, and the
+    # fixpoint equals the component minimum
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (7, 8)], "src long, dst long"
+    )
+    tight = {
+        (r["node"], r["label"])
+        for r in graph.label_propagation(edges, rounds=4).collect()
+    }
+    loose = {
+        (r["node"], r["label"])
+        for r in graph.label_propagation(edges, rounds=25).collect()
+    }
+    assert tight == loose == {(0, 0), (1, 0), (2, 0), (3, 0), (7, 7), (8, 7)}
+
+
+def test_label_propagation_sql_twin_matches_spark(spark):
+    import duckdb
+
+    rows = [(0, 1), (1, 2), (3, 4), (9, 3), (2, 0), (5, 5)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r["node"], r["label"])
+        for r in graph.label_propagation(edges, rounds=3).collect()
+    }
+    vals = ", ".join(f"({s}, {d})" for s, d in rows)
+    sql = graph.label_propagation_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", rounds=3
+    )
+    want = set(duckdb.connect().execute(sql).fetchall())
+    assert got == want and got
