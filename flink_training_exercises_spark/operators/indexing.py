@@ -235,3 +235,191 @@ SELECT grp, token, cnt, rank FROM (
   FROM counts
 ) WHERE rank <= {k}
 """
+
+
+# Fixed retrieval benchmark queries (query_id, term_1, term_2) over the
+# documents vocabulary -- literal on both engines so the plan is static.
+BM25_QUERIES: list[tuple[str, str, str]] = [
+    ("q1", "hash", "join"),
+    ("q2", "stream", "window"),
+    ("q3", "vector", "scan"),
+]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str, str]] | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k retrieval -- the ranked-retrieval consumer of the
+    ``inverted_index`` build (and the RAG-pipeline staple): score every
+    document against each fixed two-term query, return the k best per
+    query. Output (query_id, rank, doc_id, n_matched, score_x1e6).
+
+    Determinism variant (the repo's exact-integer pattern, cf.
+    doc_typicality / value_hour_correlation): the classic ln() IDF is a
+    cross-engine float hazard (libm ln is not correctly rounded), so this
+    uses the raw BM25 odds ratio IDF -- monotone in the same df, rational
+    in exact integers:
+
+        idf   = (2N - 2df + 1) / (2df + 1)            # == (N-df+.5)/(df+.5)
+        tfn   = 22*T*tf / (10*T*tf + 3*T + 9*dl*N)    # k1=1.2, b=0.75 folded
+        score = sum over the query's terms of idf * tfn
+
+    Every operand is an exact BIGINT (N docs, T corpus tokens, tf term
+    freq, dl doc length, df doc freq); the only float ops are two
+    divisions, one multiply and one fixed-order two-term add -- all
+    IEEE-correctly-rounded over identical operands with an identical
+    expression tree, hence bit-deterministic cross-engine (the per-term
+    values are pivoted to fixed positions before the add, so no
+    order-dependent float aggregation exists). Ranking and output use
+    floor(1e6 * score) so the compare never sees a raw float.
+    BIGINT headroom: 22*T*tf tops out ~5.5e17 at a 2.5e13-token corpus
+    with tf <= 1e3 -- inside int64.
+
+    Scale shape (100 TB): the query-term filter is a literal IN over the
+    exploded tokens -- pushed inside the one token scan, so only rows for
+    query terms (a vanishing corpus fraction) ever shuffle; tf is one
+    groupBy(doc, token) on those, df is a ~|terms|-row agg of tf
+    broadcast back, corpus totals are a 1-row broadcast crossJoin (the A4
+    scalar pattern), and the rank window partitions on query_id over the
+    already-aggregated candidate set. Two corpus scans total (totals +
+    tokens), no driver-side state."""
+    qs = BM25_QUERIES if queries is None else queries
+    terms = sorted({t for _, t1, t2 in qs for t in (t1, t2)})
+    spark = docs.sparkSession
+    base = _widened(docs).select(
+        F.col(id_col).alias("doc_id"), _words(text_col).alias("ws")
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).alias("t_tokens"),
+    )
+    toks = base.select(
+        "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("token")
+    ).where(F.col("token").isin(terms))
+    tf = toks.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, pos, t) for qid, t1, t2 in qs for pos, t in ((1, t1), (2, t2))],
+        "query_id string, pos int, term string",
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(F.broadcast(qterms), F.col("token") == F.col("term"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            "pos",
+            (
+                (
+                    (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double")
+                    / (2 * F.col("df") + 1).cast("double")
+                )
+                * (
+                    (22 * F.col("t_tokens") * F.col("tf")).cast("double")
+                    / (
+                        10 * F.col("t_tokens") * F.col("tf")
+                        + 3 * F.col("t_tokens")
+                        + 9 * F.col("dl") * F.col("n_docs")
+                    ).cast("double")
+                )
+            ).alias("s"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        (
+            F.coalesce(F.max(F.when(F.col("pos") == 1, F.col("s"))), F.lit(0.0))
+            + F.coalesce(F.max(F.when(F.col("pos") == 2, F.col("s"))), F.lit(0.0))
+        ).alias("score"),
+        F.count(F.lit(1)).cast("int").alias("n_matched"),
+    )
+    ranked = agg.select(
+        "query_id",
+        "doc_id",
+        "n_matched",
+        F.floor(F.col("score") * F.lit(1000000.0)).cast("bigint").alias("score_x1e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_x1e6"), F.asc("doc_id")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_matched", "score_x1e6")
+    )
+
+
+def bm25_topk_sql(
+    table: str = "documents",
+    queries: list[tuple[str, str, str]] | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` -- identical integer operands and
+    identical float expression tree (two divisions, one multiply, one
+    fixed-order add), so scores are bit-equal and floor(1e6*score) agrees."""
+    qs = BM25_QUERIES if queries is None else queries
+    terms = sorted({t for _, t1, t2 in qs for t in (t1, t2)})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    q_vals = ", ".join(
+        f"('{qid}', {pos}, '{t}')"
+        for qid, t1, t2 in qs
+        for pos, t in ((1, t1), (2, t2))
+    )
+    w = _words_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {w} AS ws FROM {table}
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(ws)) AS BIGINT) AS t_tokens
+  FROM base
+),
+toks AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS token FROM base
+),
+tf AS (
+  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({in_list}) GROUP BY 1, 2, 3
+),
+dft AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+q AS (SELECT * FROM (VALUES {q_vals}) t(query_id, pos, term)),
+scored AS (
+  SELECT q.query_id, f.doc_id, q.pos,
+         (CAST(2 * tot.n_docs - 2 * dft.df + 1 AS DOUBLE)
+          / CAST(2 * dft.df + 1 AS DOUBLE))
+         * (CAST(22 * tot.t_tokens * f.tf AS DOUBLE)
+            / CAST(10 * tot.t_tokens * f.tf + 3 * tot.t_tokens
+                   + 9 * f.dl * tot.n_docs AS DOUBLE)) AS s
+  FROM tf f
+  JOIN dft USING (token)
+  JOIN q ON f.token = q.term
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT query_id, doc_id,
+         coalesce(max(CASE WHEN pos = 1 THEN s END), 0e0)
+         + coalesce(max(CASE WHEN pos = 2 THEN s END), 0e0) AS score,
+         CAST(count(*) AS INT) AS n_matched
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, n_matched,
+         CAST(floor(score * 1e6) AS BIGINT) AS score_x1e6
+  FROM agg
+)
+SELECT query_id, rank, doc_id, n_matched, score_x1e6 FROM (
+  SELECT query_id, doc_id, n_matched, score_x1e6,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_x1e6 DESC, doc_id) AS INT) AS rank
+  FROM ranked
+) WHERE rank <= {k}
+"""

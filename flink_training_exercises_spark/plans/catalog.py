@@ -1843,6 +1843,23 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_topk_retrieval",
+    oracle=indexing.bm25_topk_sql(),
+    doc="BM25 ranked retrieval -- the consumer side of the inverted-index "
+    "build and the RAG staple: top-10 documents per fixed two-term query. "
+    "Deterministic variant: raw odds-ratio IDF instead of ln() (libm is "
+    "not correctly rounded cross-engine), every operand an exact BIGINT, "
+    "the only float ops two divisions + one multiply + one fixed-order "
+    "two-term add over pivoted per-term scores -- bit-identical IEEE "
+    "trees; output and ranking use floor(1e6*score). Query-term filter is "
+    "a literal IN pushed into the one token scan; df and query table "
+    "broadcast; rank window over the aggregated candidates only.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indexing.bm25_topk(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "doc_typicality_bigrams",
     oracle=indexing.doc_typicality_sql(),
     doc="Per-document corpus-typicality in exact integers: corpus bigram "
@@ -3442,6 +3459,7 @@ _GATE_PRIORITY = [
     # -- new in round 6 --
     "streaming_pit_enrichment",     # NEW: stream-static PIT enrichment (VERDICT r5 #2)
     "label_propagation_communities",  # NEW: synchronous min-label LPA (VERDICT r5 #3)
+    "bm25_topk_retrieval",          # NEW: BM25 ranked retrieval (VERDICT r5 #4)
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -3497,13 +3515,13 @@ _GATE_PRIORITY = [
     "vocab_oov_rate",
     "timeseries_gapfill_hourly",
     "dedup_editdistance_blocked",
-    "hll_merge_shards",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-6 window.
     # -- remaining r4-evidence rows (next in line after the fill block);
-    #    embedding_quantize_int8 and bpe_train_merges ejected from the
-    #    fill block for streaming_pit_enrichment and
-    #    label_propagation_communities --
+    #    embedding_quantize_int8, bpe_train_merges and hll_merge_shards
+    #    ejected from the fill block for streaming_pit_enrichment,
+    #    label_propagation_communities and bm25_topk_retrieval --
+    "hll_merge_shards",
     "bpe_train_merges",
     "embedding_quantize_int8",
     "value_histogram",

@@ -47,6 +47,7 @@ EXPECTED_GATE_WINDOW = [
     # round-6 new
     "streaming_pit_enrichment",
     "label_propagation_communities",
+    "bm25_topk_retrieval",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -99,9 +100,9 @@ EXPECTED_GATE_WINDOW = [
     "vocab_oov_rate",
     "timeseries_gapfill_hourly",
     "dedup_editdistance_blocked",
-    "hll_merge_shards",
-    # ejected to fit: embedding_quantize_int8 and bpe_train_merges (r4-fill
-    # rows, for streaming_pit_enrichment and label_propagation_communities);
+    # ejected to fit: embedding_quantize_int8, bpe_train_merges and
+    # hll_merge_shards (r4-fill rows, for streaming_pit_enrichment,
+    # label_propagation_communities and bm25_topk_retrieval);
     # everything with r5 evidence (the whole round-5
     # window) and the 35 freshest r4 rows -- all recorded below the
     # cutoff in catalog._GATE_PRIORITY
