@@ -3323,9 +3323,10 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "snapshot_diff_documents",
-    oracle="""
+# Shared by snapshot_diff_documents (batch full-outer diff) and
+# streaming_snapshot_diff (its incremental foreachBatch twin): chunking
+# invariance makes both equal this one-shot SQL.
+_SNAPSHOT_DIFF_SQL = """
 WITH snap_a AS (
   SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
 ),
@@ -3341,7 +3342,12 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
        a.h AS old_hash, b.h AS new_hash
 FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
 WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
-""",
+"""
+
+
+@register(
+    "snapshot_diff_documents",
+    oracle=_SNAPSHOT_DIFF_SQL,
     doc="Corpus snapshot diff -- the incremental-ingest primitive: two "
     "snapshots (derived deterministically from `documents` by doc_id "
     "residue filters, with a text mutation standing in for re-crawled "
@@ -3378,6 +3384,27 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         "old_hash",
         "new_hash",
+    )
+
+
+@register(
+    "streaming_snapshot_diff",
+    oracle=_SNAPSHOT_DIFF_SQL,
+    doc="Snapshot diff through the real engine -- the incremental ingest "
+    "shape: snapshot A is the standing batch corpus, snapshot B ARRIVES "
+    "as a document stream; each micro-batch classifies its rows against A "
+    "on the spot (left join on doc_id: added / changed, unchanged "
+    "dropped) into batch-id-keyed overwrite outputs (idempotent under "
+    "foreachBatch retries), 'removed' = one final anti-join of A vs the "
+    "seen-key set. doc_ids unique within B + static A => any chunking "
+    "folds to the one-shot batch diff (chunked-replay invariance "
+    "pytest-pinned), so the oracle is the same full-outer SQL.",
+)
+def q_streaming_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import run_snapshot_diff_availablenow
+
+    return run_snapshot_diff_availablenow(
+        spark, sf_dir, "streaming_snapshot_diff_gate"
     )
 
 
@@ -3460,6 +3487,7 @@ _GATE_PRIORITY = [
     "streaming_pit_enrichment",     # NEW: stream-static PIT enrichment (VERDICT r5 #2)
     "label_propagation_communities",  # NEW: synchronous min-label LPA (VERDICT r5 #3)
     "bm25_topk_retrieval",          # NEW: BM25 ranked retrieval (VERDICT r5 #4)
+    "streaming_snapshot_diff",      # NEW: incremental snapshot-diff twin (VERDICT r5 #5)
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -3514,13 +3542,15 @@ _GATE_PRIORITY = [
     "sssp_event_graph",
     "vocab_oov_rate",
     "timeseries_gapfill_hourly",
-    "dedup_editdistance_blocked",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-6 window.
     # -- remaining r4-evidence rows (next in line after the fill block);
-    #    embedding_quantize_int8, bpe_train_merges and hll_merge_shards
-    #    ejected from the fill block for streaming_pit_enrichment,
-    #    label_propagation_communities and bm25_topk_retrieval --
+    #    embedding_quantize_int8, bpe_train_merges, hll_merge_shards and
+    #    dedup_editdistance_blocked ejected from the fill block for the
+    #    four round-6 additions (streaming_pit_enrichment,
+    #    label_propagation_communities, bm25_topk_retrieval,
+    #    streaming_snapshot_diff) --
+    "dedup_editdistance_blocked",
     "hll_merge_shards",
     "bpe_train_merges",
     "embedding_quantize_int8",

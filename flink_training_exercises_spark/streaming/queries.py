@@ -418,3 +418,110 @@ def run_cdc_merge_availablenow(
     # would otherwise track any later mutation of state_dir (e.g. a resumed
     # run folding more batches before the caller consumes this result)
     return final.where(~F.col(delete_col)).drop(delete_col).localCheckpoint()
+
+
+def run_snapshot_diff_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str,
+    b_stream: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming snapshot diff (the incremental twin of the batch
+    snapshot_diff_documents query): snapshot A is the standing corpus
+    (batch-built, static); snapshot B ARRIVES as a document stream. Each
+    micro-batch classifies its B rows against A immediately -- left join on
+    doc_id: no A row => 'added', hash differs => 'changed', equal =>
+    dropped -- and records the B keys it has seen; after the drain,
+    'removed' = A anti-joined against the seen-key set. This is the actual
+    100 TB ingest shape: the delta emits as the crawl lands, the full-outer
+    join never materializes over both whole snapshots at once.
+
+    Chunking invariance (the cdc-merge contract): doc_ids are unique
+    within snapshot B and A is static, so each B row's classification is
+    independent of batch boundaries, and 'removed' depends only on the
+    seen-key SET -- any chunking folds to the one-shot batch diff
+    row-for-row (pinned by tests/test_streaming.py::
+    test_streaming_snapshot_diff_chunked_matches_batch). foreachBatch is
+    at-least-once, so per-batch outputs land in batch-id-keyed directories
+    written with overwrite -- a retried batch replaces itself instead of
+    duplicating rows.
+
+    Scale shape: per batch, one hash join of the (small) arriving chunk
+    against A on doc_id -- with A bucketed by doc_id at write time the
+    probe is Exchange-free on A's side (the proven bucketed batch-diff
+    layout, commit 9033a4d); comparison is on 16-byte md5 hashes, never
+    raw text movement; the final anti-join runs once over A and the
+    accumulated key set."""
+    from ..sources.loaders import load_table
+    from .sources import documents_stream
+
+    docs = load_table(spark, "documents", sf_dir)
+    snap_a = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select(F.col("doc_id").alias("a_id"), F.md5("text").alias("old_hash"))
+        .localCheckpoint()
+    )
+    if b_stream is None:
+        b_stream = documents_stream(spark, sf_dir)
+    b = b_stream.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("b_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("new_hash"),
+    )
+    root = tempfile.mkdtemp(prefix=f"fte_{query_name}_")
+    emit_root = os.path.join(root, "emit")
+    seen_root = os.path.join(root, "seen")
+    ck = os.path.join(root, "ck")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        classified = (
+            batch_df.join(snap_a, batch_df["b_id"] == snap_a["a_id"], "left")
+            .where(F.col("a_id").isNull() | (F.col("old_hash") != F.col("new_hash")))
+            .select(
+                F.col("b_id").alias("doc_id"),
+                F.when(F.col("a_id").isNull(), "added").otherwise("changed").alias(
+                    "status"
+                ),
+                "old_hash",
+                "new_hash",
+            )
+        )
+        # batch-id-keyed overwrite => idempotent under foreachBatch retries
+        classified.write.mode("overwrite").parquet(
+            os.path.join(emit_root, f"batch-{batch_id}")
+        )
+        batch_df.select(F.col("b_id").alias("seen_id")).write.mode("overwrite").parquet(
+            os.path.join(seen_root, f"batch-{batch_id}")
+        )
+
+    q = (
+        b.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    removed_from = snap_a
+    if os.path.isdir(seen_root):
+        seen = spark.read.parquet(os.path.join(seen_root, "batch-*"))
+        removed_from = snap_a.join(
+            seen, snap_a["a_id"] == seen["seen_id"], "left_anti"
+        )
+    removed = removed_from.select(
+        F.col("a_id").alias("doc_id"),
+        F.lit("removed").alias("status"),
+        "old_hash",
+        F.lit(None).cast("string").alias("new_hash"),
+    )
+    if os.path.isdir(emit_root):
+        emitted = spark.read.parquet(os.path.join(emit_root, "batch-*"))
+        out = emitted.unionByName(removed)
+    else:
+        out = removed
+    # pin the drained values before the temp dirs can change underneath
+    return out.localCheckpoint()

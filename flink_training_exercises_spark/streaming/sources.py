@@ -54,6 +54,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file-source stream (same glob-within-dir
+    shape as events_stream) -- the arriving-corpus side of incremental
+    ingest twins (streaming snapshot diff)."""
+    schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def rides_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of plans.rides.rides_view (same shared SQL, applied to
     a streaming relation -- Catalyst treats it identically)."""

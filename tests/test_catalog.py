@@ -48,6 +48,7 @@ EXPECTED_GATE_WINDOW = [
     "streaming_pit_enrichment",
     "label_propagation_communities",
     "bm25_topk_retrieval",
+    "streaming_snapshot_diff",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -99,11 +100,11 @@ EXPECTED_GATE_WINDOW = [
     "sssp_event_graph",
     "vocab_oov_rate",
     "timeseries_gapfill_hourly",
-    "dedup_editdistance_blocked",
-    # ejected to fit: embedding_quantize_int8, bpe_train_merges and
-    # hll_merge_shards (r4-fill rows, for streaming_pit_enrichment,
-    # label_propagation_communities and bm25_topk_retrieval);
-    # everything with r5 evidence (the whole round-5
+    # ejected to fit: embedding_quantize_int8, bpe_train_merges,
+    # hll_merge_shards and dedup_editdistance_blocked (r4-fill rows, for
+    # the four round-6 additions streaming_pit_enrichment,
+    # label_propagation_communities, bm25_topk_retrieval and
+    # streaming_snapshot_diff); everything with r5 evidence (the whole round-5
     # window) and the 35 freshest r4 rows -- all recorded below the
     # cutoff in catalog._GATE_PRIORITY
 ]

@@ -741,3 +741,42 @@ def test_streaming_pit_enrichment_matches_batch(spark, sf_small):
         for r in CATALOG["scd2_point_in_time_join"].spark(spark, sf_small).collect()
     }
     assert got == expected and expected
+
+
+def test_streaming_snapshot_diff_chunked_matches_batch(spark, sf_small, tmp_path):
+    """Batch-boundary invariance of the incremental snapshot diff: snapshot
+    B arriving in 4 chunks must classify to exactly the one-shot batch
+    full-outer diff -- added/changed emitted per batch, removed computed
+    once against the accumulated seen-key set."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        run_snapshot_diff_availablenow,
+    )
+
+    docs = load_table(spark, "documents", sf_small)
+    d = str(tmp_path / "doc_chunks")
+    replay_to_files(docs, "doc_id", d, n_chunks=4)
+    schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = {
+        tuple(r)
+        for r in run_snapshot_diff_availablenow(
+            spark,
+            sf_small,
+            f"snapdiff_chunked_{_uuid.uuid4().hex[:8]}",
+            b_stream=chunked,
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in CATALOG["snapshot_diff_documents"].spark(spark, sf_small).collect()
+    }
+    assert got == want and got
+    # all three classes must occur for the test to mean anything
+    statuses = {t[1] for t in got}
+    assert statuses == {"added", "removed", "changed"}
