@@ -24,36 +24,8 @@ from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..functions.text import STOP_WORDS
-from ..operators import (
-    asof,
-    bloom,
-    cdc,
-    contamination,
-    dedup,
-    graph,
-    indexing,
-    ivf,
-    multimodal,
-    pii,
-    rangejoin,
-    relational,
-    sampling,
-    sessions,
-    sketches,
-    skew,
-    similarity,
-    stateful,
-    textstats,
-    tpch,
-    windows,
-)
-from ..sources import load_table
-from ..operators import timeseries
-from . import graphs as graphs_plan
-from . import mails as mails_plan
+from ..operators import windows
 from . import rides as rides_plan
 
 SparkBuilder = Callable[[SparkSession, str], DataFrame]
@@ -91,3362 +63,23 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-# ---------------------------------------------------------------------------
-# RideCleansing (SURVEY §2 P1/F1 -- RideCleansing.java:68-76)
-# ---------------------------------------------------------------------------
-
-_RIDES = rides_plan.rides_cte("events")
-
-_NYC_PRED = (
-    "NOT (start_lon > -73.7e0 OR start_lon < -74.05e0) "
-    "AND NOT (start_lat > 41.0e0 OR start_lat < 40.5e0) "
-    "AND NOT (end_lon > -73.7e0 OR end_lon < -74.05e0) "
-    "AND NOT (end_lat > 41.0e0 OR end_lat < 40.5e0)"
+# Family registration modules -- imported for their @register side effects.
+# Import order = original registration order, so CATALOG iteration order
+# (bench.py) is unchanged by the round-6 file split. These must come after
+# register() is defined (circular-import handshake: each module imports
+# .catalog, which is already in sys.modules by the time these lines run).
+from . import (  # noqa: E402,F401
+    q_reference,
+    q_dedup_similarity,
+    q_text_multimodal,
+    q_sessions_streaming,
+    q_shaping,
+    q_tpch,
+    q_relational_indexing,
+    q_sketches_graph,
+    q_pipeline_cdc,
+    q_round5,
 )
-
-
-@register(
-    "ride_cleansing",
-    oracle=f"""
-WITH rides AS ({_RIDES})
-SELECT ride_id, is_start, epoch_ms(ts) AS ts_ms,
-       start_lon, start_lat, end_lon, end_lat, passenger_cnt
-FROM rides
-WHERE {_NYC_PRED}
-""",
-    doc="P1/F1: keep rides that start AND end inside the NYC bbox "
-    "(RideCleansing.java:68-76, GeoUtils.java:58-62).",
-    bench=True,
-)
-def q_ride_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import geo
-
-    from ..functions.time import epoch_ms
-
-    r = rides_plan.rides_view(spark, sf_dir)
-    in_nyc = geo.is_in_nyc("start_lon", "start_lat") & geo.is_in_nyc("end_lon", "end_lat")
-    return r.where(in_nyc).select(
-        "ride_id",
-        "is_start",
-        epoch_ms("ts").alias("ts_ms"),
-        "start_lon",
-        "start_lat",
-        "end_lon",
-        "end_lat",
-        "passenger_cnt",
-    )
-
-
-# ---------------------------------------------------------------------------
-# PopularPlaces (SURVEY §2 W2/A8/P2/P4/P5/F2/F3/F4 -- PopularPlaces.java)
-# Constants adapted to the 30-day testdata density; the operator's defaults
-# stay at the reference's 15min/5min/20.
-# ---------------------------------------------------------------------------
-
-_PP_SIZE_MS = 6 * 3600 * 1000
-_PP_SLIDE_MS = 3600 * 1000
-_PP_K = _PP_SIZE_MS // _PP_SLIDE_MS
-_PP_THRESHOLD = 10
-
-
-def _popular_places_oracle(size_ms: int, slide_ms: int, threshold: int) -> str:
-    k = size_ms // slide_ms
-    return f"""
-WITH rides AS ({_RIDES}),
-nyc AS (
-  SELECT ts, is_start,
-         CAST(FLOOR((74.05e0 - abs(CASE WHEN is_start THEN start_lon ELSE end_lon END)) / 1.4e-3) AS INT)
-         + CAST(FLOOR((41.0e0 - (CASE WHEN is_start THEN start_lat ELSE end_lat END)) / 1.25e-3) AS INT) * 250
-           AS cell
-  FROM rides
-  WHERE {_NYC_PRED}
-),
-counted AS (
-  SELECT cell, is_start,
-         ((epoch_ms(ts) // {slide_ms}) - t.k) * {slide_ms} + {size_ms} AS window_end_ms,
-         count(*) AS cnt
-  FROM nyc CROSS JOIN (SELECT range AS k FROM range({k})) t
-  GROUP BY 1, 2, 3
-)
-SELECT (74.05e0 - (cell % 250) * 1.4e-3 - 7e-4) * -1.0e0 AS center_lon,
-       41.0e0 - (cell // 250) * 1.25e-3 - 6.25e-4 AS center_lat,
-       window_end_ms, is_start, cnt
-FROM counted WHERE cnt >= {threshold}
-"""
-
-
-@register(
-    "popular_places",
-    oracle=_popular_places_oracle(_PP_SIZE_MS, _PP_SLIDE_MS, _PP_THRESHOLD),
-    doc="W2/A8/P2/P4/P5: NYC filter -> grid cell -> sliding window count -> "
-    "threshold -> cell centers (PopularPlaces.java:71-97).",
-    bench=True,
-)
-def q_popular_places(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = rides_plan.rides_view(spark, sf_dir)
-    return windows.popular_places(r, window="6 hours", slide="1 hour", threshold=_PP_THRESHOLD)
-
-
-@register(
-    "streaming_popular_places",
-    oracle=f"""
-WITH res AS ({_popular_places_oracle(_PP_SIZE_MS, _PP_SLIDE_MS, _PP_THRESHOLD)}),
-rides AS ({_RIDES}),
-mx AS (SELECT max(epoch_ms(ts)) AS m FROM rides WHERE {_NYC_PRED})
-SELECT res.* FROM res, mx WHERE res.window_end_ms <= mx.m - 60000
-""",
-    doc="W2/W3/W7 through the real streaming engine: watermarked sliding-"
-    "window count in APPEND mode (fire-once per window, availableNow "
-    "drain, memory sink). Oracle = the batch popular_places result cut at "
-    "the final watermark (max event ts - 60 s), mirroring Spark's "
-    "window.end <= watermark emission (PopularPlaces.java:71-97 event-time "
-    "fire-once contract).",
-)
-def q_streaming_popular_places(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import run_popular_places_availablenow
-
-    return run_popular_places_availablenow(spark, sf_dir, threshold=_PP_THRESHOLD)
-
-
-# ---------------------------------------------------------------------------
-# Mail-family batch exercises (SURVEY §2 A1-A6, J2/J3, P3/P6/P7) on the
-# derived mails view (plans/mails.py).
-# ---------------------------------------------------------------------------
-
-_MAILS = mails_plan.mails_cte("events")
-_EMAIL_RE = r"<([^<>]*)>\s*$"
-# Mirrors functions/text.py email_address exactly: bracketless senders fall
-# back to the raw string (Spark does the same CASE) -- without this, one
-# bracketless sender in regenerated testdata would break the whole mail family.
-_EMAIL_SQL = (
-    f"(CASE WHEN regexp_extract(sender, '{_EMAIL_RE}', 1) = '' THEN sender "
-    f"ELSE regexp_extract(sender, '{_EMAIL_RE}', 1) END)"
-)
-_BOTS_SQL = ", ".join(f"'{b}'" for b in relational.BOT_ADDRESSES)
-
-
-@register(
-    "mail_count",
-    oracle=f"""
-WITH mails AS ({_MAILS})
-SELECT substr(time, 1, 7) AS month, {_EMAIL_SQL} AS email, count(*) AS cnt
-FROM mails GROUP BY 1, 2
-""",
-    doc="A1/P6: mails per (month, email) (MailCount.java:49-107).",
-    bench=True,
-)
-def q_mail_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.mail_count(mails_plan.mails_view(spark, sf_dir))
-
-
-@register(
-    "member_of_the_month",
-    oracle=f"""
-WITH mails AS ({_MAILS}),
-counts AS (
-  SELECT substr(time, 1, 7) AS month, {_EMAIL_SQL} AS sender, count(*) AS cnt
-  FROM mails
-  WHERE {_EMAIL_SQL} NOT IN ({_BOTS_SQL})
-  GROUP BY 1, 2
-)
-SELECT month, sender FROM (
-  SELECT month, sender, cnt, max(cnt) OVER (PARTITION BY month) AS mx FROM counts
-) WHERE cnt = mx
-""",
-    doc="A5/A6/J3/P3: argmax sender per month, ties kept "
-    "(MemberOTMonth.java:48-81).",
-)
-def q_member_otm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.member_of_the_month(mails_plan.mails_view(spark, sf_dir))
-
-
-@register(
-    "member_of_the_month_joinback",
-    oracle=f"""
-WITH mails AS ({_MAILS}),
-counts AS (
-  SELECT substr(time, 1, 7) AS month, {_EMAIL_SQL} AS sender, count(*) AS cnt
-  FROM mails
-  WHERE {_EMAIL_SQL} NOT IN ({_BOTS_SQL})
-  GROUP BY 1, 2
-),
-maxes AS (SELECT month, max(cnt) AS max_cnt FROM counts GROUP BY 1)
-SELECT counts.month, counts.sender
-FROM counts JOIN maxes ON counts.month = maxes.month AND counts.cnt = maxes.max_cnt
-""",
-    doc="J3 in the reference's literal join-back shape "
-    "(MemberOTMonth.java:74-78).",
-)
-def q_member_otm_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.member_of_the_month(mails_plan.mails_view(spark, sf_dir), strategy="join")
-
-
-@register(
-    "reply_graph",
-    oracle=f"""
-WITH mails AS ({_MAILS}),
-a AS (
-  SELECT message_id, {_EMAIL_SQL} AS sender, reply_to
-  FROM mails
-  WHERE {_EMAIL_SQL} NOT IN ({_BOTS_SQL})
-)
-SELECT r.sender AS from_email, o.sender AS to_email, count(*) AS cnt
-FROM a r JOIN a o ON r.reply_to = o.message_id
-GROUP BY 1, 2
-""",
-    doc="J2/A2/P3/P7: reply-chain self-join + pair counts "
-    "(ReplyGraph.java:50-71).",
-    bench=True,
-)
-def q_reply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.reply_graph(mails_plan.mails_view(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# TF-IDF (SURVEY §2 P9/P10/A3/A4/J1/F13) on the documents table.
-# ---------------------------------------------------------------------------
-
-_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in dict.fromkeys(STOP_WORDS))
-
-
-@register(
-    "mail_tfidf",
-    oracle=f"""
-WITH words AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
-  FROM documents
-),
-kept AS (
-  SELECT doc_id, word FROM words
-  WHERE regexp_matches(word, '^[a-z]+$') AND word NOT IN ({_STOPWORDS_SQL})
-),
-tf AS (SELECT doc_id, word, count(*) AS tf FROM kept GROUP BY 1, 2),
-df AS (
-  SELECT word, count(*) AS df
-  FROM (SELECT DISTINCT doc_id, word FROM kept) GROUP BY 1
-),
-n AS (SELECT count(*) AS n_docs FROM documents)
-SELECT tf.doc_id, tf.word, tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
-FROM tf JOIN df USING (word) CROSS JOIN n
-""",
-    doc="P9/P10/A3/A4/J1/F13: no-log TF-IDF tf*(N/df) "
-    "(MailTFIDF.java:63-96,214-233).",
-    bench=True,
-)
-def q_mail_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.tf_idf(load_table(spark, "documents", sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# Weighted PageRank (SURVEY §2 G1-G4) on the derived edges view.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "pagerank_weighted",
-    oracle=graphs_plan.pagerank_oracle(damping=0.85, iterations=10),
-    doc="G1-G4: fixed-iteration weighted PageRank, exact integer mode "
-    "(PageRankWithEdgeWeights.java:77-104; Java semantics).",
-    bench=True,
-)
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = graphs_plan.edges_view(spark, sf_dir)
-    return graph.weighted_pagerank(
-        edges, damping=0.85, iterations=10, exact=True, checkpoint_every=3
-    )
-
-
-# ---------------------------------------------------------------------------
-# Travel-time prediction (SURVEY §2 W5/F5/F6/F9/F12) -- batch forms.
-# Both implementations share one oracle; results are bit-identical.
-# ---------------------------------------------------------------------------
-
-_TT_ORACLE = f"""
-WITH rides AS ({_RIDES}),
-feat AS (
-  SELECT ride_id, is_start, epoch_ms(ts) AS ev_ms,
-         CAST(FLOOR((74.05e0 - abs(end_lon)) / 1.4e-3) AS INT)
-           + CAST(FLOOR((41.0e0 - end_lat) / 1.25e-3) AS INT) * 250 AS cell,
-         CAST(FLOOR((FLOOR(DEGREES(ATAN2(end_lat - start_lat,
-              (end_lon - start_lon) * COS(start_lat)))) + 179) / 45) AS INT) AS bucket,
-         CAST(FLOOR(110.25e0 * SQRT((start_lat - end_lat) * (start_lat - end_lat)
-              + ((start_lon - end_lon) * COS(end_lat)) * ((start_lon - end_lon) * COS(end_lat)))
-              * 1e3) AS BIGINT) AS x_m,
-         epoch_ms(end_time) - epoch_ms(start_time) AS y_ms
-  FROM rides
-  WHERE {_NYC_PRED}
-),
-scored AS (
-  SELECT ride_id, is_start, x_m,
-         sum(CASE WHEN NOT is_start THEN x_m * x_m END) OVER w AS sxx,
-         sum(CASE WHEN NOT is_start THEN x_m * y_ms END) OVER w AS sxy
-  FROM feat
-  WINDOW w AS (PARTITION BY cell, bucket ORDER BY ev_ms, ride_id, is_start
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-)
-SELECT ride_id,
-       CASE WHEN sxx IS NULL OR sxx = 0 THEN -1
-            ELSE CAST(FLOOR((CAST(sxy AS DOUBLE) / sxx) * x_m / 6e4) AS INT)
-       END AS predicted_minutes
-FROM scored WHERE is_start
-"""
-
-
-@register(
-    "travel_time_prediction",
-    oracle=_TT_ORACLE,
-    doc="W5: per-destination-cell no-intercept regression, window-expression "
-    "form (TravelTimePrediction.java:76-164).",
-    bench=True,
-)
-def q_travel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stateful.travel_time_window(rides_plan.rides_view(spark, sf_dir))
-
-
-@register(
-    "travel_time_prediction_stateful",
-    oracle=_TT_ORACLE,
-    doc="W5: same semantics via per-key applyInPandas state (the batch twin "
-    "of the streaming stateful operator).",
-)
-def q_travel_time_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stateful.travel_time_stateful(rides_plan.rides_view(spark, sf_dir))
-
-
-@register(
-    "streaming_travel_time_stateful",
-    oracle=_TT_ORACLE,
-    doc="W5 through the REAL streaming engine: applyInPandasWithState keyed "
-    "per destination cell (the reference's RichFlatMapFunction+ValueState, "
-    "TravelTimePrediction.java:120-164), append mode, availableNow drain. "
-    "The single-file source makes one micro-batch, the handler orders "
-    "events by time within each key exactly like the batch twin, so the "
-    "emission set equals the batch result and the SAME oracle applies -- "
-    "the stateful streaming path is driver-gated, not just pytest'd.",
-)
-def q_streaming_travel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import drain_availablenow
-    from ..streaming.sources import rides_stream
-    from ..streaming.stateful import streaming_travel_time
-
-    return drain_availablenow(
-        streaming_travel_time(rides_stream(spark, sf_dir)),
-        "streaming_travel_time_gate",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-data pipeline operators (task brief): dedup family.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_exact",
-    oracle=f"""
-SELECT {dedup.normalized_prefix_key_sql("text")} AS dedup_key,
-       min(doc_id) AS survivor_id, count(*) AS group_size
-FROM documents GROUP BY 1
-""",
-    doc="Exact dedup: hash-groupBy on a normalized content key, "
-    "deterministic min-id survivor.",
-)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return dedup.exact_dedup(docs, dedup.normalized_prefix_key("text"), "doc_id")
-
-
-@register(
-    "dedup_minhash_lsh",
-    oracle=dedup.minhash_lsh_sql(threshold=0.2),
-    doc="MinHash(k=32) + LSH banding (8 bands x 4 rows) + exact-Jaccard "
-    "verify over char-5 shingles.",
-    bench=True,
-)
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return dedup.minhash_lsh_pairs(docs, threshold=0.2)
-
-
-@register(
-    "dedup_clusters_minhash",
-    oracle=dedup.minhash_clusters_sql(threshold=0.2),
-    doc="Transitive closure of the MinHash near-dup pairs: each clustered "
-    "doc mapped to its component's minimum doc_id (the canonical survivor). "
-    "Spark side runs alternating large-star/small-star (O(log n) rounds); "
-    "the oracle walks the closure with a recursive CTE.",
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    return dedup.persisted_cluster_map(pairs).select(
-        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
-    )
-
-
-@register(
-    "dedup_simhash",
-    oracle=dedup.simhash_sql(max_hamming=3),
-    doc="32-bit SimHash near-dup pairs, 4-byte banding, Hamming <= 3.",
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return dedup.simhash_pairs(docs, max_hamming=3)
-
-
-@register(
-    "dedup_ngram_jaccard",
-    oracle=dedup.ngram_jaccard_sql(threshold=0.1),
-    doc="Exact word-3-gram Jaccard similarity join, shard-scoped (source).",
-)
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.1)
-
-
-# ---------------------------------------------------------------------------
-# Similarity search over embeddings.
-# ---------------------------------------------------------------------------
-
-_EMB_INT = "[CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) for x in embedding]"
-_DOT = "list_sum([a.v[i] * b.v[i] for i in generate_series(1, 64)])"
-_COS = (
-    f"(CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0e0 ELSE CAST({_DOT} AS DOUBLE) "
-    "/ (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) END)"
-)
-_EMB_BASE = f"""
-  SELECT vec_id AS id, v, list_sum([y * y for y in v]) AS nn
-  FROM (SELECT vec_id, {_EMB_INT} AS v FROM embeddings)
-"""
-
-
-@register(
-    "ann_topk_bruteforce",
-    oracle=f"""
-WITH base AS ({_EMB_BASE}),
-scored AS (
-  SELECT a.id AS query_id, b.id AS neighbor_id, {_COS} AS cosine
-  FROM (SELECT * FROM base WHERE id % 25 = 0) a
-  JOIN base b ON a.id != b.id
-)
-SELECT query_id, neighbor_id, rank, cosine FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-  FROM scored
-) WHERE rank <= 5
-""",
-    doc="Exact cosine top-5 neighbors (integer-scaled dot products) for "
-    "every 25th vector.",
-    bench=True,
-)
-def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") % 25 == 0)
-
-
-@register(
-    "ann_topk_bruteforce_pandas",
-    oracle=CATALOG["ann_topk_bruteforce"].oracle,
-    doc="The Arrow/mapInPandas brute force under the SAME oracle as the "
-    "Column-expression form: identical int64 quantization + IEEE cosine "
-    "makes the two paths bit-identical, so the 100 TB-shaped streaming "
-    "variant (queries broadcast, corpus streamed) is hash-gated, not just "
-    "plausible.",
-)
-def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.topk_bruteforce_pandas(
-        emb, k=5, query_filter=F.col("vec_id") % 25 == 0
-    )
-
-
-def _lsh_bucket_sql(planes=None) -> str:
-    bits = []
-    for p, (a, b) in enumerate(planes or similarity._PLANE_PARAMS[: similarity.LSH_PLANES]):
-        dot = f"list_sum([v[d + 1] * (1 - 2 * ((d * {a} + {b}) % 2)) for d in generate_series(0, 63)])"
-        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return "CAST(" + " + ".join(bits) + " AS INT)"
-
-
-@register(
-    "ann_topk_lsh",
-    oracle=f"""
-WITH base AS (
-  SELECT id, v, nn, {_lsh_bucket_sql()} AS bucket FROM ({_EMB_BASE})
-),
-scored AS (
-  SELECT a.id AS query_id, b.id AS neighbor_id, {_COS} AS cosine
-  FROM (SELECT * FROM base WHERE id % 25 = 0) a
-  JOIN base b ON a.bucket = b.bucket AND a.id != b.id
-)
-SELECT query_id, neighbor_id, rank, cosine FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-  FROM scored
-) WHERE rank <= 5
-""",
-    doc="LSH-bucketed (8 formula hyperplanes) approximate top-5 -- the "
-    "scale path; equi-join on sign signature replaces the cross join.",
-)
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.topk_lsh(emb, k=5, query_filter=F.col("vec_id") % 25 == 0)
-
-
-@register(
-    "ann_topk_ivf",
-    oracle=ivf.ivf_topk_oracle(),
-    doc="IVF ANN: integer-exact k-means (8 centroids, 3 Lloyd iterations) "
-    "coarse quantizer, nprobe=2 bucket search, exact cosine rank -- the "
-    "third ANN scale path besides brute force and LSH.",
-)
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    return ivf.ivf_topk(emb)
-
-
-@register(
-    "ann_topk_pq",
-    oracle=ivf.pq_topk_oracle(),
-    doc="Product-quantization ADC top-k: 8 sub-codebooks (16 centroids "
-    "each, driver-trained bit-exact Lloyd on the shared md5 sample) "
-    "compress each 64-dim vector to 8 codes; queries score the COMPRESSED "
-    "corpus via per-subspace lookup tables -- the FAISS pair's other half "
-    "(IVF prunes which vectors, PQ compresses how each is scored; compose "
-    "with build_ivf_index partitions at scale). Oracle unrolls all 8 "
-    "Lloyd chains as CTEs and replays the ADC sum in the same order.",
-)
-def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    return ivf.pq_topk(emb)
-
-
-@register(
-    "ann_topk_ivf_pq",
-    oracle=ivf.ivf_pq_topk_oracle(),
-    doc="The composed FAISS architecture, fully gated: IVF coarse "
-    "quantizer prunes WHICH vectors each query scores (nprobe buckets), "
-    "PQ codes compress HOW each candidate is scored (ADC lookups). One "
-    "map-only scan computes bucket + codes per corpus row; probed "
-    "queries broadcast against it; the ADC sum touches candidates only. "
-    "Oracle unrolls the coarse Lloyd chain AND all 8 subspace chains.",
-)
-def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    return ivf.ivf_pq_topk(emb)
-
-
-@register(
-    "neardup_embedding_cosine",
-    oracle=f"""
-WITH base AS (SELECT * FROM ({_EMB_BASE}) WHERE id % 2 = 0)
-SELECT a.id AS id_a, b.id AS id_b, {_COS} AS cosine
-FROM base a JOIN base b ON a.id < b.id
-WHERE {_COS} >= 0.35e0
-""",
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.35) -- exact "
-    "all-pairs form, kept as the small-sf oracle twin of the LSH-bucketed "
-    "scale path below. The gate runs it on a deterministic half of the "
-    "corpus (vec_id % 2 = 0): the quadratic form is the correctness anchor, "
-    "not the scale path, so its gate cost is bounded on purpose.",
-)
-def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") % 2 == 0)
-    return similarity.cosine_neardup_pairs(emb, threshold=0.35)
-
-
-def _neardup_lsh_keys_sql() -> str:
-    r = similarity.LSH_PLANES // similarity.NEARDUP_BANDS
-    keys = [
-        f"({b * (1 << r)} + {_lsh_bucket_sql(similarity._PLANE_PARAMS[b * r : (b + 1) * r])})"
-        for b in range(similarity.NEARDUP_BANDS)
-    ]
-    return ", ".join(keys)
-
-
-@register(
-    "neardup_embedding_cosine_lsh",
-    oracle=f"""
-WITH base AS ({_EMB_BASE}),
-banded AS (
-  SELECT id, CAST(unnest([{_neardup_lsh_keys_sql()}]) AS INT) AS key FROM base
-),
-cand AS (
-  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-  FROM banded x JOIN banded y ON x.key = y.key AND x.id < y.id
-)
-SELECT id_a, id_b, {_COS} AS cosine
-FROM cand JOIN base a ON id_a = a.id JOIN base b ON id_b = b.id
-WHERE {_COS} >= 0.35e0
-""",
-    doc="Embedding-cosine near-dup via banded sign-LSH candidates (2 bands "
-    "x 4 hyperplanes, fused int band key) + exact integer-cosine verify -- "
-    "the 100 TB scale path; the equi-join on band keys replaces the "
-    "all-pairs theta-join. (Not in the headline basket: that set is pinned "
-    "to round 1's 12 queries for cross-round comparability.)",
-)
-def q_neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.cosine_neardup_pairs_lsh(emb, threshold=0.35)
-
-
-def _embedding_clusters_oracle() -> str:
-    """Recursive-CTE closure over the (gated) embedding near-dup LSH pairs
-    -- same pattern as dedup.minhash_clusters_sql."""
-    pairs = CATALOG["neardup_embedding_cosine_lsh"].oracle
-    return f"""
-WITH RECURSIVE pairs AS ({pairs}),
-edges AS (
-  SELECT id_a AS u, id_b AS v FROM pairs
-  UNION
-  SELECT id_b AS u, id_a AS v FROM pairs
-),
-walk(id, comp) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
-)
-SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS cluster_id
-FROM walk GROUP BY id
-"""
-
-
-@register(
-    "embedding_dedup_clusters",
-    oracle=_embedding_clusters_oracle(),
-    doc="Transitive closure of the embedding near-dup LSH pairs: each "
-    "clustered vector mapped to its component minimum (the canonical "
-    "survivor) -- semantic dedup's final step, reusing the alternating "
-    "large-star/small-star components (O(log n) rounds) that the MinHash "
-    "closure uses; the oracle walks the closure with a recursive CTE.",
-)
-def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    pairs = similarity.cosine_neardup_pairs_lsh(emb, threshold=0.35).select("id_a", "id_b")
-    return dedup.persisted_cluster_map(pairs).select(
-        F.col("id").alias("vec_id"), F.col("comp").alias("cluster_id")
-    )
-
-
-def _ann_recall_oracle() -> str:
-    """recall@5 of the approximate ANN paths against brute force, composed
-    from the three (individually gated) ANN oracles as CTEs -- integer hit
-    counts, so the quality bar is hash-exact across engines."""
-    bf = CATALOG["ann_topk_bruteforce"].oracle
-    lsh = CATALOG["ann_topk_lsh"].oracle
-    iv = CATALOG["ann_topk_ivf"].oracle
-    pq = CATALOG["ann_topk_pq"].oracle
-    return f"""
-WITH bf AS ({bf}), lsh AS ({lsh}), iv AS ({iv}), pq AS ({pq}),
-approx AS (
-  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
-  UNION ALL
-  SELECT 'ivf' AS method, query_id, neighbor_id FROM iv
-  UNION ALL
-  SELECT 'pq' AS method, query_id, neighbor_id FROM pq
-),
-hits AS (
-  SELECT method, count(*) AS hits
-  FROM approx JOIN bf USING (query_id, neighbor_id) GROUP BY 1
-),
-tot AS (SELECT count(*) AS total FROM bf)
-SELECT method, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total
-FROM hits CROSS JOIN tot
-"""
-
-
-@register(
-    "ann_recall_at_k",
-    oracle=_ann_recall_oracle(),
-    doc="Quality gate for the approximate ANN paths: (query, neighbor) "
-    "pairs of LSH, IVF, and PQ top-5 that appear in the exact brute-force "
-    "top-5, as integer hit counts against the shared query subset -- the "
-    "approximate operators are graded against ground truth, not just "
-    "against their own definition.",
-)
-def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    flt = F.col("vec_id") % 25 == 0
-    bf = similarity.topk_bruteforce(emb, k=5, query_filter=flt).select(
-        "query_id", "neighbor_id"
-    )
-    # ONE training-sample collect shared by the IVF and PQ branches (the
-    # rows are md5-deterministic, so sharing is a pure plan change --
-    # VERDICT r3 #3: the audit used to re-collect and re-run Lloyd per
-    # method, most of its 22 s)
-    train_rows = ivf._collect_train(
-        ivf._with_int_vec(emb, "vec_id", "embedding"), ivf.TRAIN_N
-    )
-    approx = (
-        similarity.topk_lsh(emb, k=5, query_filter=flt)
-        .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
-        .unionByName(
-            ivf.ivf_topk(emb, train_rows=train_rows).select(
-                F.lit("ivf").alias("method"), "query_id", "neighbor_id"
-            )
-        )
-        .unionByName(
-            ivf.pq_topk(emb, train_rows=train_rows).select(
-                F.lit("pq").alias("method"), "query_id", "neighbor_id"
-            )
-        )
-    )
-    hits = (
-        approx.join(bf, ["query_id", "neighbor_id"])
-        .groupBy("method")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    total = bf.agg(F.count(F.lit(1)).alias("total"))
-    return hits.crossJoin(F.broadcast(total))
-
-
-# ---------------------------------------------------------------------------
-# Text analysis.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "text_token_count",
-    oracle=textstats.token_count_sql(),
-    doc="Whitespace/alpha token counts + BPE-ish subword estimate.",
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_count(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "text_quality_score",
-    oracle=textstats.quality_score_sql(),
-    doc="Quality heuristics: alpha ratio, stopword ratio, mean word length, "
-    "composite 0-100.",
-)
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.quality_score(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "text_lang_id",
-    oracle=textstats.lang_id_sql(),
-    doc="Marker-word language ID with deterministic alphabetical tie-break.",
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "text_fingerprint",
-    oracle=textstats.fingerprint_sql(),
-    doc="60-bit md5 content fingerprint of normalized text.",
-)
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.fingerprint(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "text_repetition",
-    oracle=textstats.repetition_metrics_sql(),
-    doc="Gopher-style repetition filters (top-unigram/-bigram fraction, "
-    "duplicate-5-gram fraction) via the canonical explode+groupBy frequency "
-    "shuffle on md5-folded gram keys.",
-)
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.repetition_metrics(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "pii_scrub_mails",
-    oracle="WITH mails AS ({cte})\n".format(cte=mails_plan.mails_cte("events"))
-    + pii.pii_scrub_sql(
-        "(SELECT message_id, sender || ' | ' || subject || ' | ' || body AS raw FROM mails)",
-        "message_id",
-        "raw",
-    ),
-    doc="PII redaction over the mail fixture: emails then digit runs, with "
-    "redacted-text fingerprints proving byte-identical scrubbing. Pure "
-    "codegen'd regexp Column work -- no shuffle.",
-)
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = mails_plan.mails_view(spark, sf_dir).select(
-        "message_id",
-        F.concat_ws(" | ", "sender", "subject", "body").alias("raw"),
-    )
-    return pii.pii_scrub(m, "message_id", "raw")
-
-
-@register(
-    "contamination_ngram_overlap",
-    oracle=contamination.ngram_contamination_sql(),
-    doc="Benchmark decontamination scan: corpus docs' distinct word 8-grams "
-    "broadcast-joined against the held-out benchmark subset's n-gram set "
-    "(doc_id % 50 == 0); per-doc overlap counts and fraction.",
-)
-def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return contamination.ngram_contamination(load_table(spark, "documents", sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# Multimodal plumbing (binary payloads; decode is a deterministic fake --
-# operators/multimodal.py).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "multimodal_decode_meta",
-    oracle="""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INT) AS byte_len,
-       CASE WHEN octet_length(encode(text)) % 2 = 0
-            THEN 'fake/even' ELSE 'fake/odd' END AS format,
-       CAST(16 + octet_length(encode(text)) % 320 AS INT) AS width,
-       CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS height,
-       CAST(1 + CASE WHEN octet_length(encode(text)) > 0
-                     THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT)
-                     ELSE 0 END % 8 AS INT) AS n_frames
-FROM documents
-""",
-    doc="Binary payload plumbing: mapInPandas fake decode -> typed metadata "
-    "(schema/batch shape are the real thing; codec stubbed).",
-)
-def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return multimodal.decode_media(multimodal.attach_binary_payload(docs))
-
-
-@register(
-    "multimodal_feature_extract",
-    oracle="""
-SELECT doc_id,
-       CAST(CAST('0x' || substr(hex(encode(text)), 2 * i - 1, 2) AS INT) // 16 AS INT)
-         AS bucket,
-       count(*) AS cnt
-FROM (SELECT doc_id, text, unnest(generate_series(1, octet_length(encode(text)))) AS i
-      FROM documents)
-GROUP BY 1, 2
-""",
-    doc="Multimodal feature extraction: byte-histogram over binary payloads "
-    "via numpy on Arrow record batches -- REAL computation (no codec "
-    "needed), the exact mapInPandas plumbing a CLIP/whisper embedding UDF "
-    "uses. Sparse long-format (doc_id, bucket, cnt). Oracle extracts "
-    "BYTES via hex(encode(text)) - byte-true for any input, not just "
-    "ASCII.",
-)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return multimodal.extract_features(multimodal.attach_binary_payload(docs))
-
-
-@register(
-    "multimodal_resize",
-    oracle="""
-WITH b AS (
-  SELECT doc_id, hex(encode(text)) AS hp,
-         octet_length(encode(text)) AS n
-  FROM documents
-),
-r AS (
-  SELECT doc_id,
-         CASE WHEN n = 0 THEN repeat('00', 4096)
-              WHEN n >= 4096 THEN substring(hp, 1, 8192)
-              ELSE substring(repeat(hp, (4096 + n - 1) // n), 1, 8192)
-         END AS rh
-  FROM b
-)
-SELECT doc_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
-       CAST(length(rh) // 2 AS INT) AS out_len,
-       md5(rh) AS payload_md5
-FROM r
-""",
-    doc="Resize plumbing gate (VERDICT r3 #4 -- the one multimodal operator "
-    "without a CORRECTNESS row): binary-in/binary-out mapInPandas resize "
-    "to 64x64 with the documented deterministic fake codec (truncate/"
-    "cycle payload bytes). Gated on the md5 of the resized payload's hex "
-    "(DuckDB md5 is VARCHAR-only), so the BYTE CONTENT is compared, not "
-    "just shape metadata; the oracle replays truncate/cycle in the "
-    "hex-string domain (2 chars per byte).",
-)
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    resized = multimodal.resize_media(multimodal.attach_binary_payload(docs), 64, 64)
-    return resized.select(
-        "doc_id",
-        "width",
-        "height",
-        F.octet_length("payload").alias("out_len"),
-        F.md5(F.hex("payload")).alias("payload_md5"),
-    )
-
-
-@register(
-    "multimodal_frame_sample",
-    oracle="""
-SELECT doc_id, CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 2)) AS INT)
-         AS frame_idx
-FROM (SELECT doc_id,
-             1 + CASE WHEN octet_length(encode(text)) > 0
-                      THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT)
-                      ELSE 0 END % 8 AS n_frames
-      FROM documents)
-""",
-    doc="Frame sampling over decoded media: one row per sampled frame index "
-    "(explode of a stride sequence -- columnar, no UDF after the decode).",
-)
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    decoded = multimodal.decode_media(multimodal.attach_binary_payload(docs))
-    return multimodal.frame_sample(decoded, every_n=2)
-
-
-# ---------------------------------------------------------------------------
-# Sessionization + relational breadth anchors (beyond the reference surface).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "sessionize_events",
-    oracle=sessions.sessionize_sql(),
-    doc="Gap-based sessionization (30 min): lag-gap-cumsum session ids, "
-    "per-session aggregates in exact cents.",
-    bench=True,
-)
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessions.sessionize(load_table(spark, "events", sf_dir))
-
-
-@register(
-    "streaming_sessionize",
-    oracle=f"""
-WITH s AS ({sessions.sessionize_sql()}),
-mx AS (SELECT max(epoch_ms(ts)) AS m FROM events)
-SELECT user_id, session_start_ms,
-       session_end_ms + {sessions.DEFAULT_GAP_MS} AS session_end_ms, n_events
-FROM s, mx
-WHERE session_end_ms + {sessions.DEFAULT_GAP_MS} <= m - 60000
-""",
-    doc="Sessionization through the real streaming engine: native "
-    "session_window (merging gap sessions) in append mode, availableNow "
-    "drain -- fire-once per merged session. Oracle = the batch lag-gap "
-    "sessions with end shifted by the gap (session_window ends at "
-    "last-event + gap) and cut at the final watermark. The two forms' "
-    "merge semantics differ only for events spaced EXACTLY at the gap "
-    "(batch: gap > g merges; session_window: >= g breaks) -- equal on "
-    "this data, see run_sessionize_availablenow.",
-)
-def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import run_sessionize_availablenow
-
-    return run_sessionize_availablenow(spark, sf_dir)
-
-
-@register(
-    "streaming_exact_dedup",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
-    doc="First-seen-wins key dedup through the real streaming engine: "
-    "dropDuplicatesWithinWatermark state, append mode, availableNow drain "
-    "(CheckpointedTaxiRideSource.java:54-170's dedup-on-restore concern). "
-    "The events table is ONE parquet file, so the drain is a single "
-    "micro-batch: no state eviction mid-run, every duplicate key is "
-    "suppressed, and the emitted set is exactly the distinct keys. Only "
-    "the key columns are projected because WHICH duplicate row survives "
-    "within a micro-batch is partition-order dependent; the key set is "
-    "not. Multi-batch eviction semantics are pytest-covered "
-    "(tests/test_streaming.py::test_streaming_exact_dedup).",
-)
-def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import drain_availablenow, streaming_exact_dedup
-    from ..streaming.sources import events_stream
-
-    deduped = streaming_exact_dedup(
-        events_stream(spark, sf_dir), ["user_id", "event_type"]
-    ).select("user_id", "event_type")
-    return drain_availablenow(deduped, "streaming_exact_dedup_gate")
-
-
-@register(
-    "streaming_interval_join",
-    oracle="""
-SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-       p.user_id,
-       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-FROM events p JOIN events c
-  ON p.user_id = c.user_id
- AND c.ts <= p.ts
- AND c.ts >= p.ts - INTERVAL 21600000 MILLISECONDS
-WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-""",
-    doc="Stream-stream interval join through the real engine: purchases "
-    "attributed to same-user clicks within the preceding 6 hours -- "
-    "the third stateful operator class (join state, watermark-bounded "
-    "buffer eviction). Inner-join rows emit on match, so the availableNow "
-    "drain equals the plain batch interval join with no horizon cut.",
-)
-def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import drain_availablenow, streaming_interval_join
-    from ..streaming.sources import events_stream
-
-    ev = events_stream(spark, sf_dir)
-    ev2 = events_stream(spark, sf_dir)
-    return drain_availablenow(
-        streaming_interval_join(
-            ev.where(F.col("event_type") == "click"),
-            ev2.where(F.col("event_type") == "purchase"),
-        ),
-        "streaming_interval_join_gate",
-    )
-
-
-@register(
-    "streaming_interval_join_outer",
-    oracle="""
-WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
-           WHERE event_type = 'click'),
-p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
-      WHERE event_type = 'purchase'),
-wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
-              - INTERVAL 60000 MILLISECONDS AS w),
-matched AS (
-  SELECT c.click_id, p.purchase_id, c.user_id,
-         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-  FROM c JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
-               AND c.ts >= p.ts - INTERVAL 21600000 MILLISECONDS
-)
-SELECT purchase_id, click_id, user_id, gap_us FROM matched
-UNION ALL
-SELECT CAST(NULL AS BIGINT), c.click_id, c.user_id, CAST(NULL AS BIGINT)
-FROM c, wm
-WHERE c.click_id NOT IN (SELECT click_id FROM matched)
-  AND c.ts + INTERVAL 21600000 MILLISECONDS < wm.w
-""",
-    doc="LEFT-OUTER stream-stream interval join: matched rows emit on "
-    "match; an unmatched click emits its null-purchase row only when the "
-    "join watermark (MIN of both sides' watermarks) passes "
-    "ts_click + max_gap -- i.e. when state eviction proves no future match "
-    "can arrive. The oracle reproduces that exact eviction horizon, so the "
-    "watermark-driven outer-emission contract itself is hash-checked.",
-)
-def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import drain_availablenow, streaming_interval_join
-    from ..streaming.sources import events_stream
-
-    ev = events_stream(spark, sf_dir)
-    ev2 = events_stream(spark, sf_dir)
-    return drain_availablenow(
-        streaming_interval_join(
-            ev.where(F.col("event_type") == "click"),
-            ev2.where(F.col("event_type") == "purchase"),
-            how="leftOuter",
-        ),
-        "streaming_interval_join_outer_gate",
-    )
-
-
-@register(
-    "streaming_distinct_users",
-    oracle="""
-WITH ev AS (
-  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type, user_id FROM events
-),
-mx AS (SELECT max(hour_ms) AS m FROM ev)
-SELECT hour_ms + 3600000 AS window_end_ms, event_type,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
-FROM ev, mx
-GROUP BY hour_ms, event_type, m
-HAVING hour_ms + 3600000 <= m - 60000
-""",
-    doc="Windowed distinct-user counts through the real streaming engine: "
-    "streaming aggregation forbids COUNT(DISTINCT), so this chains the two "
-    "supported stateful operators -- watermarked dropDuplicates on "
-    "(hour, event_type, user_id) feeding a windowed count (append mode, "
-    "fire-once). Counts are survivor-independent, so the batch "
-    "COUNT(DISTINCT) oracle cut at the final watermark matches exactly.",
-)
-def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import drain_availablenow, streaming_distinct_users
-    from ..streaming.sources import events_stream
-
-    return drain_availablenow(
-        streaming_distinct_users(events_stream(spark, sf_dir)),
-        "streaming_distinct_users_gate",
-    )
-
-
-_SAMPLE_RATES = {"src0": 10000, "src1": 5000, "src2": 0}  # bp; default 2000
-
-
-@register(
-    "sample_stratified_documents",
-    oracle="SELECT doc_id, lang, source, n_chars FROM ("
-    + sampling.stratified_sample_sql(rates_bp=_SAMPLE_RATES, default_bp=2000)
-    + ")",
-    doc="Deterministic stratified sampling: keep iff md5(doc_id) % 10000 < "
-    "the stratum's basis-point rate (overrides: src0 all, src1 half, src2 "
-    "none; default 20%). Pure function of the row id -- reproducible "
-    "across engines, partitionings, and cluster sizes; scan-only, no "
-    "shuffle, no RNG state.",
-)
-def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return sampling.stratified_sample(docs, rates_bp=_SAMPLE_RATES, default_bp=2000).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-
-
-@register(
-    "domain_cap_documents",
-    oracle="SELECT doc_id, lang, source, n_chars FROM ("
-    + sampling.domain_cap_sql(cap=18)
-    + ")",
-    doc="Per-domain contribution cap (<= 18 docs per source, the md5-rank "
-    "smallest ids win): the standard guard against one domain dominating "
-    "a training mixture. Deterministic rank-by-hash, one shuffle on the "
-    "domain key, window top-k shares it.",
-)
-def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return sampling.domain_cap(docs, cap=18).select("doc_id", "lang", "source", "n_chars")
-
-
-@register(
-    "length_bucket_batches",
-    oracle=sampling.length_batches_sql(batch_size=32),
-    doc="Length-sorted batching with padding accounting: sort docs by "
-    "token count, cut into 32-doc batches, report per-batch padding "
-    "overhead (each sequence pads to the batch max) -- the statistic that "
-    "justifies length-bucketing in a training dataloader. One global "
-    "range-sort; the window and the batch aggregate share it.",
-)
-def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sampling.length_batches(load_table(spark, "documents", sf_dir), batch_size=32)
-
-
-@register(
-    "pack_sequences_4k",
-    oracle=sampling.pack_sequences_sql(token_budget=4096),
-    doc="Greedy token-budget sequence packing: per source shard in doc_id "
-    "order, bin i holds docs whose preceding cumulative whitespace-token "
-    "count lies in [i*4096, (i+1)*4096) -- the layout step before writing "
-    "fixed-context training shards. One shuffle on the shard key; window "
-    "cumsum and bin aggregate share it.",
-)
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sampling.pack_sequences(load_table(spark, "documents", sf_dir), token_budget=4096)
-
-
-_MIX_WEIGHTS = {"src0": 250, "src1": 130, "src2": 50, "src3": 0}  # centi-epochs
-
-
-@register(
-    "mixture_expand_weighted",
-    oracle=sampling.mixture_expand_sql(weights_ce=_MIX_WEIGHTS, default_ce=100),
-    doc="Source-weighted epoch mixing with fractional repetition: src0 at "
-    "2.5 epochs (every doc twice, a deterministic md5-chosen half a third "
-    "time), src1 1.3, src2 0.5, src3 dropped, rest 1.0. Pure map (explode "
-    "of a per-row copy count) -- no shuffle, no RNG, reproducible across "
-    "engines and partitionings.",
-)
-def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return sampling.mixture_expand(docs, weights_ce=_MIX_WEIGHTS, default_ce=100)
-
-
-@register(
-    "shuffle_shard_layout",
-    oracle=sampling.shuffle_shard_sql(n_shards=8),
-    doc="Deterministic global training shuffle: shard = md5(doc_id||':shard') "
-    "% 8, within-shard position = rank by an independent md5 key. One "
-    "shuffle (per-shard window sort) == repartition + sortWithinPartitions "
-    "at cluster scale; the id->shard map is corpus-independent so shards "
-    "can be re-derived for any subset.",
-)
-def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sampling.shuffle_shard(load_table(spark, "documents", sf_dir), n_shards=8)
-
-
-@register(
-    "skew_salted_event_counts",
-    oracle="""
-SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-FROM events GROUP BY 1
-""",
-    doc="Salted two-phase aggregation under the hash gate: the skew-safe "
-    "rewrite (phase 1 on (key, salt), phase 2 combine) must equal the "
-    "plain GROUP BY bit-for-bit -- integer aggregates re-combine exactly, "
-    "so ANY salt assignment yields the identical result, which is what "
-    "makes the mitigation safe to drop in at a hot key.",
-)
-def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).withColumn(
-        "cents", F.round(F.col("value") * 100).cast("bigint")
-    )
-    return skew.salted_aggregate(
-        ev, ["event_type"], {"n_events": "count", "cents": "sum:cents"}
-    )
-
-
-@register(
-    "distinct_users_per_type",
-    oracle=tpch.DISTINCT_USERS_SQL,
-    doc="Exact grouped count-distinct (aggregate form of A7).",
-)
-def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.distinct_users_per_type(load_table(spark, "events", sf_dir))
-
-
-_TPCH_CUTOFF = "1998-09-02 00:00:00"
-_Q3_DATE = "1998-01-01 00:00:00"
-
-
-@register(
-    "tpch_q1_pricing_summary",
-    oracle=tpch.PRICING_SUMMARY_SQL.format(cutoff=_TPCH_CUTOFF),
-    doc="TPC-H Q1 shape on lineitem: 2-key group, 7 aggregates, exact "
-    "integer-cents arithmetic.",
-    bench=True,
-)
-def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.pricing_summary(load_table(spark, "lineitem", sf_dir), _TPCH_CUTOFF)
-
-
-@register(
-    "tpch_q3_shipping_priority",
-    oracle=tpch.SHIPPING_PRIORITY_SQL.format(segment="BUILDING", date=_Q3_DATE, k=10),
-    doc="TPC-H Q3 shape: 3-way join, deterministic integer-revenue top-10.",
-)
-def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.shipping_priority(
-        load_table(spark, "customer", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        load_table(spark, "lineitem", sf_dir),
-        segment="BUILDING",
-        date=_Q3_DATE,
-        k=10,
-    )
-
-
-@register(
-    "tpch_q5_local_supplier",
-    oracle=tpch.LOCAL_SUPPLIER_SQL.format(
-        region_name="ASIA", date_from="1996-01-01 00:00:00", date_to="1998-01-01 00:00:00"
-    ),
-    doc="TPC-H Q5 shape: 6-way join, broadcast dimensions, revenue per "
-    "nation.",
-    bench=True,
-)
-def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.local_supplier_volume(
-        load_table(spark, "region", sf_dir),
-        load_table(spark, "nation", sf_dir),
-        load_table(spark, "customer", sf_dir),
-        load_table(spark, "supplier", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        load_table(spark, "lineitem", sf_dir),
-    )
-
-
-@register(
-    "tpch_q4_order_priority",
-    oracle=tpch.ORDER_PRIORITY_EXISTS_SQL.format(
-        date_from="1996-01-01 00:00:00", date_to="1996-04-01 00:00:00"
-    ),
-    doc="TPC-H Q4 shape: EXISTS semi-join (returnflag stand-in for the "
-    "trimmed commit/receipt dates) + per-priority count.",
-)
-def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.order_priority_exists(
-        load_table(spark, "orders", sf_dir), load_table(spark, "lineitem", sf_dir)
-    )
-
-
-@register(
-    "tpch_q6_forecast_revenue",
-    oracle=tpch.FORECAST_REVENUE_SQL.format(
-        date_from="1996-01-01 00:00:00",
-        date_to="1997-01-01 00:00:00",
-        disc_lo_c=5,
-        disc_hi_c=7,
-        max_qty=24,
-    ),
-    doc="TPC-H Q6: all predicates push to the scan, single exact global sum.",
-)
-def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.forecast_revenue(load_table(spark, "lineitem", sf_dir))
-
-
-@register(
-    "tpch_q7_volume_shipping",
-    oracle=tpch.VOLUME_SHIPPING_SQL.format(nation_a="NATION_1", nation_b="NATION_2"),
-    doc="TPC-H Q7: bidirectional nation-pair trade volume per ship year; "
-    "nation/supplier/customer dims broadcast.",
-)
-def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.volume_shipping(
-        load_table(spark, "lineitem", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        load_table(spark, "customer", sf_dir),
-        load_table(spark, "supplier", sf_dir),
-        load_table(spark, "nation", sf_dir),
-    )
-
-
-@register(
-    "tpch_q8_market_share",
-    oracle=tpch.NATIONAL_MARKET_SHARE_SQL.format(
-        target_nation="NATION_7",
-        region_name="ASIA",
-        part_type="PROMO",
-        date_from="1995-01-01 00:00:00",
-        date_to="1997-01-01 00:00:00",
-    ),
-    doc="TPC-H Q8: target nation's market share per year -- ratio of two "
-    "exact integer sums (partitioning-independent).",
-)
-def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.national_market_share(
-        load_table(spark, "lineitem", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        load_table(spark, "customer", sf_dir),
-        load_table(spark, "supplier", sf_dir),
-        load_table(spark, "nation", sf_dir),
-        load_table(spark, "region", sf_dir),
-        load_table(spark, "part", sf_dir),
-    )
-
-
-@register(
-    "tpch_q10_returned_items",
-    oracle=tpch.RETURNED_ITEM_SQL.format(
-        date_from="1996-01-01 00:00:00", date_to="1996-04-01 00:00:00", k=20
-    ),
-    doc="TPC-H Q10: top-20 customers by returned-item revenue in a quarter; "
-    "deterministic row_number cut on exact integer revenue.",
-)
-def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.returned_item_reporting(
-        load_table(spark, "lineitem", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        load_table(spark, "customer", sf_dir),
-        load_table(spark, "nation", sf_dir),
-    )
-
-
-@register(
-    "tpch_q13_order_distribution",
-    oracle=tpch.CUSTOMER_ORDER_DIST_SQL.format(excluded_priority="4-NOT SPECIFIED"),
-    doc="TPC-H Q13: customers-per-order-count histogram; left join keeps "
-    "zero-order customers (priority filter stands in for comment LIKE).",
-)
-def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.customer_order_distribution(
-        load_table(spark, "customer", sf_dir), load_table(spark, "orders", sf_dir)
-    )
-
-
-@register(
-    "tpch_q14_promo_revenue",
-    oracle=tpch.PROMO_REVENUE_SQL.format(
-        promo_type="PROMO", date_from="1996-03-01 00:00:00", date_to="1996-04-01 00:00:00"
-    ),
-    doc="TPC-H Q14: promo share of one month's revenue; ratio of exact "
-    "integer sums.",
-)
-def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.promo_revenue_share(
-        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
-    )
-
-
-@register(
-    "tpch_q17_small_quantity",
-    oracle=tpch.SMALL_QUANTITY_SQL.format(brand="Brand#5"),
-    doc="TPC-H Q17: below-20%%-of-part-average quantity predicate evaluated "
-    "in integers (qty*5*cnt < sum) over a per-part window -- no float avg.",
-)
-def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.small_quantity_revenue(
-        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
-    )
-
-
-@register(
-    "tpch_q18_large_volume",
-    oracle=tpch.LARGE_VOLUME_SQL.format(min_qty_c=15000, k=100),
-    doc="TPC-H Q18: HAVING on aggregated order quantity, joined back to "
-    "customer; top-100 by total price with orderkey tie-break.",
-)
-def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.large_volume_customers(
-        load_table(spark, "lineitem", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        load_table(spark, "customer", sf_dir),
-    )
-
-
-@register(
-    "tpch_q19_discounted_revenue",
-    oracle=tpch.DISCOUNTED_REVENUE_SQL,
-    doc="TPC-H Q19: OR-of-ANDs brand/size/quantity predicate; part side "
-    "pre-pruned to the branch union and broadcast.",
-)
-def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.discounted_revenue(
-        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
-    )
-
-
-# --- remaining TPC-H shapes over the derived partsupp (tpch.py docstring) ---
-
-
-@register(
-    "tpch_q2_min_cost_supplier",
-    oracle=tpch.MIN_COST_SUPPLIER_SQL.format(
-        region_name="ASIA", size=5, type_="STANDARD", k=10
-    ),
-    doc="TPC-H Q2 shape: correlated-MIN rewritten as groupBy-min + equi-join "
-    "back; derived partsupp; deterministic top-10 on a total order.",
-)
-def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.min_cost_supplier(
-        load_table(spark, "part", sf_dir),
-        load_table(spark, "supplier", sf_dir),
-        load_table(spark, "nation", sf_dir),
-        load_table(spark, "region", sf_dir),
-        load_table(spark, "lineitem", sf_dir),
-        size=5,
-        type_="STANDARD",
-        region_name="ASIA",
-        k=10,
-    )
-
-
-@register(
-    "tpch_q9_product_type_profit",
-    oracle=tpch.PRODUCT_TYPE_PROFIT_SQL.format(name_substr="widget"),
-    doc="TPC-H Q9: profit decomposition over a 6-way join (lineitem ⋈ "
-    "derived partsupp on the compound key is the real shuffle); exact "
-    "1e-4-dollar integer arithmetic.",
-)
-def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.product_type_profit(
-        load_table(spark, "lineitem", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        load_table(spark, "part", sf_dir),
-        load_table(spark, "supplier", sf_dir),
-        load_table(spark, "nation", sf_dir),
-        name_substr="widget",
-    )
-
-
-@register(
-    "tpch_q11_important_stock",
-    oracle=tpch.IMPORTANT_STOCK_SQL.format(nation_name="NATION_9", fraction_denom=1500),
-    doc="TPC-H Q11: group-sum vs scalar-fraction HAVING, compared exactly in "
-    "bigints (val_c * denom > tot_c); scalar total via lazy broadcast "
-    "crossJoin.",
-)
-def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.important_stock(
-        load_table(spark, "lineitem", sf_dir),
-        load_table(spark, "supplier", sf_dir),
-        load_table(spark, "nation", sf_dir),
-        nation_name="NATION_9",
-        fraction_denom=1500,
-    )
-
-
-@register(
-    "tpch_q12_shipmode_priority",
-    oracle=tpch.SHIPMODE_PRIORITY_SQL.format(
-        date_from="1997-01-01 00:00:00", date_to="1998-01-01 00:00:00"
-    ),
-    doc="TPC-H Q12: CASE-sum pivot over the orders⋈lineitem join "
-    "(deterministic keyed-hash shipmode stand-in).",
-)
-def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.shipmode_priority(
-        load_table(spark, "lineitem", sf_dir), load_table(spark, "orders", sf_dir)
-    )
-
-
-@register(
-    "tpch_q15_top_supplier",
-    oracle=tpch.TOP_SUPPLIER_SQL.format(
-        date_from="1996-01-01 00:00:00", date_to="1996-04-01 00:00:00"
-    ),
-    doc="TPC-H Q15: revenue-view argmax with ties kept -- equi-join against "
-    "the broadcast scalar max, no global sort.",
-)
-def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.top_supplier(
-        load_table(spark, "lineitem", sf_dir), load_table(spark, "supplier", sf_dir)
-    )
-
-
-@register(
-    "tpch_q16_supplier_part_counts",
-    oracle=tpch.SUPPLIER_PART_COUNTS_SQL.format(excl_brand="Brand#12", excl_type="PROMO"),
-    doc="TPC-H Q16: distinct-supplier count per (brand,type,size) with a "
-    "broadcast anti-join excluding flagged suppliers.",
-)
-def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.supplier_part_counts(
-        load_table(spark, "lineitem", sf_dir),
-        load_table(spark, "part", sf_dir),
-        load_table(spark, "supplier", sf_dir),
-    )
-
-
-@register(
-    "tpch_q20_excess_inventory",
-    oracle=tpch.EXCESS_INVENTORY_SQL.format(
-        nation_name="NATION_9",
-        name_prefix="red",
-        date_from="1996-01-01 00:00:00",
-        date_to="1997-01-01 00:00:00",
-    ),
-    doc="TPC-H Q20: nested INs become aggregation + equi-join + integer "
-    "predicate + left-semi; correlated scalar subquery never re-scans.",
-)
-def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.excess_inventory_suppliers(
-        load_table(spark, "lineitem", sf_dir),
-        load_table(spark, "supplier", sf_dir),
-        load_table(spark, "nation", sf_dir),
-        load_table(spark, "part", sf_dir),
-    )
-
-
-@register(
-    "tpch_q21_waiting_suppliers",
-    oracle=tpch.WAITING_SUPPLIERS_SQL.format(nation_name="NATION_9", k=20),
-    doc="TPC-H Q21: EXISTS/NOT-EXISTS quadruple self-reference as "
-    "left-semi + left-anti on distinct (order, supplier) pairs.",
-)
-def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.waiting_suppliers(
-        load_table(spark, "lineitem", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        load_table(spark, "supplier", sf_dir),
-        load_table(spark, "nation", sf_dir),
-    )
-
-
-@register(
-    "tpch_q22_global_sales",
-    oracle=tpch.GLOBAL_SALES_SQL.format(
-        codes="1, 3, 5, 7, 9", cutoff="2000-01-01 00:00:00"
-    ),
-    doc="TPC-H Q22: above-scalar-average balance (exact bal_c*cnt > sum_c "
-    "bigint compare) + no-recent-orders anti-join, per country code.",
-)
-def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch.global_sales_opportunity(
-        load_table(spark, "customer", sf_dir),
-        load_table(spark, "orders", sf_dir),
-        codes=(1, 3, 5, 7, 9),
-        cutoff="2000-01-01 00:00:00",
-    )
-
-
-@register(
-    "asof_purchase_attribution",
-    oracle=asof.PURCHASE_CLICK_SQL,
-    doc="As-of join (union + carry-forward window -- no native Spark op): "
-    "each purchase attributed to the user's latest click at-or-before it; "
-    "oracle uses DuckDB's native ASOF JOIN.",
-)
-def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return asof.purchase_click_attribution(load_table(spark, "events", sf_dir))
-
-
-@register(
-    "window_analytics",
-    oracle="""
-WITH base AS (
-  SELECT event_id, user_id, epoch_ms(ts) AS ev_ms,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
-)
-SELECT event_id,
-       lag(cents) OVER w AS prev_cents,
-       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ev_ms, event_id
-                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
-         AS moving3_cents,
-       CAST(rank() OVER (PARTITION BY user_id ORDER BY cents DESC, event_id) AS BIGINT)
-         AS rank_in_user
-FROM base
-WINDOW w AS (PARTITION BY user_id ORDER BY ev_ms, event_id)
-""",
-    doc="SQL analytic windows (absent in the reference -- SURVEY §2.5): "
-    "lag, 3-row moving frame sum, rank; integer-exact.",
-)
-def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from ..functions.time import epoch_ms
-
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_id",
-        "user_id",
-        epoch_ms("ts").alias("ev_ms"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
-    w = W.partitionBy("user_id").orderBy("ev_ms", "event_id")
-    return ev.select(
-        "event_id",
-        F.lag("cents").over(w).alias("prev_cents"),
-        F.sum("cents").over(w.rowsBetween(-2, 0)).alias("moving3_cents"),
-        F.rank()
-        .over(W.partitionBy("user_id").orderBy(F.desc("cents"), F.asc("event_id")))
-        .cast("bigint")
-        .alias("rank_in_user"),
-    )
-
-
-@register(
-    "range_join_downtime_events",
-    oracle=rangejoin.EVENTS_IN_DOWNTIME_SQL,
-    doc="Range (interval) join via hour-bucket equi-join + exact filter "
-    "(no native Spark op; naive form is a filtered cartesian product): "
-    "events inside derived downtime windows.",
-)
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rangejoin.events_in_downtime(load_table(spark, "events", sf_dir))
-
-
-@register(
-    "set_ops_clean_purchase_days",
-    oracle="""
-SELECT user_id, CAST(date_part('day', ts) AS INT) AS day
-FROM events WHERE event_type = 'purchase'
-EXCEPT
-SELECT user_id, CAST(date_part('day', ts) AS INT) AS day
-FROM events WHERE event_type = 'error'
-""",
-    doc="Set operations (EXCEPT; INTERSECT/UNION exercised in-suite): "
-    "(user, day) pairs with a purchase but no error that day.",
-)
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.dayofmonth("ts").alias("day"), "event_type"
-    )
-    p = ev.where(F.col("event_type") == "purchase").select("user_id", "day")
-    e = ev.where(F.col("event_type") == "error").select("user_id", "day")
-    return p.subtract(e)  # EXCEPT (distinct set semantics), matching the SQL
-
-
-@register(
-    "scd2_user_history",
-    oracle="""
-SELECT user_id, event_id,
-       epoch_ms(ts) AS valid_from_ms,
-       epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-         AS valid_to_ms
-FROM events
-""",
-    doc="SCD2-style validity intervals from a change stream: each event's "
-    "state is valid until the user's next event (lead window; NULL = "
-    "current). The MERGE-less CDC pattern from the guide.",
-)
-def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from ..functions.time import epoch_ms
-
-    ev = load_table(spark, "events", sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        epoch_ms("ts").alias("valid_from_ms"),
-        epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
-    )
-
-
-@register(
-    "user_inactive_days",
-    oracle="""
-WITH u AS (SELECT DISTINCT user_id FROM events),
-d AS (SELECT DISTINCT CAST(date_part('day', ts) AS INT) AS day FROM events),
-pairs AS (SELECT user_id, day FROM u CROSS JOIN d)
-SELECT p.user_id, p.day FROM pairs p
-WHERE NOT EXISTS (
-  SELECT 1 FROM events e
-  WHERE e.user_id = p.user_id AND CAST(date_part('day', e.ts) AS INT) = p.day
-)
-""",
-    doc="Anti-join (NOT EXISTS / left_anti): calendar days each user was "
-    "inactive (semi/anti joins absent from the reference -- SURVEY §2.3).",
-)
-def q_inactive_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.dayofmonth("ts").alias("day")
-    )
-    users = ev.select("user_id").distinct()
-    days = ev.select("day").distinct()
-    pairs = users.crossJoin(F.broadcast(days))
-    return pairs.join(ev.distinct(), ["user_id", "day"], "left_anti")
-
-
-@register(
-    "corpus_bigram_counts",
-    oracle="""
-WITH w AS (
-  SELECT doc_id, [x for x in string_split_regex(lower(text), '\\s+') if x != ''] AS ws
-  FROM documents
-),
-grams AS (
-  SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1]
-                         for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS bigram
-  FROM w
-)
-SELECT bigram, count(*) AS cnt, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
-FROM grams GROUP BY 1 HAVING count(*) >= 5
-""",
-    doc="Corpus word-bigram counts + doc frequency (LM-data staple); "
-    "HAVING >= 5 keeps the output bounded.",
-)
-def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.loaders import widen_scan
-
-    docs = widen_scan(load_table(spark, "documents", sf_dir))
-    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
-    # guard: F.sequence(1, 0) DESCENDS in Spark (DuckDB's generate_series is
-    # empty) -- single-word docs must yield no bigrams, not an index error
-    grams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select("doc_id", F.explode(grams).alias("bigram"))
-    return (
-        exploded.groupBy("bigram")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.countDistinct("doc_id").alias("doc_freq"),
-        )
-        .where(F.col("cnt") >= 5)
-    )
-
-
-@register(
-    "inverted_index_postings",
-    oracle=indexing.inverted_index_sql(),
-    doc="Inverted index build: token -> (document frequency, first-20 "
-    "posting list, comma-joined) -- the retrieval/contamination-probe "
-    "index shape. Posting lists are bounded BEFORE collection by a "
-    "row_number window on the same token partitioning as the df count, "
-    "so skewed tokens cost max_postings rows, never their full chain.",
-)
-def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return indexing.inverted_index(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "bm25_topk_retrieval",
-    oracle=indexing.bm25_topk_sql(),
-    doc="BM25 ranked retrieval -- the consumer side of the inverted-index "
-    "build and the RAG staple: top-10 documents per fixed two-term query. "
-    "Deterministic variant: raw odds-ratio IDF instead of ln() (libm is "
-    "not correctly rounded cross-engine), every operand an exact BIGINT, "
-    "the only float ops two divisions + one multiply + one fixed-order "
-    "two-term add over pivoted per-term scores -- bit-identical IEEE "
-    "trees; output and ranking use floor(1e6*score). Query-term filter is "
-    "a literal IN pushed into the one token scan; df and query table "
-    "broadcast; rank window over the aggregated candidates only.",
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return indexing.bm25_topk(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "doc_typicality_bigrams",
-    oracle=indexing.doc_typicality_sql(),
-    doc="Per-document corpus-typicality in exact integers: corpus bigram "
-    "mass (counts >= 5) carried by each doc's distinct bigrams, plus "
-    "floor(1000*freq_sum/n_bigrams) -- the n-gram-LM outlier/quality "
-    "signal without cross-engine float log hazards.",
-)
-def q_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return indexing.doc_typicality(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "frequent_tokens_topk",
-    oracle=indexing.frequent_tokens_topk_sql(),
-    doc="Grouped heavy hitters: top-25 tokens per language by total "
-    "occurrences (ties by token) -- vocabulary audit; one map-side-"
-    "combined shuffle, then a top-k window over the vocab-bounded counts.",
-)
-def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return indexing.frequent_tokens_topk(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "rollup_counts",
-    oracle="""
-SELECT COALESCE(event_type, 'ALL') AS event_type,
-       COALESCE(CAST(user_id % 10 AS STRING), 'ALL') AS cohort,
-       count(*) AS cnt,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-FROM events
-GROUP BY ROLLUP(event_type, user_id % 10)
-""",
-    doc="ROLLUP hierarchy totals (subtotal keys coalesced to 'ALL' -- no "
-    "NULL-vs-NaN hash ambiguity).",
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_type",
-        (F.col("user_id") % 10).alias("cohort_raw"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents_v"),
-    )
-    return (
-        ev.rollup("event_type", "cohort_raw")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("cents_v").alias("cents"))
-        .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-            F.coalesce(F.col("cohort_raw").cast("string"), F.lit("ALL")).alias("cohort"),
-            "cnt",
-            "cents",
-        )
-    )
-
-
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-@register(
-    "pivot_user_activity",
-    oracle="SELECT CAST(user_id % 10 AS INT) AS cohort, "
-    + ", ".join(
-        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
-    )
-    + " FROM events GROUP BY 1",
-    doc="Pivot: event-type counts as columns per user cohort (oracle via "
-    "FILTER conditional aggregation).",
-)
-def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        (F.col("user_id") % 10).cast("int").alias("cohort"), "event_type"
-    )
-    pv = ev.groupBy("cohort").pivot("event_type", list(_EVENT_TYPES)).count()
-    return pv.select(
-        "cohort",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
-    )
-
-
-@register(
-    "value_percentiles",
-    oracle="""
-WITH q AS (
-  SELECT event_type,
-         quantile_cont(CAST(round(value * 100) AS BIGINT), [0.5e0, 0.9e0, 0.99e0]) AS p
-  FROM events GROUP BY 1
-)
-SELECT event_type, p[1] / 100 AS p50, p[2] / 100 AS p90, p[3] / 100 AS p99 FROM q
-""",
-    doc="Exact interpolated percentiles per event_type over integer cents "
-    "(Spark percentile == DuckDB quantile_cont, verified bit-exact).",
-)
-def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    p = F.expr("percentile(CAST(round(value * 100) AS BIGINT), array(0.5e0, 0.9e0, 0.99e0))")
-    return ev.groupBy("event_type").agg(p.alias("p")).select(
-        "event_type",
-        (F.element_at("p", 1) / 100).alias("p50"),
-        (F.element_at("p", 2) / 100).alias("p90"),
-        (F.element_at("p", 3) / 100).alias("p99"),
-    )
-
-
-@register(
-    "dedup_repeated_ngrams",
-    oracle=dedup.repeated_ngram_coverage_sql(),
-    doc="Exact-substring dedup statistic (Lee et al. 2021 measurement "
-    "half): per-doc distinct 8-gram count, count repeated elsewhere in "
-    "the corpus (df >= 2), and the repeat fraction; one gram-hash shuffle "
-    "shared by the df count and the join-back.",
-)
-def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return dedup.repeated_ngram_coverage(docs)
-
-
-@register(
-    "bloom_semijoin_orders",
-    oracle=bloom.bloom_semijoin_audit_sql(
-        "SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'",
-        "SELECT l_orderkey AS k FROM lineitem",
-    ),
-    doc="Bloom-filter semi-join pruning audit: 16380-bit (260 words x 63 "
-    "usable bits, sign bit unused) md5-hashed filter "
-    "over urgent orderkeys probed by every lineitem orderkey, graded "
-    "against the exact semi-join (n_candidates >= n_true, false positives "
-    "counted). The explicit form of runtime-filter pushdown: a broadcast "
-    "AND-mask ahead of the fact scan instead of a shuffle semi-join.",
-)
-def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir).where(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    lineitem = load_table(spark, "lineitem", sf_dir)
-    return bloom.bloom_semijoin_audit(orders, lineitem, "o_orderkey", "l_orderkey")
-
-
-@register(
-    "dq_audit_relational",
-    oracle="""
-SELECT 'orders_without_customer' AS check_name,
-       CAST(count(*) AS BIGINT) AS n_violations
-FROM orders o WHERE NOT EXISTS
-  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-UNION ALL
-SELECT 'lineitem_without_order',
-       CAST(count(*) AS BIGINT)
-FROM lineitem l WHERE NOT EXISTS
-  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-UNION ALL
-SELECT 'nonpositive_quantity', CAST(count(*) AS BIGINT)
-FROM lineitem WHERE l_quantity <= 0
-UNION ALL
-SELECT 'discount_out_of_range', CAST(count(*) AS BIGINT)
-FROM lineitem WHERE l_discount < 0 OR l_discount > 1
-UNION ALL
-SELECT 'ship_before_order', CAST(count(*) AS BIGINT)
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-WHERE l.l_shipdate < o.o_orderdate
-UNION ALL
-SELECT 'null_event_user', CAST(count(*) AS BIGINT)
-FROM events WHERE user_id IS NULL
-""",
-    doc="Data-quality audit: referential integrity (anti-joins), domain "
-    "constraints, and cross-table date-order checks as one "
-    "(check_name, n_violations) relation -- the pipeline pre-flight every "
-    "ingestion job runs before training-data materialization.",
-)
-def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
-    lineitem = load_table(spark, "lineitem", sf_dir)
-    customer = load_table(spark, "customer", sf_dir)
-    events = load_table(spark, "events", sf_dir)
-
-    def one(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("check_name"),
-            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
-        )
-
-    checks = [
-        one(
-            "orders_without_customer",
-            orders.join(
-                customer.select(F.col("c_custkey").alias("o_custkey")),
-                "o_custkey",
-                "left_anti",
-            ),
-        ),
-        one(
-            "lineitem_without_order",
-            lineitem.join(
-                orders.select(F.col("o_orderkey").alias("l_orderkey")),
-                "l_orderkey",
-                "left_anti",
-            ),
-        ),
-        one("nonpositive_quantity", lineitem.where(F.col("l_quantity") <= 0)),
-        one(
-            "discount_out_of_range",
-            lineitem.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
-        ),
-        one(
-            "ship_before_order",
-            lineitem.join(
-                orders.select("o_orderkey", "o_orderdate"),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            ).where(F.col("l_shipdate") < F.col("o_orderdate")),
-        ),
-        one("null_event_user", events.where(F.col("user_id").isNull())),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out
-
-
-_KCORE_K = 4
-_KCORE_ROUNDS = 12
-# deterministic sparse interaction graph: md5 endpoints over event ids,
-# node-id space sized to a third of the event count so the expected degree
-# (~6) straddles the k=4 peeling threshold -- peeling actually iterates
-# (7 rounds at sf0.01) instead of converging trivially
-_KCORE_EDGES_SQL = f"""
-SELECT {{src}} % (SELECT greatest(count(*) // 3, 2) FROM events) AS src,
-       {{dst}} % (SELECT greatest(count(*) // 3, 2) FROM events) AS dst
-FROM events
-""".format(
-    src="CAST('0x' || substr(md5('s' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)",
-    dst="CAST('0x' || substr(md5('d' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)",
-)
-
-
-@register(
-    "kcore_interactions",
-    oracle=graph.kcore_sql(_KCORE_EDGES_SQL, k=_KCORE_K, rounds=_KCORE_ROUNDS),
-    doc="4-core of the md5-derived event interaction graph: iterative "
-    "degree peeling to fixpoint (Spark loop + localCheckpoint) vs the "
-    "oracle's 12-round unroll -- equal because fixpoint rounds are "
-    "identity. Output (node, core_degree).",
-)
-def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import md5_long
-
-    ev = load_table(spark, "events", sf_dir)
-    n_nodes = max(ev.count() // 3, 2)
-    edges = ev.select(
-        (md5_long(F.concat(F.lit("s"), F.col("event_id").cast("string"))) % n_nodes).alias("src"),
-        (md5_long(F.concat(F.lit("d"), F.col("event_id").cast("string"))) % n_nodes).alias("dst"),
-    )
-    return graph.kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
-
-
-# ---------------------------------------------------------------------------
-# Sketch family + layout (round 4) -- fixed-size mergeable summaries and
-# the z-order write layout; each sketch gated NEXT TO its exact twin so the
-# estimator is graded against ground truth (ann_recall_at_k policy).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "hll_distinct_users",
-    oracle=sketches.hll_distinct_oracle("events", "user_id", "event_type"),
-    doc="HyperLogLog (p=9, 512 registers) distinct users per event_type "
-    "next to the exact count(DISTINCT) twin and rounded relative error. "
-    "Registers are exact integers on both engines (md5 sub-hash, "
-    "bit-length rho); the only float op is the final single-literal fold.",
-)
-def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return sketches.hll_distinct(ev, "user_id", "event_type")
-
-
-_CMS_COUNTS_SQL = """
-  SELECT token, count(*) AS cnt FROM (
-    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
-    FROM documents
-  ) WHERE token != '' GROUP BY 1
-"""
-
-
-@register(
-    "countmin_token_freq",
-    oracle=(
-        "WITH counts AS (" + _CMS_COUNTS_SQL + "), "
-        + sketches.countmin_freq_oracle("counts", "token", "cnt")
-    ),
-    doc="Count-Min sketch (4x1024 integer cells) frequency estimates for "
-    "the top-20 corpus tokens vs their exact counts; overcount >= 0 is the "
-    "CMS one-sided guarantee, visible per row.",
-)
-def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    counts = (
-        docs.select(F.explode(textstats._words("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return sketches.countmin_freq(counts, "token", "cnt")
-
-
-@register(
-    "zorder_layout_documents",
-    oracle=sketches.zorder_layout_oracle("documents"),
-    doc="Morton z-address over (n_chars, md5(source)) with the 64-way "
-    "z-range shard assignment -- the multi-column file-skipping layout; "
-    "map-only 32-term integer interleave generated from one shared loop.",
-)
-def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return sketches.zorder_layout(docs)
-
-
-@register(
-    "value_histogram",
-    oracle="""
-WITH c AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
-), r AS (
-  SELECT event_type, min(cents) AS mn, max(cents) AS mx FROM c GROUP BY 1
-), b AS (
-  SELECT c.event_type,
-         ((c.cents - r.mn) * 20) // (r.mx - r.mn + 1) AS bin,
-         r.mn, r.mx
-  FROM c JOIN r USING (event_type)
-)
-SELECT event_type, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
-       mn AS mn_cents, mx AS mx_cents
-FROM b GROUP BY event_type, bin, mn, mx
-""",
-    doc="Per-type 20-bin equi-width histogram over integer cents -- the "
-    "profiling staple next to value_percentiles and value_outliers_mad. "
-    "Bin assignment is PURE integer arithmetic ((cents-mn)*20 div "
-    "(span+1), nonneg numerator so div/floor agree across engines); two "
-    "map-side-combined shuffles (range, then (type,bin) counts) with the "
-    "tiny range relation broadcast back. Empty bins are absent by "
-    "construction.",
-)
-def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
-    )
-    rng = ev.groupBy("event_type").agg(
-        F.min("cents").alias("mn"), F.max("cents").alias("mx")
-    )
-    b = ev.join(F.broadcast(rng), "event_type").select(
-        "event_type",
-        F.expr("((cents - mn) * 20) div (mx - mn + 1)").alias("bin"),
-        "mn",
-        "mx",
-    )
-    return b.groupBy("event_type", "bin", "mn", "mx").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    ).select(
-        "event_type",
-        "bin",
-        "n",
-        F.col("mn").alias("mn_cents"),
-        F.col("mx").alias("mx_cents"),
-    )
-
-
-@register(
-    "value_outliers_mad",
-    oracle="""
-WITH c AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
-), med AS (
-  SELECT event_type, quantile_cont(cents, 0.5e0) AS med FROM c GROUP BY 1
-), dev AS (
-  SELECT c.event_type, c.cents, abs(c.cents - m.med) AS dev
-  FROM c JOIN med m USING (event_type)
-), mad AS (
-  SELECT event_type, quantile_cont(dev, 0.5e0) AS mad FROM dev GROUP BY 1
-), outl AS (
-  SELECT d.event_type,
-         CAST(sum(CASE WHEN d.dev > 3e0 * 1.4826e0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-         CAST(count(*) AS BIGINT) AS n_rows
-  FROM dev d JOIN mad a USING (event_type)
-  GROUP BY 1
-)
-SELECT m.event_type, m.med / 100 AS median_value, a.mad / 100 AS mad_value,
-       o.n_outliers, o.n_rows
-FROM med m JOIN mad a USING (event_type) JOIN outl o USING (event_type)
-""",
-    doc="Robust outlier counts per event_type: median/MAD over integer "
-    "cents (interpolated percentile parity proven by value_percentiles); "
-    "the 3*1.4826*MAD fence is evaluated on exactly-representable halves "
-    "so the double comparison is engine-identical.",
-)
-def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
-    )
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(cents, 0.5e0)").alias("med")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "cents", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
-    )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5e0)").alias("mad"))
-    outl = (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_outliers"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        )
-    )
-    return (
-        med.join(F.broadcast(mad), "event_type")
-        .join(F.broadcast(outl), "event_type")
-        .select(
-            "event_type",
-            (F.col("med") / 100).alias("median_value"),
-            (F.col("mad") / 100).alias("mad_value"),
-            "n_outliers",
-            "n_rows",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Harness canaries -- deliberately probe how the driver's compare treats
-# (a) raw timestamp columns and (b) rounded float aggregates. Every other
-# query avoids both; if one of these mismatches in CORRECTNESS_r{N}.json the
-# engine queries are unaffected and we learn the harness's rules.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "canary_timestamp_schema",
-    oracle="SELECT event_type, max(ts) AS max_ts FROM events GROUP BY 1",
-    doc="Canary: does Spark TIMESTAMP_NTZ hash-match a DuckDB naive "
-    "timestamp in the driver harness?",
-)
-def q_canary_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
-
-
-@register(
-    "canary_float_hash",
-    oracle="SELECT event_type, round(avg(value), 6) AS avg6 FROM events GROUP BY 1",
-    doc="Canary: does a round(avg(double),6) survive the driver's value "
-    "hash across engines (sum-order noise)?",
-)
-def q_canary_float(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("avg6"))
-
-
-@register(
-    "dedup_lsh_recall",
-    oracle=dedup.minhash_lsh_recall_sql(),
-    doc="Quality bar for the LSH dedup path (the dedup analogue of "
-    "ann_recall_at_k): on a deterministic 10% md5 sample, banded-LSH "
-    "pairs vs EXACT all-pairs Jaccard ground truth. One row "
-    "(n_exact, n_lsh, n_hits). Read against the banding curve "
-    "1-(1-j^4)^8: this corpus's sampled pairs all sit in [0.2,0.3) "
-    "where the curve predicts ~1.3% candidates, and the measured "
-    "4/389 matches - the audit validates the banding design "
-    "empirically (j>=0.8 dups are near-certain catches). Quadratic "
-    "exact side bounded to the sample by design.",
-)
-def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_recall(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "dedup_incremental_minhash",
-    oracle=dedup.incremental_minhash_sql(),
-    doc="Incremental dedup: match a NEW batch (md5(doc_id)%10000 < 2000 "
-    "stands in for today's crawl shard) against the standing corpus via "
-    "the shared MinHash band index, exact-Jaccard verified. The "
-    "continuous-ingest shape: new-side bands broadcast against the "
-    "corpus-side band index -- no corpus shuffle, no all-pairs.",
-)
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.incremental_minhash_matches(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "embedding_random_projection",
-    oracle=similarity.random_projection_sql(),
-    doc="Johnson-Lindenstrauss +/-1 sign-matrix projection 64->16 dims "
-    "(Achlioptas), exact BIGINT arithmetic over integer-scaled vectors; "
-    "long-format (vec_id, dim, value). Map-only: the cheap front-end for "
-    "downstream ANN / clustering at 100 TB.",
-)
-def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.random_projection(load_table(spark, "embeddings", sf_dir))
-
-
-@register(
-    "embedding_quantize_int8",
-    oracle=similarity.quantize_int8_sql(),
-    doc="Int8 embedding quantization (symmetric scalar, floor(127*x/||x||) "
-    "over the integer-scaled vectors; zero-norm guard) -- the 4x "
-    "compression step before index build. Map-only, no shuffle; gated on "
-    "the exact-integer per-vector summary (norm2, q_sum, q_l1, q_min, "
-    "q_max) so the only float steps are one sqrt + one division before "
-    "an immediate floor.",
-)
-def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.quantize_int8(load_table(spark, "embeddings", sf_dir))
-
-
-@register(
-    "bpe_pair_counts",
-    oracle=textstats.bpe_pair_counts_sql(),
-    doc="BPE tokenizer induction step 1: adjacent char-pair frequencies "
-    "weighted by word frequency (the argmax pair is the first merge). "
-    "Corpus collapses to its vocabulary first, so pair counting is "
-    "corpus-size-independent after one word-count shuffle.",
-)
-def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.bpe_pair_counts(load_table(spark, "documents", sf_dir))
-
-
-@register(
-    "triangle_count_edges",
-    oracle=f"""
-WITH edges AS ({graphs_plan.EDGES_SQL.format(events="events")}),
-e AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM edges WHERE src != dst
-),
-closed AS (
-  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-  FROM e e1 JOIN e e2 ON e1.b = e2.a
-  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-)
-SELECT count(*) AS n_triangles FROM closed
-""",
-    doc="Global triangle count over the undirected edges graph: node-ordered "
-    "wedge join + closing-edge join (each triangle counted once as "
-    "a < b < c). Graph-analytics breadth beyond the reference's PageRank; "
-    "degree skew handled by the documented hub-splitting idiom at scale.",
-)
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import graph as graph_ops
-
-    return graph_ops.triangle_count(graphs_plan.edges_view(spark, sf_dir))
-
-
-@register(
-    "curation_pipeline",
-    oracle=f"""
-WITH q AS ({textstats.quality_score_sql()}),
-l AS ({textstats.lang_id_sql()}),
-f AS (SELECT doc_id, {dedup.normalized_prefix_key_sql("text")} AS dedup_key FROM documents),
-passed AS (
-  SELECT d.doc_id, d.source, f.dedup_key
-  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN f USING (doc_id)
-  WHERE q.quality_score >= 40 AND l.pred_lang = 'en'
-),
-surv AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY dedup_key),
-flags AS (
-  SELECT d.doc_id, d.source,
-         p.doc_id IS NOT NULL AS p,
-         s.doc_id IS NOT NULL AS k
-  FROM documents d
-  LEFT JOIN passed p ON d.doc_id = p.doc_id
-  LEFT JOIN surv s ON d.doc_id = s.doc_id
-)
-SELECT source, count(*) AS n_docs,
-       CAST(count(*) FILTER (WHERE p) AS BIGINT) AS n_passed,
-       CAST(count(*) FILTER (WHERE k) AS BIGINT) AS n_kept
-FROM flags GROUP BY source
-""",
-    doc="End-to-end curation funnel, composing the catalog's operators in "
-    "one plan: quality filter (composite >= 40) + language filter "
-    "(pred_lang = 'en') + exact-dedup survivors (min doc_id per "
-    "normalized content key, dedup_exact's key), reported as per-source "
-    "funnel counts (n_docs -> n_passed -> n_kept). The shape a real "
-    "corpus curation run has; every stage is itself oracle-gated "
-    "separately.",
-)
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    q = textstats.quality_score(docs).select("doc_id", "quality_score")
-    lang = textstats.lang_id(docs).select("doc_id", "pred_lang")
-    fp = docs.select("doc_id", dedup.normalized_prefix_key("text").alias("dedup_key"))
-    passed = (
-        docs.select("doc_id", "source")
-        .join(q, "doc_id")
-        .join(lang, "doc_id")
-        .join(fp, "doc_id")
-        .where((F.col("quality_score") >= 40) & (F.col("pred_lang") == "en"))
-    )
-    surv = passed.groupBy("dedup_key").agg(F.min("doc_id").alias("doc_id"))
-    flags = (
-        docs.select("doc_id", "source")
-        .join(passed.select("doc_id", F.lit(1).alias("p")), "doc_id", "left")
-        .join(surv.select("doc_id", F.lit(1).alias("k")), "doc_id", "left")
-    )
-    return flags.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count("p").alias("n_passed"),
-        F.count("k").alias("n_kept"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-4 batch 2: CDC MERGE semantics, Pregel-style SSSP, tokenizer
-# vocabulary-coverage audit.
-# ---------------------------------------------------------------------------
-
-# 2024-01-16 00:00:00 (naive) in epoch ms -- the change-batch cutoff.
-# epoch-ms comparison on both sides: TZ-independent by construction.
-_CDC_CUTOFF_MS = 1705363200000
-
-
-@register(
-    "cdc_merge_user_state",
-    oracle=cdc.merge_upsert_user_state_sql(_CDC_CUTOFF_MS),
-    doc="MERGE INTO semantics as one batch plan (the Delta/Hudi/Iceberg "
-    "upsert shape; reference analogue = keyed latest-state maintenance, "
-    "TravelTimePrediction.java): snapshot = latest pre-cutoff event per "
-    "user, change batch = post-cutoff events with 'error' rows as delete "
-    "markers, merged last-writer-wins by (state_ms, event_id) with "
-    "changes beating the snapshot on ties. One hash shuffle on the merge "
-    "key -- the minimum any MERGE pays.",
-)
-def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..functions.time import epoch_ms
-    from ..operators.cdc import merge_upsert
-
-    ev = load_table(spark, "events", sf_dir).withColumn("state_ms", epoch_ms("ts"))
-    pre = ev.where(F.col("state_ms") < _CDC_CUTOFF_MS)
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    snapshot = (
-        pre.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            "value",
-            "state_ms",
-            "event_id",
-            F.lit(False).alias("is_delete"),
-        )
-    )
-    changes = ev.where(F.col("state_ms") >= _CDC_CUTOFF_MS).select(
-        "user_id",
-        "event_type",
-        "value",
-        "state_ms",
-        "event_id",
-        (F.col("event_type") == "error").alias("is_delete"),
-    )
-    return merge_upsert(
-        snapshot, changes, keys=["user_id"], seq_cols=["state_ms", "event_id"]
-    )
-
-
-@register(
-    "sssp_event_graph",
-    oracle=graph.sssp_hops_sql(_KCORE_EDGES_SQL, source=0, max_hops=8),
-    doc="Single-source shortest paths (BFS hop counts, Gelly's SSSP "
-    "exercise / Pregel's canonical example) from node 0 on the "
-    "md5-derived directed event graph: iterative frontier expansion with "
-    "per-round localCheckpoint vs the oracle's 8-round settled-set "
-    "unroll -- equal because settled BFS distances are final, so "
-    "post-convergence rounds are identity (the kcore contract).",
-)
-def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import md5_long
-
-    ev = load_table(spark, "events", sf_dir)
-    n_nodes = max(ev.count() // 3, 2)
-    edges = ev.select(
-        (md5_long(F.concat(F.lit("s"), F.col("event_id").cast("string"))) % n_nodes).alias("src"),
-        (md5_long(F.concat(F.lit("d"), F.col("event_id").cast("string"))) % n_nodes).alias("dst"),
-    )
-    return graph.sssp_hops(edges, source=0, max_hops=8)
-
-
-@register(
-    "label_propagation_communities",
-    oracle=graph.label_propagation_sql(_KCORE_EDGES_SQL, rounds=6),
-    doc="Synchronous min-label propagation (deterministic LPA variant: min "
-    "instead of mode, so no tie-break nondeterminism) on the undirected "
-    "md5-derived event graph: 6 rounds, each node's label becomes the "
-    "minimum node id within 6 hops -- community labels at fixpoint equal "
-    "the component minimum. Spark loop with early exit + per-round "
-    "localCheckpoint vs the oracle's 6-round unrolled CTE -- equal by the "
-    "post-convergence-rounds-are-identity contract (kcore/sssp). One "
-    "edges|><|labels join + one min groupBy per round, both keyed on node.",
-)
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import md5_long
-
-    ev = load_table(spark, "events", sf_dir)
-    n_nodes = max(ev.count() // 3, 2)
-    edges = ev.select(
-        (md5_long(F.concat(F.lit("s"), F.col("event_id").cast("string"))) % n_nodes).alias("src"),
-        (md5_long(F.concat(F.lit("d"), F.col("event_id").cast("string"))) % n_nodes).alias("dst"),
-    )
-    return graph.label_propagation(edges, rounds=6)
-
-
-@register(
-    "vocab_oov_rate",
-    oracle=textstats.vocab_oov_rate_sql(),
-    doc="Tokenizer-coverage audit: per-document OOV rate against the "
-    "corpus' own top-1000 token vocabulary (count desc, token asc "
-    "tiebreak) with the coverage-filter keep flag (oov_rate <= 0.2). "
-    "Vocabulary = one map-side-combined count + bounded top-k; probe = "
-    "broadcast join on the exploded tokens, re-aggregated to one row per "
-    "doc map-side before the only shuffle. Ratio is a single division of "
-    "exact BIGINTs.",
-)
-def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return textstats.vocab_oov_rate(docs)
-
-
-@register(
-    "timeseries_gapfill_hourly",
-    oracle=timeseries.gapfill_ffill_sql(),
-    doc="Resample + forward-fill: each user's event series regularized "
-    "onto an hourly grid spanning their own [min, max] bucket range, "
-    "last observation carried forward through empty buckets (the metrics "
-    "warehouse resample+ffill shape). Buckets are pure epoch-ms "
-    "arithmetic (never date_trunc -- session-TZ hazard); the filled "
-    "value is a raw column value picked by a total order, never an "
-    "aggregate.",
-)
-def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return timeseries.gapfill_ffill(ev)
-
-
-@register(
-    "hll_merge_shards",
-    oracle=sketches.hll_merge_demo_oracle("events", "user_id", "event_id"),
-    doc="The sketch merge law gated as a single-row result: HLL registers "
-    "built independently per shard (event_id % 4 -- stand-in for "
-    "executors/days), merged by per-bucket register max, must estimate "
-    "EXACTLY what the direct all-rows sketch estimates (max-of-maxes = "
-    "max). This is the property that lets a 1000-executor rollup combine "
-    "kilobyte partials instead of re-shuffling raw keys, and per-day "
-    "sketches roll up to months.",
-)
-def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return sketches.hll_merge_demo(ev, "user_id", "event_id")
-
-
-@register(
-    "bpe_train_merges",
-    oracle=textstats.bpe_train_merges_sql(),
-    doc="ACTUAL BPE merge induction (Sennrich et al. 2016), 3 rounds: "
-    "character symbols over the alpha-word vocabulary, each round's "
-    "argmax adjacent pair merged corpus-wide (greedy left-to-right via "
-    "boundary-safe literal replace on a double-delimited symbol string). "
-    "bpe_pair_counts is round 1's statistic; this runs the loop. Oracle "
-    "= full 3-round CTE unroll with the argmax threaded through scalar "
-    "subqueries. Training cost is vocab-bounded (corpus-size-independent "
-    "after one counting pass); the per-round driver collect is exactly "
-    "one argmax row (IVF training-collect policy).",
-)
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return textstats.bpe_train_merges(docs)
-
-
-@register(
-    "streaming_cdc_merge",
-    oracle="""
-WITH r AS (
-  SELECT user_id, event_type, value, epoch_ms(ts) AS state_ms, event_id,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rk
-  FROM events
-)
-SELECT user_id, event_type, value, state_ms, event_id
-FROM r WHERE rk = 1 AND event_type != 'error'
-""",
-    doc="Streaming MERGE through the real engine (foreachBatch upsert "
-    "sink -- the Delta/Hudi streaming-materialized-view shape): the event "
-    "stream folds per micro-batch onto a parquet state table via "
-    "cdc.merge_latest ('error' rows = delete tombstones, kept in state so "
-    "later batches can't resurrect deleted keys); final drained state = "
-    "the one-shot batch LWW result because the merge is associative by "
-    "key. Batch-boundary invariance pinned by "
-    "tests/test_streaming.py::test_streaming_cdc_merge_chunked.",
-)
-def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.time import epoch_ms
-    from ..streaming.queries import run_cdc_merge_availablenow
-    from ..streaming.sources import events_stream
-
-    changes = events_stream(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        "value",
-        epoch_ms("ts").alias("state_ms"),
-        "event_id",
-        (F.col("event_type") == "error").alias("is_delete"),
-    )
-    return run_cdc_merge_availablenow(
-        changes,
-        keys=["user_id"],
-        seq_cols=["state_ms", "event_id"],
-        query_name="streaming_cdc_merge_gate",
-    )
-
-
-def _split_case_sql(id_expr: str) -> str:
-    """80/10/10 deterministic split label for a doc-id expression."""
-    from ..functions.hashing import md5_long_sql
-
-    h = md5_long_sql(f"CAST({id_expr} AS VARCHAR) || ':split'") + " % 100"
-    return f"CASE WHEN {h} < 80 THEN 'train' WHEN {h} < 90 THEN 'val' ELSE 'test' END"
-
-
-def _split_leakage_oracle() -> str:
-    return f"""
-WITH pairs AS ({dedup.minhash_lsh_sql(threshold=0.2)}),
-lab AS (
-  SELECT {_split_case_sql('id_a')} AS ca, {_split_case_sql('id_b')} AS cb FROM pairs
-)
-SELECT least(ca, cb) AS split_a, greatest(ca, cb) AS split_b,
-       CAST(count(*) AS BIGINT) AS n_pairs
-FROM lab GROUP BY 1, 2
-"""
-
-
-@register(
-    "split_leakage_neardup",
-    oracle=_split_leakage_oracle(),
-    doc="Train/val/test split leakage through NEAR-duplicates: documents "
-    "are assigned splits by a deterministic md5 hash (80/10/10 -- the "
-    "split every pipeline ships), then the MinHash near-dup pairs are "
-    "labeled by their endpoints' splits and counted per (split_a <= "
-    "split_b) bucket. Off-diagonal buckets are evaluation contamination "
-    "that exact-match decontamination (contamination_ngram_overlap) "
-    "cannot see -- the near-dup leakage audit from the dedup literature. "
-    "Shares the persisted signature/cluster machinery; one extra "
-    "map-only labeling + a 6-bucket aggregate on top of the pair join.",
-)
-def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import md5_long
-
-    docs = load_table(spark, "documents", sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
-
-    def split_c(c):
-        h = md5_long(F.concat(c.cast("string"), F.lit(":split"))) % 100
-        return (
-            F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
-        )
-
-    sa, sb = split_c(F.col("id_a")), split_c(F.col("id_b"))
-    return (
-        pairs.select(F.least(sa, sb).alias("split_a"), F.greatest(sa, sb).alias("split_b"))
-        .groupBy("split_a", "split_b")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-
-
-@register(
-    "funnel_user_stages",
-    oracle="""
-WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
-t1 AS (SELECT user_id, min(ms) AS t_view_ms FROM e
-       WHERE event_type = 'view' GROUP BY 1),
-t2 AS (SELECT e.user_id, min(ms) AS t_click_ms FROM e JOIN t1 USING (user_id)
-       WHERE event_type = 'click' AND ms > t_view_ms GROUP BY 1),
-t3 AS (SELECT e.user_id, min(ms) AS t_signup_ms FROM e JOIN t2 USING (user_id)
-       WHERE event_type = 'signup' AND ms > t_click_ms GROUP BY 1),
-t4 AS (SELECT e.user_id, min(ms) AS t_purchase_ms FROM e JOIN t3 USING (user_id)
-       WHERE event_type = 'purchase' AND ms > t_signup_ms GROUP BY 1)
-SELECT t1.user_id,
-       CAST(1 + (CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END)
-              + (CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END)
-              + (CASE WHEN t4.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-         AS funnel_depth,
-       t_view_ms,
-       COALESCE(t_click_ms, -1) AS t_click_ms,
-       COALESCE(t_signup_ms, -1) AS t_signup_ms,
-       COALESCE(t_purchase_ms, -1) AS t_purchase_ms
-FROM t1
-LEFT JOIN t2 ON t1.user_id = t2.user_id
-LEFT JOIN t3 ON t1.user_id = t3.user_id
-LEFT JOIN t4 ON t1.user_id = t4.user_id
-""",
-    doc="ORDERED conversion funnel (view -> click -> signup -> purchase): "
-    "each stage's timestamp is the first occurrence STRICTLY AFTER the "
-    "previous stage's -- the sequential-funnel semantics (a click before "
-    "any view does not count), not mere event-type possession. Output "
-    "per user reaching stage 1: funnel_depth + per-stage first-reach "
-    "epoch ms (-1 for unreached). Scale shape: one keyed min per stage "
-    "over a stream pre-filtered to that stage's type, each joined to the "
-    "shrinking prior-stage cohort -- the per-stage relations decay like "
-    "the conversion rate, and everything is keyed on user_id so a real "
-    "deployment co-partitions all four aggregations in one shuffle.",
-)
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.time import epoch_ms
-
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", "event_type", epoch_ms("ts").alias("ms")
-    )
-
-    def stage(prev, etype, prev_col, out_col):
-        return (
-            ev.where(F.col("event_type") == etype)
-            .join(prev, "user_id")
-            .where(F.col("ms") > F.col(prev_col))
-            .groupBy("user_id")
-            .agg(F.min("ms").alias(out_col))
-        )
-
-    t1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ms").alias("t_view_ms"))
-    )
-    t2 = stage(t1, "click", "t_view_ms", "t_click_ms")
-    t3 = stage(t2, "signup", "t_click_ms", "t_signup_ms")
-    t4 = stage(t3, "purchase", "t_signup_ms", "t_purchase_ms")
-    notnull = lambda c: F.when(F.col(c).isNull(), 0).otherwise(1)  # noqa: E731
-    return (
-        t1.join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
-        .join(t4, "user_id", "left")
-        .select(
-            "user_id",
-            (1 + notnull("t_click_ms") + notnull("t_signup_ms") + notnull("t_purchase_ms"))
-            .cast("bigint")
-            .alias("funnel_depth"),
-            "t_view_ms",
-            F.coalesce("t_click_ms", F.lit(-1)).alias("t_click_ms"),
-            F.coalesce("t_signup_ms", F.lit(-1)).alias("t_signup_ms"),
-            F.coalesce("t_purchase_ms", F.lit(-1)).alias("t_purchase_ms"),
-        )
-    )
-
-
-_WEEK_MS = 7 * 86400000
-_COHORT_ORIGIN_MS = 1704067200000  # 2024-01-01, epoch ms of the NTZ instant
-
-
-@register(
-    "retention_cohorts",
-    oracle=f"""
-WITH e AS (
-  SELECT user_id, (epoch_ms(ts) - {_COHORT_ORIGIN_MS}) // {_WEEK_MS} AS wk
-  FROM events
-),
-first AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
-act AS (SELECT DISTINCT user_id, wk FROM e)
-SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
-       CAST(count(*) AS BIGINT) AS n_users
-FROM act a JOIN first f ON a.user_id = f.user_id
-GROUP BY 1, 2
-""",
-    doc="Retention cohort matrix: users bucketed by first-active week "
-    "(pure epoch-ms integer division from a fixed origin -- never "
-    "date_trunc, which buckets in session TZ), counted per (cohort_week, "
-    "week_offset) of later activity. The canonical warehouse retention "
-    "query. Two keyed shuffles (per-user min + the distinct); the cohort "
-    "aggregate is tiny. Integer week arithmetic is engine-exact (per-"
-    "engine integer division: Spark `div`, DuckDB `//`).",
-)
-def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.time import epoch_ms
-
-    e = (
-        load_table(spark, "events", sf_dir)
-        .select("user_id", epoch_ms("ts").alias("ms"))
-        .select(
-            "user_id",
-            F.expr(f"(ms - {_COHORT_ORIGIN_MS}) div {_WEEK_MS}").alias("wk"),
-        )
-    )
-    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
-    act = e.distinct()
-    return (
-        act.join(first, "user_id")
-        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
-@register(
-    "bpe_encode_corpus",
-    oracle=textstats.bpe_encode_sql(),
-    doc="Tokenizer APPLICATION: encode every document with the merges "
-    "learned by bpe_train_merges (replayed in rank order over the "
-    "distinct word vocabulary -- vocab-bounded work, broadcast join "
-    "back, map-side per-doc collapse). Output per doc: n_words, "
-    "n_chars (pre-merge symbols), n_tokens (post-merge) -- the "
-    "compression the tokenizer buys, all exact BIGINTs. Completes the "
-    "train->apply tokenizer loop the way streaming_cdc_merge completes "
-    "batch MERGE.",
-)
-def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return textstats.bpe_encode(docs)
-
-
-@register(
-    "streaming_enrich_static",
-    oracle="""
-SELECT e.event_id, e.user_id, e.event_type, epoch_ms(e.ts) AS ts_ms,
-       c.c_mktsegment AS segment, n.n_name AS nation
-FROM events e
-JOIN customer c ON e.user_id = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-""",
-    doc="Stream-static dimension enrichment through the real engine: the "
-    "event stream inner-joined per micro-batch to a broadcast dimension "
-    "graph (customer |><| nation) on user_id. Stateless -- rows emit on "
-    "processing, no watermark state -- so the availableNow drain equals "
-    "the plain batch join and the oracle needs no horizon cut. The "
-    "canonical star-schema enrichment every event pipeline runs.",
-)
-def q_streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import run_enrich_static_availablenow
-
-    return run_enrich_static_availablenow(
-        spark, sf_dir, "streaming_enrich_static_gate"
-    )
-
-
-@register(
-    "dedup_editdistance_blocked",
-    oracle=dedup.editdistance_pairs_sql(),
-    doc="Blocked Levenshtein near-dup pairs: normalized 40-char header "
-    "prefixes compared within (lang, source) blocks, dist <= 25 -- the "
-    "record-linkage metric for short-text dedup where set-based "
-    "similarity is too coarse. Quadratic confined to co-located blocks "
-    "by an equi-join on the blocking keys.",
-)
-def q_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return dedup.editdistance_pairs(docs)
-
-
-@register(
-    "dedup_keep_best",
-    oracle=f"""
-WITH cl AS ({dedup.minhash_clusters_sql(threshold=0.2)}),
-q AS ({textstats.quality_score_sql()}),
-alldocs AS (
-  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
-),
-r AS (
-  SELECT f.doc_id, f.cluster_id, q.quality_score,
-         row_number() OVER (PARTITION BY f.cluster_id
-                            ORDER BY q.quality_score DESC, f.doc_id) AS rk,
-         count(*) OVER (PARTITION BY f.cluster_id) AS csz
-  FROM alldocs f JOIN q ON f.doc_id = q.doc_id
-)
-SELECT doc_id, cluster_id, CAST(csz AS BIGINT) AS cluster_size,
-       quality_score, rk = 1 AS kept
-FROM r
-""",
-    doc="Canonical-document selection -- the step a real dedup pipeline "
-    "runs AFTER clustering: every doc mapped to its near-dup cluster "
-    "(MinHash pairs -> connected components; singletons are their own "
-    "cluster), then keep the best-quality doc per cluster (quality desc, "
-    "doc_id tiebreak). Output flags every doc with its cluster, cluster "
-    "size, and kept/dropped -- the survivor list plus the audit trail. "
-    "One extra shuffle on cluster_id beyond the clustering itself.",
-)
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = load_table(spark, "documents", sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    cl = dedup.persisted_cluster_map(pairs).select(
-        F.col("id").alias("doc_id"), F.col("comp").alias("cl_id")
-    )
-    q = textstats.quality_score(docs).select("doc_id", "quality_score")
-    alldocs = (
-        docs.select("doc_id")
-        .join(cl, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce(F.col("cl_id"), F.col("doc_id")).alias("cluster_id")
-        )
-    )
-    w = Window.partitionBy("cluster_id")
-    w_rank = w.orderBy(F.desc("quality_score"), F.asc("doc_id"))
-    return (
-        alldocs.join(q, "doc_id")
-        .select(
-            "doc_id",
-            "cluster_id",
-            F.count(F.lit(1)).over(w).alias("cluster_size"),
-            "quality_score",
-            (F.row_number().over(w_rank) == 1).alias("kept"),
-        )
-    )
-
-
-def _incremental_roundtrip_oracle() -> str:
-    """CTE-unrolled twin of the composed ingest round-trip: the incremental
-    MinHash match (shared with dedup_incremental_minhash), the survivor
-    anti-join, the MERGE fold (disjoint keys here, so LWW == union -- the
-    operator chain is what's pinned), and the md5 shard layout (shared
-    with shuffle_shard_layout)."""
-    from ..functions.hashing import md5_long_sql
-
-    is_new = f"{md5_long_sql('CAST(doc_id AS VARCHAR)')} % 10000 < 2000"
-    sid = md5_long_sql("CAST(doc_id AS VARCHAR) || ':shard'")
-    key = md5_long_sql("CAST(doc_id AS VARCHAR) || ':ord'")
-    return f"""
-WITH incr AS ({dedup.incremental_minhash_sql()}),
-merged AS (
-  SELECT doc_id, 'standing' AS status FROM documents WHERE NOT ({is_new})
-  UNION ALL
-  SELECT doc_id, 'ingested' AS status FROM documents
-  WHERE ({is_new}) AND doc_id NOT IN (SELECT new_id FROM incr)
-),
-keyed AS (
-  SELECT doc_id, status, CAST({sid} % 8 AS BIGINT) AS shard_id, {key} AS sort_key
-  FROM merged
-)
-SELECT doc_id, status, shard_id,
-       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY sort_key, doc_id) - 1
-            AS BIGINT) AS pos
-FROM keyed
-"""
-
-
-@register(
-    "incremental_corpus_roundtrip",
-    oracle=_incremental_roundtrip_oracle(),
-    doc="Composed continuous-ingest round-trip (VERDICT r4 #7): a new "
-    "crawl batch (md5(doc_id)%10000 < 2000) is deduped against the "
-    "standing corpus via the broadcast MinHash band probe "
-    "(dedup.incremental_minhash_matches), near-dup batch docs are "
-    "dropped, survivors fold onto the corpus through the MERGE operator "
-    "(cdc.merge_latest -- LWW by doc_id; keys are disjoint here so the "
-    "merge is a union, but the chain exercises the exact operator the "
-    "streaming twin drains through), and the merged corpus is laid out "
-    "into md5 training shards (sampling.shuffle_shard, status riding "
-    "through). Pins the PIPELINE composition the way curation_pipeline "
-    "pins the batch funnel. Output (doc_id, status, shard_id, pos). "
-    "Scale shape: each stage is individually 100 TB-safe (broadcast "
-    "band probe, one merge-key shuffle, one shard-window shuffle) and "
-    "the composition adds NO extra shuffle beyond its stages.",
-)
-def q_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import md5_long
-
-    docs = load_table(spark, "documents", sf_dir)
-    matches = dedup.incremental_minhash_matches(docs)
-    is_new = md5_long(F.col("doc_id").cast("string")) % 10000 < 2000
-    standing = docs.where(~is_new).select("doc_id")
-    batch = docs.where(is_new).select("doc_id")
-    dup_ids = matches.select(F.col("new_id").alias("doc_id")).distinct()
-    survivors = batch.join(dup_ids, "doc_id", "left_anti")
-    snap = standing.select(
-        "doc_id", F.lit("standing").alias("status"), F.lit(0).alias("seq")
-    )
-    ins = survivors.select(
-        "doc_id", F.lit("ingested").alias("status"), F.lit(1).alias("seq")
-    )
-    merged = cdc.merge_latest(snap, ins, keys=["doc_id"], seq_cols=["seq"]).drop("seq")
-    sharded = sampling.shuffle_shard(
-        merged, id_col="doc_id", n_shards=8, extra_cols=["status"]
-    )
-    return sharded.select(
-        F.col("id").alias("doc_id"), "status", "shard_id", "pos"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Gopher quality-filter flags (Rae et al. 2021 Table A1)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "gopher_quality_flags",
-    oracle=textstats.gopher_quality_flags_sql(),
-    doc="Gopher-rule quality flags per document (word-count bounds, "
-    "mean-word-length bounds, alphabetic-word fraction, canonical 8-word "
-    "stopword presence) plus the combined pass flag; every threshold an "
-    "integer cross-multiplication, map-only over the corpus scan.",
-)
-def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return textstats.gopher_quality_flags(docs)
-
-
-# ---------------------------------------------------------------------------
-# CCNet-style corpus-wide segment dedup (keep-first)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "segment_dedup_keepfirst",
-    oracle=dedup.segment_dedup_keepfirst_sql(),
-    doc="CCNet-style segment-hash dedup (Wenzek et al. 2020): fixed-width "
-    "token segments hashed corpus-wide, first occurrence (lowest doc_id, "
-    "seg_idx) kept, per-doc retention counts; one window shuffle on the "
-    "segment hash.",
-)
-def q_segment_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return dedup.segment_dedup_keepfirst(docs)
-
-
-# ---------------------------------------------------------------------------
-# Sliding-window chunking (context-window / RAG sequence prep)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "chunk_sliding_windows",
-    oracle=textstats.chunk_sliding_windows_sql(),
-    doc="Overlapping fixed-width token windows per document (32-token "
-    "chunks, stride 24, tail chunk included) with md5-folded content "
-    "hashes; map-only, shuffle-free -- the chunking stage ahead of "
-    "pack_sequences_4k and embedding indexing.",
-)
-def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return textstats.chunk_sliding_windows(docs)
-
-
-# ---------------------------------------------------------------------------
-# Event-transition Markov counts + rolling z-score anomalies
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "event_transitions_markov",
-    oracle=sessions.event_transitions_sql(),
-    doc="First-order Markov transition matrix over per-user event streams "
-    "(lag over the (ts, event_id) total order, corpus-wide pair counts, "
-    "distinct-user support, BIGINT/BIGINT conditional probability); one "
-    "user-keyed window shuffle + a tiny |types|^2 groupBy.",
-)
-def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, "events", sf_dir)
-    return sessions.event_transitions(events)
-
-
-@register(
-    "anomaly_rolling_zscore",
-    oracle=timeseries.rolling_zscore_anomalies_sql(),
-    doc="Per-user rolling z-score anomaly flags over a trailing 20-event "
-    "baseline (current row excluded): integer-cents fixed point and a "
-    "division-free BIGINT test (n*x-s)^2*(n-1) > 9*n*(n*ss-s^2), so both "
-    "engines agree bit for bit; one keyed window shuffle, O(1) row state.",
-)
-def q_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, "events", sf_dir)
-    return timeseries.rolling_zscore_anomalies(events)
-
-
-@register(
-    "streaming_anomaly_zscore",
-    oracle=timeseries.rolling_zscore_anomalies_sql(),
-    doc="Rolling z-score anomalies through the REAL streaming engine: "
-    "applyInPandasWithState keyed per user, ValueState = the trailing "
-    "<= 20 integer-cents values, append mode, availableNow drain. Cents "
-    "are fixed-pointed JVM-side before the handler and the state walk is "
-    "pure integer arithmetic, so the emission set equals the batch twin "
-    "and the SAME oracle applies (the streaming_travel_time_stateful "
-    "gating pattern).",
-)
-def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import drain_availablenow
-    from ..streaming.sources import events_stream
-    from ..streaming.stateful import streaming_zscore
-
-    return drain_availablenow(
-        streaming_zscore(events_stream(spark, sf_dir)), "streaming_zscore_gate"
-    )
-
-
-@register(
-    "zonemap_pruning_audit",
-    oracle=sketches.zonemap_pruning_audit_sql(),
-    doc="Zone-map file-skipping audit: per-shard min/max stats on the raw "
-    "(length, category-hash) dimensions under naive hash placement, the "
-    "gated z-order layout, and a range-scaled z-order (the OPTIMIZE "
-    "ZORDER practice), probed by a length-range and a category-point "
-    "predicate. Exposes that unscaled z-ordering of sub-2^10-char docs "
-    "on a 16-bit axis yields category-only pruning; the scaled layout "
-    "prunes both. Matched-row counts are layout-invariant by "
-    "construction. Map-only layouts + one ~n_shards groupBy.",
-)
-def q_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return sketches.zonemap_pruning_audit(docs)
-
-
-@register(
-    "value_hour_correlation",
-    oracle=timeseries.value_hour_correlation_sql(),
-    doc="Per-type Pearson correlation of value (integer cents) vs UTC "
-    "hour-of-day from EXACT BIGINT sufficient statistics (built-in corr() "
-    "is order-dependent float accumulation); the closed form runs in "
-    "double over identical operands with an identical expression tree, so "
-    "every IEEE op including sqrt is bit-deterministic cross-engine. One "
-    "groupBy over |event_types| keys, integer map-side partials.",
-)
-def q_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, "events", sf_dir)
-    return timeseries.value_hour_correlation(events)
-
-
-@register(
-    "session_path_topk",
-    oracle=sessions.session_path_topk_sql(),
-    doc="Top-k session journeys per path length: ordered event-type "
-    "sequences per session (sessionize gap rule, first-10 truncation), "
-    "counted corpus-wide, ranked (count desc, path asc). Ordered "
-    "aggregation cross-engine: sort_array(collect_list(struct(rn, t))) "
-    "== string_agg(t ORDER BY rn). Ranking window runs over the "
-    "path-bounded aggregate, <= k rows per length.",
-)
-def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, "events", sf_dir)
-    return sessions.session_path_topk(events)
-
-
-# Shared by scd2_point_in_time_join (batch) and streaming_pit_enrichment
-# (its stream-static twin): the drain is stateless, so both equal this SQL.
-_SCD2_PIT_SQL = """
-WITH dim AS (
-  SELECT user_id, event_id AS version_id,
-         epoch_ms(ts) AS valid_from_ms,
-         epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-           AS valid_to_ms
-  FROM events WHERE event_type = 'view'
-),
-facts AS (
-  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
-)
-SELECT f.event_id, f.user_id, f.ts_ms, f.cents, d.version_id, d.valid_from_ms
-FROM facts f JOIN dim d
-  ON f.user_id = d.user_id
- AND d.valid_from_ms <= f.ts_ms
- AND (d.valid_to_ms IS NULL OR f.ts_ms < d.valid_to_ms)
-"""
-
-
-@register(
-    "scd2_point_in_time_join",
-    oracle=_SCD2_PIT_SQL,
-    doc="Point-in-time (temporal) join: each purchase enriched with the "
-    "SCD2 attribute version valid AT its event time (half-open "
-    "[valid_from, valid_to) intervals from scd2_user_history's lead "
-    "construction; a purchase exactly on a version boundary matches the "
-    "NEW version -- strict < on valid_to). Spark shape: hash equi-join "
-    "on user_id with the interval predicate as a residual filter -- one "
-    "shuffle per side, never a range-cartesian; per-user version chains "
-    "are bounded, so the residual scan per probe row is O(versions per "
-    "user) at any corpus scale.",
-)
-def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from ..functions.time import epoch_ms
-
-    ev = load_table(spark, "events", sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = ev.where(F.col("event_type") == "view").select(
-        F.col("user_id").alias("d_user_id"),
-        F.col("event_id").alias("version_id"),
-        epoch_ms("ts").alias("valid_from_ms"),
-        epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
-    )
-    facts = ev.where(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        epoch_ms("ts").alias("ts_ms"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
-    joined = facts.join(
-        dim,
-        (facts["user_id"] == dim["d_user_id"])
-        & (dim["valid_from_ms"] <= facts["ts_ms"])
-        & (dim["valid_to_ms"].isNull() | (facts["ts_ms"] < dim["valid_to_ms"])),
-    )
-    return joined.select(
-        "event_id", "user_id", "ts_ms", "cents", "version_id", "valid_from_ms"
-    )
-
-
-@register(
-    "streaming_pit_enrichment",
-    oracle=_SCD2_PIT_SQL,
-    doc="Stream-static POINT-IN-TIME enrichment through the real engine: "
-    "the purchase stream joined per micro-batch to the broadcast "
-    "batch-built SCD2 version dimension on user_id plus the half-open "
-    "interval residual -- the temporal upgrade of streaming_enrich_static "
-    "(version valid AT event time, not current state). Stateless inner "
-    "stream-static join => the availableNow drain equals the batch "
-    "scd2_point_in_time_join row-for-row and the oracle is the same SQL, "
-    "no horizon cut. Boundary semantics carried through the engine: a "
-    "purchase exactly on a version boundary takes the NEW version, "
-    "zero-width versions never match.",
-)
-def q_streaming_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import run_pit_enrichment_availablenow
-
-    return run_pit_enrichment_availablenow(
-        spark, sf_dir, "streaming_pit_enrichment_gate"
-    )
-
-
-@register(
-    "cube_user_type_day",
-    oracle="""
-SELECT COALESCE(event_type, 'ALL') AS event_type,
-       COALESCE(CAST(CAST(date_part('day', ts) AS INT) AS STRING), 'ALL') AS day,
-       CAST(GROUPING(event_type, CAST(date_part('day', ts) AS INT)) AS INT) AS gid,
-       count(*) AS cnt,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-FROM events
-GROUP BY CUBE(event_type, CAST(date_part('day', ts) AS INT))
-""",
-    doc="CUBE grouping sets (all four (event_type, day) marginals -- "
-    "ROLLUP's hierarchy plus the (ALL, day) slice) with the GROUPING id "
-    "disambiguating real keys from subtotal keys (first column = most "
-    "significant bit in BOTH engines, verified). Spark computes a CUBE "
-    "as ONE expand + one hash aggregate -- 4x the agg input rows, still "
-    "a single shuffle; exact integer cents re-combine under AQE.",
-)
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_type",
-        F.dayofmonth("ts").alias("day_raw"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents_v"),
-    )
-    return (
-        ev.cube("event_type", "day_raw")
-        .agg(
-            F.grouping_id().cast("int").alias("gid"),
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("cents_v").alias("cents"),
-        )
-        .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-            F.coalesce(F.col("day_raw").cast("string"), F.lit("ALL")).alias("day"),
-            "gid",
-            "cnt",
-            "cents",
-        )
-    )
-
-
-# Shared by snapshot_diff_documents (batch full-outer diff) and
-# streaming_snapshot_diff (its incremental foreachBatch twin): chunking
-# invariance makes both equal this one-shot SQL.
-_SNAPSHOT_DIFF_SQL = """
-WITH snap_a AS (
-  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
-),
-snap_b AS (
-  SELECT doc_id,
-         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
-  FROM documents WHERE doc_id % 7 <> 0
-)
-SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-       CASE WHEN a.doc_id IS NULL THEN 'added'
-            WHEN b.doc_id IS NULL THEN 'removed'
-            ELSE 'changed' END AS status,
-       a.h AS old_hash, b.h AS new_hash
-FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
-WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
-"""
-
-
-@register(
-    "snapshot_diff_documents",
-    oracle=_SNAPSHOT_DIFF_SQL,
-    doc="Corpus snapshot diff -- the incremental-ingest primitive: two "
-    "snapshots (derived deterministically from `documents` by doc_id "
-    "residue filters, with a text mutation standing in for re-crawled "
-    "pages) full-outer-joined on doc_id and classified added / removed / "
-    "changed by content hash; unchanged rows are filtered out so the "
-    "delta, not the corpus, is the output. 100 TB: one hash shuffle on "
-    "doc_id per side (or zero with both snapshots bucketed by doc_id at "
-    "write time -- sources/bucketing.py); content comparison is on "
-    "16-byte hashes, never raw text movement.",
-)
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    snap_a = docs.where(F.col("doc_id") % 10 != 0).select(
-        F.col("doc_id").alias("a_id"), F.md5("text").alias("old_hash")
-    )
-    snap_b = docs.where(F.col("doc_id") % 7 != 0).select(
-        F.col("doc_id").alias("b_id"),
-        F.md5(
-            F.when(
-                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
-            ).otherwise(F.col("text"))
-        ).alias("new_hash"),
-    )
-    diff = snap_a.join(snap_b, snap_a["a_id"] == snap_b["b_id"], "full_outer")
-    return diff.where(
-        F.col("a_id").isNull()
-        | F.col("b_id").isNull()
-        | (F.col("old_hash") != F.col("new_hash"))
-    ).select(
-        F.coalesce("a_id", "b_id").alias("doc_id"),
-        F.when(F.col("a_id").isNull(), "added")
-        .when(F.col("b_id").isNull(), "removed")
-        .otherwise("changed")
-        .alias("status"),
-        "old_hash",
-        "new_hash",
-    )
-
-
-@register(
-    "streaming_snapshot_diff",
-    oracle=_SNAPSHOT_DIFF_SQL,
-    doc="Snapshot diff through the real engine -- the incremental ingest "
-    "shape: snapshot A is the standing batch corpus, snapshot B ARRIVES "
-    "as a document stream; each micro-batch classifies its rows against A "
-    "on the spot (left join on doc_id: added / changed, unchanged "
-    "dropped) into batch-id-keyed overwrite outputs (idempotent under "
-    "foreachBatch retries), 'removed' = one final anti-join of A vs the "
-    "seen-key set. doc_ids unique within B + static A => any chunking "
-    "folds to the one-shot batch diff (chunked-replay invariance "
-    "pytest-pinned), so the oracle is the same full-outer SQL.",
-)
-def q_streaming_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.queries import run_snapshot_diff_availablenow
-
-    return run_snapshot_diff_availablenow(
-        spark, sf_dir, "streaming_snapshot_diff_gate"
-    )
-
-
-_SALTED_JOIN_DIM = [(t, len(t)) for t in ("click", "error", "purchase", "signup", "view")]
-
-
-@register(
-    "skew_salted_join_events",
-    oracle="""
-WITH dim AS (SELECT * FROM (VALUES """
-    + ", ".join(f"('{t}', {w})" for t, w in _SALTED_JOIN_DIM)
-    + """) AS t(event_type, type_weight))
-SELECT e.event_type, d.type_weight, count(*) AS n_events,
-       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
-FROM events e JOIN dim d ON e.event_type = d.event_type
-GROUP BY 1, 2
-""",
-    doc="Salted replicate-and-broadcast JOIN under the hash gate "
-    "(companion to skew_salted_event_counts' salted aggregation): events "
-    "carry only 5 distinct event_type keys -- the worst join-skew case, "
-    "every key hot -- so the small dimension is replicated over "
-    "salt_buckets and the big side salted uniformly, spreading each hot "
-    "key over salt_buckets tasks. The downstream integer aggregate is "
-    "salt-assignment-invariant, so the rewrite must equal the plain "
-    "join + GROUP BY bit-for-bit under ANY partitioning (the "
-    "SPARK_GRAFT_CPUS sweep exercises exactly that).",
-)
-def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents_v")
-    )
-    dim = spark.createDataFrame(
-        _SALTED_JOIN_DIM, "d_event_type string, type_weight int"
-    )
-    joined = skew.salted_broadcast_join(ev, dim, "event_type", "d_event_type")
-    return (
-        joined.groupBy("event_type", "type_weight")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("cents_v").alias("cents"),
-        )
-    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
@@ -3454,7 +87,6 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
     sf0.001 smoke check returns rows."""
     r = rides_plan.rides_view(spark, sf_dir)
     return windows.popular_places(r, window="1 day", slide="6 hours", threshold=2)
-
 
 # ---------------------------------------------------------------------------
 # Gate ordering. The driver's correctness gate records only the FIRST 50

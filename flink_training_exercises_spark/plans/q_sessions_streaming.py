@@ -1,0 +1,187 @@
+"""Sessionization and the watermarked streaming family (sessionize, exact dedup, interval joins, distinct users).
+
+Registration module: imported by plans.catalog for its @register side
+effects; the shared QuerySpec registry, gate ordering and determinism
+rules live in plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from ..sources import load_table
+from .catalog import register
+from ..operators import (
+    dedup,
+    relational,
+    sessions,
+    stateful,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + relational breadth anchors (beyond the reference surface).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle=sessions.sessionize_sql(),
+    doc="Gap-based sessionization (30 min): lag-gap-cumsum session ids, "
+    "per-session aggregates in exact cents.",
+    bench=True,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.sessionize(load_table(spark, "events", sf_dir))
+
+@register(
+    "streaming_sessionize",
+    oracle=f"""
+WITH s AS ({sessions.sessionize_sql()}),
+mx AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+SELECT user_id, session_start_ms,
+       session_end_ms + {sessions.DEFAULT_GAP_MS} AS session_end_ms, n_events
+FROM s, mx
+WHERE session_end_ms + {sessions.DEFAULT_GAP_MS} <= m - 60000
+""",
+    doc="Sessionization through the real streaming engine: native "
+    "session_window (merging gap sessions) in append mode, availableNow "
+    "drain -- fire-once per merged session. Oracle = the batch lag-gap "
+    "sessions with end shifted by the gap (session_window ends at "
+    "last-event + gap) and cut at the final watermark. The two forms' "
+    "merge semantics differ only for events spaced EXACTLY at the gap "
+    "(batch: gap > g merges; session_window: >= g breaks) -- equal on "
+    "this data, see run_sessionize_availablenow.",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import run_sessionize_availablenow
+
+    return run_sessionize_availablenow(spark, sf_dir)
+
+@register(
+    "streaming_exact_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="First-seen-wins key dedup through the real streaming engine: "
+    "dropDuplicatesWithinWatermark state, append mode, availableNow drain "
+    "(CheckpointedTaxiRideSource.java:54-170's dedup-on-restore concern). "
+    "The events table is ONE parquet file, so the drain is a single "
+    "micro-batch: no state eviction mid-run, every duplicate key is "
+    "suppressed, and the emitted set is exactly the distinct keys. Only "
+    "the key columns are projected because WHICH duplicate row survives "
+    "within a micro-batch is partition-order dependent; the key set is "
+    "not. Multi-batch eviction semantics are pytest-covered "
+    "(tests/test_streaming.py::test_streaming_exact_dedup).",
+)
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow, streaming_exact_dedup
+    from ..streaming.sources import events_stream
+
+    deduped = streaming_exact_dedup(
+        events_stream(spark, sf_dir), ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return drain_availablenow(deduped, "streaming_exact_dedup_gate")
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 21600000 MILLISECONDS
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+    doc="Stream-stream interval join through the real engine: purchases "
+    "attributed to same-user clicks within the preceding 6 hours -- "
+    "the third stateful operator class (join state, watermark-bounded "
+    "buffer eviction). Inner-join rows emit on match, so the availableNow "
+    "drain equals the plain batch interval join with no horizon cut.",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow, streaming_interval_join
+    from ..streaming.sources import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    ev2 = events_stream(spark, sf_dir)
+    return drain_availablenow(
+        streaming_interval_join(
+            ev.where(F.col("event_type") == "click"),
+            ev2.where(F.col("event_type") == "purchase"),
+        ),
+        "streaming_interval_join_gate",
+    )
+
+@register(
+    "streaming_interval_join_outer",
+    oracle="""
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+              - INTERVAL 60000 MILLISECONDS AS w),
+matched AS (
+  SELECT c.click_id, p.purchase_id, c.user_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+  FROM c JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+               AND c.ts >= p.ts - INTERVAL 21600000 MILLISECONDS
+)
+SELECT purchase_id, click_id, user_id, gap_us FROM matched
+UNION ALL
+SELECT CAST(NULL AS BIGINT), c.click_id, c.user_id, CAST(NULL AS BIGINT)
+FROM c, wm
+WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+  AND c.ts + INTERVAL 21600000 MILLISECONDS < wm.w
+""",
+    doc="LEFT-OUTER stream-stream interval join: matched rows emit on "
+    "match; an unmatched click emits its null-purchase row only when the "
+    "join watermark (MIN of both sides' watermarks) passes "
+    "ts_click + max_gap -- i.e. when state eviction proves no future match "
+    "can arrive. The oracle reproduces that exact eviction horizon, so the "
+    "watermark-driven outer-emission contract itself is hash-checked.",
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow, streaming_interval_join
+    from ..streaming.sources import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    ev2 = events_stream(spark, sf_dir)
+    return drain_availablenow(
+        streaming_interval_join(
+            ev.where(F.col("event_type") == "click"),
+            ev2.where(F.col("event_type") == "purchase"),
+            how="leftOuter",
+        ),
+        "streaming_interval_join_outer_gate",
+    )
+
+@register(
+    "streaming_distinct_users",
+    oracle="""
+WITH ev AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type, user_id FROM events
+),
+mx AS (SELECT max(hour_ms) AS m FROM ev)
+SELECT hour_ms + 3600000 AS window_end_ms, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM ev, mx
+GROUP BY hour_ms, event_type, m
+HAVING hour_ms + 3600000 <= m - 60000
+""",
+    doc="Windowed distinct-user counts through the real streaming engine: "
+    "streaming aggregation forbids COUNT(DISTINCT), so this chains the two "
+    "supported stateful operators -- watermarked dropDuplicates on "
+    "(hour, event_type, user_id) feeding a windowed count (append mode, "
+    "fire-once). Counts are survivor-independent, so the batch "
+    "COUNT(DISTINCT) oracle cut at the final watermark matches exactly.",
+)
+def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import drain_availablenow, streaming_distinct_users
+    from ..streaming.sources import events_stream
+
+    return drain_availablenow(
+        streaming_distinct_users(events_stream(spark, sf_dir)),
+        "streaming_distinct_users_gate",
+    )

@@ -1372,3 +1372,37 @@ def test_snapshot_diff_statuses_match_residue_rules(spark, sf_small):
             assert r["old_hash"] is not None and r["new_hash"] is None
         else:
             assert r["old_hash"] != r["new_hash"]
+
+
+def test_bm25_topk_hand_computed(spark):
+    # 3 docs, one query ("quick", "dog"); expected scores computed with the
+    # operator's exact rational formula in plain Python floats (identical
+    # IEEE expression tree: idf = (2N-2df+1)/(2df+1), tfn = 22*T*tf /
+    # (10*T*tf + 3*T + 9*dl*N), score = s1 + s2)
+    rows = [
+        (1, "quick dog quick", "en", "s"),
+        (2, "quick cat", "en", "s"),
+        (3, "slow turtle here", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["n_matched"], r["score_x1e6"])
+        for r in indexing.bm25_topk(
+            docs, queries=[("q1", "quick", "dog")], k=10
+        ).collect()
+    }
+    N, T = 3, 8  # 3 docs, 8 tokens total
+    import math
+
+    def s(tf, dl, df):
+        return ((2 * N - 2 * df + 1) / (2 * df + 1)) * (
+            (22 * T * tf) / (10 * T * tf + 3 * T + 9 * dl * N)
+        )
+
+    d1 = s(2, 3, 2) + s(1, 3, 1)   # quick tf=2 df=2; dog tf=1 df=1
+    d2 = s(1, 2, 2)                # quick only
+    exp = {
+        ("q1", 1): (1, 2, math.floor(d1 * 1e6)),
+        ("q1", 2): (2, 1, math.floor(d2 * 1e6)),
+    }
+    assert got == exp
