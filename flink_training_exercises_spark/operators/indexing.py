@@ -282,11 +282,13 @@ def bm25_topk(
     Scale shape (100 TB): the query-term filter is a literal IN over the
     exploded tokens -- pushed inside the one token scan, so only rows for
     query terms (a vanishing corpus fraction) ever shuffle; tf is one
-    groupBy(doc, token) on those, df is a ~|terms|-row agg of tf
-    broadcast back, corpus totals are a 1-row broadcast crossJoin (the A4
-    scalar pattern), and the rank window partitions on query_id over the
-    already-aggregated candidate set. Two corpus scans total (totals +
-    tokens), no driver-side state."""
+    groupBy(doc, token) on those; df is a count window over tf (one extra
+    shuffle of the tiny query-term rows -- a groupBy+join-back would
+    re-evaluate the whole scan+explode subtree, since exchange reuse does
+    not kick in under broadcast joins); corpus totals are a 1-row
+    broadcast crossJoin (the A4 scalar pattern); the rank window
+    partitions on query_id over the already-aggregated candidate set. Two
+    corpus scans total (totals + tokens), no driver-side state."""
     qs = BM25_QUERIES if queries is None else queries
     terms = sorted({t for _, t1, t2 in qs for t in (t1, t2)})
     spark = docs.sparkSession
@@ -301,14 +303,17 @@ def bm25_topk(
         "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("token")
     ).where(F.col("token").isin(terms))
     tf = toks.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window over tf, NOT a groupBy + join back: a second aggregate
+    # re-evaluates the whole scan+explode subtree (exchange reuse does not
+    # kick in under broadcast joins) -- the window costs one extra shuffle
+    # of the tiny query-term rows instead of a second corpus scan
+    tfdf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
     qterms = spark.createDataFrame(
         [(qid, pos, t) for qid, t1, t2 in qs for pos, t in ((1, t1), (2, t2))],
         "query_id string, pos int, term string",
     )
     scored = (
-        tf.join(F.broadcast(df_tbl), "token")
-        .join(F.broadcast(qterms), F.col("token") == F.col("term"))
+        tfdf.join(F.broadcast(qterms), F.col("token") == F.col("term"))
         .crossJoin(F.broadcast(totals))
         .select(
             "query_id",
