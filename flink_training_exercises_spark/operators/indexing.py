@@ -428,3 +428,153 @@ SELECT query_id, rank, doc_id, n_matched, score_x1e6 FROM (
   FROM ranked
 ) WHERE rank <= {k}
 """
+
+
+def collocation_pmi_topk(
+    docs: DataFrame,
+    k: int = 25,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information -- the
+    word-embedding / tokenizer-merit staple ("which adjacent pairs occur
+    far more than their parts predict"): rank adjacent token pairs with
+    corpus count >= ``min_count`` by the PMI odds ratio
+    p(ab) / (p(a) p(b)) = (c_ab / B) / ((c_a / N) (c_b / N)).
+    Output (rank, w1, w2, pair_count, pmi_x1e3).
+
+    Determinism (the BM25 recipe): no log -- the raw ratio is monotone in
+    PMI and needs only multiplications/divisions, all IEEE-correctly-
+    rounded over exact BIGINT counts with an identical expression tree
+    cross-engine; ranking and output use floor(1e3 * ratio), and the sort
+    key is (pmi_x1e3 DESC, w1, w2) -- pure integer/string comparisons.
+    The ratio is assembled scalar-by-scalar ((c_ab * N / B) * (N / c_a)
+    / c_b) so no intermediate exceeds ~N in magnitude -- BIGINT-squaring
+    N (2.5e13 tokens at 100 TB) would overflow int64, doubles don't.
+
+    Scale shape (100 TB): one corpus scan exploding adjacent pairs
+    (map-only) -> one groupBy(w1, w2) with map-side partial counts; the
+    unigram table is a second scan + one |vocab|-row aggregate broadcast
+    back twice (c_a, c_b); N and B ride the same 1-row broadcast
+    crossJoin (A4 pattern). The global top-k is TakeOrdered (distributed
+    heap per partition, k rows to the driver plan -- never a
+    single-partition sort of the vocab-bounded pair table); the final
+    row_number window runs over exactly k rows by construction."""
+    base = _widened(docs).select(_words(text_col).alias("ws"))
+    pairs = base.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i).alias("w1"),
+                        F.element_at(F.col("ws"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    toks = base.select(F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = base.agg(
+        F.sum(F.size("ws")).alias("n_tokens"),
+        F.sum(F.greatest(F.size("ws") - 1, F.lit(0))).alias("n_bigrams"),
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    (
+                        F.col("pair_count").cast("double")
+                        * F.col("n_tokens").cast("double")
+                        / F.col("n_bigrams").cast("double")
+                    )
+                    * (F.col("n_tokens").cast("double") / F.col("c1").cast("double"))
+                    / F.col("c2").cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("pmi_x1e3"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi_x1e3"), F.asc("w1"), F.asc("w2")).limit(k)
+    w = Window.orderBy(F.desc("pmi_x1e3"), F.asc("w1"), F.asc("w2"))
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "w1",
+        "w2",
+        "pair_count",
+        "pmi_x1e3",
+    )
+
+
+def collocation_pmi_topk_sql(
+    table: str = "documents",
+    k: int = 25,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`collocation_pmi_topk` -- identical BIGINT
+    counts and an identical scalar-by-scalar double expression tree."""
+    w = _words_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {w} AS ws FROM {table}
+),
+pairs AS (
+  SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT unnest([{{'w1': ws[i], 'w2': ws[i + 1]}}
+                   for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS p
+    FROM base
+  )
+),
+pair_counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= {min_count}
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM base) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+         CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS n_bigrams
+  FROM base
+),
+scored AS (
+  SELECT p.w1, p.w2, p.pair_count,
+         CAST(floor(1e3 *
+           ((CAST(p.pair_count AS DOUBLE) * CAST(tot.n_tokens AS DOUBLE)
+             / CAST(tot.n_bigrams AS DOUBLE))
+            * (CAST(tot.n_tokens AS DOUBLE) / CAST(u1.c AS DOUBLE))
+            / CAST(u2.c AS DOUBLE))) AS BIGINT) AS pmi_x1e3
+  FROM pair_counts p
+  JOIN uni u1 ON p.w1 = u1.w
+  JOIN uni u2 ON p.w2 = u2.w
+  CROSS JOIN tot
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_x1e3 DESC, w1, w2) AS INT) AS rank,
+       w1, w2, pair_count, pmi_x1e3
+FROM scored
+ORDER BY pmi_x1e3 DESC, w1, w2
+LIMIT {k}
+"""

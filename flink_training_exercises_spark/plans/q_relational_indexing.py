@@ -225,6 +225,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexing.bm25_topk(load_table(spark, "documents", sf_dir))
 
 @register(
+    "collocation_pmi_topk",
+    oracle=indexing.collocation_pmi_topk_sql(),
+    doc="Top-25 collocations by pointwise mutual information (pair count "
+    ">= 5) -- the word-embedding / tokenizer-merit staple. Deterministic "
+    "variant (the BM25 recipe): the raw PMI odds ratio instead of its "
+    "log, assembled scalar-by-scalar in doubles over exact BIGINT counts "
+    "(no intermediate exceeds ~N, so no int64 squaring overflow at any "
+    "corpus size); ranking/output by floor(1e3*ratio) with (w1, w2) "
+    "integer/string tiebreaks. One pair-explode scan + one groupBy; "
+    "unigram table broadcast twice; global top-k is TakeOrdered, never a "
+    "single-partition sort.",
+)
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indexing.collocation_pmi_topk(load_table(spark, "documents", sf_dir))
+
+@register(
     "doc_typicality_bigrams",
     oracle=indexing.doc_typicality_sql(),
     doc="Per-document corpus-typicality in exact integers: corpus bigram "

@@ -49,6 +49,7 @@ EXPECTED_GATE_WINDOW = [
     "label_propagation_communities",
     "bm25_topk_retrieval",
     "streaming_snapshot_diff",
+    "collocation_pmi_topk",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -99,12 +100,12 @@ EXPECTED_GATE_WINDOW = [
     "cdc_merge_user_state",
     "sssp_event_graph",
     "vocab_oov_rate",
-    "timeseries_gapfill_hourly",
     # ejected to fit: embedding_quantize_int8, bpe_train_merges,
-    # hll_merge_shards and dedup_editdistance_blocked (r4-fill rows, for
-    # the four round-6 additions streaming_pit_enrichment,
-    # label_propagation_communities, bm25_topk_retrieval and
-    # streaming_snapshot_diff); everything with r5 evidence (the whole round-5
+    # hll_merge_shards, dedup_editdistance_blocked and
+    # timeseries_gapfill_hourly (r4-fill rows, for the five round-6
+    # additions streaming_pit_enrichment, label_propagation_communities,
+    # bm25_topk_retrieval, streaming_snapshot_diff and
+    # collocation_pmi_topk); everything with r5 evidence (the whole round-5
     # window) and the 35 freshest r4 rows -- all recorded below the
     # cutoff in catalog._GATE_PRIORITY
 ]

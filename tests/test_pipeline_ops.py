@@ -1406,3 +1406,26 @@ def test_bm25_topk_hand_computed(spark):
         ("q1", 2): (2, 1, math.floor(d2 * 1e6)),
     }
     assert got == exp
+
+
+def test_collocation_pmi_hand_computed(spark):
+    # corpus: "a b" x5, "a c" x5, unigrams a=10 b=5 c=5, bigrams B=10, N=20.
+    # pmi ratio for (a,b): (5*20/10) * (20/10) / 5 = 4.0 -> 4000; same (a,c).
+    rows = [(i, "a b" if i % 2 == 0 else "a c", "en", "s") for i in range(10)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = [
+        (r["rank"], r["w1"], r["w2"], r["pair_count"], r["pmi_x1e3"])
+        for r in indexing.collocation_pmi_topk(docs, k=10, min_count=5).collect()
+    ]
+    assert got == [(1, "a", "b", 5, 4000), (2, "a", "c", 5, 4000)]
+
+
+def test_collocation_pmi_min_count_filters(spark):
+    # a single "x y" occurrence never reaches the ranking at min_count=5
+    rows = [(1, "x y", "en", "s")] + [
+        (i, "a b", "en", "s") for i in range(2, 8)
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {(r["w1"], r["w2"]) for r in
+           indexing.collocation_pmi_topk(docs, k=10, min_count=5).collect()}
+    assert got == {("a", "b")}
