@@ -40,7 +40,7 @@ sketch registers themselves are exact and mergeable either way).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -674,4 +674,159 @@ SELECT layout,
        CAST(sum(rows_len) AS BIGINT) AS rows_matched_len,
        CAST(sum(rows_cat) AS BIGINT) AS rows_matched_cat
 FROM zone GROUP BY layout
+"""
+
+
+def histogram_merge_demo(
+    df: DataFrame,
+    value_col: str,
+    shard_col: str,
+    n_shards: int = 4,
+    n_bins: int = 20,
+) -> DataFrame:
+    """The ADDITIVE merge law, companion to :func:`hll_merge_demo`'s
+    max-merge: equi-width histograms over FIXED global edges merge by
+    per-bin count addition, so per-shard histograms summed must equal the
+    histogram built directly over all rows -- exactly, not approximately.
+    This is what lets a 1000-executor profile job (or a per-day series)
+    combine kilobyte bin vectors instead of re-shuffling raw values, and
+    it is the law ``value_histogram``'s production use depends on.
+
+    On top, the merged histogram answers a quantile query: est_p50 = the
+    lower edge of the first bin whose cumulative count reaches
+    ceil(total/2) -- pure BIGINT arithmetic -- reported next to the exact
+    interpolated median (Spark ``percentile`` == DuckDB ``quantile_cont``
+    over integer cents, the proven-bit-exact pair), the
+    estimator-vs-ground-truth pattern of hll_distinct / ann_recall_at_k.
+
+    Output (one row): n_shards, n_bins, hist_equal, est_p50_cents,
+    exact_p50_cents.
+
+    Scale shape (100 TB): the [lo, hi] edge pair is one 1-row broadcast;
+    binning is map-only; per-shard and direct histograms are single
+    map-side-combined groupBys over <= n_shards*n_bins and n_bins keys;
+    the equality check and quantile walk run over <= n_bins rows."""
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(cents.alias("c"), (F.col(shard_col) % n_shards).alias("shard"))
+    edges = base.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    binned = base.crossJoin(F.broadcast(edges)).select(
+        "shard",
+        "n_rows",
+        F.least(
+            F.expr(f"(c - lo) div ((hi - lo) div {n_bins} + 1)"),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.col("lo"),
+        F.expr(f"(hi - lo) div {n_bins} + 1").alias("width"),
+    )
+    per_shard = binned.groupBy("shard", "bin", "lo", "width", "n_rows").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = per_shard.groupBy("bin", "lo", "width", "n_rows").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt_direct"))
+    cmp = merged.join(direct, "bin", "full_outer")
+    equal = cmp.agg(
+        F.count(F.lit(1)).alias("n_bins_out"),
+        F.sum(
+            F.when(
+                F.col("cnt").isNull()
+                | F.col("cnt_direct").isNull()
+                | (F.col("cnt") != F.col("cnt_direct")),
+                1,
+            ).otherwise(0)
+        ).alias("n_diff"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    est = (
+        merged.withColumn("cum", F.sum("cnt").over(w_cum))
+        .where(F.col("cum") * 2 >= F.col("n_rows"))
+        .agg(
+            F.min(F.col("lo") + F.col("bin") * F.col("width")).alias("est_p50_cents")
+        )
+    )
+    exact = df.agg(
+        F.expr(
+            f"percentile(CAST(round({value_col} * 100) AS BIGINT), 0.5e0)"
+        ).alias("exact_p50_cents")
+    )
+    return (
+        equal.crossJoin(est)
+        .crossJoin(exact)
+        .select(
+            F.lit(n_shards).cast("bigint").alias("n_shards"),
+            F.lit(n_bins).cast("int").alias("n_bins"),
+            (F.col("n_diff") == 0).alias("hist_equal"),
+            F.col("est_p50_cents").cast("bigint").alias("est_p50_cents"),
+            "exact_p50_cents",
+        )
+    )
+
+
+def histogram_merge_demo_oracle(
+    table: str,
+    value_col: str,
+    shard_col: str,
+    n_shards: int = 4,
+    n_bins: int = 20,
+) -> str:
+    """DuckDB twin of :func:`histogram_merge_demo` -- identical integer bin
+    rule ((c - lo) div width, width = (hi - lo) div n_bins + 1, last bin
+    clamped) and the same quantile walk."""
+    return f"""
+WITH base AS (
+  SELECT CAST(round({value_col} * 100) AS BIGINT) AS c,
+         {shard_col} % {n_shards} AS shard
+  FROM {table}
+),
+edges AS (
+  SELECT min(c) AS lo, max(c) AS hi, CAST(count(*) AS BIGINT) AS n_rows FROM base
+),
+binned AS (
+  SELECT shard, n_rows, lo, (hi - lo) // {n_bins} + 1 AS width,
+         CAST(least((c - lo) // ((hi - lo) // {n_bins} + 1), {n_bins - 1}) AS INT) AS bin
+  FROM base CROSS JOIN edges
+),
+per_shard AS (
+  SELECT shard, bin, lo, width, n_rows, CAST(count(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY 1, 2, 3, 4, 5
+),
+merged AS (
+  SELECT bin, lo, width, n_rows, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM per_shard GROUP BY 1, 2, 3, 4
+),
+direct AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS cnt_direct FROM binned GROUP BY 1
+),
+eq AS (
+  SELECT count(*) AS n_bins_out,
+         sum(CASE WHEN m.cnt IS NULL OR d.cnt_direct IS NULL
+                       OR m.cnt != d.cnt_direct THEN 1 ELSE 0 END) AS n_diff
+  FROM merged m FULL OUTER JOIN direct d USING (bin)
+),
+cum AS (
+  SELECT bin, lo, width, n_rows,
+         sum(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM merged
+),
+est AS (
+  SELECT CAST(min(lo + bin * width) AS BIGINT) AS est_p50_cents
+  FROM cum WHERE cum * 2 >= n_rows
+),
+exact AS (
+  SELECT quantile_cont(CAST(round({value_col} * 100) AS BIGINT), 0.5e0)
+           AS exact_p50_cents
+  FROM {table}
+)
+SELECT CAST({n_shards} AS BIGINT) AS n_shards, CAST({n_bins} AS INT) AS n_bins,
+       n_diff = 0 AS hist_equal, est_p50_cents, exact_p50_cents
+FROM eq CROSS JOIN est CROSS JOIN exact
 """

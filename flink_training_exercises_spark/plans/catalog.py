@@ -121,6 +121,7 @@ _GATE_PRIORITY = [
     "bm25_topk_retrieval",          # NEW: BM25 ranked retrieval (VERDICT r5 #4)
     "streaming_snapshot_diff",      # NEW: incremental snapshot-diff twin (VERDICT r5 #5)
     "collocation_pmi_topk",         # NEW: PMI collocation mining (BM25 determinism recipe)
+    "histogram_merge_shards",       # NEW: additive histogram merge law + quantile walk
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -173,16 +174,17 @@ _GATE_PRIORITY = [
     # -- r4-evidence fill (8 slots; first ejected as round-6 queries land) --
     "cdc_merge_user_state",
     "sssp_event_graph",
-    "vocab_oov_rate",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-6 window.
     # -- remaining r4-evidence rows (next in line after the fill block);
-    #    embedding_quantize_int8, bpe_train_merges, hll_merge_shards,
-    #    dedup_editdistance_blocked and timeseries_gapfill_hourly ejected
-    #    from the fill block for the five round-6 additions
-    #    (streaming_pit_enrichment, label_propagation_communities,
-    #    bm25_topk_retrieval, streaming_snapshot_diff,
-    #    collocation_pmi_topk) --
+    #    six of the eight fill rows (embedding_quantize_int8,
+    #    bpe_train_merges, hll_merge_shards, dedup_editdistance_blocked,
+    #    timeseries_gapfill_hourly, vocab_oov_rate) ejected for the six
+    #    round-6 additions (streaming_pit_enrichment,
+    #    label_propagation_communities, bm25_topk_retrieval,
+    #    streaming_snapshot_diff, collocation_pmi_topk,
+    #    histogram_merge_shards) --
+    "vocab_oov_rate",
     "timeseries_gapfill_hourly",
     "dedup_editdistance_blocked",
     "hll_merge_shards",

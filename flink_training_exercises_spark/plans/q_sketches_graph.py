@@ -189,6 +189,23 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return sketches.hll_distinct(ev, "user_id", "event_type")
 
+@register(
+    "histogram_merge_shards",
+    oracle=sketches.histogram_merge_demo_oracle("events", "value", "event_id"),
+    doc="The ADDITIVE sketch merge law gated as a single-row result "
+    "(companion to hll_merge_shards' max-merge): equi-width histograms "
+    "over fixed global edges built independently per shard (event_id % 4) "
+    "and summed per bin must EQUAL the direct all-rows histogram -- the "
+    "law that lets a 1000-executor profile job combine kilobyte bin "
+    "vectors instead of re-shuffling raw values. The merged histogram "
+    "also answers a median query (first bin reaching ceil(n/2), pure "
+    "BIGINT walk) next to the exact interpolated median (percentile == "
+    "quantile_cont, the proven bit-exact pair).",
+)
+def q_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sketches.histogram_merge_demo(ev, "value", "event_id")
+
 _CMS_COUNTS_SQL = """
   SELECT token, count(*) AS cnt FROM (
     SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token

@@ -223,3 +223,27 @@ def test_zonemap_audit_layout_invariants(spark, sf_small):
     assert out["zorder_scaled"]["shards_scanned_len"] <= out["naive"]["shards_scanned_len"]
     assert out["zorder_scaled"]["shards_scanned_cat"] <= out["naive"]["shards_scanned_cat"]
     assert out["zorder"]["shards_scanned_cat"] < out["naive"]["shards_scanned_cat"]
+
+
+def test_histogram_merge_law_and_median_walk(spark):
+    # values 0.01..1.00 cents 1..100, lo=1 hi=100, width=(99 div 20)+1=5;
+    # direct == merged by construction of the law; est_p50 = lower edge of
+    # the first bin whose cumulative count reaches 50 (bin 9 covers 46..50
+    # -> lower edge 46); exact interpolated median = 50.5 cents
+    rows = [(i, i / 100.0) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    r = sketches.histogram_merge_demo(df, "value", "event_id").first()
+    assert r["hist_equal"] is True
+    assert r["n_shards"] == 4 and r["n_bins"] == 20
+    assert r["est_p50_cents"] == 46
+    assert r["exact_p50_cents"] == 50.5
+
+
+def test_histogram_merge_invariant_to_shard_count(spark):
+    rows = [(i, (i * 37 % 211) / 100.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    a = sketches.histogram_merge_demo(df, "value", "event_id", n_shards=2).first()
+    b = sketches.histogram_merge_demo(df, "value", "event_id", n_shards=13).first()
+    assert a["hist_equal"] and b["hist_equal"]
+    assert a["est_p50_cents"] == b["est_p50_cents"]
+    assert a["exact_p50_cents"] == b["exact_p50_cents"]
