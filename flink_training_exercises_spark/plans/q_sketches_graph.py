@@ -243,6 +243,43 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return sketches.zorder_layout(docs)
 
+_DPP_DIM = [(t, len(t)) for t in ("click", "error", "purchase", "signup", "view")]
+
+@register(
+    "dpp_partition_pruning",
+    oracle="""
+WITH dim AS (SELECT * FROM (VALUES """
+    + ", ".join(f"('{t}', {w})" for t, w in _DPP_DIM)
+    + """) AS t(d_type, type_weight) WHERE length(d_type) <= 5)
+SELECT e.event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events e JOIN dim d ON e.event_type = d.d_type
+GROUP BY 1
+""",
+    doc="Dynamic Partition Pruning through a real partitioned layout: the "
+    "events fact is written partitionBy(event_type), then joined to a "
+    "filtered literal dimension on the partition column and aggregated. "
+    "Catalyst plans the dim filter as BOTH an inferred static "
+    "PartitionFilter and a dynamicpruningexpression (the broadcast's key "
+    "set reused as a runtime IN on the fact scan) -- the fact side reads "
+    "only surviving partition directories, the 100 TB star-schema "
+    "mechanism bucketing can't provide for selective dim filters. "
+    "test_bucketing asserts the pruning expression is in the plan; the "
+    "gate checks the aggregate through the partitioned round-trip.",
+)
+def q_dpp_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources import bucketing
+
+    ev = load_table(spark, "events", sf_dir)
+    path = tempfile.mkdtemp(prefix="fte_dpp_") + "/events_part"
+    bucketing.write_partitioned(ev, path, "event_type")
+    dim = spark.createDataFrame(
+        _DPP_DIM, "d_type string, type_weight int"
+    ).where(F.length("d_type") <= 5)
+    return bucketing.dpp_join_agg(spark, path, dim, "event_type", "d_type")
+
 @register(
     "value_histogram",
     oracle="""

@@ -3,6 +3,7 @@
 import uuid
 
 from flink_training_exercises_spark.sources import load_table
+from pyspark.sql import functions as F
 from flink_training_exercises_spark.sources.bucketing import (
     bucketed_join,
     plan_has_exchange,
@@ -112,3 +113,40 @@ def test_snapshot_diff_bucketed_is_shuffle_free(spark, sf_small):
 
     spark.sql(f"DROP TABLE IF EXISTS {ta}")
     spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_dpp_partitioned_join_prunes_partitions(spark, sf_small, tmp_path):
+    """The dpp_partition_pruning gate query's plan must carry BOTH the
+    inferred static PartitionFilter and the dynamicpruningexpression on the
+    partitioned fact scan, and the pruned result must equal the plain
+    filtered aggregate."""
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.sources.bucketing import (
+        dpp_join_agg,
+        plan_has_dynamic_pruning,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    path = str(tmp_path / "events_part")
+    write_partitioned(ev, path, "event_type")
+    dim = spark.createDataFrame(
+        [(t, len(t)) for t in ("click", "error", "purchase", "signup", "view")],
+        "d_type string, type_weight int",
+    ).where(F.length("d_type") <= 5)
+    agg = dpp_join_agg(spark, path, dim, "event_type", "d_type")
+    assert plan_has_dynamic_pruning(agg)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dynamicpruningexpression" in plan
+    got = {tuple(r) for r in agg.collect()}
+    want = {
+        tuple(r)
+        for r in ev.where(F.length("event_type") <= 5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 3

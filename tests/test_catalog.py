@@ -51,6 +51,7 @@ EXPECTED_GATE_WINDOW = [
     "streaming_snapshot_diff",
     "collocation_pmi_topk",
     "histogram_merge_shards",
+    "dpp_partition_pruning",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -99,14 +100,14 @@ EXPECTED_GATE_WINDOW = [
     "multimodal_decode_meta",
     # r4-evidence fill (ejected one-by-one as round-6 additions land)
     "cdc_merge_user_state",
-    "sssp_event_graph",
-    # ejected to fit: six of the eight r4-fill rows
+    # ejected to fit: seven of the eight r4-fill rows
     # (embedding_quantize_int8, bpe_train_merges, hll_merge_shards,
     # dedup_editdistance_blocked, timeseries_gapfill_hourly,
-    # vocab_oov_rate) for the six round-6 additions
+    # vocab_oov_rate, sssp_event_graph) for the seven round-6 additions
     # (streaming_pit_enrichment, label_propagation_communities,
     # bm25_topk_retrieval, streaming_snapshot_diff, collocation_pmi_topk,
-    # histogram_merge_shards); everything with r5 evidence (the whole round-5
+    # histogram_merge_shards, dpp_partition_pruning); everything with r5
+    # evidence (the whole round-5
     # window) and the 35 freshest r4 rows -- all recorded below the
     # cutoff in catalog._GATE_PRIORITY
 ]
