@@ -291,3 +291,171 @@ def test_sssp_matches_python_bfs(spark, edges, cap):
                 dist[v] = dist[u] + 1
                 q.append(v)
     assert got == set(dist.items())
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_label_propagation_fixpoint_is_component_min(spark, edges):
+    from flink_training_exercises_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=12).collect()
+    }
+    # python reference: union-find over symmetrized non-self-loop edges
+    real = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for n in {x for e in real for x in e}:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in {x for e in real for x in e}}
+    assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "dog", "cat", "sun"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bm25_matches_python_reference(spark, docs_words):
+    import math
+
+    from flink_training_exercises_spark.operators.indexing import bm25_topk
+
+    rows = [(i, " ".join(ws), "en", "s") for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    queries = [("q", "red", "dog")]
+    got = [
+        (r["query_id"], r["rank"], r["doc_id"], r["n_matched"], r["score_x1e6"])
+        for r in bm25_topk(df, queries=queries, k=4).collect()
+    ]
+    N = len(docs_words)
+    T = sum(len(ws) for ws in docs_words)
+    tf = {(i, w): ws.count(w) for i, ws in enumerate(docs_words) for w in ("red", "dog")}
+    dfreq = {w: sum(1 for i in range(N) if tf[(i, w)] > 0) for w in ("red", "dog")}
+
+    def term_score(i, w):
+        t = tf[(i, w)]
+        if t == 0:
+            return None
+        dl = len(docs_words[i])
+        return ((2 * N - 2 * dfreq[w] + 1) / (2 * dfreq[w] + 1)) * (
+            (22 * T * t) / (10 * T * t + 3 * T + 9 * dl * N)
+        )
+
+    cands = []
+    for i in range(N):
+        s1, s2 = term_score(i, "red"), term_score(i, "dog")
+        if s1 is None and s2 is None:
+            continue
+        score = (s1 or 0.0) + (s2 or 0.0)
+        n_matched = (s1 is not None) + (s2 is not None)
+        cands.append((math.floor(score * 1e6), i, n_matched))
+    cands.sort(key=lambda x: (-x[0], x[1]))
+    want = [
+        ("q", rank + 1, i, n, sc) for rank, (sc, i, n) in enumerate(cands[:4])
+    ]
+    assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.integers(min_value=0, max_value=99999),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_histogram_merge_law_on_random_values(spark, rows):
+    from flink_training_exercises_spark.operators.sketches import histogram_merge_demo
+
+    df = spark.createDataFrame(
+        [(eid, c / 100.0) for eid, c in rows], "event_id long, value double"
+    )
+    r = histogram_merge_demo(df, "value", "event_id", n_shards=3).first()
+    assert r["hist_equal"] is True
+    # the walk returns the lower edge of the bin holding the LOWER discrete
+    # median element -- so it brackets that element within one bin width
+    # and never exceeds the interpolated median
+    cents = sorted(c for _, c in rows)
+    lo, hi = cents[0], cents[-1]
+    width = (hi - lo) // 20 + 1
+    lower_median = cents[(len(cents) - 1) // 2]
+    assert r["est_p50_cents"] <= lower_median < r["est_p50_cents"] + width
+    assert r["est_p50_cents"] <= r["exact_p50_cents"]
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_collocation_pmi_matches_python_reference(spark, docs_words):
+    import math
+    from collections import Counter
+
+    from flink_training_exercises_spark.operators.indexing import collocation_pmi_topk
+
+    rows = [(i, " ".join(ws), "en", "s") for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = [
+        (r["rank"], r["w1"], r["w2"], r["pair_count"], r["pmi_x1e3"])
+        for r in collocation_pmi_topk(df, k=5, min_count=2).collect()
+    ]
+    pairs = Counter(
+        (ws[i], ws[i + 1]) for ws in docs_words for i in range(len(ws) - 1)
+    )
+    uni = Counter(w for ws in docs_words for w in ws)
+    N = sum(len(ws) for ws in docs_words)
+    B = sum(max(len(ws) - 1, 0) for ws in docs_words)
+    cands = []
+    for (w1, w2), c in pairs.items():
+        if c < 2:
+            continue
+        ratio = (c * N / B) * (N / uni[w1]) / uni[w2]
+        cands.append((math.floor(ratio * 1e3), w1, w2, c))
+    cands.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = [
+        (rank + 1, w1, w2, c, p) for rank, (p, w1, w2, c) in enumerate(cands[:5])
+    ]
+    assert got == want
