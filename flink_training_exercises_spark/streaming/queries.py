@@ -506,9 +506,22 @@ def run_snapshot_diff_availablenow(
     )
     q.awaitTermination()
 
+    # enumerate batch dirs explicitly: a "batch-*" glob path would route
+    # through FileStreamSink.hasMetadata and log a spurious full stack
+    # trace per read on the non-existent literal path
+    def _batch_dirs(root: str) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("batch-")
+        )
+
     removed_from = snap_a
-    if os.path.isdir(seen_root):
-        seen = spark.read.parquet(os.path.join(seen_root, "batch-*"))
+    seen_dirs = _batch_dirs(seen_root)
+    if seen_dirs:
+        seen = spark.read.parquet(*seen_dirs)
         removed_from = snap_a.join(
             seen, snap_a["a_id"] == seen["seen_id"], "left_anti"
         )
@@ -518,8 +531,9 @@ def run_snapshot_diff_availablenow(
         "old_hash",
         F.lit(None).cast("string").alias("new_hash"),
     )
-    if os.path.isdir(emit_root):
-        emitted = spark.read.parquet(os.path.join(emit_root, "batch-*"))
+    emit_dirs = _batch_dirs(emit_root)
+    if emit_dirs:
+        emitted = spark.read.parquet(*emit_dirs)
         out = emitted.unionByName(removed)
     else:
         out = removed
