@@ -288,7 +288,10 @@ def run_enrich_static_availablenow(
 
 
 def run_pit_enrichment_availablenow(
-    spark: SparkSession, sf_dir: str, query_name: str
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str,
+    b_stream: DataFrame | None = None,
 ) -> DataFrame:
     """Stream-static POINT-IN-TIME enrichment: the purchase stream joined
     per micro-batch to the batch-built SCD2 version dimension (view events
@@ -326,7 +329,9 @@ def run_pit_enrichment_availablenow(
             epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
         )
     )
-    stream = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    if b_stream is None:
+        b_stream = events_stream(spark, sf_dir)
+    stream = b_stream.where(F.col("event_type") == "purchase")
     facts = stream.select(
         "event_id",
         "user_id",

@@ -780,3 +780,43 @@ def test_streaming_snapshot_diff_chunked_matches_batch(spark, sf_small, tmp_path
     # all three classes must occur for the test to mean anything
     statuses = {t[1] for t in got}
     assert statuses == {"added", "removed", "changed"}
+
+
+def test_streaming_pit_enrichment_chunked_matches_batch(spark, sf_small, tmp_path):
+    """Chunked-replay invariance for the stream-static PIT join: the
+    purchase stream arriving in 4 chronological chunks must enrich to
+    exactly the batch scd2_point_in_time_join rows -- stateless inner
+    stream-static joins emit per micro-batch with no watermark state, so
+    batch boundaries cannot change the result."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        run_pit_enrichment_availablenow,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "ev_chunks")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = {
+        tuple(r)
+        for r in run_pit_enrichment_availablenow(
+            spark,
+            sf_small,
+            f"pit_chunked_{_uuid.uuid4().hex[:8]}",
+            b_stream=chunked,
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in CATALOG["scd2_point_in_time_join"].spark(spark, sf_small).collect()
+    }
+    assert got == want and got
