@@ -481,7 +481,11 @@ def collocation_pmi_topk(
         .where(F.col("pair_count") >= min_count)
     )
     toks = base.select(F.explode("ws").alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the |vocab|-bounded unigram table ONCE: it feeds TWO
+    # broadcast joins (c1, c2) and exchange reuse doesn't kick in under
+    # broadcast, so without this the token scan+groupBy subtree would be
+    # evaluated once per broadcast build -- two extra corpus scans
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     totals = base.agg(
         F.sum(F.size("ws")).alias("n_tokens"),
         F.sum(F.greatest(F.size("ws") - 1, F.lit(0))).alias("n_bigrams"),

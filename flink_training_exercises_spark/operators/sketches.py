@@ -702,17 +702,23 @@ def histogram_merge_demo(
     Output (one row): n_shards, n_bins, hist_equal, est_p50_cents,
     exact_p50_cents.
 
-    Scale shape (100 TB): the [lo, hi] edge pair is one 1-row broadcast;
-    binning is map-only; per-shard and direct histograms are single
-    map-side-combined groupBys over <= n_shards*n_bins and n_bins keys;
-    the equality check and quantile walk run over <= n_bins rows."""
+    Scale shape (100 TB): the [lo, hi] edge pair is one 1-row aggregate
+    MATERIALIZED once (it feeds two broadcast builds, and exchange reuse
+    doesn't kick in under broadcast -- without the checkpoint the edge
+    scan would run once per build); binning is map-only; per-shard and
+    direct histograms are single map-side-combined groupBys over
+    <= n_shards*n_bins and n_bins keys (two corpus passes by design --
+    deriving direct from per_shard would make the law a tautology); the
+    <= n_bins-row merged table is materialized once for its two consumers
+    (equality check + quantile walk), and the exact median is one more
+    pass. Four corpus passes total, every shuffle vocabulary-bounded."""
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     base = df.select(cents.alias("c"), (F.col(shard_col) % n_shards).alias("shard"))
     edges = base.agg(
         F.min("c").alias("lo"),
         F.max("c").alias("hi"),
         F.count(F.lit(1)).alias("n_rows"),
-    )
+    ).localCheckpoint()
     binned = base.crossJoin(F.broadcast(edges)).select(
         "shard",
         "n_rows",
@@ -730,7 +736,7 @@ def histogram_merge_demo(
     )
     merged = per_shard.groupBy("bin", "lo", "width", "n_rows").agg(
         F.sum("cnt").alias("cnt")
-    )
+    ).localCheckpoint()
     direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt_direct"))
     cmp = merged.join(direct, "bin", "full_outer")
     equal = cmp.agg(
