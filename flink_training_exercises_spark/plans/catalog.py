@@ -123,6 +123,7 @@ _GATE_PRIORITY = [
     "collocation_pmi_topk",         # NEW: PMI collocation mining (BM25 determinism recipe)
     "histogram_merge_shards",       # NEW: additive histogram merge law + quantile walk
     "dpp_partition_pruning",        # NEW: dynamic partition pruning through a real layout
+    "streaming_incremental_rollup", # NEW: foreachBatch materialized-view maintenance
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -172,19 +173,18 @@ _GATE_PRIORITY = [
     "triangle_count_edges",
     "multimodal_frame_sample",
     "multimodal_decode_meta",
-    # -- r4-evidence fill (8 slots; first ejected as round-6 queries land) --
-    "cdc_merge_user_state",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-6 window.
     # -- remaining r4-evidence rows (next in line after the fill block);
-    #    seven of the eight fill rows (embedding_quantize_int8,
+    #    ALL eight r4-fill rows (embedding_quantize_int8,
     #    bpe_train_merges, hll_merge_shards, dedup_editdistance_blocked,
-    #    timeseries_gapfill_hourly, vocab_oov_rate, sssp_event_graph)
-    #    ejected for the seven round-6 additions
+    #    timeseries_gapfill_hourly, vocab_oov_rate, sssp_event_graph,
+    #    cdc_merge_user_state) ejected for the eight round-6 additions
     #    (streaming_pit_enrichment, label_propagation_communities,
     #    bm25_topk_retrieval, streaming_snapshot_diff,
     #    collocation_pmi_topk, histogram_merge_shards,
-    #    dpp_partition_pruning) --
+    #    dpp_partition_pruning, streaming_incremental_rollup) --
+    "cdc_merge_user_state",
     "sssp_event_graph",
     "vocab_oov_rate",
     "timeseries_gapfill_hourly",

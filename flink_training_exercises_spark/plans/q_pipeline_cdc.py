@@ -225,6 +225,32 @@ def q_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="streaming_cdc_merge_gate",
     )
 
+@register(
+    "streaming_incremental_rollup",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       max(epoch_ms(ts)) AS last_ms
+FROM events GROUP BY 1
+""",
+    doc="Streaming incremental ROLLUP (materialized-view maintenance, the "
+    "most common production streaming job): per micro-batch the events "
+    "reduce to per-user mergeable partials (count, integer-cents sum, "
+    "max ms) folded onto a parquet rollup table via foreachBatch; the "
+    "drained state equals the one-shot batch aggregate because the folds "
+    "are associative+commutative per key, so any chunking lands on the "
+    "same rollup (chunked-replay invariance pytest-pinned). An additive "
+    "fold is not naturally idempotent under at-least-once foreachBatch, "
+    "so the state carries the last folded batch_id and replayed batches "
+    "are skipped -- the transactional-sink recipe.",
+)
+def q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.queries import run_rollup_merge_availablenow
+
+    return run_rollup_merge_availablenow(
+        spark, sf_dir, "streaming_incremental_rollup_gate"
+    )
+
 def _split_case_sql(id_expr: str) -> str:
     """80/10/10 deterministic split label for a doc-id expression."""
     from ..functions.hashing import md5_long_sql

@@ -544,3 +544,87 @@ def run_snapshot_diff_availablenow(
         out = removed
     # pin the drained values before the temp dirs can change underneath
     return out.localCheckpoint()
+
+
+def run_rollup_merge_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str,
+    b_stream: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming incremental ROLLUP -- materialized-view maintenance, the
+    most common production streaming job: each micro-batch is reduced to
+    per-user partial aggregates (count, integer-cents sum, max event ms --
+    all mergeable) and FOLDED onto a parquet-backed rollup table; the
+    drained state must equal the one-shot batch aggregate because the
+    folds are associative and commutative per key (count/sum add, max
+    maxes), so ANY chunking lands on the same rollup -- pinned by
+    tests/test_streaming.py::test_streaming_rollup_chunked_matches_batch.
+
+    Unlike the LWW cdc merge, an additive fold is NOT naturally
+    idempotent: foreachBatch is at-least-once, and re-folding a replayed
+    batch would double-count. The standard transactional-sink recipe is
+    applied: the state records the last folded batch_id and apply_batch
+    skips any batch_id it has already folded (marker column riding the
+    state table -- one read it already pays; the marker-vs-state write is
+    not atomic here, which is exactly the gap a transactional table
+    format's commit log closes in production, and why this runner
+    materializes state BEFORE the overwrite like the cdc merge).
+
+    Scale shape (100 TB/day of events): the per-batch fold shuffles ONE
+    partial-aggregate row per active user in the batch (map-side combined
+    before the shuffle), merged against |users| standing rows hash-keyed
+    the same -- the rollup table would be bucketed by user_id in a real
+    layout, making the fold's state side Exchange-free."""
+    from ..functions.time import epoch_ms
+    from .sources import events_stream
+
+    if b_stream is None:
+        b_stream = events_stream(spark, sf_dir)
+    rows = b_stream.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents_v"),
+        epoch_ms("ts").alias("ms"),
+    )
+    root = tempfile.mkdtemp(prefix=f"fte_{query_name}_")
+    state_dir = os.path.join(root, "state")
+    ck = os.path.join(root, "ck")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents_v").alias("cents"),
+            F.max("ms").alias("last_ms"),
+        )
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            if state.agg(F.max("folded_batch")).first()[0] >= batch_id:
+                return  # at-least-once replay of an already-folded batch
+            merged = (
+                state.drop("folded_batch")
+                .unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                    F.max("last_ms").alias("last_ms"),
+                )
+            )
+        else:
+            merged = partial
+        merged = merged.withColumn("folded_batch", F.lit(batch_id)).localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        rows.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(state_dir):
+        return spark.createDataFrame(
+            [], "user_id bigint, n_events bigint, cents bigint, last_ms bigint"
+        )
+    return spark.read.parquet(state_dir).drop("folded_batch").localCheckpoint()

@@ -52,6 +52,7 @@ EXPECTED_GATE_WINDOW = [
     "collocation_pmi_topk",
     "histogram_merge_shards",
     "dpp_partition_pruning",
+    "streaming_incremental_rollup",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -98,15 +99,14 @@ EXPECTED_GATE_WINDOW = [
     "triangle_count_edges",
     "multimodal_frame_sample",
     "multimodal_decode_meta",
-    # r4-evidence fill (ejected one-by-one as round-6 additions land)
-    "cdc_merge_user_state",
-    # ejected to fit: seven of the eight r4-fill rows
-    # (embedding_quantize_int8, bpe_train_merges, hll_merge_shards,
-    # dedup_editdistance_blocked, timeseries_gapfill_hourly,
-    # vocab_oov_rate, sssp_event_graph) for the seven round-6 additions
+    # ejected to fit: ALL eight r4-fill rows (embedding_quantize_int8,
+    # bpe_train_merges, hll_merge_shards, dedup_editdistance_blocked,
+    # timeseries_gapfill_hourly, vocab_oov_rate, sssp_event_graph,
+    # cdc_merge_user_state) for the eight round-6 additions
     # (streaming_pit_enrichment, label_propagation_communities,
     # bm25_topk_retrieval, streaming_snapshot_diff, collocation_pmi_topk,
-    # histogram_merge_shards, dpp_partition_pruning); everything with r5
+    # histogram_merge_shards, dpp_partition_pruning,
+    # streaming_incremental_rollup); everything with r5
     # evidence (the whole round-5
     # window) and the 35 freshest r4 rows -- all recorded below the
     # cutoff in catalog._GATE_PRIORITY

@@ -820,3 +820,47 @@ def test_streaming_pit_enrichment_chunked_matches_batch(spark, sf_small, tmp_pat
         for r in CATALOG["scd2_point_in_time_join"].spark(spark, sf_small).collect()
     }
     assert got == want and got
+
+
+def test_streaming_rollup_chunked_matches_batch(spark, sf_small, tmp_path):
+    """Batch-boundary invariance of the incremental rollup: folding 4
+    chronological chunks of partial aggregates must land on exactly the
+    one-shot batch aggregate -- count/sum add, max maxes, per key."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        run_rollup_merge_availablenow,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "ev_chunks")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = {
+        tuple(r)
+        for r in run_rollup_merge_availablenow(
+            spark,
+            sf_small,
+            f"rollup_chunked_{_uuid.uuid4().hex[:8]}",
+            b_stream=chunked,
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.max(epoch_ms("ts")).alias("last_ms"),
+        )
+        .collect()
+    }
+    assert got == want and got
