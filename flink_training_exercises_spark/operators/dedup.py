@@ -19,7 +19,7 @@ Design for scale (all JVM-side Column expressions, no Python in the path):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_P, hash_params, md5_long_sql
@@ -1072,4 +1072,100 @@ SELECT doc_id,
        CAST(sum(nw) AS BIGINT) AS n_words_total,
        CAST(sum(nw * kept) AS BIGINT) AS n_words_kept
 FROM marked GROUP BY doc_id
+"""
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 40,
+    block_len: int = 8,
+    window: int = 2,
+    max_dist: int = 25,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidate pairs (Hernandez & Stolfo's
+    SNM) -- the LINEAR-scan companion to the quadratic
+    :func:`editdistance_pairs`: sort records by a normalized key (lower +
+    first ``prefix_len`` chars), compare each record only to its
+    ``window`` predecessors in sort order, keep pairs with Levenshtein
+    distance <= ``max_dist``. Output (id_a, id_b, dist), id_a < id_b.
+
+    STAGED FOR ROUND 7 -- pytest-pinned (hand + DuckDB-twin differential
+    in tests/test_pipeline_ops.py) but deliberately NOT registered yet:
+    the round-6 gate window is exactly full with the r3-evidence rotation
+    (CLAUDE.md round-7 starter records the pending registration).
+
+    Scale shape (100 TB): the sort is confined to key-prefix blocks
+    (``block_len`` chars) -- Window.partitionBy(block).orderBy(key, id)
+    is one shuffle with in-partition sort, and per-record cost is
+    ``window`` Levenshtein comparisons instead of |block| (the SNM
+    point). Pairs whose keys differ in the first ``block_len`` chars are
+    missed across block boundaries -- the standard blocked-SNM trade,
+    same confinement discipline as editdistance_pairs' (lang, source)
+    blocks; production runs multiple passes with varied keys. Exact dups
+    share the full key, hence the block, so they are never missed."""
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("k"),
+    ).withColumn("blk", F.substring(F.col("k"), 1, block_len))
+    w = Window.partitionBy("blk").orderBy("k", "id")
+    parts = []
+    for off in range(1, window + 1):
+        lagged = d.select(
+            "id",
+            "k",
+            F.lag("id", off).over(w).alias("p_id"),
+            F.lag("k", off).over(w).alias("p_k"),
+        ).where(F.col("p_id").isNotNull())
+        parts.append(
+            lagged.select(
+                F.least("id", "p_id").alias("id_a"),
+                F.greatest("id", "p_id").alias("id_b"),
+                F.levenshtein("k", "p_k").cast("bigint").alias("dist"),
+            ).where(F.col("dist") <= max_dist)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # identical keys make the same unordered pair reachable at two offsets
+    # (ties broken by id give (x,y) at off 1 and (y,x)-normalized at off 2
+    # via a middle row); distinct() keeps the pair relation a set
+    return out.distinct()
+
+
+def sorted_neighborhood_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 40,
+    block_len: int = 8,
+    window: int = 2,
+    max_dist: int = 25,
+) -> str:
+    """DuckDB twin of :func:`sorted_neighborhood_pairs`: the same lag
+    windows over the same blocked sort order."""
+    offs = ", ".join(
+        f"lag(id, {o}) OVER w AS p_id_{o}, lag(k, {o}) OVER w AS p_k_{o}"
+        for o in range(1, window + 1)
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT least(id, p_id_{o}) AS id_a, greatest(id, p_id_{o}) AS id_b,
+       CAST(levenshtein(k, p_k_{o}) AS BIGINT) AS dist
+FROM lagged WHERE p_id_{o} IS NOT NULL AND levenshtein(k, p_k_{o}) <= {max_dist}"""
+        for o in range(1, window + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, lower(substr({text_col}, 1, {prefix_len})) AS k,
+         substr(lower(substr({text_col}, 1, {prefix_len})), 1, {block_len}) AS blk
+  FROM {table}
+),
+lagged AS (
+  SELECT id, k, {offs}
+  FROM d WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+)
+SELECT DISTINCT id_a, id_b, dist FROM (
+{arms}
+)
 """

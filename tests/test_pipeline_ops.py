@@ -1429,3 +1429,69 @@ def test_collocation_pmi_min_count_filters(spark):
     got = {(r["w1"], r["w2"]) for r in
            indexing.collocation_pmi_topk(docs, k=10, min_count=5).collect()}
     assert got == {("a", "b")}
+
+
+def test_sorted_neighborhood_hand_computed(spark):
+    # keys sort as: "aaaa x", "aaaa y", "aaab z", "zzzz q" (blocks "aaaa",
+    # "aaab", "zzzz" under block_len=4): within-block adjacency only --
+    # (1,2) compared (dist 1), 3 and 4 are alone in their blocks
+    rows = [
+        (1, "aaaa x", "en", "s"),
+        (2, "aaaa y", "en", "s"),
+        (3, "aaab z", "en", "s"),
+        (4, "zzzz q", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.sorted_neighborhood_pairs(
+            docs, block_len=4, window=2, max_dist=3
+        ).collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+def test_sorted_neighborhood_window_reaches_past_one(spark):
+    # three near-identical keys in one block: window=2 must also yield the
+    # (first, third) pair that window=1 misses
+    rows = [
+        (1, "aaaa 1", "en", "s"),
+        (2, "aaaa 2", "en", "s"),
+        (3, "aaaa 3", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    w1 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            docs, block_len=4, window=1, max_dist=3
+        ).collect()
+    }
+    w2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            docs, block_len=4, window=2, max_dist=3
+        ).collect()
+    }
+    assert w1 == {(1, 2), (2, 3)}
+    assert w2 == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_sorted_neighborhood_matches_duckdb_twin(spark, sf_small):
+    # full differential on the real documents table -- the exact check the
+    # round-7 gate will run
+    import duckdb
+
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = {
+        tuple(r) for r in dedup.sorted_neighborhood_pairs(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = set(
+        con.execute(dedup.sorted_neighborhood_pairs_sql()).fetchall()
+    )
+    assert got == want and got
