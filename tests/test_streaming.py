@@ -864,3 +864,35 @@ def test_streaming_rollup_chunked_matches_batch(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_windowed_topk_matches_batch(spark, sf_small):
+    """STAGED-FOR-ROUND-7 windowed heavy hitters: the drained streaming
+    windowed counts, ranked by the batch top-k stage, must equal the batch
+    windowed counts cut at the final watermark and ranked the same."""
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        drain_availablenow,
+        rank_topk_per_window,
+        streaming_windowed_topk,
+    )
+
+    name = f"wtopk_{uuid.uuid4().hex[:8]}"
+    drained = drain_availablenow(
+        streaming_windowed_topk(events_stream(spark, sf_small)), name
+    )
+    got = {tuple(r) for r in rank_topk_per_window(drained).collect()}
+
+    ev = load_table(spark, "events", sf_small)
+    win_ms = 6 * 3600 * 1000
+    em = epoch_ms("ts")
+    max_ms = ev.agg(F.max(em)).first()[0]
+    counts = (
+        ev.select((em - em % win_ms + win_ms).alias("window_end_ms"), "event_type")
+        .groupBy("window_end_ms", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("window_end_ms") <= max_ms - 60000)
+    )
+    want = {tuple(r) for r in rank_topk_per_window(counts).collect()}
+    assert got == want and got
