@@ -90,44 +90,68 @@ def bloom_semijoin_audit(
             "bits"
         )
     )
+    # The finished filter is at most ``n_words`` BIGINT words no matter how
+    # large the build side is, so collect it to the driver (same bounded-
+    # collect precedent as the IVF centroid literals) and inline it as an
+    # array literal: the probe becomes a MAP-ONLY and-mask over the scan --
+    # the actual production runtime-filter shape (no per-cell explode, no
+    # broadcast join, no second aggregation). Word positions absent from
+    # the aggregate are zero words.
+    words = [0] * n_words
+    for row in filt.collect():
+        words[int(row["word"])] = int(row["bits"])
+    word_arr = F.array(*[F.lit(w).cast("bigint") for w in words])
     probe_keys = probe.select(F.col(probe_key).alias("k")).distinct()
-    probe_cells = probe_keys.select(
-        "k", F.explode(F.array(*_cells(F.col("k"), n_words))).alias("c")
-    ).select("k", F.col("c.word").alias("word"), F.col("c.bit").alias("bit"))
-    hits = (
-        probe_cells.join(F.broadcast(filt), "word", "left")
-        .select(
-            "k",
-            F.when(
-                # explicit parens: & binds LOOSER than != in SQL grammars
-                F.expr(
-                    "(coalesce(bits, CAST(0 AS BIGINT)) & "
-                    "shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0"
-                ),
-                1,
+    cells = _cells(F.col("k"), n_words)
+    keyed = probe_keys.select(
+        "k",
+        *[c["word"].alias(f"w{i}") for i, c in enumerate(cells)],
+        *[c["bit"].alias(f"b{i}") for i, c in enumerate(cells)],
+    )
+    hit_terms = [
+        F.when(
+            # explicit parens: & binds LOOSER than != in SQL grammars
+            (
+                F.element_at(word_arr, F.col(f"w{i}").cast("int") + F.lit(1))
+                .bitwiseAND(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(b{i} AS INT))")
+                )
             )
-            .otherwise(0)
-            .alias("hit"),
-        )
-        .groupBy("k")
-        .agg(F.sum("hit").alias("n_set"))
+            != 0,
+            1,
+        ).otherwise(0)
+        for i in range(len(cells))
+    ]
+    hits = keyed.select("k", sum(hit_terms[1:], hit_terms[0]).alias("n_set"))
+    # ``hits`` carries exactly one row per distinct probe key, so it doubles
+    # as the probe-key set: flag Bloom candidacy and true membership per
+    # key, then fold everything in ONE aggregate. The earlier three-scalar-
+    # crossJoin form re-evaluated the probe-distinct subtree once per
+    # scalar and pushed every key through an explode + per-cell join +
+    # re-aggregation (18 Exchanges, 2.4 s warm at sf0.1 -> map-only).
+    build_keys = (
+        build.select(F.col(build_key).alias("k"))
+        .distinct()
+        .withColumn("is_member", F.lit(1))
     )
-    candidates = hits.where(F.col("n_set") == BLOOM_K).select("k")
-    true_members = probe_keys.join(
-        build.select(F.col(build_key).alias("k")).distinct(), "k", "left_semi"
-    )
-    n_probe = probe_keys.agg(F.count(F.lit(1)).alias("n_probe_keys"))
-    n_cand = candidates.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_true = true_members.agg(F.count(F.lit(1)).alias("n_true"))
-    return (
-        n_probe.crossJoin(n_cand)
-        .crossJoin(n_true)
-        .select(
-            "n_probe_keys",
-            "n_candidates",
-            "n_true",
-            (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
+    per_key = hits.join(F.broadcast(build_keys), "k", "left")
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        # coalesce: a global sum over ZERO rows is NULL, the scalar-count
+        # form it replaces said 0
+        F.coalesce(
+            F.sum(F.when(F.col("n_set") == BLOOM_K, 1).otherwise(0)), F.lit(0)
         )
+        .cast("bigint")
+        .alias("n_candidates"),
+        F.coalesce(F.sum(F.coalesce(F.col("is_member"), F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("n_true"),
+    ).select(
+        "n_probe_keys",
+        "n_candidates",
+        "n_true",
+        (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
     )
 
 
