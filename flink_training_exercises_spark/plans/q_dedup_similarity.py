@@ -333,8 +333,15 @@ FROM hits CROSS JOIN tot
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     flt = F.col("vec_id") % 25 == 0
-    bf = similarity.topk_bruteforce(emb, k=5, query_filter=flt).select(
-        "query_id", "neighbor_id"
+    # localCheckpoint: the brute-force frame is bounded (5 rows per sampled
+    # query) but its subtree is the expensive exact scan, and it has TWO
+    # consumers (the hits join and the broadcast total) -- exchange reuse
+    # doesn't kick in under broadcast, so without this the ground truth was
+    # computed twice (CLAUDE.md round-6 twice-consumed rule).
+    bf = (
+        similarity.topk_bruteforce(emb, k=5, query_filter=flt)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
     # ONE training-sample collect shared by the IVF and PQ branches (the
     # rows are md5-deterministic, so sharing is a pure plan change --
