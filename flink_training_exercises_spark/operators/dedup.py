@@ -1169,3 +1169,168 @@ SELECT DISTINCT id_a, id_b, dist FROM (
 {arms}
 )
 """
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (Bayardo et
+    al.'s AllPairs / Xiao et al.'s PPJoin) over the md5-hashed word
+    n-gram space: every unordered pair of documents whose n-gram-set
+    Jaccard is >= threshold_num/threshold_den, with NO false negatives
+    and NO approximation. This is the FULL-CORPUS scale path for the
+    similarity space :func:`ngram_jaccard_pairs` computes quadratically
+    within a shard -- same grams, same threshold, no partition
+    confinement. Output (id_a, id_b, inter_size, union_size), id_a <
+    id_b, all BIGINT (the threshold test is integer cross-multiplied, so
+    the pair set is hash-exact across engines).
+
+    STAGED FOR ROUND 7 -- pytest-pinned (hand case, brute-force-equality
+    property, superset-of-shard-scoped contract, and DuckDB-twin
+    differential in tests/test_pipeline_ops.py) but deliberately NOT
+    registered: the round-6 gate window is exactly full with the
+    r3-evidence rotation (CLAUDE.md round-7 starter).
+
+    How it avoids all-pairs: order the gram universe by (global document
+    frequency ASC, hash ASC) -- rarest first. A document with s distinct
+    grams needs overlap >= ceil(t*s) with any qualifying partner, so by
+    pigeonhole the pair must share one of each side's first
+    p = s - ceil(t*s) + 1 grams under that order (the prefix-filtering
+    principle). Only prefixes enter the candidate join, and the
+    frequency ordering makes prefix grams RARE, so posting lists stay
+    short; a length filter (den*min_size >= num*max_size, implied by
+    J >= t) prunes further. Verification recomputes the exact
+    intersection on the full gram sets, so each engine's candidate
+    superset is irrelevant to the output -- only the no-false-negative
+    guarantee matters, and that holds per engine for ANY consistent
+    total order. (On a near-flat frequency profile -- e.g. CHAR shingles
+    of this synthetic corpus, 2k distinct shingles across 5k docs --
+    prefix filtering cannot prune and the join degrades toward all-pairs;
+    the word n-gram space is ~100x sparser, which is what makes this the
+    right exact-join space. Same reason the dedup literature runs
+    AllPairs on token sets, not character sets.)
+
+    Scale shape (100 TB): one shuffle to count gram frequencies, one
+    windowed shuffle on doc id for the per-doc rank, a candidate
+    equi-join keyed on PREFIX grams only (the short postings), and a
+    verify join on doc id. Unlike banded LSH there is no recall curve to
+    argue about -- the output is the ground truth itself; the price is
+    the frequency-counting pass, which LSH avoids. The hashed-gram frame
+    feeds four consumers (frequency count, prefix rank, both verify
+    sides), so it is localCheckpoint-ed once (round-6 twice-consumed
+    rule)."""
+    from ..sources.loaders import widen_scan
+
+    tn, td = threshold_num, threshold_den
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+    hashed = F.array_distinct(F.transform(grams, _md5_long_c))
+    hs_tbl = (
+        widen_scan(docs)
+        .select(F.col(id_col).alias("id"), hashed.alias("hs"))
+        .localCheckpoint()
+    )
+    exploded = hs_tbl.select(
+        "id", F.size("hs").cast("bigint").alias("s"), F.explode("hs").alias("h")
+    )
+    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("id").orderBy("c", "h")
+    ranked = exploded.join(freq, "h").select(
+        "id", "s", "h", F.row_number().over(w).alias("rn")
+    )
+    # p = s - ceil(t*s) + 1; integer ceil via (tn*s + td - 1) DIV td
+    prefix = ranked.where(
+        F.col("rn") <= F.col("s") - F.expr(f"({tn}*s + {td - 1}) DIV {td}") + 1
+    ).select("id", "s", "h")
+    a = prefix.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), "h")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces min >= t*max on set sizes
+            & (F.least("s_a", "s_b") * td >= F.greatest("s_a", "s_b") * tn)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = hs_tbl.select(F.col("id"), F.col("hs").alias("hs_a"))
+    sb = hs_tbl.select(F.col("id"), F.col("hs").alias("hs_b"))
+    verified = (
+        cand.join(sa, F.col("id_a") == sa["id"])
+        .drop("id")
+        .join(sb, F.col("id_b") == sb["id"])
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint").alias("inter"),
+            (F.size("hs_a") + F.size("hs_b")).cast("bigint").alias("tot"),
+        )
+    )
+    # J = i/(tot-i) >= tn/td  <=>  (td+tn)*i >= tn*tot, integer-exact
+    return verified.where((td + tn) * F.col("inter") >= tn * F.col("tot")).select(
+        "id_a",
+        "id_b",
+        F.col("inter").alias("inter_size"),
+        (F.col("tot") - F.col("inter")).alias("union_size"),
+    )
+
+
+def prefix_filter_jaccard_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`prefix_filter_jaccard_pairs`: the same
+    frequency-ordered prefixes, candidate join, and integer-exact verify.
+    (`//` is DuckDB's integer division where Spark spells it DIV.)"""
+    tn, td = threshold_num, threshold_den
+    words = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT id, list_distinct([{md5_long_sql('x')} for x in gs]) AS hs
+  FROM (
+    SELECT {id_col} AS id,
+           list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                          for i in generate_series(1, greatest(len(w) - {n - 1}, 1))]) AS gs
+    FROM (SELECT {id_col}, {words} AS w FROM {table})
+  )
+),
+expl AS (
+  SELECT id, CAST(len(hs) AS BIGINT) AS s, unnest(hs) AS h FROM sh
+),
+freq AS (SELECT h, count(*) AS c FROM expl GROUP BY 1),
+ranked AS (
+  SELECT id, s, h, row_number() OVER (PARTITION BY id ORDER BY c, h) AS rn
+  FROM expl JOIN freq USING (h)
+),
+pref AS (
+  SELECT id, s, h FROM ranked WHERE rn <= s - (({tn}*s + {td - 1}) // {td}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pref a JOIN pref b
+    ON a.h = b.h AND a.id < b.id
+   AND least(a.s, b.s) * {td} >= greatest(a.s, b.s) * {tn}
+),
+verified AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter,
+         CAST(len(sa.hs) + len(sb.hs) AS BIGINT) AS tot
+  FROM cand JOIN sh sa ON id_a = sa.id JOIN sh sb ON id_b = sb.id
+)
+SELECT id_a, id_b, inter AS inter_size, tot - inter AS union_size
+FROM verified WHERE ({td} + {tn}) * inter >= {tn} * tot
+"""

@@ -1495,3 +1495,109 @@ def test_sorted_neighborhood_matches_duckdb_twin(spark, sf_small):
         con.execute(dedup.sorted_neighborhood_pairs_sql()).fetchall()
     )
     assert got == want and got
+
+
+def test_prefix_filter_jaccard_hand_computed(spark):
+    # word-3-gram sets of "a b c d e f": {abc, bcd, cde, def} (4 grams).
+    # doc1 == doc2 (J=1); doc3 swaps the last word (inter 3 / union 5 ->
+    # J=0.6); doc4 shares nothing. At the default t=1/2 the 0.6 pairs
+    # qualify; at t=4/5 only the identical pair survives.
+    rows = [
+        (1, "a b c d e f", "en", "s"),
+        (2, "a b c d e f", "en", "s"),
+        (3, "a b c d e X", "en", "s"),
+        (4, "z z z z z z", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    loose = {
+        tuple(r) for r in dedup.prefix_filter_jaccard_pairs(docs).collect()
+    }
+    assert loose == {(1, 2, 4, 4), (1, 3, 3, 5), (2, 3, 3, 5)}
+    strict = {
+        tuple(r)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    assert strict == {(1, 2, 4, 4)}
+
+
+def test_prefix_filter_jaccard_equals_bruteforce(spark, sf_small):
+    # the exactness contract: the prefix-filtered join IS the all-pairs
+    # exact Jaccard join (no false negatives from the filter, none from
+    # the length filter), verified against a literal crossJoin on the
+    # real documents table
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        )
+    )
+    hs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.transform(grams, dedup._md5_long_c)).alias("hs"),
+    )
+    a = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha"))
+    b = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb"))
+    bf = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ha", "hb")).cast("bigint").alias("inter"),
+            (F.size("ha") + F.size("hb")).cast("bigint").alias("tot"),
+        )
+        # J >= 1/2  <=>  3*inter >= tot
+        .where(3 * F.col("inter") >= F.col("tot"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").alias("inter_size"),
+            (F.col("tot") - F.col("inter")).alias("union_size"),
+        )
+    )
+    want = {tuple(r) for r in bf.collect()}
+    got = {tuple(r) for r in dedup.prefix_filter_jaccard_pairs(docs).collect()}
+    assert got == want and got
+
+
+def test_prefix_filter_jaccard_superset_of_shard_scoped(spark, sf_small):
+    # same gram space, same threshold, no partition confinement: the
+    # full-corpus exact join must contain every pair the shard-scoped
+    # quadratic ngram_jaccard_pairs finds within `source`
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    confined = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.prefix_filter_jaccard_pairs(docs).collect()
+    }
+    assert confined and confined <= full
+
+
+def test_prefix_filter_jaccard_matches_duckdb_twin(spark, sf_small):
+    # full differential on the real documents table -- the exact check the
+    # round-7 gate will run
+    import duckdb
+
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = {
+        tuple(r) for r in dedup.prefix_filter_jaccard_pairs(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = set(con.execute(dedup.prefix_filter_jaccard_sql()).fetchall())
+    assert got == want and got
