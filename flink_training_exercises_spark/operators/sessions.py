@@ -355,3 +355,119 @@ SELECT path_len, rank, path, n_sessions FROM (
   FROM counts
 ) WHERE rank <= {k}
 """
+
+
+def concurrency_profile(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    gap_ms: int = DEFAULT_GAP_MS,
+    bucket_ms: int = 3600000,
+) -> DataFrame:
+    """Interval sweep-line concurrency profile: how many milliseconds the
+    system spent at each level of concurrently-open sessions. Sessions are
+    the gap-based ones :func:`sessionize` emits, occupying the half-open
+    interval [first_event, last_event + gap) -- the session_window end
+    convention. Output (concurrency, total_ms, n_segments), all BIGINT;
+    sum(total_ms) spans exactly [min start, max end) (conservation law,
+    pytest-pinned). The capacity-planning / peak-load query every event
+    platform runs, and a member of the range/interval-analytics family
+    (asof join, range join, gap-fill).
+
+    STAGED FOR ROUND 7 -- pytest-pinned (hand case, conservation law,
+    DuckDB-twin differential) but deliberately NOT registered: the
+    round-6 gate window is exactly full (CLAUDE.md round-7 starter).
+
+    The classic formulation is a GLOBAL prefix sum over +1/-1 boundary
+    events -- a single-partition window, the scale anti-pattern. This
+    implementation is the scalable two-phase prefix sum: (1) boundary
+    deltas collapse per millisecond (zero-width segments vanish, making
+    tie order irrelevant and the collapsed frame deterministic); (2) a
+    per-TIME-BUCKET partial sum runs in parallel
+    (Window.partitionBy(bucket)); (3) only the per-bucket summary (net
+    delta + first boundary per nonempty bucket -- bounded by the time
+    span, ~744 rows/month at hourly buckets, NOT data-sized) goes through
+    a single-partition cumulative window, then broadcasts back as each
+    bucket's carry-in offset. Segments crossing bucket boundaries are
+    attributed to their starting boundary; the per-bucket lead() falls
+    back to the next nonempty bucket's first boundary from the same
+    summary. Levels equal the global running sum exactly, at any
+    bucket_ms."""
+    sess = sessionize(events, user_col, time_col, id_col, gap_ms=gap_ms)
+    starts = sess.select(F.col("session_start_ms").alias("ms"), F.lit(1).alias("d"))
+    ends = sess.select(
+        (F.col("session_end_ms") + gap_ms).alias("ms"), F.lit(-1).alias("d")
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("ms")
+        .agg(F.sum("d").cast("bigint").alias("net"))
+        .withColumn("h", F.col("ms") - F.col("ms") % bucket_ms)
+    )
+    hsum = net.groupBy("h").agg(
+        F.sum("net").alias("h_net"), F.min("ms").alias("h_first")
+    )
+    # bounded single-partition window: one row per NONEMPTY time bucket
+    hw = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    hw_lead = Window.orderBy("h")
+    hcum = hsum.select(
+        "h",
+        (F.sum("h_net").over(hw) - F.col("h_net")).alias("carry"),
+        F.lead("h_first").over(hw_lead).alias("next_first"),
+    )
+    w_in = Window.partitionBy("h").orderBy("ms")
+    w_run = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    lv = net.join(F.broadcast(hcum), "h").select(
+        "ms",
+        (F.col("carry") + F.sum("net").over(w_run)).alias("concurrency"),
+        F.coalesce(F.lead("ms").over(w_in), F.col("next_first")).alias("next_ms"),
+    )
+    return (
+        lv.where(F.col("next_ms").isNotNull())
+        .groupBy("concurrency")
+        .agg(
+            F.sum(F.col("next_ms") - F.col("ms")).alias("total_ms"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )
+
+
+def concurrency_profile_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    gap_ms: int = DEFAULT_GAP_MS,
+) -> str:
+    """DuckDB twin of :func:`concurrency_profile`: the plain GLOBAL
+    running sum over the same collapsed boundary deltas (the bucketed
+    two-phase form is plan-level only -- levels and segments are equal by
+    construction, which is exactly what the differential pins)."""
+    prefix = _session_sql_prefix(
+        table, user_col, time_col, id_col, gap_ms, "1 AS one"
+    )
+    return f"""
+WITH {prefix},
+sess AS (
+  SELECT {user_col}, session_id, min(ev_ms) AS s, max(ev_ms) + {gap_ms} AS e
+  FROM sid GROUP BY 1, 2
+),
+deltas AS (
+  SELECT s AS ms, 1 AS d FROM sess
+  UNION ALL
+  SELECT e AS ms, -1 AS d FROM sess
+),
+net AS (SELECT ms, CAST(sum(d) AS BIGINT) AS net FROM deltas GROUP BY 1),
+lv AS (
+  SELECT ms,
+         CAST(sum(net) OVER (ORDER BY ms
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS concurrency,
+         lead(ms) OVER (ORDER BY ms) AS next_ms
+  FROM net
+)
+SELECT concurrency, CAST(sum(next_ms - ms) AS BIGINT) AS total_ms,
+       CAST(count(*) AS BIGINT) AS n_segments
+FROM lv WHERE next_ms IS NOT NULL GROUP BY 1
+"""

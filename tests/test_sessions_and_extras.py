@@ -175,3 +175,70 @@ def test_session_gap_rule_boundary(spark):
     assert sorted(
         r["path"] for r in session_path_topk(split, gap_ms=gap).collect()
     ) == ["A", "B"]
+
+
+def test_concurrency_profile_hand_computed(spark):
+    from flink_training_exercises_spark.operators.sessions import (
+        concurrency_profile,
+    )
+
+    # gap_ms=1000: three single-event sessions -> intervals [t, t+1000).
+    # user 7 at ms 0, user 8 at ms 500, user 9 at ms 5000:
+    #   [0,500) lvl 1 | [500,1000) lvl 2 | [1000,1500) lvl 1 |
+    #   [1500,5000) lvl 0 | [5000,6000) lvl 1
+    t = lambda ms: datetime(2024, 1, 1, 0, 0, ms // 1000, (ms % 1000) * 1000)  # noqa: E731
+    rows = [
+        (1, t(0), 7, "a", 1.0, None),
+        (2, t(500), 8, "a", 1.0, None),
+        (3, t(5000), 9, "a", 1.0, None),
+    ]
+    got = {
+        r["concurrency"]: (r["total_ms"], r["n_segments"])
+        for r in concurrency_profile(_events(spark, rows), gap_ms=1000).collect()
+    }
+    assert got == {2: (500, 1), 1: (2000, 3), 0: (3500, 1)}
+
+
+def test_concurrency_profile_conservation_and_bucket_invariance(spark, sf_small):
+    # sum(total_ms) spans exactly [min boundary, max boundary), and the
+    # two-phase bucketed prefix sum is invariant to the bucket size
+    # (including one so small every boundary is alone in its bucket)
+    from flink_training_exercises_spark.operators.sessions import (
+        concurrency_profile,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    base = sorted(map(tuple, concurrency_profile(ev).collect()))
+    span = sum(r[1] for r in base)
+    import datetime as _dt
+
+    bounds = ev.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo = int(bounds["lo"].replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+    hi = int(bounds["hi"].replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+    # span = [first session start, last session end+gap) = [lo, hi+gap)
+    assert span == (hi + 30 * 60 * 1000) - lo
+    tiny = sorted(map(tuple, concurrency_profile(ev, bucket_ms=1).collect()))
+    huge = sorted(
+        map(tuple, concurrency_profile(ev, bucket_ms=1 << 40).collect())
+    )
+    assert base == tiny == huge
+
+
+def test_concurrency_profile_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sessions import (
+        concurrency_profile,
+        concurrency_profile_sql,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    got = sorted(map(tuple, concurrency_profile(ev).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(concurrency_profile_sql()).fetchall()))
+    assert got == want and got
