@@ -65,3 +65,80 @@ SELECT {id_col},
        {md5_long_sql(clean)} AS redacted_fp
 FROM {table_expr}
 """
+
+
+def kanonymity_profile(
+    docs: DataFrame,
+    qi_cols: tuple = ("lang", "source"),
+    length_col: str = "n_chars",
+    length_bucket: int = 100,
+    sensitive_col: str = "text",
+    k_risk: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier classes --
+    the re-identification-risk profile a privacy review runs before a
+    corpus ships (Sweeney's k-anonymity; Machanavajjhala's l-diversity).
+    Rows = one per NONEMPTY equivalence class of the quasi-identifiers
+    (``qi_cols`` + the bucketed length column -- bucketing is itself the
+    standard generalization step): (qi..., len_bucket, class_size,
+    l_diversity, at_risk), where class_size is the class's k, l_diversity
+    counts distinct sensitive values inside it, and at_risk flags classes
+    smaller than ``k_risk`` (the releasability threshold). All counts
+    BIGINT; the flag is 0/1 BIGINT, not BOOLEAN (dtype parity).
+
+    STAGED FOR ROUND 7 -- pytest-pinned (hand case + DuckDB-twin
+    differential in tests/test_pipeline_ops.py) but deliberately NOT
+    registered: the round-6 gate window is exactly full (CLAUDE.md
+    round-7 starter).
+
+    Scale shape (100 TB): one hash-partitioned groupBy on the
+    quasi-identifier tuple with map-side partial aggregation;
+    count_distinct of the sensitive column is the only shuffle-heavy
+    part and Spark plans it as the standard two-phase expand. Output
+    cardinality is vocabulary-bounded (|lang| x |source| x length
+    buckets), never data-sized."""
+    bucket = F.floor(F.col(length_col) / F.lit(length_bucket)).cast("bigint")
+    # distinct over the md5 of the sensitive value, not the value: moves
+    # 16-byte hashes through the count-distinct expand instead of full
+    # document texts (deterministic + collision-negligible on both
+    # engines, the repo's standard trick)
+    return (
+        docs.groupBy(*qi_cols, bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(F.md5(F.col(sensitive_col))).alias("l_diversity"),
+        )
+        .select(
+            *qi_cols,
+            "len_bucket",
+            "class_size",
+            "l_diversity",
+            F.when(F.col("class_size") < k_risk, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("at_risk"),
+        )
+    )
+
+
+def kanonymity_profile_sql(
+    table: str = "documents",
+    qi_cols: tuple = ("lang", "source"),
+    length_col: str = "n_chars",
+    length_bucket: int = 100,
+    sensitive_col: str = "text",
+    k_risk: int = 5,
+) -> str:
+    """DuckDB twin of :func:`kanonymity_profile` (`//` = integer division
+    where Spark uses FLOOR of the exact double quotient -- equal on
+    nonnegative lengths)."""
+    qi = ", ".join(qi_cols)
+    return f"""
+SELECT {qi},
+       CAST({length_col} // {length_bucket} AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT md5({sensitive_col})) AS BIGINT) AS l_diversity,
+       CAST(CASE WHEN count(*) < {k_risk} THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+FROM {table}
+GROUP BY {qi}, CAST({length_col} // {length_bucket} AS BIGINT)
+"""

@@ -1601,3 +1601,48 @@ def test_prefix_filter_jaccard_matches_duckdb_twin(spark, sf_small):
     )
     want = set(con.execute(dedup.prefix_filter_jaccard_sql()).fetchall())
     assert got == want and got
+
+
+def test_kanonymity_profile_hand_computed(spark):
+    from flink_training_exercises_spark.operators import pii
+
+    # (lang, source, len_bucket) classes: ('en','s',0) holds docs 1-3
+    # with TWO distinct texts (k=3, l=2, safe at k_risk=3); ('fr','s',1)
+    # holds doc 4 alone (k=1, l=1, at risk)
+    rows = [
+        (1, "aaa", "en", "s", 10),
+        (2, "aaa", "en", "s", 20),
+        (3, "bbb", "en", "s", 30),
+        (4, "ccc", "fr", "s", 150),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["lang"], r["source"], r["len_bucket"]): (
+            r["class_size"],
+            r["l_diversity"],
+            r["at_risk"],
+        )
+        for r in pii.kanonymity_profile(docs, k_risk=3).collect()
+    }
+    assert got == {
+        ("en", "s", 0): (3, 2, 0),
+        ("fr", "s", 1): (1, 1, 1),
+    }
+
+
+def test_kanonymity_profile_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators import pii
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = sorted(map(tuple, pii.kanonymity_profile(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(pii.kanonymity_profile_sql()).fetchall())
+    assert got == want and got
