@@ -459,3 +459,106 @@ def test_collocation_pmi_matches_python_reference(spark, docs_words):
         (rank + 1, w1, w2, c, p) for rank, (p, w1, w2, c) in enumerate(cands[:5])
     ]
     assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        # tiny vocab + short docs force heavy gram collisions -- the
+        # worst case for prefix pruning, the best case for finding a
+        # false-negative bug
+        st.lists(
+            st.sampled_from(list("abcde")), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_jaccard_equals_bruteforce_on_random_docs(spark, texts):
+    from flink_training_exercises_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        tuple(r) for r in dedup.prefix_filter_jaccard_pairs(docs).collect()
+    }
+    # python brute force over the same word-trigram sets
+    def grams(t):
+        w = [x for x in t.lower().split() if x]
+        n = max(len(w) - 2, 1)
+        return {" ".join(w[i : i + 3]) for i in range(n)}
+
+    want = set()
+    gs = [grams(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(gs[i] & gs[j])
+            tot = len(gs[i]) + len(gs[j])
+            if 3 * inter >= tot:  # J >= 1/2
+                want.add((i, j, inter, tot - inter))
+    assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # user
+            st.integers(min_value=0, max_value=7200),  # offset seconds
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([1, 1000, 3_600_000, 1 << 40]),    # bucket_ms
+)
+def test_concurrency_profile_matches_python_sweep(spark, rows, bucket_ms):
+    from flink_training_exercises_spark.operators.sessions import (
+        concurrency_profile,
+    )
+
+    base = datetime(2024, 1, 1)
+    gap = 600_000
+    data = [
+        (i, base + timedelta(seconds=off), u, "t", 1.0, None)
+        for i, (u, off) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["concurrency"], r["total_ms"], r["n_segments"])
+        for r in concurrency_profile(ev, gap_ms=gap, bucket_ms=bucket_ms).collect()
+    }
+    # python reference: per-user gap sessions -> interval deltas -> sweep
+    # any epoch base works: the output carries only DIFFERENCES of
+    # boundary timestamps (durations, levels, counts), so a system-TZ
+    # shift of the naive base cancels out
+    base_ms = int(base.timestamp() * 1000)
+    per_user = {}
+    for i, (u, off) in enumerate(rows):
+        per_user.setdefault(u, []).append(base_ms + off * 1000)
+    deltas = {}
+    for times in per_user.values():
+        times.sort()
+        start = prev = times[0]
+        for t in times[1:]:
+            if t - prev > gap:
+                deltas[start] = deltas.get(start, 0) + 1
+                deltas[prev + gap] = deltas.get(prev + gap, 0) - 1
+                start = t
+            prev = t
+        deltas[start] = deltas.get(start, 0) + 1
+        deltas[prev + gap] = deltas.get(prev + gap, 0) - 1
+    ms_sorted = sorted(deltas)
+    want_acc = {}
+    lvl = 0
+    for a, b in zip(ms_sorted, ms_sorted[1:]):
+        lvl += deltas[a]
+        dur, n = want_acc.get(lvl, (0, 0))
+        want_acc[lvl] = (dur + (b - a), n + 1)
+    want = {(l, d, n) for l, (d, n) in want_acc.items()}
+    assert got == want
