@@ -350,3 +350,119 @@ SELECT event_type, n, sx AS sum_cents, sy AS sum_hours,
        CASE WHEN prod > 0e0 THEN num / sqrt(prod) END AS pearson_r
 FROM d
 """
+
+
+def value_trend_ols(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-type ordinary-least-squares trend of the event value (integer
+    cents) against the day index -- the drift screen that follows
+    :func:`value_hour_correlation`'s seasonality screen, under the same
+    determinism recipe: built-in regr_slope/regr_intercept are banned
+    (running-moment float accumulation is order-dependent), so the five
+    sufficient statistics are EXACT BIGINT sums and the closed form
+
+        slope     = (n*sxy - sx*sy) / (n*sxx - sx^2)
+        intercept = (sy - slope*sx) / n
+
+    runs in DOUBLE over identical operands with an identical expression
+    tree on both engines (div/mul/sub are correctly rounded IEEE ops, so
+    the doubles are bit-identical -- the BM25/Pearson recipe).
+
+    x is the day index RE-ORIGINED to each group's first day (an exact
+    integer min over the same partitioning, so the extra window costs no
+    extra Exchange): slopes are shift-invariant, and the re-origin keeps
+    x bounded by the corpus time SPAN in days rather than the epoch day
+    number -- the magnitude-mitigation move the correlation docstring
+    records, applied. Day boundaries are pure epoch-ms integer division,
+    never date_trunc (session-TZ rule).
+
+    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin; the
+    round-7 registration capacity is already consumed by the five staged
+    round-7 candidates (CLAUDE.md round-7 starter window math).
+
+    Scale shape (100 TB): one hash shuffle on event_type; the window min
+    and the aggregation share it. Exactness bound: sxx = sum(x^2) <=
+    n * span_days^2 -- at a 10-year span (3.7k days) a group stays exact
+    past 6e11 rows; beyond that Spark ANSI raises loudly and the
+    mitigation is coarser x units (weeks)."""
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint").alias("y"),
+        F.floor(_epoch_ms(ts_col) / F.lit(DAY_MS)).cast("bigint").alias("day"),
+    )
+    w = Window.partitionBy("event_type")
+    based = base.select(
+        "event_type", "y", (F.col("day") - F.min("day").over(w)).alias("x")
+    )
+    agg = based.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "sxy")
+    )
+    den = n * sxx - sx * sx
+    slope = F.when(den > 0, (n * sxy - sx * sy) / den)
+    return agg.select(
+        "event_type",
+        F.col("n"),
+        F.col("sy").alias("sum_cents"),
+        slope.alias("slope_cents_per_day"),
+        F.when(den > 0, (sy - ((n * sxy - sx * sy) / den) * sx) / n).alias(
+            "intercept_cents"
+        ),
+    )
+
+
+def value_trend_ols_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`value_trend_ols` (same BIGINT sums, IDENTICAL
+    double expression trees; `//` = Spark's FLOOR(double div) on these
+    nonnegative epoch values)."""
+    return f"""
+WITH c AS (
+  SELECT {type_col} AS event_type,
+         CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS y,
+         epoch_ms({ts_col}) // {DAY_MS} AS day
+  FROM {table}
+),
+r AS (
+  SELECT event_type, y,
+         day - min(day) OVER (PARTITION BY event_type) AS x
+  FROM c
+),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM r GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n, sy,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM a
+)
+SELECT event_type, n, sy AS sum_cents,
+       CASE WHEN den > 0e0 THEN num / den END AS slope_cents_per_day,
+       CASE WHEN den > 0e0
+            THEN (syd - (num / den) * sxd) / CAST(n AS DOUBLE) END
+         AS intercept_cents
+FROM d
+"""

@@ -1646,3 +1646,58 @@ def test_kanonymity_profile_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(pii.kanonymity_profile_sql()).fetchall())
     assert got == want and got
+
+
+def test_value_trend_ols_hand_computed(spark):
+    from datetime import datetime
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        value_trend_ols,
+    )
+
+    # type 'a': (day 0, $1) (day 1, $2) (day 2, $3) -> slope 100 cents/day,
+    # intercept 100 cents; type 'b': single day -> NULL slope/intercept
+    rows = [
+        (1, datetime(2024, 1, 1, 5), 7, "a", 1.0, None),
+        (2, datetime(2024, 1, 2, 9), 7, "a", 2.0, None),
+        (3, datetime(2024, 1, 3, 23), 8, "a", 3.0, None),
+        (4, datetime(2024, 1, 1, 1), 9, "b", 5.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"]: r for r in value_trend_ols(ev).collect()}
+    a = got["a"]
+    assert (a["n"], a["sum_cents"]) == (3, 600)
+    assert a["slope_cents_per_day"] == 100.0
+    assert a["intercept_cents"] == 100.0
+    b = got["b"]
+    assert b["slope_cents_per_day"] is None and b["intercept_cents"] is None
+    # shift invariance: re-origined x makes the slope independent of WHERE
+    # in the calendar the group sits
+    shifted = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 45 DAYS"))
+    got2 = {r["event_type"]: r for r in value_trend_ols(shifted).collect()}
+    assert got2["a"]["slope_cents_per_day"] == 100.0
+    assert got2["a"]["intercept_cents"] == 100.0
+
+
+def test_value_trend_ols_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        value_trend_ols,
+        value_trend_ols_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    got = sorted(map(tuple, value_trend_ols(ev).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(value_trend_ols_sql()).fetchall())
+    # bit-identical doubles expected (identical IEEE expression trees)
+    assert got == want and got
