@@ -466,3 +466,145 @@ SELECT event_type, n, sy AS sum_cents,
          AS intercept_cents
 FROM d
 """
+
+
+def cusum_level_shift(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_ms: int = HOUR_MS,
+) -> DataFrame:
+    """Per-type CUSUM level-shift detection over the bucketed value series
+    -- the change-point screen that complements the rolling z-score
+    (z-scores catch SPIKES; CUSUM accumulates small sustained SHIFTS).
+    One row per type: the bucket where the upward and downward CUSUM
+    statistics peak, with their peak values.
+
+    Determinism recipe: the classic recurrence S_i = max(0, S_{i-1}+d_i)
+    is a nonlinear fold, but it has the closed form S_i = R_i - min(R_0..
+    R_i) over the plain cumulative sum R -- so it is two stock window
+    functions, no sequential loop and no applyInPandas. Deviations are
+    mean-centered WITHOUT division: d_i = n*x_i - T (x scaled by the
+    bucket count n, T = the type's total), keeping every statistic an
+    exact BIGINT; peaks are therefore hash-exact across engines. Peak
+    ties break to the earliest bucket.
+
+    Buckets are observed buckets only (empty buckets contribute no row --
+    the zero-activity-is-a-shift variant composes this with the gap-fill
+    operator's grid). Bucket boundaries are pure epoch-ms arithmetic,
+    never date_trunc (session-TZ rule).
+
+    STAGED (round-8 backlog, with value_trend_ols): pytest-pinned with a
+    DuckDB twin; round-7 registration capacity is consumed (CLAUDE.md).
+
+    Scale shape (100 TB): one shuffle to bucket-aggregate, then windows
+    partitioned per type over the BUCKETED series (bounded by the time
+    span, not data volume). Exactness bound: |d_i| <= n * max_bucket_sum
+    <= n * T, so R stays exact while n^2 * max_bucket_cents < 2^63 --
+    ~6e5 buckets at $10M/bucket; past it ANSI raises loudly and the
+    mitigation is coarser buckets or whole-unit cents."""
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    ms = _epoch_ms(ts_col)
+    buck = events.select(
+        F.col(type_col).alias("event_type"),
+        (ms - ms % F.lit(bucket_ms)).alias("bucket_ms"),
+        F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1))
+        .cast("bigint")
+        .alias("cents"),
+    ).groupBy("event_type", "bucket_ms").agg(F.sum("cents").alias("x"))
+    wt = Window.partitionBy("event_type")
+    w = wt.orderBy("bucket_ms")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    scaled = buck.select(
+        "event_type",
+        "bucket_ms",
+        (F.count(F.lit(1)).over(wt) * F.col("x") - F.sum("x").over(wt)).alias("d"),
+        F.count(F.lit(1)).over(wt).alias("n_buckets"),
+    )
+    r = scaled.withColumn("r", F.sum("d").over(run))
+    # the running extremum must include the EMPTY prefix (R_0 = 0):
+    # S_i = R_i - min(0, R_1..R_i), else a series opening with positive
+    # deviations under-reports (d=[2,-1,-1] would read S_1 = 0, not 2)
+    s = r.select(
+        "event_type",
+        "bucket_ms",
+        "n_buckets",
+        (F.col("r") - F.least(F.lit(0), F.min("r").over(run))).alias("s_up"),
+        (F.greatest(F.lit(0), F.max("r").over(run)) - F.col("r")).alias("s_down"),
+    )
+    w_up = wt.orderBy(F.desc("s_up"), F.asc("bucket_ms"))
+    w_down = wt.orderBy(F.desc("s_down"), F.asc("bucket_ms"))
+    ranked = s.select(
+        "event_type",
+        "bucket_ms",
+        "n_buckets",
+        "s_up",
+        "s_down",
+        F.row_number().over(w_up).alias("ru"),
+        F.row_number().over(w_down).alias("rd"),
+    )
+    up = ranked.where(F.col("ru") == 1).select(
+        "event_type",
+        "n_buckets",
+        F.col("bucket_ms").alias("peak_up_bucket_ms"),
+        F.col("s_up").alias("peak_up_scaled"),
+    )
+    down = ranked.where(F.col("rd") == 1).select(
+        "event_type",
+        F.col("bucket_ms").alias("peak_down_bucket_ms"),
+        F.col("s_down").alias("peak_down_scaled"),
+    )
+    return up.join(down, "event_type")
+
+
+def cusum_level_shift_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_ms: int = HOUR_MS,
+) -> str:
+    """DuckDB twin of :func:`cusum_level_shift` (same exact-integer
+    windows; sum() outputs cast back to BIGINT per the HUGEINT rule)."""
+    return f"""
+WITH buck AS (
+  SELECT {type_col} AS event_type,
+         epoch_ms({ts_col}) - epoch_ms({ts_col}) % {bucket_ms} AS bucket_ms,
+         CAST(sum(CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT)) AS BIGINT) AS x
+  FROM {table} GROUP BY 1, 2
+),
+scaled AS (
+  SELECT event_type, bucket_ms,
+         CAST(count(*) OVER wt AS BIGINT) * x
+           - CAST(sum(x) OVER wt AS BIGINT) AS d,
+         CAST(count(*) OVER wt AS BIGINT) AS n_buckets
+  FROM buck WINDOW wt AS (PARTITION BY event_type)
+),
+r AS (
+  SELECT *, CAST(sum(d) OVER run AS BIGINT) AS r
+  FROM scaled WINDOW run AS (PARTITION BY event_type ORDER BY bucket_ms
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, bucket_ms, n_buckets,
+         r - least(0, CAST(min(r) OVER run AS BIGINT)) AS s_up,
+         greatest(0, CAST(max(r) OVER run AS BIGINT)) - r AS s_down
+  FROM r WINDOW run AS (PARTITION BY event_type ORDER BY bucket_ms
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s_up DESC, bucket_ms) AS ru,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s_down DESC, bucket_ms) AS rd
+  FROM s
+)
+SELECT u.event_type, u.n_buckets,
+       u.bucket_ms AS peak_up_bucket_ms, u.s_up AS peak_up_scaled,
+       d.bucket_ms AS peak_down_bucket_ms, d.s_down AS peak_down_scaled
+FROM (SELECT * FROM ranked WHERE ru = 1) u
+JOIN (SELECT * FROM ranked WHERE rd = 1) d USING (event_type)
+"""

@@ -1701,3 +1701,76 @@ def test_value_trend_ols_matches_duckdb_twin(spark, sf_small):
     want = sorted(con.execute(value_trend_ols_sql()).fetchall())
     # bit-identical doubles expected (identical IEEE expression trees)
     assert got == want and got
+
+
+def test_cusum_level_shift_hand_computed(spark):
+    from datetime import datetime
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        cusum_level_shift,
+    )
+
+    # one type, 6 hourly buckets of cents [100,100,400,400,400,400]:
+    # n=6, T=1800, d = 6x-T = [-1200,-1200,600,600,600,600],
+    # R = [-1200,-2400,-1800,-1200,-600,0]
+    # S+ = R - min(0, running min R) = [0,0,600,1200,1800,2400] -> peak
+    #   2400 at the LAST bucket (the upward level shift accumulates)
+    # S- = max(0, running max R) - R = [1200,2400,1800,1200,600,0] ->
+    #   peak 2400 at bucket 1 (and S-_0 = 1200 only holds with the
+    #   empty-prefix R_0=0 in the running extremum -- the identity fix)
+    rows = [
+        (i, datetime(2024, 1, 1, i), 7, "a", v, None)
+        for i, v in enumerate([1.0, 1.0, 4.0, 4.0, 4.0, 4.0])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    [r] = cusum_level_shift(ev).collect()
+    h = 3_600_000
+    base = 1_704_067_200_000  # 2024-01-01T00Z epoch ms
+    assert r["n_buckets"] == 6
+    assert (r["peak_up_bucket_ms"], r["peak_up_scaled"]) == (base + 5 * h, 2400)
+    assert (r["peak_down_bucket_ms"], r["peak_down_scaled"]) == (base + 1 * h, 2400)
+
+
+def test_cusum_level_shift_matches_recurrence_and_duckdb(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        cusum_level_shift,
+        cusum_level_shift_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    got = sorted(map(tuple, cusum_level_shift(ev).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(cusum_level_shift_sql()).fetchall())
+    assert got == want and got
+    # literal-recurrence cross-check on one type: S_i = max(0, S_{i-1}+d_i)
+    series = con.execute("""
+        SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS b,
+               CAST(sum(CAST(floor(value*1e2+5e-1) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'view' GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    n = len(series)
+    t = sum(x for _, x in series)
+    s_up = s_down = 0
+    peak_up = (None, -1)
+    peak_down = (None, -1)
+    for b, x in series:
+        d = n * x - t
+        s_up = max(0, s_up + d)
+        s_down = max(0, s_down - d)
+        if s_up > peak_up[1]:
+            peak_up = (b, s_up)
+        if s_down > peak_down[1]:
+            peak_down = (b, s_down)
+    row = next(r for r in got if r[0] == "view")
+    assert (row[2], row[3]) == peak_up
+    assert (row[4], row[5]) == peak_down
