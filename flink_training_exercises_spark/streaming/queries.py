@@ -682,3 +682,98 @@ def rank_topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("window_end_ms", "rank", "event_type", "cnt")
     )
+
+
+def streaming_windowed_hll(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "60 seconds",
+    p: int = None,
+) -> DataFrame:
+    """Mergeable sketch ON the stream: per event-time window, HyperLogLog
+    register maxes for the distinct-user estimate -- the streaming twin of
+    the batch ``hll_distinct`` family, composed from the SAME register
+    pipeline (md5 bucket/rho split, ``operators/sketches.py``).
+
+    STAGED (round-8 backlog with the batch OLS/CUSUM additions) --
+    pytest-pinned (tests/test_streaming.py::
+    test_streaming_windowed_hll_matches_batch) but not registered: the
+    round-7 window capacity is consumed (CLAUDE.md round-7 starter).
+
+    Why this shape: a register max is an associative+commutative fold, so
+    it rides the watermarked windowed aggregation natively (fire-once per
+    (window, bucket) at watermark passage -- the popular_places
+    contract), and the per-window state is CAPPED at m = 2**p registers
+    no matter how many events the window sees: the defining sketch
+    property, which is exactly what makes unbounded-cardinality distinct
+    counting safe inside streaming state. The float estimate fold CANNOT
+    ride along (append mode forbids re-aggregating the aggregate), and
+    doesn't need to: the drain is <= |windows| x m rows, so
+    :func:`hll_estimate_per_window` folds it as a bounded batch stage --
+    same composition as ``streaming_windowed_topk`` + its ranking stage.
+
+    Scale shape: one stateful shuffle keyed on (window, bucket);
+    watermark-bounded state, m-bounded per window."""
+    from ..functions.hashing import md5_long
+    from ..functions.time import ntz_as_utc_instant
+    from ..operators.sketches import _HLL_RHO_CAP, _HLL_W, HLL_P
+
+    p = HLL_P if p is None else p
+    m = 1 << p
+    ev = events.select(
+        ntz_as_utc_instant("ts").alias("ts"), "user_id"
+    ).withWatermark("ts", watermark)
+    h = md5_long(F.col("user_id").cast("string"))
+    keyed = ev.select("ts", h.alias("h")).select(
+        "ts",
+        (F.col("h") % m).alias("bucket"),
+        F.expr(f"(h div {m}) % {1 << _HLL_W}").alias("w32"),
+    )
+    rho = F.when(F.col("w32") == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.lit(_HLL_RHO_CAP) - F.length(F.bin(F.col("w32")))
+    )
+    return (
+        keyed.select("ts", "bucket", rho.alias("rho"))
+        .groupBy(F.window("ts", window).alias("w"), "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .select(
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "bucket",
+            "m_j",
+        )
+    )
+
+
+def hll_estimate_per_window(regs: DataFrame, p: int = None) -> DataFrame:
+    """Batch fold stage for :func:`streaming_windowed_hll`'s drained
+    registers: the raw-estimator fold per window (same single-literal
+    float arithmetic as the batch HLL -- raw estimator by design, no
+    linear-counting correction; CLAUDE.md round-4 note)."""
+    from ..operators.sketches import (
+        _HLL_RHO_CAP,
+        HLL_NUMERATOR_LIT,
+        HLL_P,
+    )
+
+    p = HLL_P if p is None else p
+    m = 1 << p
+    folded = regs.groupBy("window_end_ms").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")
+        ).alias("s_nonempty"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    est = F.lit(float(HLL_NUMERATOR_LIT)) / F.col("s")
+    return (
+        folded.withColumn("v_empty", F.lit(m) - F.col("n_buckets"))
+        .withColumn(
+            "s",
+            F.col("s_nonempty")
+            + F.col("v_empty") * F.lit(1 << _HLL_RHO_CAP).cast("bigint"),
+        )
+        .select(
+            "window_end_ms",
+            F.col("n_buckets").alias("n_nonempty_buckets"),
+            F.round(est, 4).alias("hll_estimate"),
+        )
+    )

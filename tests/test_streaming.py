@@ -896,3 +896,61 @@ def test_streaming_windowed_topk_matches_batch(spark, sf_small):
     )
     want = {tuple(r) for r in rank_topk_per_window(counts).collect()}
     assert got == want and got
+
+
+def test_streaming_windowed_hll_matches_batch(spark, sf_small):
+    """STAGED (round-8 backlog) windowed HLL: the drained streaming
+    register maxes, folded by the batch estimate stage, must equal the
+    batch-computed registers cut at the final watermark and folded the
+    same. Registers are exact integers, so the parity is hash-exact; the
+    estimate column is the shared single-literal float fold. (No accuracy
+    asserts: the raw estimator biases low near n ~ m by design --
+    CLAUDE.md round-4 note.)"""
+    from flink_training_exercises_spark.functions.hashing import md5_long
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.operators.sketches import (
+        _HLL_RHO_CAP,
+        _HLL_W,
+        HLL_M,
+    )
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        drain_availablenow,
+        hll_estimate_per_window,
+        streaming_windowed_hll,
+    )
+
+    name = f"whll_{uuid.uuid4().hex[:8]}"
+    drained = drain_availablenow(
+        streaming_windowed_hll(events_stream(spark, sf_small)), name
+    )
+    got_regs = {tuple(r) for r in drained.collect()}
+    got = {tuple(r) for r in hll_estimate_per_window(drained).collect()}
+
+    ev = load_table(spark, "events", sf_small)
+    win_ms = 6 * 3600 * 1000
+    em = epoch_ms("ts")
+    h = md5_long(F.col("user_id").cast("string"))
+    keyed = ev.select(
+        (em - em % win_ms + win_ms).alias("window_end_ms"),
+        (h % HLL_M).alias("bucket"),
+        h.alias("_h"),
+    ).select(
+        "window_end_ms",
+        "bucket",
+        F.expr(f"(_h div {HLL_M}) % {1 << _HLL_W}").alias("w32"),
+    )
+    rho = F.when(F.col("w32") == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.lit(_HLL_RHO_CAP) - F.length(F.bin(F.col("w32")))
+    )
+    max_ms = ev.agg(F.max(em)).first()[0]
+    want_regs_df = (
+        keyed.select("window_end_ms", "bucket", rho.alias("rho"))
+        .groupBy("window_end_ms", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .where(F.col("window_end_ms") <= max_ms - 60000)
+    )
+    want_regs = {tuple(r) for r in want_regs_df.collect()}
+    want = {tuple(r) for r in hll_estimate_per_window(want_regs_df).collect()}
+    assert got_regs == want_regs and got_regs
+    assert got == want and got
