@@ -393,3 +393,118 @@ SELECT batch_id, n_docs, max_tokens, total_tokens,
             ELSE 0e0 END AS padding_frac
 FROM agg
 """
+
+
+def contrastive_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 4,
+    n_probes: int = 16,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor vector, up to ``k`` negatives with a DIFFERENT label, chosen by
+    a bounded md5 probe sequence -- the (anchor, positive, negatives)
+    batch builder for contrastive/embedding training, with the
+    reproducibility contract every training pipeline wants (same corpus
+    -> same negatives, any cluster layout, any partition count).
+
+    Output (anchor_id, neg_rank, neg_id, neg_label); neg_rank is the
+    1-based probe order of the accepted negatives.
+
+    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin; round-7
+    registration capacity is consumed (CLAUDE.md round-7 starter).
+
+    How it avoids the cross join: probe j of anchor a targets id
+    md5(a || ':neg:' || j) % (max_id + 1). Probes that miss (gap id,
+    same label, or self) are SKIPPED -- the contract is up-to-k negatives
+    from ``n_probes`` bounded attempts, not exactly-k (with dense ids and
+    a balanced label set, P(all 16 probes fail) < 1e-9 per anchor;
+    degenerate label distributions surface as short rows, loudly). Scale
+    shape: one explode to n_probes rows per anchor (a constant factor,
+    not data-squared), one equi-join on the probed id, one windowed
+    shuffle on anchor for the rank cut; max_id is a 1-row broadcast."""
+    nrow = F.broadcast(emb.agg((F.max(id_col) + 1).alias("_n")))
+    anchors = emb.select(
+        F.col(id_col).alias("anchor_id"), F.col(label_col).alias("a_label")
+    ).crossJoin(nrow)
+    probes = anchors.select(
+        "anchor_id",
+        "a_label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            md5_long(
+                                F.concat(
+                                    F.col("anchor_id").cast("string"),
+                                    F.lit(f":neg:{j}"),
+                                )
+                            )
+                            % F.col("_n")
+                        ).alias("cand"),
+                    )
+                    for j in range(n_probes)
+                ]
+            )
+        ).alias("p"),
+    ).select("anchor_id", "a_label", F.col("p.j").alias("j"), F.col("p.cand").alias("cand"))
+    cands = emb.select(
+        F.col(id_col).alias("cand"), F.col(label_col).alias("neg_label")
+    )
+    hits = (
+        probes.join(cands, "cand")
+        .where(
+            (F.col("neg_label") != F.col("a_label"))
+            & (F.col("cand") != F.col("anchor_id"))
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("j")
+    return (
+        hits.select(
+            "anchor_id",
+            F.row_number().over(w).alias("neg_rank"),
+            F.col("cand").alias("neg_id"),
+            "neg_label",
+        )
+        .where(F.col("neg_rank") <= k)
+    )
+
+def contrastive_negatives_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 4,
+    n_probes: int = 16,
+) -> str:
+    """DuckDB twin of :func:`contrastive_negatives` (same probe targets,
+    same skip rules, same rank cut; constant-bound generate_series -- the
+    column-arg form is the known DuckDB binder trap, CLAUDE.md)."""
+    h = md5_long_sql(
+        f"CAST(anchor_id AS VARCHAR) || ':neg:' || CAST(gs.j AS VARCHAR)"
+    )
+    return f"""
+WITH n AS (SELECT max({id_col}) + 1 AS _n FROM {table}),
+anchors AS (
+  SELECT {id_col} AS anchor_id, {label_col} AS a_label, _n
+  FROM {table} CROSS JOIN n
+),
+probes AS (
+  SELECT anchor_id, a_label, gs.j AS j, ({h}) % _n AS cand
+  FROM anchors CROSS JOIN generate_series(0, {n_probes - 1}) AS gs(j)
+),
+hits AS (
+  SELECT p.anchor_id, p.j, p.cand, e.{label_col} AS neg_label
+  FROM probes p JOIN {table} e ON p.cand = e.{id_col}
+  WHERE e.{label_col} != p.a_label AND p.cand != p.anchor_id
+)
+SELECT anchor_id, neg_rank, cand AS neg_id, neg_label
+FROM (
+  SELECT anchor_id, cand, neg_label,
+         CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY j) AS INT)
+           AS neg_rank
+  FROM hits
+) WHERE neg_rank <= {k}
+"""

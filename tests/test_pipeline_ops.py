@@ -1774,3 +1774,44 @@ def test_cusum_level_shift_matches_recurrence_and_duckdb(spark, sf_small):
     row = next(r for r in got if r[0] == "view")
     assert (row[2], row[3]) == peak_up
     assert (row[4], row[5]) == peak_down
+
+
+def test_contrastive_negatives_contract(spark):
+    from flink_training_exercises_spark.operators import sampling
+
+    # 6 vectors, labels 0/0/0/1/1/1: every anchor must get up to 4
+    # negatives, all with a different label, never itself, ranks 1..k
+    # dense from probe order
+    rows = [(i, [0.0], i // 3) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sampling.contrastive_negatives(emb).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    labels = {i: i // 3 for i in range(6)}
+    for a, rs in by_anchor.items():
+        ranks = sorted(r["neg_rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 4
+        for r in rs:
+            assert r["neg_id"] != a
+            assert labels[r["neg_id"]] != labels[a]
+            assert r["neg_label"] == labels[r["neg_id"]]
+    # determinism: a second evaluation is identical
+    again = sampling.contrastive_negatives(emb).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_contrastive_negatives_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators import sampling
+    from flink_training_exercises_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_small)
+    got = sorted(map(tuple, sampling.contrastive_negatives(emb).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'"
+    )
+    want = sorted(con.execute(sampling.contrastive_negatives_sql()).fetchall())
+    assert got == want and got
