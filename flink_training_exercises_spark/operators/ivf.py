@@ -252,9 +252,14 @@ def ivf_topk_oracle(
     query_mod: int = 25,
     dim: int = DIM,
     train_n: int = TRAIN_N,
+    train_where: str = "",
 ) -> str:
     k = n_centroids
     dist_bc = _dist_sql("b.v", "c.c", dim)
+    # train_where restricts only the QUANTIZER SAMPLE (the staleness
+    # audit trains on the standing corpus while searching the merged
+    # one); empty = sample from the full base, the gated-oracle behavior
+    tw = f"WHERE {train_where}" if train_where else ""
     parts = [
         f"""WITH base AS (
   SELECT {id_col} AS id,
@@ -264,7 +269,7 @@ def ivf_topk_oracle(
   SELECT id, v, list_sum([y * y for y in v]) AS nn FROM base
 ), train AS (
   SELECT id, v FROM (
-    SELECT id, v, {md5_long_sql(f"CAST(id AS VARCHAR)")} AS bucket FROM base
+    SELECT id, v, {md5_long_sql(f"CAST(id AS VARCHAR)")} AS bucket FROM base {tw}
     ORDER BY bucket, id LIMIT {train_n}
   )
 ), c0 AS (
@@ -847,3 +852,109 @@ SELECT query_id, neighbor_id, rank, approx_sqdist FROM (
 ) WHERE rank <= {topk}"""
     )
     return ",\n".join(parts)
+
+
+def index_staleness_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    new_bp: int = 2000,
+    topk: int = 5,
+    query_mod: int = 25,
+) -> DataFrame:
+    """ANN index-staleness audit for the continuous-ingest shape: a new
+    embedding batch (md5(id) % 10000 < new_bp -- the incremental-minhash
+    split convention) lands on a standing corpus whose IVF quantizer was
+    trained BEFORE the batch arrived. New vectors get assigned to the
+    stale centroids map-only (the real-world incremental contract: no
+    retrain on ingest), and this audit measures what that costs: top-k
+    recall against exact brute force over the merged corpus, for the
+    stale-quantizer index next to a freshly-retrained one. Output two
+    rows (method in {'stale','fresh'}, hits, total) of integer counts --
+    the retrain-cadence dashboard number.
+
+    STAGED (round-8 backlog): pytest-pinned (composition differential
+    against the CATALOG oracles); round-7 capacity is consumed.
+
+    Scale shape: both quantizers are TRAIN_N-bounded driver Lloyd (the
+    stale one samples only the standing corpus); assignment stays
+    map-only over inlined centroid literals; brute-force ground truth is
+    the audit's deliberate exact pass (ann_recall_at_k policy), and is
+    localCheckpoint-ed -- bounded at topk rows per sampled query --
+    because the hits join and the broadcast total both consume it
+    (round-6 twice-consumed rule)."""
+    from ..functions.hashing import md5_long
+    from .similarity import topk_bruteforce
+
+    base = _with_int_vec(emb, id_col, vec_col)
+    is_new = md5_long(F.col(id_col).cast("string")) % 10000 < new_bp
+    standing = _with_int_vec(emb.where(~is_new), id_col, vec_col)
+    stale_rows = _collect_train(standing, TRAIN_N)
+    fresh_rows = _collect_train(base, TRAIN_N)
+    flt = F.col(id_col) % query_mod == 0
+    bf = (
+        topk_bruteforce(emb, k=topk, query_filter=flt)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    approx = (
+        ivf_topk(emb, id_col, vec_col, topk=topk, query_mod=query_mod,
+                 train_rows=stale_rows)
+        .select(F.lit("stale").alias("method"), "query_id", "neighbor_id")
+        .unionByName(
+            ivf_topk(emb, id_col, vec_col, topk=topk, query_mod=query_mod,
+                     train_rows=fresh_rows)
+            .select(F.lit("fresh").alias("method"), "query_id", "neighbor_id")
+        )
+    )
+    hits = (
+        approx.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+    return hits.crossJoin(F.broadcast(total))
+
+
+def index_staleness_audit_sql(
+    bf_oracle: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    new_bp: int = 2000,
+    topk: int = 5,
+    query_mod: int = 25,
+) -> str:
+    """DuckDB twin of :func:`index_staleness_audit`, composed from the
+    ivf oracle twice (once with the training sample restricted to the
+    standing corpus via ``train_where``) plus the caller-supplied
+    brute-force oracle (the plans layer owns that text -- same
+    composition pattern as the ann_recall oracle)."""
+    from ..functions.hashing import md5_long_sql
+
+    standing = (
+        f"({md5_long_sql('CAST(id AS VARCHAR)')}) % 10000 >= {new_bp}"
+    )
+    stale = ivf_topk_oracle(
+        table, id_col, vec_col, topk=topk, query_mod=query_mod,
+        train_where=standing,
+    )
+    fresh = ivf_topk_oracle(
+        table, id_col, vec_col, topk=topk, query_mod=query_mod
+    )
+    return f"""
+WITH bf AS ({bf_oracle}),
+stale AS ({stale}),
+fresh AS ({fresh}),
+approx AS (
+  SELECT 'stale' AS method, query_id, neighbor_id FROM stale
+  UNION ALL
+  SELECT 'fresh' AS method, query_id, neighbor_id FROM fresh
+),
+hits AS (
+  SELECT method, CAST(count(*) AS BIGINT) AS hits
+  FROM approx JOIN bf USING (query_id, neighbor_id) GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bf)
+SELECT method, hits, total FROM hits CROSS JOIN tot
+"""

@@ -120,3 +120,31 @@ def test_ivf_pq_composition_sane(spark, sf_small):
     }
     approx = {(q, n) for q, n, _ in r1}
     assert len(exact & approx) / len(exact) > 0.05
+
+
+def test_index_staleness_audit_matches_composed_oracle(spark, sf_small):
+    """STAGED (round-8 backlog): the stale-vs-fresh quantizer recall audit
+    must match the CTE composition of the ivf oracle (train restricted to
+    the standing corpus via train_where) + the brute-force oracle."""
+    import duckdb
+
+    from flink_training_exercises_spark.operators.ivf import (
+        index_staleness_audit,
+        index_staleness_audit_sql,
+    )
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+    from flink_training_exercises_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_small)
+    got = sorted(map(tuple, index_staleness_audit(emb).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'"
+    )
+    sql = index_staleness_audit_sql(CATALOG["ann_topk_bruteforce"].oracle)
+    want = sorted(con.execute(sql).fetchall())
+    assert got == want and len(got) == 2
+    hits = {m: h for m, h, _ in got}
+    total = got[0][2]
+    # both estimators found something, neither exceeds ground truth
+    assert 0 < hits["stale"] <= total and 0 < hits["fresh"] <= total
