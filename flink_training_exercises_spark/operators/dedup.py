@@ -519,7 +519,11 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+            # bigint cast: width-align with the oracle (driver tolerates
+            # width skew today; one cast removes the reliance)
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .distinct()
     )
@@ -554,7 +558,7 @@ sims AS (SELECT id, {sim} AS sim FROM bit_sums),
 banded AS ({bands}),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         bit_count(xor(a.sim, b.sim)) AS hamming
+         CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
   FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}

@@ -42,11 +42,15 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     clean = F.regexp_replace(no_email, DIGITS_RE, NUM_TAG)
     return df.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
-        F.size(F.regexp_extract_all(no_email, F.lit(DIGITS_RE), F.lit(0))).alias(
-            "n_id_runs"
-        ),
-        F.length(clean).alias("redacted_len"),
+        # bigint casts: width-align with the oracle's int64 (the driver
+        # tolerates width skew today; one cast removes the reliance)
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(DIGITS_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_id_runs"),
+        F.length(clean).cast("bigint").alias("redacted_len"),
         md5_long(clean).alias("redacted_fp"),
     )
 

@@ -349,7 +349,8 @@ def length_batches(
     )
     agg = batched.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.max("n_tok").alias("max_tokens"),
+        # bigint cast: width-align with the oracle's int64
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
     padded = agg.withColumn("padded", F.col("max_tokens") * F.col("n_docs"))

@@ -56,8 +56,12 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     w = _words(text_col)
     return docs.select(
         F.col(id_col),
-        F.size(w).alias("n_tokens"),
-        F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha_tokens"),
+        # bigint casts: width-align with the oracle's int64 (driver
+        # tolerates width skew today; one cast removes the reliance)
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$")))
+        .cast("bigint")
+        .alias("n_alpha_tokens"),
         F.aggregate(
             w,
             F.lit(0).cast("bigint"),
@@ -164,7 +168,10 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     for lang in _LANGS:
         cond = F.col(f"hits_{lang}") == mx
         chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
-    return scored.select(F.col(id_col), chain.alias("pred_lang"), mx.alias("n_hits"))
+    # bigint cast: width-align with the oracle's int64
+    return scored.select(
+        F.col(id_col), chain.alias("pred_lang"), mx.cast("bigint").alias("n_hits")
+    )
 
 
 def lang_id_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
