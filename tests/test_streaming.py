@@ -954,3 +954,87 @@ def test_streaming_windowed_hll_matches_batch(spark, sf_small):
     want = {tuple(r) for r in hll_estimate_per_window(want_regs_df).collect()}
     assert got_regs == want_regs and got_regs
     assert got == want and got
+
+
+def test_streaming_windowed_topk_chunked_matches_unchunked(spark, sf_small, tmp_path):
+    """Chunked-replay invariance for the staged windowed heavy hitters:
+    4 chronological chunks through maxFilesPerTrigger=1 must drain to the
+    same ranked rows as the single-batch drain (which the parity test
+    pins against batch) -- watermark advancement across micro-batches
+    cannot change fire-once window emissions."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        drain_availablenow,
+        rank_topk_per_window,
+        streaming_windowed_topk,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "ev_chunks_topk")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = {
+        tuple(r)
+        for r in rank_topk_per_window(
+            drain_availablenow(
+                streaming_windowed_topk(chunked),
+                f"wtopk_chunked_{_uuid.uuid4().hex[:8]}",
+            )
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in rank_topk_per_window(
+            drain_availablenow(
+                streaming_windowed_topk(events_stream(spark, sf_small)),
+                f"wtopk_one_{_uuid.uuid4().hex[:8]}",
+            )
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_streaming_windowed_hll_chunked_matches_unchunked(spark, sf_small, tmp_path):
+    """Chunked-replay invariance for the staged windowed HLL: register
+    maxes are associative+commutative, so micro-batch boundaries cannot
+    change the drained registers."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        drain_availablenow,
+        streaming_windowed_hll,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "ev_chunks_hll")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = {
+        tuple(r)
+        for r in drain_availablenow(
+            streaming_windowed_hll(chunked), f"whll_chunked_{_uuid.uuid4().hex[:8]}"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in drain_availablenow(
+            streaming_windowed_hll(events_stream(spark, sf_small)),
+            f"whll_one_{_uuid.uuid4().hex[:8]}",
+        ).collect()
+    }
+    assert got == want and got
