@@ -7,7 +7,7 @@ from integer counts so the doubles are bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
@@ -934,4 +934,117 @@ WITH w AS (
   )
 )
 SELECT doc_id, chunk_idx, start_token, n_tokens, chunk_hash FROM chunk
+"""
+
+
+def source_scorecard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source ingestion scorecard -- the dashboard row a curation
+    pipeline publishes per upstream feed, composing the existing
+    primitives: exact-dup redundancy (docs minus distinct md5 texts),
+    Gopher quality pass rate, dominant language (count desc, lang asc
+    tie-break), and mean length. One row per source:
+    (source, n_docs, n_distinct_texts, dup_ppm, n_pass_gopher,
+    gopher_pass_ppm, top_lang, mean_chars_x100) -- every rate an exact
+    integer (ppm via BIGINT cross-multiplied integer division), so the
+    row set is hash-exact across engines.
+
+    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin
+    composing gopher_quality_flags_sql; round-7 capacity is consumed
+    (CLAUDE.md round-7 starter).
+
+    Scale shape (100 TB): the per-doc frame is one map-only projection
+    (the Gopher battery + an md5) joined on id; the scorecard is one
+    hash groupBy on source with map-side combine plus a
+    vocabulary-bounded (sources x langs) mode table broadcast back.
+    Output cardinality = |sources|."""
+    from ..functions.hashing import md5_long
+
+    flags = gopher_quality_flags(docs, id_col, text_col).select(
+        F.col(id_col), F.col("passes_gopher")
+    )
+    per_doc = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.col(len_col).cast("bigint").alias("n_chars"),
+        md5_long(F.col(text_col)).alias("th"),
+    ).join(flags, id_col)
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("th").alias("n_distinct_texts"),
+        F.sum("passes_gopher").cast("bigint").alias("n_pass_gopher"),
+        F.sum("n_chars").alias("schars"),
+    )
+    lc = per_doc.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top = (
+        lc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return agg.join(F.broadcast(top), "source").select(
+        "source",
+        "n_docs",
+        "n_distinct_texts",
+        F.expr("(1000000 * (n_docs - n_distinct_texts)) DIV n_docs").alias(
+            "dup_ppm"
+        ),
+        "n_pass_gopher",
+        F.expr("(1000000 * n_pass_gopher) DIV n_docs").alias("gopher_pass_ppm"),
+        "top_lang",
+        F.expr("(100 * schars) DIV n_docs").alias("mean_chars_x100"),
+    )
+
+
+def source_scorecard_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`source_scorecard` (gopher flags CTE-composed;
+    `//` = Spark's DIV on these nonnegative counts)."""
+    from ..functions.hashing import md5_long_sql
+
+    gopher = gopher_quality_flags_sql(table, id_col, text_col)
+    th = md5_long_sql(text_col)
+    return f"""
+WITH gf AS ({gopher}),
+per_doc AS (
+  SELECT d.{id_col}, d.{source_col} AS source, d.{lang_col} AS lang,
+         CAST(d.{len_col} AS BIGINT) AS n_chars, {th} AS th,
+         gf.passes_gopher
+  FROM {table} d JOIN gf USING ({id_col})
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+         CAST(sum(passes_gopher) AS BIGINT) AS n_pass_gopher,
+         CAST(sum(n_chars) AS BIGINT) AS schars
+  FROM per_doc GROUP BY 1
+),
+top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, lang) AS rk
+    FROM per_doc GROUP BY source, lang
+  ) WHERE rk = 1
+)
+SELECT a.source, n_docs, n_distinct_texts,
+       (1000000 * (n_docs - n_distinct_texts)) // n_docs AS dup_ppm,
+       n_pass_gopher,
+       (1000000 * n_pass_gopher) // n_docs AS gopher_pass_ppm,
+       top_lang,
+       (100 * schars) // n_docs AS mean_chars_x100
+FROM agg a JOIN top USING (source)
 """

@@ -1815,3 +1815,49 @@ def test_contrastive_negatives_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(sampling.contrastive_negatives_sql()).fetchall())
     assert got == want and got
+
+
+def test_source_scorecard_hand_computed(spark):
+    from flink_training_exercises_spark.operators.textstats import (
+        source_scorecard,
+    )
+
+    # source s1: 4 docs, one exact-dup pair (docs 1,2), langs en,en,fr,en
+    # -> top en; none pass gopher (all < 50 words). source s2: 1 doc.
+    rows = [
+        (1, "aa bb", "en", "s1", 5),
+        (2, "aa bb", "en", "s1", 5),
+        (3, "cc dd", "fr", "s1", 5),
+        (4, "ee ff", "en", "s1", 5),
+        (5, "gg hh", "de", "s2", 7),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in source_scorecard(docs).collect()}
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["n_distinct_texts"]) == (4, 3)
+    assert s1["dup_ppm"] == 250000  # 1 redundant doc of 4
+    assert (s1["n_pass_gopher"], s1["gopher_pass_ppm"]) == (0, 0)
+    assert s1["top_lang"] == "en" and s1["mean_chars_x100"] == 500
+    s2 = got["s2"]
+    assert (s2["n_docs"], s2["dup_ppm"], s2["top_lang"]) == (1, 0, "de")
+
+
+def test_source_scorecard_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.textstats import (
+        source_scorecard,
+        source_scorecard_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = sorted(map(tuple, source_scorecard(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(source_scorecard_sql()).fetchall())
+    assert got == want and got
