@@ -532,3 +532,104 @@ def label_propagation_sql(edges_sql: str, rounds: int = 6) -> str:
             "GROUP BY node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, label FROM l{rounds}"
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: c(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) -- how close each node's
+    neighborhood is to a clique, the standard cohesion metric next to the
+    global triangle count. Output (node, degree, n_triangles,
+    clustering_ppm), all BIGINT; the coefficient ships as an exact
+    parts-per-million integer ((1e6 * 2 * tri) DIV (deg*(deg-1)), 0 for
+    degree < 2 -- the division guard ANSI mode demands), so rows are
+    hash-exact across engines.
+
+    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin; round-7
+    registration capacity is consumed (CLAUDE.md round-7 starter).
+
+    Scale shape: reuses :func:`triangle_count`'s canonical wedge+closing
+    join (each a<b<c triangle found once, then credited to its three
+    corners via one explode), plus one degree aggregation -- two vertex-
+    keyed equi-joins and two groupBys, no cartesian; the same hub-salting
+    note as the global count applies at web scale."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closed = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    tri = (
+        closed.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(1000000 * 2 * coalesce(n_triangles, 0))"
+                    " DIV (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("clustering_ppm"),
+        )
+    )
+
+
+def clustering_coefficients_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`clustering_coefficients`; ``edges_sql`` must
+    select (src, dst)."""
+    return f"""
+WITH edges AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY 1
+),
+closed AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT unnest([x, y, z]) AS node FROM closed
+  ) GROUP BY 1
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2
+            THEN (1000000 * 2 * COALESCE(t.n_triangles, 0))
+                 // (d.degree * (d.degree - 1))
+            ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM deg d LEFT JOIN tri t USING (node)
+"""

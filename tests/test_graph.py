@@ -269,3 +269,62 @@ def test_label_propagation_sql_twin_matches_spark(spark):
     )
     want = set(duckdb.connect().execute(sql).fetchall())
     assert got == want and got
+
+
+def test_clustering_coefficients_hand_computed(spark):
+    from flink_training_exercises_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # K4 {a,b,c,d} + pendant d-e: every K4 node touches 3 of the 4
+    # triangles; a/b/c have degree 3 (coeff 1), d has degree 4
+    # (2*3/(4*3) = 0.5), e degree 1 (coeff 0 by guard)
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+            ("d", "e"),
+            ("b", "a"),  # duplicate reversed
+            ("e", "e"),  # self loop dropped
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_ppm"])
+        for r in clustering_coefficients(edges).collect()
+    }
+    assert got == {
+        "a": (3, 3, 1000000),
+        "b": (3, 3, 1000000),
+        "c": (3, 3, 1000000),
+        "d": (4, 3, 500000),
+        "e": (1, 0, 0),
+    }
+
+
+def test_clustering_coefficients_match_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.graph import (
+        clustering_coefficients,
+        clustering_coefficients_sql,
+    )
+    from flink_training_exercises_spark.plans import graphs as graphs_plan
+
+    got = sorted(
+        map(
+            tuple,
+            clustering_coefficients(
+                graphs_plan.edges_view(spark, sf_small)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    sql = clustering_coefficients_sql(
+        graphs_plan.EDGES_SQL.format(events="events")
+    )
+    want = sorted(con.execute(sql).fetchall())
+    assert got == want and got
