@@ -562,3 +562,44 @@ def test_concurrency_profile_matches_python_sweep(spark, rows, bucket_ms):
         want_acc[lvl] = (dur + (b - a), n + 1)
     want = {(l, d, n) for l, (d, n) in want_acc.items()}
     assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # sparse, NON-dense ids
+            st.integers(min_value=0, max_value=2),   # label
+        ),
+        min_size=2,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_contrastive_negatives_matches_python_reference(spark, rows):
+    import hashlib
+
+    from flink_training_exercises_spark.operators import sampling
+
+    emb = spark.createDataFrame(
+        [(i, [0.0], l) for i, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = sorted(
+        map(tuple, sampling.contrastive_negatives(emb).collect())
+    )
+    ids = {i: l for i, l in rows}
+    n = max(ids) + 1
+    md5l = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    want = []
+    for a, al in rows:
+        rank = 0
+        for j in range(16):
+            cand = md5l(f"{a}:neg:{j}") % n
+            if cand == a or cand not in ids or ids[cand] == al:
+                continue  # gap / self / same label: skipped probe
+            rank += 1
+            if rank > 4:
+                break
+            want.append((a, rank, cand, ids[cand]))
+    assert got == sorted(want)
