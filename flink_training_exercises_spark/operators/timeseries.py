@@ -608,3 +608,120 @@ SELECT u.event_type, u.n_buckets,
 FROM (SELECT * FROM ranked WHERE ru = 1) u
 JOIN (SELECT * FROM ranked WHERE rd = 1) d USING (event_type)
 """
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-type Theil-Sen trend: the MEDIAN of all pairwise slopes of the
+    daily cents series -- the robust companion to :func:`value_trend_ols`
+    (one corrupted day moves OLS arbitrarily; Theil-Sen tolerates ~29%
+    outliers). Output (event_type, n_days, n_pairs, slope_cents_per_day);
+    types need >= 2 distinct days to appear.
+
+    Determinism: daily sums are exact BIGINTs; each pairwise slope is ONE
+    correctly-rounded double division of exact integers, so the slope
+    multiset is bit-identical across engines; the median picks the
+    middle VALUE(s) by position (ties between equal doubles cannot
+    change the selected values), and the even-count average is one more
+    correctly-rounded add/divide -- the Pearson/BM25 recipe, extended to
+    an order statistic.
+
+    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin; round-7
+    capacity is consumed (CLAUDE.md round-7 starter).
+
+    Scale shape (100 TB): the pairwise join is quadratic in DISTINCT
+    DAYS PER TYPE, not in rows -- bounded by the time span squared
+    (a decade of days is ~3.7k, ~6.7M pairs per type), after the
+    bucket aggregation reduced the data-sized input in one shuffle.
+    Same confinement discipline as the blocked edit-distance dedup:
+    the quadratic is span-bounded by construction."""
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.floor(_epoch_ms(ts_col) / F.lit(DAY_MS)).cast("bigint").alias("d"),
+            F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    a = daily.select("event_type", F.col("d").alias("di"), F.col("y").alias("yi"))
+    b = daily.select("event_type", F.col("d").alias("dj"), F.col("y").alias("yj"))
+    pairs = a.join(b, "event_type").where(F.col("di") < F.col("dj")).select(
+        "event_type",
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("dj") - F.col("di")).cast("double")
+        ).alias("slope"),
+    )
+    wt = Window.partitionBy("event_type")
+    w = wt.orderBy("slope")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("n_pairs"),
+    )
+    mid = ranked.where(
+        (F.col("rk") == F.expr("(n_pairs + 1) DIV 2"))
+        | (F.col("rk") == F.expr("(n_pairs + 2) DIV 2"))
+    )
+    med = mid.groupBy("event_type", "n_pairs").agg(
+        # one or two middle rows; the two-row mean is (v1+v2)/2 in double
+        (F.sum("slope") / F.count(F.lit(1)).cast("double")).alias(
+            "slope_cents_per_day"
+        )
+    )
+    ndays = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return ndays.join(med, "event_type").select(
+        "event_type", "n_days", "n_pairs", "slope_cents_per_day"
+    )
+
+
+def theil_sen_trend_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`theil_sen_trend` (same daily BIGINT sums,
+    same one-division slopes, same positional median)."""
+    return f"""
+WITH daily AS (
+  SELECT {type_col} AS event_type,
+         epoch_ms({ts_col}) // {DAY_MS} AS d,
+         CAST(sum(CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT)) AS BIGINT) AS y
+  FROM {table} GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+  FROM pairs
+),
+med AS (
+  SELECT event_type, n_pairs,
+         sum(slope) / CAST(count(*) AS DOUBLE) AS slope_cents_per_day
+  FROM ranked
+  WHERE rk = (n_pairs + 1) // 2 OR rk = (n_pairs + 2) // 2
+  GROUP BY 1, 2
+),
+ndays AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, n_pairs, slope_cents_per_day
+FROM ndays JOIN med USING (event_type)
+"""

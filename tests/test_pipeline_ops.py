@@ -1861,3 +1861,51 @@ def test_source_scorecard_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(source_scorecard_sql()).fetchall())
     assert got == want and got
+
+
+def test_theil_sen_hand_computed(spark):
+    from datetime import datetime
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    # type 'a': 3 days, daily cents [100, 300, 200] -> slopes
+    # {200, 50, -100}, median 50. type 'b': 4 days [100,200,400,300] ->
+    # 6 slopes sorted [-100, 50, 200/3, 100, 150, 200]; even count ->
+    # (200/3 + 100)/2 in the same IEEE ops python uses.
+    rows = []
+    for i, v in enumerate([1.0, 3.0, 2.0]):
+        rows.append((len(rows), datetime(2024, 1, 1 + i, 5), 7, "a", v, None))
+    for i, v in enumerate([1.0, 2.0, 4.0, 3.0]):
+        rows.append((len(rows), datetime(2024, 1, 1 + i, 9), 8, "b", v, None))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"]: r for r in theil_sen_trend(ev).collect()}
+    a = got["a"]
+    assert (a["n_days"], a["n_pairs"], a["slope_cents_per_day"]) == (3, 3, 50.0)
+    b = got["b"]
+    assert (b["n_days"], b["n_pairs"]) == (4, 6)
+    assert b["slope_cents_per_day"] == (200.0 / 3.0 + 100.0) / 2.0
+
+
+def test_theil_sen_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        theil_sen_trend,
+        theil_sen_trend_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    got = sorted(map(tuple, theil_sen_trend(ev).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(theil_sen_trend_sql()).fetchall())
+    assert got == want and got
