@@ -1,0 +1,116 @@
+"""Gate-readiness audit for STAGED (not-yet-registered) operators: one
+consolidated check that each staged op's Spark output matches its DuckDB
+twin in VALUES, COLUMN NAMES, and PANDAS DTYPES -- the three things the
+driver's correctness gate hashes. The per-op differential tests compare
+python values, where ``1 == 1.0``; this is the test that catches an
+int-vs-float dtype skew (the gate-killer class) BEFORE registration.
+
+Round-7/8 registration: a staged op may be promoted to the catalog only
+while its row here is green; new staged ops add a case to CASES."""
+
+import duckdb
+import pytest
+
+from flink_training_exercises_spark.sources import load_table
+
+
+def _cases(spark, sf):
+    from flink_training_exercises_spark.operators import (
+        dedup,
+        graph,
+        pii,
+        sampling,
+    )
+    from flink_training_exercises_spark.operators.ivf import (
+        index_staleness_audit,
+        index_staleness_audit_sql,
+    )
+    from flink_training_exercises_spark.operators.sessions import (
+        concurrency_profile,
+        concurrency_profile_sql,
+    )
+    from flink_training_exercises_spark.operators.textstats import (
+        source_scorecard,
+        source_scorecard_sql,
+    )
+    from flink_training_exercises_spark.operators.timeseries import (
+        cusum_level_shift,
+        cusum_level_shift_sql,
+        theil_sen_trend,
+        theil_sen_trend_sql,
+        value_trend_ols,
+        value_trend_ols_sql,
+    )
+    from flink_training_exercises_spark.plans import graphs as graphs_plan
+    from flink_training_exercises_spark.plans.catalog import CATALOG
+
+    docs = load_table(spark, "documents", sf)
+    ev = load_table(spark, "events", sf)
+    emb = load_table(spark, "embeddings", sf)
+    return {
+        "sorted_neighborhood": (
+            dedup.sorted_neighborhood_pairs(docs),
+            dedup.sorted_neighborhood_pairs_sql(),
+        ),
+        "prefix_filter_jaccard": (
+            dedup.prefix_filter_jaccard_pairs(docs),
+            dedup.prefix_filter_jaccard_sql(),
+        ),
+        "concurrency_profile": (
+            concurrency_profile(ev),
+            concurrency_profile_sql(),
+        ),
+        "kanonymity_profile": (
+            pii.kanonymity_profile(docs),
+            pii.kanonymity_profile_sql(),
+        ),
+        "value_trend_ols": (value_trend_ols(ev), value_trend_ols_sql()),
+        "cusum_level_shift": (cusum_level_shift(ev), cusum_level_shift_sql()),
+        "contrastive_negatives": (
+            sampling.contrastive_negatives(emb),
+            sampling.contrastive_negatives_sql(),
+        ),
+        "index_staleness_audit": (
+            index_staleness_audit(emb),
+            index_staleness_audit_sql(CATALOG["ann_topk_bruteforce"].oracle),
+        ),
+        "source_scorecard": (source_scorecard(docs), source_scorecard_sql()),
+        "clustering_coefficients": (
+            graph.clustering_coefficients(graphs_plan.edges_view(spark, sf)),
+            graph.clustering_coefficients_sql(
+                graphs_plan.EDGES_SQL.format(events="events")
+            ),
+        ),
+        "theil_sen_trend": (theil_sen_trend(ev), theil_sen_trend_sql()),
+    }
+
+
+def test_staged_ops_gate_ready(spark, sf_small):
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
+        )
+    failures = []
+    for name, (sdf, sql) in _cases(spark, sf_small).items():
+        sp = sdf.toPandas()
+        du = con.execute(sql).df()
+        if sorted(sp.columns) != sorted(du.columns):
+            failures.append(f"{name}: columns {list(sp.columns)} vs {list(du.columns)}")
+            continue
+        du = du[list(sp.columns)]
+        skew = {
+            c: (str(sp[c].dtype), str(du[c].dtype))
+            for c in sp.columns
+            if str(sp[c].dtype) != str(du[c].dtype)
+        }
+        if skew:
+            failures.append(f"{name}: dtype skew {skew}")
+        key = list(sp.columns)
+        sv = sorted(map(tuple, sp[key].itertuples(index=False)))
+        dv = sorted(map(tuple, du[key].itertuples(index=False)))
+        if sv != dv:
+            failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
+        elif not sv:
+            failures.append(f"{name}: empty result")
+    assert not failures, "\n".join(failures)
