@@ -777,3 +777,111 @@ def hll_estimate_per_window(regs: DataFrame, p: int = None) -> DataFrame:
             F.round(est, 4).alias("hll_estimate"),
         )
     )
+
+
+def run_windowed_topk_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "streaming_windowed_topk_gate",
+) -> DataFrame:
+    """Gate wrapper for the staged windowed heavy hitters: drain the
+    streaming windowed counts (append mode, availableNow, fresh
+    checkpoint) and rank top-k per window in the bounded batch stage.
+    Oracle = :func:`windowed_topk_oracle` (batch counts cut at the final
+    watermark, ranked the same)."""
+    from .sources import events_stream
+
+    return rank_topk_per_window(
+        drain_availablenow(
+            streaming_windowed_topk(events_stream(spark, sf_dir)), query_name
+        )
+    )
+
+
+def windowed_topk_oracle(
+    window_ms: int = 6 * 3600 * 1000, k: int = 3, delay_ms: int = 60000
+) -> str:
+    """DuckDB oracle for :func:`run_windowed_topk_availablenow`: tumbling
+    epoch-aligned windows over events, cut at max(ts) - delay (the
+    append-mode fire-once horizon), top-k per window (count desc, type
+    asc)."""
+    return f"""
+WITH ev AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+mx AS (SELECT max(ms) AS m FROM ev),
+counts AS (
+  SELECT window_end_ms, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT ms - ms % {window_ms} + {window_ms} AS window_end_ms, event_type
+        FROM ev), mx
+  WHERE window_end_ms <= m - {delay_ms}
+  GROUP BY 1, 2
+)
+SELECT window_end_ms, rank, event_type, cnt FROM (
+  SELECT window_end_ms, event_type, cnt,
+         CAST(row_number() OVER (PARTITION BY window_end_ms
+                                 ORDER BY cnt DESC, event_type) AS INT) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def run_windowed_hll_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "streaming_windowed_hll_gate",
+) -> DataFrame:
+    """Gate wrapper for the staged windowed HLL distinct: drain the
+    streaming register maxes and fold the estimate in the bounded batch
+    stage. Oracle = :func:`windowed_hll_oracle`."""
+    from .sources import events_stream
+
+    return hll_estimate_per_window(
+        drain_availablenow(
+            streaming_windowed_hll(events_stream(spark, sf_dir)), query_name
+        )
+    )
+
+
+def windowed_hll_oracle(
+    window_ms: int = 6 * 3600 * 1000, delay_ms: int = 60000
+) -> str:
+    """DuckDB oracle for :func:`run_windowed_hll_availablenow`: the batch
+    HLL register build per epoch-aligned window, cut at the final
+    watermark, folded with the same single-literal float arithmetic as
+    the batch hll_distinct oracle."""
+    from ..functions.hashing import md5_long_sql
+    from ..operators.sketches import (
+        _HLL_RHO_CAP,
+        _HLL_W,
+        HLL_M,
+        HLL_NUMERATOR_LIT,
+    )
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ev AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
+mx AS (SELECT max(ms) AS m FROM ev),
+hashed AS (
+  SELECT ms - ms % {window_ms} + {window_ms} AS window_end_ms, {h} AS h FROM ev
+),
+cut AS (
+  SELECT window_end_ms, h FROM hashed, mx WHERE window_end_ms <= m - {delay_ms}
+),
+buckets AS (
+  SELECT window_end_ms, h % {HLL_M} AS bucket,
+         (h // {HLL_M}) % {1 << _HLL_W} AS w32
+  FROM cut
+),
+regs AS (
+  SELECT window_end_ms, bucket,
+         max(CASE WHEN w32 = 0 THEN {_HLL_RHO_CAP}
+                  ELSE {_HLL_RHO_CAP} - length(bin(w32)) END) AS m_j
+  FROM buckets GROUP BY 1, 2
+)
+SELECT window_end_ms,
+       CAST(count(*) AS BIGINT) AS n_nonempty_buckets,
+       round({HLL_NUMERATOR_LIT} /
+             (CAST(sum(1::BIGINT << ({_HLL_RHO_CAP} - m_j)) AS BIGINT)
+              + ({HLL_M} - count(*)) * (1::BIGINT << {_HLL_RHO_CAP})), 4)
+         AS hll_estimate
+FROM regs GROUP BY 1
+"""

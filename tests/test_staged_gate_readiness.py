@@ -114,3 +114,59 @@ def test_staged_ops_gate_ready(spark, sf_small):
         elif not sv:
             failures.append(f"{name}: empty result")
     assert not failures, "\n".join(failures)
+
+
+def test_staged_streaming_ops_gate_ready(spark, sf_small):
+    """Gate-readiness for the two staged STREAMING ops: the run_*
+    availableNow wrappers (the exact callables a future @register will
+    use) must match their DuckDB oracles in values, columns, and dtypes
+    -- upgrading them from pytest-parity to oracle-ready."""
+    from flink_training_exercises_spark.streaming.queries import (
+        run_windowed_hll_availablenow,
+        run_windowed_topk_availablenow,
+        windowed_hll_oracle,
+        windowed_topk_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    import uuid as _uuid
+
+    cases = {
+        "streaming_windowed_topk": (
+            run_windowed_topk_availablenow(
+                spark, sf_small, f"wtopk_gr_{_uuid.uuid4().hex[:8]}"
+            ),
+            windowed_topk_oracle(),
+        ),
+        "streaming_windowed_hll": (
+            run_windowed_hll_availablenow(
+                spark, sf_small, f"whll_gr_{_uuid.uuid4().hex[:8]}"
+            ),
+            windowed_hll_oracle(),
+        ),
+    }
+    failures = []
+    for name, (sdf, sql) in cases.items():
+        sp = sdf.toPandas()
+        du = con.execute(sql).df()
+        if sorted(sp.columns) != sorted(du.columns):
+            failures.append(f"{name}: columns {list(sp.columns)} vs {list(du.columns)}")
+            continue
+        du = du[list(sp.columns)]
+        skew = {
+            c: (str(sp[c].dtype), str(du[c].dtype))
+            for c in sp.columns
+            if str(sp[c].dtype) != str(du[c].dtype)
+        }
+        if skew:
+            failures.append(f"{name}: dtype skew {skew}")
+        sv = sorted(map(tuple, sp.itertuples(index=False)))
+        dv = sorted(map(tuple, du.itertuples(index=False)))
+        if sv != dv:
+            failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
+        elif not sv:
+            failures.append(f"{name}: empty result")
+    assert not failures, "\n".join(failures)
