@@ -633,3 +633,82 @@ SELECT d.node, d.degree,
             ELSE 0 END AS BIGINT) AS clustering_ppm
 FROM deg d LEFT JOIN tri t USING (node)
 """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    seed_mod: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass goes to a SEED set instead
+    of every vertex -- the graph-proximity ranking behind recommendation
+    and graph-RAG retrieval ("what is close to the things this user
+    cares about"), the personalized variant of the reference's Gelly
+    PageRank (PageRankWithEdgeWeights.java:102-104). Seeds are the
+    deterministic md5 subset md5(vertex) % seed_mod == 0 (in production,
+    the user's interest set). Output (vertex, rank); mass concentrates
+    near seeds and unreachable vertices rank exactly 0.
+
+    Exact-integer mode ONLY (the gated pagerank_weighted's determinism
+    recipe): ranks are BIGINTs at RANK_SCALE, contributions use integer
+    div, the teleport term base = (100-d100)*(RANK_SCALE//100) lands on
+    seeds alone -- bit-stable under any partitioning, and the oracle
+    unrolls the identical recurrence.
+
+    STAGED (round-8 backlog): pytest-pinned (python-reference recurrence
+    + DuckDB twin + gate-readiness); round-7 capacity is consumed.
+
+    Scale shape: identical to weighted_pagerank -- one cached transition
+    table hash-partitioned on src, per-iteration join + aggregate on the
+    same keys, periodic localCheckpoint to cut the iterative lineage."""
+    from ..functions.hashing import md5_long
+
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    vertices = vertices_from_edges(edges).repartition(n_part, "vertex").cache()
+    is_seed = (md5_long(F.col("vertex").cast("string")) % seed_mod == 0).cast(
+        "bigint"
+    )
+    verts = vertices.select("vertex", is_seed.alias("seed"))
+    d100 = int(round(damping * 100))
+    base = (100 - d100) * (RANK_SCALE // 100)
+    trans = (
+        edges.select("src", "dst", F.col("weight").cast("bigint").alias("w"))
+        .join(
+            edges.groupBy("src").agg(
+                F.sum(F.col("weight").cast("bigint")).alias("out_sum")
+            ),
+            "src",
+        )
+        .repartition(n_part, "src")
+        .cache()
+    )
+    ranks = verts.select(
+        "vertex", (F.col("seed") * RANK_SCALE).cast("bigint").alias("r")
+    )
+    for i in range(iterations):
+        contribs = (
+            trans.join(ranks, trans["src"] == ranks["vertex"])
+            .select("dst", F.expr("(r * w) div out_sum").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = verts.join(
+            contribs, verts["vertex"] == contribs["dst"], "left"
+        ).select(
+            "vertex",
+            (
+                F.col("seed") * F.lit(base)
+                + F.expr(f"({d100} * coalesce(s, 0)) div 100")
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        "vertex",
+        (F.col("r").cast("double") / F.lit(float(RANK_SCALE))).alias("rank"),
+    )

@@ -57,3 +57,39 @@ def pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
         ",\n".join(parts)
         + f"\nSELECT vertex, CAST(r AS DOUBLE) / {RANK_SCALE:e} AS rank FROM r{iterations}"
     )
+
+
+def ppr_oracle(
+    damping: float = 0.85, iterations: int = 10, seed_mod: int = 10
+) -> str:
+    """Personalized-PageRank twin of :func:`pagerank_oracle`: identical
+    unrolled integer recurrence, teleport mass confined to the md5 seed
+    set (operators/graph.personalized_pagerank -- STAGED, round-8)."""
+    from ..functions.hashing import md5_long_sql
+
+    d100 = int(round(damping * 100))
+    base = (100 - d100) * (RANK_SCALE // 100)
+    edges = EDGES_SQL.format(events="events")
+    seed = f"CAST({md5_long_sql('CAST(vertex AS VARCHAR)')} % {seed_mod} = 0 AS BIGINT)"
+    parts = [
+        f"WITH edges AS ({edges})",
+        "vraw AS (SELECT DISTINCT vertex FROM "
+        "(SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges))",
+        f"verts AS (SELECT vertex, {seed} AS seed FROM vraw)",
+        "trans AS (SELECT e.src, e.dst, e.weight AS w, o.out_sum FROM edges e "
+        "JOIN (SELECT src, SUM(weight) AS out_sum FROM edges GROUP BY src) o USING (src))",
+        f"r0 AS (SELECT vertex, CAST(seed * {RANK_SCALE} AS BIGINT) AS r FROM verts)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS (SELECT v.vertex, "
+            f"CAST(v.seed * {base} + ({d100} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM verts v LEFT JOIN ("
+            f"SELECT t.dst AS vertex, SUM((p.r * t.w) // t.out_sum) AS s "
+            f"FROM trans t JOIN r{i} p ON t.src = p.vertex GROUP BY t.dst"
+            f") c USING (vertex))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vertex, CAST(r AS DOUBLE) / {RANK_SCALE:e} AS rank FROM r{iterations}"
+    )

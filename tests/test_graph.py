@@ -328,3 +328,65 @@ def test_clustering_coefficients_match_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(sql).fetchall())
     assert got == want and got
+
+
+def test_personalized_pagerank_python_reference(spark):
+    """The exact-integer PPR recurrence vs an independent python replay on
+    a tiny weighted graph (seeds fixed by the same md5 predicate)."""
+    import hashlib
+
+    from flink_training_exercises_spark.operators.graph import (
+        RANK_SCALE,
+        personalized_pagerank,
+    )
+
+    edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "c", 2)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {
+        r["vertex"]: r["rank"]
+        for r in personalized_pagerank(df, iterations=5, seed_mod=2).collect()
+    }
+    md5l = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    verts = sorted({v for e in edges for v in e[:2]})
+    seed = {v: 1 if md5l(v) % 2 == 0 else 0 for v in verts}
+    out_sum = {}
+    for s, _, w in edges:
+        out_sum[s] = out_sum.get(s, 0) + w
+    r = {v: seed[v] * RANK_SCALE for v in verts}
+    base = 15 * (RANK_SCALE // 100)
+    for _ in range(5):
+        contribs = {}
+        for s, d, w in edges:
+            contribs[d] = contribs.get(d, 0) + (r[s] * w) // out_sum[s]
+        r = {v: seed[v] * base + (85 * contribs.get(v, 0)) // 100 for v in verts}
+    want = {v: r[v] / float(RANK_SCALE) for v in verts}
+    assert got == want
+    assert any(seed.values()) and not all(seed.values())  # both classes hit
+
+
+def test_personalized_pagerank_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    from flink_training_exercises_spark.plans import graphs as graphs_plan
+
+    got = sorted(
+        map(
+            tuple,
+            personalized_pagerank(
+                graphs_plan.edges_view(spark, sf_small)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(graphs_plan.ppr_oracle()).fetchall())
+    assert got == want and got
+    # the seed teleport concentrates mass: ranks are nonnegative and NOT
+    # uniform (this graph is connected enough that nothing ranks exactly 0)
+    ranks = [r for _, r in got]
+    assert min(ranks) >= 0.0 and len(set(ranks)) > 1

@@ -81,6 +81,10 @@ def _cases(spark, sf):
                 graphs_plan.EDGES_SQL.format(events="events")
             ),
         ),
+        "personalized_pagerank": (
+            graph.personalized_pagerank(graphs_plan.edges_view(spark, sf)),
+            graphs_plan.ppr_oracle(),
+        ),
         "theil_sen_trend": (theil_sen_trend(ev), theil_sen_trend_sql()),
     }
 
