@@ -836,3 +836,113 @@ SELECT CAST({n_shards} AS BIGINT) AS n_shards, CAST({n_bins} AS INT) AS n_bins,
        n_diff = 0 AS hist_equal, est_p50_cents, exact_p50_cents
 FROM eq CROSS JOIN est CROSS JOIN exact
 """
+
+
+def join_cardinality_estimate(
+    r_counts: DataFrame,
+    s_counts: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Join-size estimation via the Count-Min INNER PRODUCT -- the
+    optimizer-statistics question ("how many rows will R join S produce
+    on this key?") answered from two 4 KiB sketches instead of the join
+    itself: est = min over hash rows of sum_bucket cmsR[row][b] *
+    cmsS[row][b], with the one-sided guarantee est >= exact (Cormode &
+    Muthukrishnan's a.b estimator). Inputs are pre-aggregated (k, cnt)
+    relations; output is ONE row (n_exact, n_est, overcount), all BIGINT
+    and integer-exact, next to the exact truth -- the estimator-vs-
+    ground-truth audit pattern (hll_distinct / ann_recall_at_k policy).
+
+    STAGED (round-8 backlog): pytest-pinned (identity, one-sidedness,
+    python reference, DuckDB twin + gate-readiness); round-7 capacity
+    is consumed (CLAUDE.md round-7 starter).
+
+    Scale shape (100 TB): each side's sketch is built from its
+    key-aggregated relation (the CMS-from-partials identity, as
+    countmin_freq) and collapses to depth*width integer cells with
+    map-side combine; the inner product joins sketch cells against
+    sketch cells -- constant-size work however large the inputs. The
+    exact side is the audit's deliberate full computation. Both count
+    relations feed two consumers (their sketch and the exact join), so
+    they are localCheckpoint-ed (round-6 twice-consumed rule) -- they
+    are key-vocabulary-sized, not corpus-sized."""
+    r_counts = r_counts.select(
+        F.col(r_counts.columns[0]).alias("k"),
+        F.col(r_counts.columns[1]).cast("bigint").alias("cnt"),
+    ).localCheckpoint()
+    s_counts = s_counts.select(
+        F.col(s_counts.columns[0]).alias("k"),
+        F.col(s_counts.columns[1]).cast("bigint").alias("cnt"),
+    ).localCheckpoint()
+
+    def sketch(counts):
+        base = md5_long(F.col("k").cast("string"))
+        cells = [
+            F.struct(
+                F.lit(r).alias("r"),
+                (permuted_hash(base, a, b) % width).alias("bucket"),
+            )
+            for r, (a, b) in enumerate(_CMS_PARAMS[:depth])
+        ]
+        return (
+            counts.select("cnt", F.explode(F.array(*cells)).alias("cell"))
+            .select("cnt", F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+            .groupBy("r", "bucket")
+            .agg(F.sum("cnt").alias("cell_sum"))
+        )
+
+    dots = (
+        sketch(r_counts)
+        .withColumnRenamed("cell_sum", "ra")
+        .join(sketch(s_counts).withColumnRenamed("cell_sum", "sb"), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ra") * F.col("sb")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("bigint").alias("n_est"))
+    exact = (
+        r_counts.select("k", F.col("cnt").alias("cr"))
+        .join(s_counts.select("k", F.col("cnt").alias("cs")), "k")
+        .agg(F.coalesce(F.sum(F.col("cr") * F.col("cs")), F.lit(0)).cast("bigint").alias("n_exact"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact", "n_est", (F.col("n_est") - F.col("n_exact")).alias("overcount")
+    )
+
+
+def join_cardinality_estimate_sql(
+    r_sql: str,
+    s_sql: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`join_cardinality_estimate`; ``r_sql`` /
+    ``s_sql`` must each select (k, cnt)."""
+    base = md5_long_sql("CAST(k AS VARCHAR)")
+    rows = " UNION ALL ".join(
+        f"SELECT cnt, {r} AS r, ({permuted_hash_sql(base, a, b)}) % {width} AS bucket "
+        f"FROM {{side}}"
+        for r, (a, b) in enumerate(_CMS_PARAMS[:depth])
+    )
+    return f"""
+WITH rc AS MATERIALIZED ({r_sql}),
+sc AS MATERIALIZED ({s_sql}),
+r_cells AS ({rows.format(side='rc')}),
+s_cells AS ({rows.format(side='sc')}),
+r_sketch AS (
+  SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS ra FROM r_cells GROUP BY 1, 2
+),
+s_sketch AS (
+  SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS sb FROM s_cells GROUP BY 1, 2
+),
+dots AS (
+  SELECT r, CAST(sum(ra * sb) AS BIGINT) AS dot
+  FROM r_sketch JOIN s_sketch USING (r, bucket) GROUP BY 1
+),
+est AS (SELECT CAST(min(dot) AS BIGINT) AS n_est FROM dots),
+ex AS (
+  SELECT CAST(COALESCE(sum(a.cnt * b.cnt), 0) AS BIGINT) AS n_exact
+  FROM rc a JOIN sc b USING (k)
+)
+SELECT n_exact, n_est, n_est - n_exact AS overcount FROM ex CROSS JOIN est
+"""

@@ -247,3 +247,72 @@ def test_histogram_merge_invariant_to_shard_count(spark):
     assert a["hist_equal"] and b["hist_equal"]
     assert a["est_p50_cents"] == b["est_p50_cents"]
     assert a["exact_p50_cents"] == b["exact_p50_cents"]
+
+
+def test_join_cardinality_estimate_properties(spark):
+    """One-sidedness (est >= exact, the CMS a.b guarantee), exactness when
+    nothing collides, and a python replay of the full estimator."""
+    import hashlib
+
+    from flink_training_exercises_spark.operators.sketches import (
+        _CMS_PARAMS,
+        CMS_WIDTH,
+        join_cardinality_estimate,
+    )
+    from flink_training_exercises_spark.functions.hashing import MERSENNE_P
+
+    r = spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 2)], "k long, cnt long"
+    )
+    s = spark.createDataFrame(
+        [(2, 4), (3, 10), (9, 7)], "k long, cnt long"
+    )
+    [row] = join_cardinality_estimate(r, s).collect()
+    assert row["n_exact"] == 5 * 4 + 2 * 10  # keys 2 and 3 overlap
+    assert row["n_est"] >= row["n_exact"]
+    assert row["overcount"] == row["n_est"] - row["n_exact"]
+    # python replay of the estimator
+    md5l = lambda x: int(  # noqa: E731
+        hashlib.md5(str(x).encode()).hexdigest()[:15], 16
+    )
+    def cms(counts):
+        cells = {}
+        for k, c in counts:
+            base = md5l(k)
+            for d, (a, b) in enumerate(_CMS_PARAMS):
+                bkt = ((a * base + b) % MERSENNE_P) % CMS_WIDTH
+                cells[(d, bkt)] = cells.get((d, bkt), 0) + c
+        return cells
+    cr, cs = cms([(1, 3), (2, 5), (3, 2)]), cms([(2, 4), (3, 10), (9, 7)])
+    dots = {}
+    for (d, bkt), v in cr.items():
+        if (d, bkt) in cs:
+            dots[d] = dots.get(d, 0) + v * cs[(d, bkt)]
+    assert row["n_est"] == min(dots.values())
+
+
+def test_join_cardinality_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sketches import (
+        join_cardinality_estimate,
+        join_cardinality_estimate_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    r = ev.where(F.col("event_type") == "view").groupBy("user_id").count()
+    s = ev.where(F.col("event_type") == "click").groupBy("user_id").count()
+    got = sorted(map(tuple, join_cardinality_estimate(r, s).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    sql = join_cardinality_estimate_sql(
+        "SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt FROM events "
+        "WHERE event_type = 'view' GROUP BY 1",
+        "SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt FROM events "
+        "WHERE event_type = 'click' GROUP BY 1",
+    )
+    want = sorted(con.execute(sql).fetchall())
+    assert got == want and got

@@ -15,11 +15,14 @@ from flink_training_exercises_spark.sources import load_table
 
 
 def _cases(spark, sf):
+    from pyspark.sql import functions as F
+
     from flink_training_exercises_spark.operators import (
         dedup,
         graph,
         pii,
         sampling,
+        sketches,
     )
     from flink_training_exercises_spark.operators.ivf import (
         index_staleness_audit,
@@ -84,6 +87,22 @@ def _cases(spark, sf):
         "personalized_pagerank": (
             graph.personalized_pagerank(graphs_plan.edges_view(spark, sf)),
             graphs_plan.ppr_oracle(),
+        ),
+        "join_cardinality_estimate": (
+            sketches.join_cardinality_estimate(
+                ev.where(F.col("event_type") == "view")
+                .groupBy("user_id")
+                .count(),
+                ev.where(F.col("event_type") == "click")
+                .groupBy("user_id")
+                .count(),
+            ),
+            sketches.join_cardinality_estimate_sql(
+                "SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt "
+                "FROM events WHERE event_type = 'view' GROUP BY 1",
+                "SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt "
+                "FROM events WHERE event_type = 'click' GROUP BY 1",
+            ),
         ),
         "theil_sen_trend": (theil_sen_trend(ev), theil_sen_trend_sql()),
     }
