@@ -33,7 +33,7 @@ PageRankWithEdgeWeights.java:38-41).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RANK_SCALE = 10**12
@@ -712,3 +712,122 @@ def personalized_pagerank(
         "vertex",
         (F.col("r").cast("double") / F.lit(float(RANK_SCALE))).alias("rank"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    steps: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic random-walk corpus over the directed graph -- the
+    walk-generation stage of DeepWalk/node2vec-style graph-embedding
+    training data, with the reproducibility contract a training pipeline
+    wants: the "random" next hop from ``cur`` at step ``t`` of the walk
+    started at ``s`` is neighbor rank md5(s:t:cur) % outdeg(cur), so the
+    corpus is a pure function of the graph (any partitioning, any
+    cluster). One walk starts at every node; walks stop early at sinks
+    (no out-edges). Output (start_node, step, node): step 0 is the start
+    itself, all BIGINT/string -- the (context windows over each walk)
+    are downstream skip-gram prep.
+
+    STAGED (round-8 backlog): pytest-pinned (python replay + DuckDB twin
+    + gate-readiness); round-7 capacity is consumed.
+
+    Scale shape (100 TB edges): the ranked adjacency (row_number per
+    source + out-degree) is ONE window shuffle on src, cached and reused
+    by every step; each step is one equi-join of the walk frontier
+    against it on (cur, rank) -- ``steps`` joins total, frontier never
+    exceeds |V|. No collect, no python in the path."""
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    from ..functions.hashing import md5_long
+
+    w = Window.partitionBy("s").orderBy("d")
+    adj = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .select(
+            "s",
+            "d",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("s")).cast("bigint").alias(
+                "deg"
+            ),
+        )
+        .repartition(n_part, "s")
+        .cache()
+    )
+    verts = vertices_from_edges(edges)
+    state = verts.select(
+        F.col("vertex").alias("start_node"), F.col("vertex").alias("cur")
+    )
+    out = [
+        state.select(
+            "start_node", F.lit(0).cast("bigint").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for t in range(1, steps + 1):
+        pick = (
+            md5_long(
+                F.concat(
+                    F.col("start_node").cast("string"),
+                    F.lit(f":{t}:"),
+                    F.col("cur").cast("string"),
+                )
+            )
+            % F.col("deg")
+        ) + 1
+        state = (
+            state.join(adj, state["cur"] == adj["s"])
+            .where(F.col("rnk") == pick)
+            .select("start_node", F.col("d").alias("cur"))
+        )
+        out.append(
+            state.select(
+                "start_node",
+                F.lit(t).cast("bigint").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def random_walks_sql(edges_sql: str, steps: int = 4) -> str:
+    """DuckDB twin of :func:`random_walks`; ``edges_sql`` must select
+    (src, dst)."""
+    from ..functions.hashing import md5_long_sql
+
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "dedges AS (SELECT DISTINCT src AS s, dst AS d FROM edges)",
+        """adj AS (
+  SELECT s, d,
+         CAST(row_number() OVER (PARTITION BY s ORDER BY d) AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY s) AS BIGINT) AS deg
+  FROM dedges
+)""",
+        "verts AS (SELECT DISTINCT vertex FROM "
+        "(SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges))",
+        "w0 AS (SELECT vertex AS start_node, vertex AS cur FROM verts)",
+    ]
+    for t in range(1, steps + 1):
+        h = md5_long_sql(
+            f"CAST(start_node AS VARCHAR) || ':{t}:' || CAST(cur AS VARCHAR)"
+        )
+        parts.append(
+            f"""w{t} AS (
+  SELECT p.start_node, a.d AS cur
+  FROM w{t - 1} p JOIN adj a ON p.cur = a.s
+  WHERE a.rnk = ({h}) % a.deg + 1
+)"""
+        )
+    steps_union = "\nUNION ALL\n".join(
+        f"SELECT start_node, CAST({t} AS BIGINT) AS step, cur AS node FROM w{t}"
+        for t in range(0, steps + 1)
+    )
+    return ",\n".join(parts) + "\n" + steps_union

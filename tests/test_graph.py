@@ -390,3 +390,63 @@ def test_personalized_pagerank_matches_duckdb_twin(spark, sf_small):
     # uniform (this graph is connected enough that nothing ranks exactly 0)
     ranks = [r for _, r in got]
     assert min(ranks) >= 0.0 and len(set(ranks)) > 1
+
+
+def test_random_walks_python_reference(spark):
+    """Deterministic walks on a hand graph vs an independent python replay
+    of the md5 next-hop rule, including early stop at a sink."""
+    import hashlib
+
+    from flink_training_exercises_spark.operators.graph import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "z")]
+    # z is a sink: walks reaching z stop early
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["start_node"], r["step"], r["node"])
+        for r in random_walks(df, steps=3).collect()
+    }
+    md5l = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(ds) for s, ds in adj.items()}
+    verts = sorted({v for e in edges for v in e})
+    want = set()
+    for start in verts:
+        cur = start
+        want.add((start, 0, start))
+        for t in range(1, 4):
+            if cur not in adj:
+                break  # sink: walk stops
+            nbrs = adj[cur]
+            cur = nbrs[md5l(f"{start}:{t}:{cur}") % len(nbrs)]
+            want.add((start, t, cur))
+    assert got == want and any(s == "z" and t == 0 for s, t, _ in got)
+
+
+def test_random_walks_match_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.graph import (
+        random_walks,
+        random_walks_sql,
+    )
+    from flink_training_exercises_spark.plans import graphs as graphs_plan
+
+    got = sorted(
+        map(
+            tuple,
+            random_walks(graphs_plan.edges_view(spark, sf_small)).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(
+        con.execute(
+            random_walks_sql(graphs_plan.EDGES_SQL.format(events="events"))
+        ).fetchall()
+    )
+    assert got == want and got

@@ -105,6 +105,12 @@ def _cases(spark, sf):
             ),
         ),
         "theil_sen_trend": (theil_sen_trend(ev), theil_sen_trend_sql()),
+        "random_walks": (
+            graph.random_walks(graphs_plan.edges_view(spark, sf)),
+            graph.random_walks_sql(
+                graphs_plan.EDGES_SQL.format(events="events")
+            ),
+        ),
     }
 
 
