@@ -603,3 +603,91 @@ def test_contrastive_negatives_matches_python_reference(spark, rows):
                 break
             want.append((a, rank, cand, ids[cand]))
     assert got == sorted(want)
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_clustering_coefficients_match_python_on_random_graphs(spark, edges):
+    """Degrees, per-node triangles, and ppm coefficients vs a python
+    reference on arbitrary small graphs with self-loop/duplicate noise."""
+    from itertools import combinations
+
+    from flink_training_exercises_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_ppm"])
+        for r in clustering_coefficients(df).collect()
+    }
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not simple:
+        assert got == {}
+        return
+    nodes = sorted({v for e in simple for v in e})
+    nbrs = {v: set() for v in nodes}
+    for a, b in simple:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    want = {}
+    for v in nodes:
+        deg = len(nbrs[v])
+        tri = sum(
+            1 for x, y in combinations(sorted(nbrs[v]), 2) if (x, y) in simple
+        )
+        ppm = (1_000_000 * 2 * tri) // (deg * (deg - 1)) if deg >= 2 else 0
+        want[v] = (deg, tri, ppm)
+    assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=1, max_value=4),  # steps
+)
+def test_random_walks_match_python_on_random_graphs(spark, edges, steps):
+    """Every walk row vs a python replay of the md5 next-hop rule on
+    arbitrary small directed graphs (sinks, cycles, self-loops)."""
+    import hashlib
+
+    from flink_training_exercises_spark.operators.graph import random_walks
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["start_node"], r["step"], r["node"])
+        for r in random_walks(df, steps=steps).collect()
+    }
+    md5l = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    adj = {s: sorted(d) for s, d in adj.items()}
+    verts = sorted({v for e in edges for v in e})
+    want = set()
+    for start in verts:
+        cur = start
+        want.add((start, 0, start))
+        for t in range(1, steps + 1):
+            if cur not in adj:
+                break
+            nb = adj[cur]
+            cur = nb[md5l(f"{start}:{t}:{cur}") % len(nb)]
+            want.add((start, t, cur))
+    assert got == want
