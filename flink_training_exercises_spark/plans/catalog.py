@@ -106,16 +106,25 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-6 WINDOW (50) =======================
+    # ======================= ROUND-7 WINDOW (50) =======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # Round-6 rotation (VERDICT r5 #1, computed by tools/evidence_ages.py):
-    # ALL 40 rows whose latest green driver row is round 3, plus both
-    # canaries, plus 8 fill rows from the oldest r4 families. New round-6
-    # queries go at the TOP as they land, each ejecting the last r4-fill
-    # row (update EXPECTED_GATE_WINDOW in the same commit).
-    # -- new in round 6 --
+    # The round-6 driver gate NEVER RAN (no CORRECTNESS_r06 exists), so
+    # the round-6 rotation plan (all 40 r3-evidence rows + canaries + the
+    # 8 round-6 additions) carries over to round 7 intact. The five
+    # round-7 staged promotions each eject one r3 row that the r5 judge
+    # independently re-verified green via check_oracle this cycle
+    # (VERDICT r5 header: asof, rollup, window_analytics, triangle_count,
+    # multimodal_decode_meta) -- those five go FIRST in the round-8
+    # rotation, ahead of the r4 block.
+    # -- new in round 7 (staged promotions, gate-readiness audit green) --
+    "dedup_sorted_neighborhood",    # NEW r7: SNM blocked lag-window dedup
+    "dedup_prefix_filter_jaccard",  # NEW r7: exact AllPairs/PPJoin scale path
+    "session_concurrency_profile",  # NEW r7: sweep-line two-phase prefix sum
+    "streaming_windowed_topk",      # NEW r7: windowed heavy hitters (oracle-ready)
+    "pii_kanonymity_profile",       # NEW r7: k-anonymity / l-diversity audit
+    # -- new in round 6 (never gated: the r6 driver run did not happen) --
     "streaming_pit_enrichment",     # NEW: stream-static PIT enrichment (VERDICT r5 #2)
     "label_propagation_communities",  # NEW: synchronous min-label LPA (VERDICT r5 #3)
     "bm25_topk_retrieval",          # NEW: BM25 ranked retrieval (VERDICT r5 #4)
@@ -149,13 +158,10 @@ _GATE_PRIORITY = [
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales",
     # -- r3-evidence rotation: relational / temporal / shaping rows --
-    "asof_purchase_attribution",
-    "window_analytics",
     "range_join_downtime_events",
     "set_ops_clean_purchase_days",
     "scd2_user_history",
     "user_inactive_days",
-    "rollup_counts",
     "pivot_user_activity",
     "value_percentiles",
     "length_bucket_batches",
@@ -170,11 +176,18 @@ _GATE_PRIORITY = [
     "curation_pipeline",
     "domain_cap_documents",
     # -- r3-evidence rotation: graph + multimodal stragglers --
-    "triangle_count_edges",
     "multimodal_frame_sample",
-    "multimodal_decode_meta",
     # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-6 window.
+    # Everything below is OUTSIDE the round-7 window.
+    # -- the five r3 rows ejected for the round-7 promotions (each was
+    #    independently re-verified green by the r5 judge's check_oracle
+    #    run, the least-risky ejections available): FIRST in line for
+    #    round 8, ahead of the r4 block --
+    "asof_purchase_attribution",
+    "window_analytics",
+    "rollup_counts",
+    "triangle_count_edges",
+    "multimodal_decode_meta",
     # -- remaining r4-evidence rows (next in line after the fill block);
     #    ALL eight r4-fill rows (embedding_quantize_int8,
     #    bpe_train_merges, hll_merge_shards, dedup_editdistance_blocked,

@@ -371,3 +371,36 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = bf.agg(F.count(F.lit(1)).alias("total"))
     return hits.crossJoin(F.broadcast(total))
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=dedup.sorted_neighborhood_pairs_sql(),
+    doc="Sorted-neighborhood (SNM) near-dup candidate pairs: records "
+    "sorted by a normalized key prefix, each compared only to its 2 "
+    "predecessors in sort order, kept at Levenshtein distance <= 25 -- "
+    "the LINEAR-scan companion to the quadratic blocked edit-distance "
+    "dedup (same family as Hernandez & Stolfo's merge/purge). 100 TB: "
+    "the sort is confined to key-prefix blocks (one shuffle + "
+    "in-partition sort); per-record cost is the window depth, never "
+    "|block|^2.",
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.sorted_neighborhood_pairs(docs)
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=dedup.prefix_filter_jaccard_sql(),
+    doc="EXACT set-similarity self-join with prefix filtering (AllPairs/"
+    "PPJoin) over the md5-hashed word-trigram space: every pair with "
+    "Jaccard >= 1/2, no false negatives, no recall curve -- the "
+    "full-corpus scale path for the shard-scoped ngram_jaccard space. "
+    "Frequency-ordered prefixes keep posting lists short (rarest grams "
+    "first); candidates are verified with integer cross-multiplied "
+    "exact intersection, so per-engine candidate-set differences are "
+    "invisible. 100 TB: one frequency shuffle + a prefix-keyed candidate "
+    "join + a doc-keyed verify join; never all-pairs.",
+)
+def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.prefix_filter_jaccard_pairs(docs)

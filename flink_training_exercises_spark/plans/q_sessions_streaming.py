@@ -11,6 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..sources import load_table
 from .catalog import register
+from ..streaming.queries import (
+    run_windowed_topk_availablenow,
+    windowed_topk_oracle,
+)
 from ..operators import (
     dedup,
     relational,
@@ -184,4 +188,39 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_availablenow(
         streaming_distinct_users(events_stream(spark, sf_dir)),
         "streaming_distinct_users_gate",
+    )
+
+@register(
+    "session_concurrency_profile",
+    oracle=sessions.concurrency_profile_sql(),
+    doc="Interval sweep-line concurrency profile: milliseconds spent at "
+    "each level of concurrently-open sessions (sessions = the gap-based "
+    "sessionize intervals [first, last+gap)), the capacity-planning "
+    "query of the interval family (asof, range join, gap-fill). The "
+    "classic global prefix sum over +1/-1 boundaries is a "
+    "single-partition window -- this is the scalable two-phase form: "
+    "per-time-bucket partial sums in parallel, one bounded cumulative "
+    "pass over the per-bucket summary (time-span-sized, not data-sized), "
+    "carry-ins broadcast back. Levels equal the global running sum "
+    "exactly at any bucket size (bucket-invariance pytest-pinned).",
+)
+def q_session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sessions.concurrency_profile(ev)
+
+@register(
+    "streaming_windowed_topk",
+    oracle=windowed_topk_oracle(),
+    doc="Windowed heavy hitters through the real streaming engine: per "
+    "6-hour event-time window, the 3 most frequent event types. Append "
+    "mode forbids ranking over an aggregated stream, so the stateful "
+    "windowed count rides the stream (fire-once at watermark passage, "
+    "the popular_places contract) and the top-k rank runs as a bounded "
+    "BATCH window over the drained aggregate (|windows| x |types| rows). "
+    "100 TB: one stateful shuffle keyed on (window, type), "
+    "watermark-bounded state; the rank input is aggregate-sized.",
+)
+def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_topk_availablenow(
+        spark, sf_dir, "streaming_windowed_topk_gate"
     )

@@ -205,3 +205,19 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     decoded = multimodal.decode_media(multimodal.attach_binary_payload(docs))
     return multimodal.frame_sample(decoded, every_n=2)
+
+@register(
+    "pii_kanonymity_profile",
+    oracle=pii.kanonymity_profile_sql(),
+    doc="k-anonymity / l-diversity audit over quasi-identifier classes "
+    "(lang, source, bucketed length): per equivalence class its size k, "
+    "its l-diversity (distinct sensitive values, counted over md5 hashes "
+    "so 16-byte digests, not document texts, move through the "
+    "count-distinct expand), and an at-risk flag for classes below "
+    "k = 5 -- the re-identification-risk profile a privacy review runs "
+    "before a corpus ships. 100 TB: one hash groupBy with map-side "
+    "partial agg; output is vocabulary-bounded, never data-sized.",
+)
+def q_pii_kanonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return pii.kanonymity_profile(docs)

@@ -44,7 +44,13 @@ def test_oracle_is_valid_duckdb(duck, name):
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-6 new
+    # round-7 new (staged promotions)
+    "dedup_sorted_neighborhood",
+    "dedup_prefix_filter_jaccard",
+    "session_concurrency_profile",
+    "streaming_windowed_topk",
+    "pii_kanonymity_profile",
+    # round-6 new (never gated: the r6 driver run did not happen)
     "streaming_pit_enrichment",
     "label_propagation_communities",
     "bm25_topk_retrieval",
@@ -56,9 +62,7 @@ EXPECTED_GATE_WINDOW = [
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # r3-evidence rotation (all 40 rows whose latest driver row was r3):
-    # streaming family, deferred TPC-H, relational/temporal, text/dedup,
-    # graph/multimodal
+    # r3-evidence rotation (carried over from the unrun r6 window)
     "streaming_sessionize",
     "streaming_exact_dedup",
     "streaming_interval_join",
@@ -77,13 +81,10 @@ EXPECTED_GATE_WINDOW = [
     "tpch_q20_excess_inventory",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales",
-    "asof_purchase_attribution",
-    "window_analytics",
     "range_join_downtime_events",
     "set_ops_clean_purchase_days",
     "scd2_user_history",
     "user_inactive_days",
-    "rollup_counts",
     "pivot_user_activity",
     "value_percentiles",
     "length_bucket_batches",
@@ -96,20 +97,7 @@ EXPECTED_GATE_WINDOW = [
     "contamination_ngram_overlap",
     "curation_pipeline",
     "domain_cap_documents",
-    "triangle_count_edges",
     "multimodal_frame_sample",
-    "multimodal_decode_meta",
-    # ejected to fit: ALL eight r4-fill rows (embedding_quantize_int8,
-    # bpe_train_merges, hll_merge_shards, dedup_editdistance_blocked,
-    # timeseries_gapfill_hourly, vocab_oov_rate, sssp_event_graph,
-    # cdc_merge_user_state) for the eight round-6 additions
-    # (streaming_pit_enrichment, label_propagation_communities,
-    # bm25_topk_retrieval, streaming_snapshot_diff, collocation_pmi_topk,
-    # histogram_merge_shards, dpp_partition_pruning,
-    # streaming_incremental_rollup); everything with r5
-    # evidence (the whole round-5
-    # window) and the 35 freshest r4 rows -- all recorded below the
-    # cutoff in catalog._GATE_PRIORITY
 ]
 
 
