@@ -6,7 +6,12 @@ python values, where ``1 == 1.0``; this is the test that catches an
 int-vs-float dtype skew (the gate-killer class) BEFORE registration.
 
 Round-7/8 registration: a staged op may be promoted to the catalog only
-while its row here is green; new staged ops add a case to CASES."""
+while its row here is green; new staged ops add a case to CASES.
+Promoted ops leave this file in the same commit chain (their parity is
+then the driver gate's job via check_oracle/CORRECTNESS): the five
+round-7 promotions (sorted_neighborhood, prefix_filter_jaccard,
+concurrency_profile, kanonymity_profile, streaming_windowed_topk) were
+trimmed when they entered the catalog."""
 
 import duckdb
 import pytest
@@ -18,19 +23,13 @@ def _cases(spark, sf):
     from pyspark.sql import functions as F
 
     from flink_training_exercises_spark.operators import (
-        dedup,
         graph,
-        pii,
         sampling,
         sketches,
     )
     from flink_training_exercises_spark.operators.ivf import (
         index_staleness_audit,
         index_staleness_audit_sql,
-    )
-    from flink_training_exercises_spark.operators.sessions import (
-        concurrency_profile,
-        concurrency_profile_sql,
     )
     from flink_training_exercises_spark.operators.textstats import (
         source_scorecard,
@@ -51,22 +50,6 @@ def _cases(spark, sf):
     ev = load_table(spark, "events", sf)
     emb = load_table(spark, "embeddings", sf)
     return {
-        "sorted_neighborhood": (
-            dedup.sorted_neighborhood_pairs(docs),
-            dedup.sorted_neighborhood_pairs_sql(),
-        ),
-        "prefix_filter_jaccard": (
-            dedup.prefix_filter_jaccard_pairs(docs),
-            dedup.prefix_filter_jaccard_sql(),
-        ),
-        "concurrency_profile": (
-            concurrency_profile(ev),
-            concurrency_profile_sql(),
-        ),
-        "kanonymity_profile": (
-            pii.kanonymity_profile(docs),
-            pii.kanonymity_profile_sql(),
-        ),
         "value_trend_ols": (value_trend_ols(ev), value_trend_ols_sql()),
         "cusum_level_shift": (cusum_level_shift(ev), cusum_level_shift_sql()),
         "contrastive_negatives": (
@@ -152,9 +135,7 @@ def test_staged_streaming_ops_gate_ready(spark, sf_small):
     -- upgrading them from pytest-parity to oracle-ready."""
     from flink_training_exercises_spark.streaming.queries import (
         run_windowed_hll_availablenow,
-        run_windowed_topk_availablenow,
         windowed_hll_oracle,
-        windowed_topk_oracle,
     )
 
     con = duckdb.connect()
@@ -164,12 +145,6 @@ def test_staged_streaming_ops_gate_ready(spark, sf_small):
     import uuid as _uuid
 
     cases = {
-        "streaming_windowed_topk": (
-            run_windowed_topk_availablenow(
-                spark, sf_small, f"wtopk_gr_{_uuid.uuid4().hex[:8]}"
-            ),
-            windowed_topk_oracle(),
-        ),
         "streaming_windowed_hll": (
             run_windowed_hll_availablenow(
                 spark, sf_small, f"whll_gr_{_uuid.uuid4().hex[:8]}"
