@@ -146,3 +146,147 @@ SELECT {qi},
 FROM {table}
 GROUP BY {qi}, CAST({length_col} // {length_bucket} AS BIGINT)
 """
+
+def t_closeness_audit(
+    docs: DataFrame,
+    qi_cols: tuple = ("lang", "source"),
+    length_col: str = "n_chars",
+    length_bucket: int = 100,
+    t_num: int = 3,
+    t_den: int = 20,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian) -- the third leg of
+    the privacy-audit family after k-anonymity and l-diversity: per
+    quasi-identifier class, the Earth Mover's Distance between the
+    class's distribution of an ORDERED sensitive attribute (the bucketed
+    length) and the global distribution. A class can be k-anonymous and
+    l-diverse yet still leak (all its values clustered at one end of the
+    range); EMD against the global distribution is the published fix.
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Determinism: for 1-D ordered distributions with unit bin spacing
+    scaled to [0,1], EMD = sum_j |CDF_class(j) - CDF_global(j)| / (m-1).
+    With class cumulative counts C_j (class size k), global cumulative
+    counts G_j (corpus size N), that is sum_j |N*C_j - k*G_j| / (k*N*(m-1))
+    -- an exact BIGINT rational. Output (qi..., class_size, emd_num,
+    emd_den, t_risk) carries the numerator/denominator as BIGINTs and the
+    flag t > t_num/t_den by integer cross-multiplication: ZERO float ops,
+    so cross-engine equality is structural. The last bin's term is
+    |N*k - k*N| = 0, so summing over all bins equals summing over j < m.
+
+    Scale shape (100 TB): one hash groupBy to the (class, bin) counts;
+    everything after runs on VOCABULARY-bounded frames (classes x bins --
+    langs x sources x length buckets), including the zero-fill cross
+    join, the bounded single-partition global-CDF window, and the 1-row
+    totals broadcast (the mail_tfidf scalar pattern). Per-class CDFs use
+    Window.partitionBy(class), parallel across classes."""
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(length_col) / F.lit(length_bucket)).cast("bigint")
+    base = docs.select(*qi_cols, b.alias("bin"))
+    cls_bin = base.groupBy(*qi_cols, "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    glob = cls_bin.groupBy("bin").agg(F.sum("c").alias("g"))
+    # bounded single-partition window: one row per distinct length bucket
+    gw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = glob.select("bin", F.sum("g").over(gw).alias("g_cum"))
+    totals = glob.agg(
+        F.sum("g").alias("n_total"), F.count(F.lit(1)).alias("m_bins")
+    )
+    classes = cls_bin.groupBy(*qi_cols).agg(F.sum("c").alias("k"))
+    grid = classes.crossJoin(F.broadcast(gcum.select("bin"))).join(
+        cls_bin, [*qi_cols, "bin"], "left"
+    )
+    cw = Window.partitionBy(*qi_cols).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = grid.select(
+        *qi_cols,
+        "k",
+        "bin",
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(cw).alias("c_cum"),
+    ).join(F.broadcast(gcum), "bin")
+    return (
+        cdf.crossJoin(F.broadcast(totals))
+        .groupBy(*qi_cols)
+        .agg(
+            F.max("k").alias("class_size"),
+            F.sum(
+                F.abs(F.col("n_total") * F.col("c_cum") - F.col("k") * F.col("g_cum"))
+            ).alias("emd_num"),
+            (F.max("k") * F.max("n_total") * (F.max("m_bins") - 1))
+            .cast("bigint")
+            .alias("emd_den"),
+        )
+        .select(
+            *qi_cols,
+            "class_size",
+            "emd_num",
+            "emd_den",
+            F.when(
+                F.col("emd_num") * t_den > t_num * F.col("emd_den"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("t_risk"),
+        )
+    )
+
+
+def t_closeness_audit_sql(
+    table: str = "documents",
+    qi_cols: tuple = ("lang", "source"),
+    length_col: str = "n_chars",
+    length_bucket: int = 100,
+    t_num: int = 3,
+    t_den: int = 20,
+) -> str:
+    """DuckDB twin of :func:`t_closeness_audit`: the same zero-filled
+    class x bin grid, cumulative counts, and integer EMD rational
+    (`//` = integer division on the nonnegative lengths)."""
+    qi = ", ".join(qi_cols)
+    qi_c = ", ".join(f"c.{col}" for col in qi_cols)
+    return f"""
+WITH base AS (
+  SELECT {qi}, CAST({length_col} // {length_bucket} AS BIGINT) AS bin
+  FROM {table}
+),
+cls_bin AS (
+  SELECT {qi}, bin, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY {qi}, bin
+),
+gl AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM cls_bin GROUP BY 1),
+gcum AS (
+  SELECT bin, CAST(sum(g) OVER (ORDER BY bin
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS g_cum
+  FROM gl
+),
+totals AS (
+  SELECT CAST(sum(g) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS m_bins
+  FROM gl
+),
+classes AS (SELECT {qi}, CAST(sum(c) AS BIGINT) AS k FROM cls_bin GROUP BY {qi}),
+grid AS (
+  SELECT {qi_c}, c.k, b.bin, COALESCE(cb.c, 0) AS c0
+  FROM classes c CROSS JOIN (SELECT bin FROM gcum) b
+  LEFT JOIN cls_bin cb USING ({qi}, bin)
+),
+cdf AS (
+  SELECT {qi}, k, bin,
+         CAST(sum(c0) OVER (PARTITION BY {qi} ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c_cum
+  FROM grid
+)
+SELECT {qi},
+       CAST(max(k) AS BIGINT) AS class_size,
+       CAST(sum(abs(t.n_total * c_cum - k * g.g_cum)) AS BIGINT) AS emd_num,
+       CAST(max(k) * max(t.n_total) * (max(t.m_bins) - 1) AS BIGINT) AS emd_den,
+       CAST(CASE WHEN sum(abs(t.n_total * c_cum - k * g.g_cum)) * {t_den}
+                      > {t_num} * (max(k) * max(t.n_total) * (max(t.m_bins) - 1))
+                 THEN 1 ELSE 0 END AS BIGINT) AS t_risk
+FROM cdf JOIN gcum g USING (bin) CROSS JOIN totals t
+GROUP BY {qi}
+"""

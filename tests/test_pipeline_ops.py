@@ -1648,6 +1648,65 @@ def test_kanonymity_profile_matches_duckdb_twin(spark, sf_small):
     assert got == want and got
 
 
+def test_t_closeness_audit_hand_computed(spark):
+    from flink_training_exercises_spark.operators import pii
+
+    # Buckets (width 100): bin0 = n_chars < 100, bin1 = 100..199.
+    # Class A: all 4 docs in bin0; class B: all 4 in bin1; class C: 2+2,
+    # exactly the global 50/50 shape. N=12, m=2, g_cum = (6, 12).
+    # A: |12*4 - 4*6| = 24 at bin0, 0 at bin1 -> num 24, den 4*12*1=48,
+    # t = 0.5 > 3/20 -> at risk. B symmetric. C: |12*2 - 4*6| = 0 -> t=0.
+    rows = (
+        [(i, "x", "en", "sA", 10) for i in range(4)]
+        + [(10 + i, "x", "en", "sB", 150) for i in range(4)]
+        + [(20, "x", "en", "sC", 10), (21, "x", "en", "sC", 20),
+           (22, "x", "en", "sC", 150), (23, "x", "en", "sC", 160)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["lang"], r["source"]): (
+            r["class_size"], r["emd_num"], r["emd_den"], r["t_risk"]
+        )
+        for r in pii.t_closeness_audit(docs).collect()
+    }
+    assert got == {
+        ("en", "sA"): (4, 24, 48, 1),
+        ("en", "sB"): (4, 24, 48, 1),
+        ("en", "sC"): (4, 0, 48, 0),
+    }
+
+
+def test_t_closeness_audit_single_bin_degenerate(spark):
+    """All docs in one bucket: m=1 makes den = 0 and num = 0 (the last
+    bin's term is structurally zero) -- no division anywhere, flag 0."""
+    from flink_training_exercises_spark.operators import pii
+
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "s", 10), (2, "x", "en", "s", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    [r] = pii.t_closeness_audit(docs).collect()
+    assert (r["emd_num"], r["emd_den"], r["t_risk"]) == (0, 0, 0)
+
+
+def test_t_closeness_audit_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators import pii
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = sorted(map(tuple, pii.t_closeness_audit(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(pii.t_closeness_audit_sql()).fetchall())
+    assert got == want and got
+
+
 def test_value_trend_ols_hand_computed(spark):
     from datetime import datetime
 

@@ -24,6 +24,7 @@ def _cases(spark, sf):
 
     from flink_training_exercises_spark.operators import (
         graph,
+        pii,
         sampling,
         sketches,
     )
@@ -50,6 +51,10 @@ def _cases(spark, sf):
     ev = load_table(spark, "events", sf)
     emb = load_table(spark, "embeddings", sf)
     return {
+        "t_closeness_audit": (
+            pii.t_closeness_audit(docs),
+            pii.t_closeness_audit_sql(),
+        ),
         "value_trend_ols": (value_trend_ols(ev), value_trend_ols_sql()),
         "cusum_level_shift": (cusum_level_shift(ev), cusum_level_shift_sql()),
         "contrastive_negatives": (
