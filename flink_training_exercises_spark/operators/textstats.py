@@ -1048,3 +1048,113 @@ SELECT a.source, n_docs, n_distinct_texts,
        (100 * schars) // n_docs AS mean_chars_x100
 FROM agg a JOIN top USING (source)
 """
+
+def heaps_vocab_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative corpus size vs
+    cumulative distinct-vocabulary size at ``n_checkpoints`` evenly-spaced
+    doc-id checkpoints -- the standard corpus-scaling diagnostic (V =
+    K * N^beta): a corpus whose vocabulary stops growing is saturating
+    (duplication, templated text); one growing too fast is noisy (OCR
+    garbage, unsegmented scripts). Output (checkpoint, docs_cum,
+    tokens_cum, vocab_cum), all BIGINT; the curve itself is the output --
+    fitting beta is a 10-point driver-side afterthought, deliberately NOT
+    folded in (ln/pow are not correctly rounded cross-engine).
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Determinism: corpus order = doc_id order; checkpoint q covers doc_ids
+    <= q/n of max(doc_id). A token's first appearance is min(doc_id)
+    containing it -- an order-free aggregate, no global row_number.
+    Checkpoint assignment is the integer ceil q = (n*id + max - 1) DIV
+    max, clamped to >= 1 for id 0.
+
+    Scale shape (100 TB): one explode + groupBy(token) shuffle for
+    first-appearances (vocabulary-sized output), one map-side per-doc
+    token count + groupBy(checkpoint) (n_checkpoints rows); cumulative
+    sums run on the n_checkpoints-row frame (bounded single-partition
+    window); max(doc_id) is a 1-row broadcast. No global sort, no global
+    row numbering -- the checkpoint grid replaces both."""
+    from pyspark.sql import Window
+
+    d = _widened(docs).select(F.col(id_col).alias("id"), _words(text_col).alias("ws"))
+    mx = d.agg(F.max("id").alias("max_id"))
+    with_q = d.crossJoin(F.broadcast(mx)).select(
+        "id",
+        "ws",
+        F.greatest(
+            F.expr(f"({n_checkpoints} * id + max_id - 1) DIV max_id"), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    per_doc = with_q.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum(F.size("ws")).cast("bigint").alias("toks"),
+    )
+    firsts = (
+        with_q.select("q", F.explode(F.array_distinct("ws")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("q").alias("q"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_vocab"))
+    )
+    grid = (
+        with_q.sparkSession.range(1, n_checkpoints + 1)
+        .select(F.col("id").alias("q"))
+        .join(per_doc, "q", "left")
+        .join(firsts, "q", "left")
+    )
+    # bounded single-partition window: n_checkpoints rows
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    return grid.select(
+        F.col("q").alias("checkpoint"),
+        F.sum(F.coalesce("docs", F.lit(0))).over(w).alias("docs_cum"),
+        F.sum(F.coalesce("toks", F.lit(0))).over(w).alias("tokens_cum"),
+        F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias("vocab_cum"),
+    )
+
+
+def heaps_vocab_growth_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> str:
+    """DuckDB twin of :func:`heaps_vocab_growth`: same checkpoint ceil,
+    same min-first-appearance aggregate, same zero-filled cumulative grid
+    (`//` = integer division; range() is the literal checkpoint grid)."""
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, {_words_sql(text_col)} AS ws FROM {table}
+),
+mx AS (SELECT max(id) AS max_id FROM d),
+wq AS (
+  SELECT id, ws,
+         greatest(({n_checkpoints} * id + max_id - 1) // max_id, 1) AS q
+  FROM d, mx
+),
+per_doc AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS docs, CAST(sum(len(ws)) AS BIGINT) AS toks
+  FROM wq GROUP BY 1
+),
+firsts AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS new_vocab FROM (
+    SELECT w, min(q) AS q FROM (
+      SELECT unnest(list_distinct(ws)) AS w, q FROM wq
+    ) GROUP BY 1
+  ) GROUP BY 1
+),
+grid AS (SELECT CAST(range AS BIGINT) AS q FROM range(1, {n_checkpoints + 1}))
+SELECT q AS checkpoint,
+       CAST(sum(COALESCE(docs, 0)) OVER win AS BIGINT) AS docs_cum,
+       CAST(sum(COALESCE(toks, 0)) OVER win AS BIGINT) AS tokens_cum,
+       CAST(sum(COALESCE(new_vocab, 0)) OVER win AS BIGINT) AS vocab_cum
+FROM grid LEFT JOIN per_doc USING (q) LEFT JOIN firsts USING (q)
+WINDOW win AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

@@ -1707,6 +1707,69 @@ def test_t_closeness_audit_matches_duckdb_twin(spark, sf_small):
     assert got == want and got
 
 
+def test_heaps_vocab_growth_hand_computed(spark):
+    from flink_training_exercises_spark.operators import textstats
+
+    # 5 checkpoints over doc_ids 1..5 (max_id=5 -> q = id exactly).
+    # firsts: a@1 b@1 c@2 d@4 e@5 -> vocab_cum 2,3,3,4,5
+    rows = [
+        (1, "a b", "en", "s", 3),
+        (2, "b c", "en", "s", 3),
+        (3, "a", "en", "s", 1),
+        (4, "d d", "en", "s", 3),
+        (5, "e", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [
+        tuple(r)
+        for r in textstats.heaps_vocab_growth(docs, n_checkpoints=5)
+        .orderBy("checkpoint")
+        .collect()
+    ]
+    assert got == [
+        (1, 1, 2, 2),
+        (2, 2, 4, 3),
+        (3, 3, 5, 3),
+        (4, 4, 7, 4),
+        (5, 5, 8, 5),
+    ]
+
+
+def test_heaps_vocab_growth_conservation_and_id_zero(spark):
+    """doc_id 0 clamps into checkpoint 1; the final row conserves the
+    corpus totals (docs, tokens, distinct vocabulary)."""
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.operators import textstats
+
+    rows = [(i, f"w{i % 3} common", "en", "s", 9) for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = textstats.heaps_vocab_growth(docs).orderBy("checkpoint").collect()
+    assert len(out) == 10 and out[0]["docs_cum"] >= 1
+    last = out[-1]
+    assert (last["docs_cum"], last["tokens_cum"], last["vocab_cum"]) == (8, 16, 4)
+
+
+def test_heaps_vocab_growth_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators import textstats
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = sorted(map(tuple, textstats.heaps_vocab_growth(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(textstats.heaps_vocab_growth_sql()).fetchall())
+    assert got == want and got
+
+
 def test_value_trend_ols_hand_computed(spark):
     from datetime import datetime
 

@@ -33,6 +33,8 @@ def _cases(spark, sf):
         index_staleness_audit_sql,
     )
     from flink_training_exercises_spark.operators.textstats import (
+        heaps_vocab_growth,
+        heaps_vocab_growth_sql,
         source_scorecard,
         source_scorecard_sql,
     )
@@ -66,6 +68,10 @@ def _cases(spark, sf):
             index_staleness_audit_sql(CATALOG["ann_topk_bruteforce"].oracle),
         ),
         "source_scorecard": (source_scorecard(docs), source_scorecard_sql()),
+        "heaps_vocab_growth": (
+            heaps_vocab_growth(docs),
+            heaps_vocab_growth_sql(),
+        ),
         "clustering_coefficients": (
             graph.clustering_coefficients(graphs_plan.edges_view(spark, sf)),
             graph.clustering_coefficients_sql(
