@@ -725,3 +725,148 @@ ndays AS (
 SELECT event_type, n_days, n_pairs, slope_cents_per_day
 FROM ndays JOIN med USING (event_type)
 """
+
+def downsample_lttb(
+    events: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_out: int = 20,
+) -> DataFrame:
+    """Perceptual time-series downsampling, largest-triangle-one-bucket
+    (LTOB -- Steinarsson's parallel variant of LTTB): per series key,
+    keep both endpoints plus, from each of ``n_out`` equal-count interior
+    buckets, the point forming the largest triangle with its immediate
+    raw neighbors -- the standard dashboard shape-preserving downsample
+    (spikes survive; uniform strides would erase them).
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Why LTOB and not textbook LTTB: LTTB's bucket choice depends on the
+    PREVIOUS bucket's chosen point -- a sequential recurrence with no
+    parallel decomposition (and no bounded SQL unrolling: depth = n_out
+    per key). LTOB replaces the moving anchor with each point's raw
+    neighbors, making every bucket independent -- embarrassingly
+    parallel, and published as the within-epsilon practical variant.
+
+    Determinism: geometry is exact BIGINT -- x = epoch ms, y = value
+    cents, area2 = |(x_p-x_n)(y_c-y_p) - (x_p-x_c)(y_n-y_p)| (twice the
+    triangle area; ms-spans ~2^31 times cent-spans ~2^17 stay far inside
+    BIGINT). Bucket = ((rn-2)*n_out) DIV (n-2) over the (ms, id)
+    row_number; argmax per bucket by (area2 DESC, ms ASC, id ASC).
+    Endpoints carry bucket -1 / n_out. Series with n <= 2 emit their
+    endpoints only.
+
+    Scale shape (100 TB): everything partitions by the series key -- two
+    window passes (neighbors + rank, then per-bucket argmax) on the same
+    partitioning, no global sort, no driver involvement. Output is
+    (n_out + 2) x |keys| rows."""
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    cents = F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        _epoch_ms(time_col).alias("x"),
+        cents.alias("y"),
+        F.col(id_col).alias("id"),
+    )
+    w = Window.partitionBy("k").orderBy("x", "id")
+    wk = Window.partitionBy("k")
+    pts = base.select(
+        "k",
+        "x",
+        "y",
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+        F.lag("x").over(w).alias("xp"),
+        F.lag("y").over(w).alias("yp"),
+        F.lead("x").over(w).alias("xn"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    ends = pts.where((F.col("rn") == 1) | (F.col("rn") == F.col("n"))).select(
+        "k",
+        F.when(F.col("rn") == 1, F.lit(-1)).otherwise(F.lit(n_out))
+        .cast("bigint")
+        .alias("bucket"),
+        F.col("x").alias("ts_ms"),
+        F.col("y").alias("cents"),
+    )
+    interior = pts.where((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).select(
+        "k",
+        "x",
+        "y",
+        "id",
+        F.expr(f"((rn - 2) * {n_out}) DIV greatest(n - 2, 1)")
+        .cast("bigint")
+        .alias("bucket"),
+        F.abs(
+            (F.col("xp") - F.col("xn")) * (F.col("y") - F.col("yp"))
+            - (F.col("xp") - F.col("x")) * (F.col("yn") - F.col("yp"))
+        ).alias("area2"),
+    )
+    pick = Window.partitionBy("k", "bucket").orderBy(
+        F.desc("area2"), F.asc("x"), F.asc("id")
+    )
+    winners = (
+        interior.withColumn("pr", F.row_number().over(pick))
+        .where(F.col("pr") == 1)
+        .select("k", "bucket", F.col("x").alias("ts_ms"), F.col("y").alias("cents"))
+    )
+    return (
+        ends.unionByName(winners)
+        .select(F.col("k").alias(key_col), "bucket", "ts_ms", "cents")
+    )
+
+
+def downsample_lttb_sql(
+    table: str = "events",
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_out: int = 20,
+) -> str:
+    """DuckDB twin of :func:`downsample_lttb`: same (ms, id) order, same
+    integer geometry, same argmax tie-break (`//` = integer division)."""
+    return f"""
+WITH base AS (
+  SELECT {key_col} AS k, epoch_ms({time_col}) AS x,
+         CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS y,
+         {id_col} AS id
+  FROM {table}
+),
+pts AS (
+  SELECT k, x, y, id,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY k) AS n,
+         lag(x) OVER w AS xp, lag(y) OVER w AS yp,
+         lead(x) OVER w AS xn, lead(y) OVER w AS yn
+  FROM base WINDOW w AS (PARTITION BY k ORDER BY x, id)
+),
+ends AS (
+  SELECT k, CAST(CASE WHEN rn = 1 THEN -1 ELSE {n_out} END AS BIGINT) AS bucket,
+         x AS ts_ms, y AS cents
+  FROM pts WHERE rn = 1 OR rn = n
+),
+interior AS (
+  SELECT k, x, y, id,
+         CAST(((rn - 2) * {n_out}) // greatest(n - 2, 1) AS BIGINT) AS bucket,
+         abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)) AS area2
+  FROM pts WHERE rn > 1 AND rn < n
+),
+winners AS (
+  SELECT k, bucket, x AS ts_ms, y AS cents
+  FROM (
+    SELECT k, bucket, x, y,
+           row_number() OVER (PARTITION BY k, bucket
+                              ORDER BY area2 DESC, x, id) AS pr
+    FROM interior
+  ) WHERE pr = 1
+)
+SELECT k AS {key_col}, bucket, ts_ms, cents FROM ends
+UNION ALL
+SELECT k AS {key_col}, bucket, ts_ms, cents FROM winners
+"""

@@ -1770,6 +1770,92 @@ def test_heaps_vocab_growth_matches_duckdb_twin(spark, sf_small):
     assert got == want and got
 
 
+def test_downsample_lttb_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        downsample_lttb,
+    )
+
+    # Series 'a': 6 points 1s apart, cents [0,100,500,100,100,0]; n_out=2
+    # -> interior buckets {rn2,rn3} and {rn4,rn5}. The 500-cent spike at
+    # rn3 wins bucket 0 (area2 800000 vs 300000); rn4 wins bucket 1
+    # (400000 vs 100000). Endpoints ride along as buckets -1 / 2.
+    # Series 'b': two points -> endpoints only.
+    t0 = datetime(2024, 1, 1)
+    ms0 = 1704067200000  # epoch ms of 2024-01-01T00:00 (NTZ, TZ-proof)
+    vals_a = [0.0, 1.0, 5.0, 1.0, 1.0, 0.0]
+    rows = [
+        (i + 1, t0 + timedelta(seconds=i), 7, "a", vals_a[i], None)
+        for i in range(6)
+    ] + [
+        (10, t0, 7, "b", 2.0, None),
+        (11, t0 + timedelta(seconds=9), 7, "b", 3.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted(
+        tuple(r) for r in downsample_lttb(ev, n_out=2).collect()
+    )
+    assert got == sorted(
+        [
+            ("a", -1, ms0, 0),
+            ("a", 0, ms0 + 2000, 500),
+            ("a", 1, ms0 + 3000, 100),
+            ("a", 2, ms0 + 5000, 0),
+            ("b", -1, ms0, 200),
+            ("b", 2, ms0 + 9000, 300),
+        ]
+    )
+
+
+def test_downsample_lttb_points_are_input_points(spark, sf_small):
+    """Every output row is a real input point (LTOB selects, never
+    interpolates), buckets stay in [-1, n_out], and each key keeps both
+    endpoints."""
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        downsample_lttb,
+    )
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    out = downsample_lttb(ev, n_out=5)
+    raw = ev.select(
+        F.col("event_type"),
+        epoch_ms("ts").alias("ts_ms"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    ).distinct()
+    assert out.join(raw, ["event_type", "ts_ms", "cents"], "left_anti").count() == 0
+    assert out.where((F.col("bucket") < -1) | (F.col("bucket") > 5)).count() == 0
+    per_key = {r["event_type"]: r["cnt"] for r in out.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(v == 7 for v in per_key.values()), per_key
+
+
+def test_downsample_lttb_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        downsample_lttb,
+        downsample_lttb_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    got = sorted(map(tuple, downsample_lttb(ev).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(downsample_lttb_sql()).fetchall())
+    assert got == want and got
+
+
 def test_value_trend_ols_hand_computed(spark):
     from datetime import datetime
 

@@ -41,6 +41,8 @@ def _cases(spark, sf):
     from flink_training_exercises_spark.operators.timeseries import (
         cusum_level_shift,
         cusum_level_shift_sql,
+        downsample_lttb,
+        downsample_lttb_sql,
         theil_sen_trend,
         theil_sen_trend_sql,
         value_trend_ols,
@@ -59,6 +61,7 @@ def _cases(spark, sf):
         ),
         "value_trend_ols": (value_trend_ols(ev), value_trend_ols_sql()),
         "cusum_level_shift": (cusum_level_shift(ev), cusum_level_shift_sql()),
+        "downsample_lttb": (downsample_lttb(ev), downsample_lttb_sql()),
         "contrastive_negatives": (
             sampling.contrastive_negatives(emb),
             sampling.contrastive_negatives_sql(),
