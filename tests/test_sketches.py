@@ -316,3 +316,58 @@ def test_join_cardinality_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(sql).fetchall())
     assert got == want and got
+
+
+def test_approx_topk_shard_union_hand_computed(spark):
+    """Single shard makes the local cut global: top-2 of {a:5, b:3, c:2}
+    survives with exact counts; c is cut (est 0 -> filtered)."""
+    from flink_training_exercises_spark.operators.sketches import (
+        approx_topk_shard_union,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "en", "s", 7), (2, "a a b b c c", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        tuple(r)
+        for r in approx_topk_shard_union(
+            docs, n_shards=1, per_shard=2, k=3
+        ).collect()
+    ]
+    assert got == [(1, "a", 5, 5, 0), (2, "b", 3, 3, 0)]
+
+
+def test_approx_topk_shard_union_one_sided_and_saturating(spark, sf_small):
+    """est <= exact on every row (per-shard cuts only ever drop counts);
+    with per_shard large enough to keep the whole vocabulary, the union
+    degenerates to the exact top-k (undercount 0 everywhere)."""
+    from flink_training_exercises_spark.operators.sketches import (
+        approx_topk_shard_union,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    rows = approx_topk_shard_union(docs).collect()
+    assert rows and all(r["est_count"] <= r["exact_count"] for r in rows)
+    sat = approx_topk_shard_union(docs, per_shard=100000).collect()
+    assert sat and all(r["undercount"] == 0 for r in sat)
+
+
+def test_approx_topk_shard_union_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sketches import (
+        approx_topk_shard_union,
+        approx_topk_shard_union_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = sorted(map(tuple, approx_topk_shard_union(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(approx_topk_shard_union_sql()).fetchall())
+    assert got == want and got

@@ -102,6 +102,10 @@ def _cases(spark, sf):
             ),
         ),
         "theil_sen_trend": (theil_sen_trend(ev), theil_sen_trend_sql()),
+        "approx_topk_shard_union": (
+            sketches.approx_topk_shard_union(docs),
+            sketches.approx_topk_shard_union_sql(),
+        ),
         "random_walks": (
             graph.random_walks(graphs_plan.edges_view(spark, sf)),
             graph.random_walks_sql(
