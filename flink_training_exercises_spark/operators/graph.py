@@ -831,3 +831,88 @@ def random_walks_sql(edges_sql: str, steps: int = 4) -> str:
         for t in range(0, steps + 1)
     )
     return ",\n".join(parts) + "\n" + steps_union
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Directed strength assortativity (Newman's degree-mixing statistic
+    on WEIGHTED degrees): the Pearson correlation, over all edges,
+    between the source's out-strength (sum of outgoing edge weights) and
+    the target's in-strength -- the one-number answer to "do hubs link
+    to hubs?" (positive: social/collab graphs; negative: web/biology).
+    Completes the graph-metrics family (CC, triangles, k-core,
+    clustering coefficients, PageRank) with the canonical mixing
+    statistic. Strength, not raw edge count, because a weighted graph's
+    mixing lives in the weights (and a degree-regular graph -- like the
+    20-vertex test graph, where every count-degree is 19 -- makes the
+    count form structurally degenerate).
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Determinism: the value_hour_correlation recipe verbatim -- degrees
+    are exact BIGINT counts, the five sufficient statistics are exact
+    BIGINT sums (order-free), and the closed form
+    r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2)) runs in
+    double over identical operand trees (div/mul/sub/sqrt are all
+    correctly-rounded IEEE). Degenerate variance (all degrees equal)
+    yields NULL on both engines. Output is one row: (n_edges,
+    sum_out_deg, sum_in_deg, assortativity_r).
+
+    Scale shape (100 TB): two degree aggregations (hash groupBy on each
+    endpoint), two hash equi-joins edge->degree, one global integer
+    partial-aggregate. No windows, no driver arithmetic; integer
+    partials commute so partitioning cannot perturb the statistics."""
+    out_deg = edges.groupBy("src").agg(F.sum("weight").cast("bigint").alias("x"))
+    in_deg = edges.groupBy("dst").agg(F.sum("weight").cast("bigint").alias("y"))
+    xy = edges.select("src", "dst").join(out_deg, "src").join(in_deg, "dst")
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    prod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = F.when(prod > 0, (n * sxy - sx * sy) / F.sqrt(prod))
+    return agg.select(
+        F.col("n").alias("n_edges"),
+        F.col("sx").alias("sum_out_strength"),
+        F.col("sy").alias("sum_in_strength"),
+        r.alias("assortativity_r"),
+    )
+
+
+def degree_assortativity_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`degree_assortativity`: same degree joins,
+    same exact BIGINT statistics, same closed-form double expression."""
+    return f"""
+WITH edges AS ({edges_sql}),
+od AS (SELECT src, CAST(sum(weight) AS BIGINT) AS x FROM edges GROUP BY 1),
+idg AS (SELECT dst, CAST(sum(weight) AS BIGINT) AS y FROM edges GROUP BY 1),
+xy AS (
+  SELECT x, y FROM edges JOIN od USING (src) JOIN idg USING (dst)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xy
+)
+SELECT n AS n_edges, sx AS sum_out_strength, sy AS sum_in_strength,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS assortativity_r
+FROM agg
+"""

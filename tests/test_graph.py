@@ -450,3 +450,63 @@ def test_random_walks_match_duckdb_twin(spark, sf_small):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_degree_assortativity_hand_computed(spark):
+    """a->b(1), a->c(2), b->c(1), c->b(3): out-strengths a=3,b=1,c=3;
+    in-strengths b=4,c=3; edge pairs (3,4),(3,3),(1,3),(3,4) ->
+    r = 4/sqrt(48) = 1/sqrt(3)."""
+    import math
+
+    from flink_training_exercises_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 2), ("b", "c", 1), ("c", "b", 3)],
+        "src string, dst string, weight long",
+    )
+    [r] = degree_assortativity(edges).collect()
+    assert (r["n_edges"], r["sum_out_strength"], r["sum_in_strength"]) == (
+        4,
+        10,
+        14,
+    )
+    assert r["assortativity_r"] == 4.0 / math.sqrt(48.0)
+
+
+def test_degree_assortativity_degenerate_is_null(spark):
+    """Uniform strengths have zero variance: r must be NULL, not a 0/0."""
+    from flink_training_exercises_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 2)], "src string, dst string, weight long"
+    )
+    [r] = degree_assortativity(edges).collect()
+    assert r["assortativity_r"] is None
+
+
+def test_degree_assortativity_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.graph import (
+        degree_assortativity,
+        degree_assortativity_sql,
+    )
+    from flink_training_exercises_spark.plans import graphs as graphs_plan
+
+    got = sorted(
+        map(tuple, degree_assortativity(graphs_plan.edges_view(spark, sf_small)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(
+        con.execute(
+            degree_assortativity_sql(graphs_plan.EDGES_SQL.format(events="events"))
+        ).fetchall()
+    )
+    assert got == want and got

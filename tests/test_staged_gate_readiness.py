@@ -106,6 +106,12 @@ def _cases(spark, sf):
             sketches.approx_topk_shard_union(docs),
             sketches.approx_topk_shard_union_sql(),
         ),
+        "degree_assortativity": (
+            graph.degree_assortativity(graphs_plan.edges_view(spark, sf)),
+            graph.degree_assortativity_sql(
+                graphs_plan.EDGES_SQL.format(events="events")
+            ),
+        ),
         "random_walks": (
             graph.random_walks(graphs_plan.edges_view(spark, sf)),
             graph.random_walks_sql(
