@@ -1062,3 +1062,239 @@ FROM (
   FROM audited
 ) WHERE rank <= {k}
 """
+
+# ---------------------------------------------------------------------------
+# Hilbert curve layout (round-8 backlog). The classic xy2d walk is a
+# per-bit state recurrence -- (x, y, d) rewritten at every level -- so
+# unlike Morton it cannot be one flat interleave expression (inlining
+# would double the tree per level: 2^bits terms). It IS a fixed
+# bits-deep chain of projections, which Catalyst collapses into one
+# codegen'd stage; the per-level expressions are generated from ONE
+# loop with per-engine spellings only for >> and XOR (DuckDB's ^ is
+# POWER, its integer xor is xor()), so the engines can never drift.
+# ---------------------------------------------------------------------------
+
+
+def _xor_spark(a: str, b: str) -> str:
+    return f"(({a}) ^ ({b}))"
+
+
+def _xor_duck(a: str, b: str) -> str:
+    return f"xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+
+
+def _hilbert_levels(bits: int, shr, xor) -> list[dict]:
+    """Per-level (rx, ry, x, y, d) update expressions for the standard
+    Hilbert xy2d walk, referencing the running columns x, y, d."""
+    levels = []
+    for i in range(bits):
+        k = bits - 1 - i
+        s = 1 << k
+        levels.append(
+            {
+                "rx": f"(({shr('x', k)}) & 1)",
+                "ry": f"(({shr('y', k)}) & 1)",
+                "x": f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 "
+                f"THEN {s - 1} - y ELSE y END) ELSE x END",
+                "y": f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 "
+                f"THEN {s - 1} - x ELSE x END) ELSE y END",
+                "d": f"d + {s * s} * ({xor('3 * rx', 'ry')})",
+            }
+        )
+    return levels
+
+
+def hilbert_index(
+    df: DataFrame, x_col: str, y_col: str, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """Append ``haddr``, the Hilbert-curve index of (x_col, y_col) on the
+    2^bits x 2^bits grid, as a chain of codegen'd integer projections
+    (no UDF, no shuffle). Inputs must already be in [0, 2^bits)."""
+    cur = df.selectExpr(
+        "*", f"CAST({x_col} AS BIGINT) AS x", f"CAST({y_col} AS BIGINT) AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    keep = df.columns
+    for lvl in _hilbert_levels(bits, _shr_spark, _xor_spark):
+        cur = cur.selectExpr(
+            *keep, "x", "y", "d", f"{lvl['rx']} AS rx", f"{lvl['ry']} AS ry"
+        ).selectExpr(
+            *keep,
+            f"{lvl['x']} AS x",
+            f"{lvl['y']} AS y",
+            f"{lvl['d']} AS d",
+        )
+    return cur.selectExpr(*keep, "d AS haddr")
+
+
+def hilbert_index_sql(
+    inner_sql: str,
+    keep_cols: list[str],
+    x_expr: str = "x",
+    y_expr: str = "y",
+    bits: int = ZORDER_BITS,
+) -> str:
+    """DuckDB twin of :func:`hilbert_index`: the same per-level updates as
+    chained subqueries over ``inner_sql`` (which must expose
+    ``keep_cols`` plus the x/y expressions)."""
+    keep = ", ".join(keep_cols)
+    cur = (
+        f"(SELECT {keep}, CAST({x_expr} AS BIGINT) AS x, "
+        f"CAST({y_expr} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d "
+        f"FROM ({inner_sql}))"
+    )
+    for lvl in _hilbert_levels(bits, _shr_duck, _xor_duck):
+        cur = (
+            f"(SELECT {keep}, {lvl['x']} AS x, {lvl['y']} AS y, {lvl['d']} AS d "
+            f"FROM (SELECT *, {lvl['rx']} AS rx, {lvl['ry']} AS ry FROM {cur}))"
+        )
+    return f"SELECT {keep}, d AS haddr FROM {cur}"
+
+
+def hilbert_pruning_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    cat_col: str = "source",
+    bits: int = ZORDER_BITS,
+    n_shards: int = ZORDER_SHARDS,
+) -> DataFrame:
+    """Head-to-head file-skipping audit of the two classic space-filling
+    layouts on IDENTICAL range-scaled axes: Morton (z-order, the gated
+    zonemap_pruning_audit's best layout) vs Hilbert (no diagonal jumps --
+    consecutive curve positions are always grid neighbors, so shard
+    rectangles tend tighter). Same per-shard zone maps over the RAW
+    dimensions, same two probe predicates, same accounting as
+    zonemap_pruning_audit -- only the shard placement differs, which is
+    exactly the variable a layout decision controls.
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Scale shape (100 TB): TWO corpus passes (the 1-row min/max scaling
+    scalar, then one scan computing BOTH addresses in a single lineage
+    and exploding 2 structs -- never one scan per layout); the Hilbert
+    walk is a fixed bits-deep projection chain Catalyst collapses into
+    the same codegen stage as the Morton interleave. Zone maps fold per
+    shard with map-side partials; the audit output is 2 rows."""
+    pt = _cat_point(bits)
+    mask = (1 << bits) - 1
+    shard_shift = 2 * bits - (n_shards.bit_length() - 1)
+    z = zorder_layout(docs, id_col, length_col, cat_col, bits, n_shards)
+    rng = z.agg(F.min("zx").alias("_mn"), F.max("zx").alias("_mx"))
+    sxe = f"(((zx - _mn) * {mask}) div greatest(_mx - _mn, 1))"
+    scaled = z.crossJoin(F.broadcast(rng)).selectExpr(
+        "zx", "zy", f"{sxe} AS sx"
+    )
+    h = hilbert_index(scaled, "sx", "zy", bits)
+    sz = _interleave_terms("sx", "zy", _shl_spark, _shr_spark, bits)
+    lay = lambda name, shard: F.struct(
+        F.lit(name).alias("layout"), shard.alias("shard")
+    )
+    a1 = lay(
+        "zorder_scaled", F.expr(f"CAST({sz} AS BIGINT) div {1 << shard_shift}")
+    )
+    a2 = lay("hilbert_scaled", F.expr(f"haddr div {1 << shard_shift}"))
+    both = h.select(
+        "zx", "zy", F.explode(F.array(a1, a2)).alias("ls")
+    ).select(
+        "zx", "zy", F.col("ls.layout").alias("layout"), F.col("ls.shard").alias("shard")
+    )
+    in_len = F.col("zx").between(ZONEMAP_LEN_LO, ZONEMAP_LEN_HI)
+    is_cat = F.col("zy") == pt
+    zone = both.groupBy("layout", "shard").agg(
+        F.min("zx").alias("mn_len"),
+        F.max("zx").alias("mx_len"),
+        F.min("zy").alias("mn_cat"),
+        F.max("zy").alias("mx_cat"),
+        F.sum(F.when(in_len, F.lit(1)).otherwise(F.lit(0))).alias("rows_len"),
+        F.sum(F.when(is_cat, F.lit(1)).otherwise(F.lit(0))).alias("rows_cat"),
+        F.sum(F.when(in_len & is_cat, F.lit(1)).otherwise(F.lit(0))).alias(
+            "rows_box"
+        ),
+    )
+    scan_len = ~(
+        (F.col("mx_len") < ZONEMAP_LEN_LO) | (F.col("mn_len") > ZONEMAP_LEN_HI)
+    )
+    scan_cat = (F.lit(pt) >= F.col("mn_cat")) & (F.lit(pt) <= F.col("mx_cat"))
+    return zone.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum(F.when(scan_len, F.lit(1)).otherwise(F.lit(0))).alias(
+            "shards_scanned_len"
+        ),
+        F.sum(F.when(scan_cat, F.lit(1)).otherwise(F.lit(0))).alias(
+            "shards_scanned_cat"
+        ),
+        # the 2-D box probe (both predicates at once) is where curve
+        # locality separates the layouts -- a shard is scanned only when
+        # BOTH zone intervals overlap
+        F.sum(F.when(scan_len & scan_cat, F.lit(1)).otherwise(F.lit(0))).alias(
+            "shards_scanned_box"
+        ),
+        F.sum("rows_len").alias("rows_matched_len"),
+        F.sum("rows_cat").alias("rows_matched_cat"),
+        F.sum("rows_box").alias("rows_matched_box"),
+    )
+
+
+def hilbert_pruning_audit_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    cat_col: str = "source",
+    bits: int = ZORDER_BITS,
+    n_shards: int = ZORDER_SHARDS,
+) -> str:
+    """DuckDB twin of :func:`hilbert_pruning_audit`: the zorder oracle as
+    a CTE, the same scaled axes, the same chained Hilbert walk."""
+    pt = _cat_point(bits)
+    lo, hi = ZONEMAP_LEN_LO, ZONEMAP_LEN_HI
+    mask = (1 << bits) - 1
+    shard_shift = 2 * bits - (n_shards.bit_length() - 1)
+    sxe = f"(((zx - _mn) * {mask}) // greatest(_mx - _mn, 1))"
+    sz = _interleave_terms("sx", "zy", _shl_duck, _shr_duck, bits)
+    scaled = (
+        f"SELECT zx, zy, {sxe} AS sx FROM zl, rng"
+    )
+    hil = hilbert_index_sql(scaled, ["zx", "zy", "sx"], "sx", "zy", bits)
+    return f"""
+WITH zl AS ({zorder_layout_oracle(table, id_col, length_col, cat_col, bits, n_shards)}),
+rng AS (SELECT min(zx) AS _mn, max(zx) AS _mx FROM zl),
+hil AS ({hil}),
+u AS (
+  SELECT zx, zy, s.layout AS layout, s.shard AS shard
+  FROM (
+    SELECT zx, zy,
+           unnest([
+             struct_pack(layout := 'zorder_scaled',
+                         shard := CAST({sz} AS BIGINT) // {1 << shard_shift}),
+             struct_pack(layout := 'hilbert_scaled',
+                         shard := haddr // {1 << shard_shift})
+           ]) AS s
+    FROM hil
+  )
+),
+zone AS (
+  SELECT layout, shard,
+         min(zx) AS mn_len, max(zx) AS mx_len,
+         min(zy) AS mn_cat, max(zy) AS mx_cat,
+         CAST(count(*) FILTER (WHERE zx BETWEEN {lo} AND {hi}) AS BIGINT) AS rows_len,
+         CAST(count(*) FILTER (WHERE zy = {pt}) AS BIGINT) AS rows_cat,
+         CAST(count(*) FILTER (WHERE zx BETWEEN {lo} AND {hi} AND zy = {pt})
+              AS BIGINT) AS rows_box
+  FROM u GROUP BY layout, shard
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(count(*) FILTER (WHERE NOT (mx_len < {lo} OR mn_len > {hi})) AS BIGINT)
+         AS shards_scanned_len,
+       CAST(count(*) FILTER (WHERE {pt} >= mn_cat AND {pt} <= mx_cat) AS BIGINT)
+         AS shards_scanned_cat,
+       CAST(count(*) FILTER (WHERE NOT (mx_len < {lo} OR mn_len > {hi})
+                             AND {pt} >= mn_cat AND {pt} <= mx_cat) AS BIGINT)
+         AS shards_scanned_box,
+       CAST(sum(rows_len) AS BIGINT) AS rows_matched_len,
+       CAST(sum(rows_cat) AS BIGINT) AS rows_matched_cat,
+       CAST(sum(rows_box) AS BIGINT) AS rows_matched_box
+FROM zone GROUP BY layout
+"""

@@ -371,3 +371,95 @@ def test_approx_topk_shard_union_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(approx_topk_shard_union_sql()).fetchall())
     assert got == want and got
+
+
+def _hilbert_xy2d_reference(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_python_reference(spark):
+    """Full 8x8 grid vs the textbook xy2d walk -- and the address set is
+    a permutation of 0..63 (the defining space-filling property)."""
+    from flink_training_exercises_spark.operators.sketches import hilbert_index
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "px long, py long")
+    got = {
+        (r["px"], r["py"]): r["haddr"]
+        for r in hilbert_index(df, "px", "py", bits=3).collect()
+    }
+    assert got == {(x, y): _hilbert_xy2d_reference(8, x, y) for x, y in pts}
+    assert sorted(got.values()) == list(range(64))
+
+
+def test_hilbert_index_sql_matches_python_reference():
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sketches import (
+        hilbert_index_sql,
+    )
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts)
+        + ") t(px, py)"
+    )
+    sql = hilbert_index_sql("SELECT px, py FROM pts", ["px", "py"], "px", "py", 3)
+    got = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    assert got == {(x, y): _hilbert_xy2d_reference(8, x, y) for x, y in pts}
+
+
+def test_hilbert_audit_layout_invariants(spark, sf_small):
+    """Matched-row counts are placement-invariant (same rows, different
+    shards), both layouts appear, and scanned <= total shards on every
+    probe."""
+    from flink_training_exercises_spark.operators.sketches import (
+        hilbert_pruning_audit,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    rows = {r["layout"]: r for r in hilbert_pruning_audit(docs).collect()}
+    assert set(rows) == {"zorder_scaled", "hilbert_scaled"}
+    a, b = rows["zorder_scaled"], rows["hilbert_scaled"]
+    for col in ("rows_matched_len", "rows_matched_cat", "rows_matched_box"):
+        assert a[col] == b[col]
+    for r in rows.values():
+        for col in ("shards_scanned_len", "shards_scanned_cat", "shards_scanned_box"):
+            assert 0 <= r[col] <= r["n_shards"]
+        assert r["shards_scanned_box"] <= min(
+            r["shards_scanned_len"], r["shards_scanned_cat"]
+        )
+
+
+def test_hilbert_audit_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sketches import (
+        hilbert_pruning_audit,
+        hilbert_pruning_audit_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = sorted(map(tuple, hilbert_pruning_audit(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(hilbert_pruning_audit_sql()).fetchall())
+    assert got == want and got

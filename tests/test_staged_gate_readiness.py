@@ -102,6 +102,10 @@ def _cases(spark, sf):
             ),
         ),
         "theil_sen_trend": (theil_sen_trend(ev), theil_sen_trend_sql()),
+        "hilbert_pruning_audit": (
+            sketches.hilbert_pruning_audit(docs),
+            sketches.hilbert_pruning_audit_sql(),
+        ),
         "approx_topk_shard_union": (
             sketches.approx_topk_shard_union(docs),
             sketches.approx_topk_shard_union_sql(),
