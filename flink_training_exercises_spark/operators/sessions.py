@@ -395,10 +395,24 @@ def concurrency_profile(
     summary. Levels equal the global running sum exactly, at any
     bucket_ms."""
     sess = sessionize(events, user_col, time_col, id_col, gap_ms=gap_ms)
-    starts = sess.select(F.col("session_start_ms").alias("ms"), F.lit(1).alias("d"))
-    ends = sess.select(
-        (F.col("session_end_ms") + gap_ms).alias("ms"), F.lit(-1).alias("d")
+    iv = sess.select(
+        F.col("session_start_ms").alias("s"),
+        (F.col("session_end_ms") + gap_ms).alias("e"),
     )
+    return concurrency_from_intervals(iv, bucket_ms)
+
+
+def concurrency_from_intervals(
+    intervals: DataFrame, bucket_ms: int = 3600000
+) -> DataFrame:
+    """The sweep-line stage of :func:`concurrency_profile` over an
+    arbitrary half-open interval relation (columns ``s``, ``e`` in ms) --
+    shared by the batch profile (gap sessions) and the streaming twin
+    (drained session_window sessions, whose ends already carry the gap).
+    Same scalable two-phase prefix sum; see concurrency_profile's
+    docstring for the decomposition argument."""
+    starts = intervals.select(F.col("s").alias("ms"), F.lit(1).alias("d"))
+    ends = intervals.select(F.col("e").alias("ms"), F.lit(-1).alias("d"))
     net = (
         starts.unionByName(ends)
         .groupBy("ms")
@@ -447,12 +461,17 @@ def concurrency_profile_sql(
     prefix = _session_sql_prefix(
         table, user_col, time_col, id_col, gap_ms, "1 AS one"
     )
-    return f"""
-WITH {prefix},
-sess AS (
+    sessions_sql = f"""WITH {prefix}
   SELECT {user_col}, session_id, min(ev_ms) AS s, max(ev_ms) + {gap_ms} AS e
-  FROM sid GROUP BY 1, 2
-),
+  FROM sid GROUP BY 1, 2"""
+    return concurrency_sweep_sql(sessions_sql)
+
+
+def concurrency_sweep_sql(sessions_sql: str) -> str:
+    """DuckDB sweep stage over any interval relation yielding (s, e) --
+    the SQL twin of :func:`concurrency_from_intervals`."""
+    return f"""
+WITH sess AS ({sessions_sql}),
 deltas AS (
   SELECT s AS ms, 1 AS d FROM sess
   UNION ALL

@@ -162,6 +162,8 @@ def test_staged_streaming_ops_gate_ready(spark, sf_small):
     use) must match their DuckDB oracles in values, columns, and dtypes
     -- upgrading them from pytest-parity to oracle-ready."""
     from flink_training_exercises_spark.streaming.queries import (
+        concurrency_profile_oracle,
+        run_concurrency_profile_availablenow,
         run_windowed_hll_availablenow,
         windowed_hll_oracle,
     )
@@ -173,6 +175,12 @@ def test_staged_streaming_ops_gate_ready(spark, sf_small):
     import uuid as _uuid
 
     cases = {
+        "streaming_concurrency_profile": (
+            run_concurrency_profile_availablenow(
+                spark, sf_small, f"sconc_gr_{_uuid.uuid4().hex[:8]}"
+            ),
+            concurrency_profile_oracle(),
+        ),
         "streaming_windowed_hll": (
             run_windowed_hll_availablenow(
                 spark, sf_small, f"whll_gr_{_uuid.uuid4().hex[:8]}"

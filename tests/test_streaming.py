@@ -1038,3 +1038,42 @@ def test_streaming_windowed_hll_chunked_matches_unchunked(spark, sf_small, tmp_p
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_concurrency_profile_matches_cut_batch(spark, sf_small):
+    """STAGED-FOR-ROUND-8 streaming concurrency profile: the sweep over
+    the drained session_window intervals must equal the sweep over the
+    batch gap sessions (ends shifted by the gap) cut at the final
+    watermark -- i.e. the profile is a pure function of the emitted
+    session set."""
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.operators.sessions import (
+        DEFAULT_GAP_MS,
+        concurrency_from_intervals,
+        sessionize,
+    )
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        run_concurrency_profile_availablenow,
+    )
+
+    name = f"sconc_{uuid.uuid4().hex[:8]}"
+    got = {
+        tuple(r)
+        for r in run_concurrency_profile_availablenow(
+            spark, sf_small, name
+        ).collect()
+    }
+
+    ev = load_table(spark, "events", sf_small)
+    max_ms = ev.agg(F.max(epoch_ms("ts"))).first()[0]
+    iv = (
+        sessionize(ev)
+        .select(
+            F.col("session_start_ms").alias("s"),
+            (F.col("session_end_ms") + DEFAULT_GAP_MS).alias("e"),
+        )
+        .where(F.col("e") <= max_ms - 60000)
+    )
+    want = {tuple(r) for r in concurrency_from_intervals(iv).collect()}
+    assert got == want and got
