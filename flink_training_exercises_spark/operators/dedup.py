@@ -1114,24 +1114,41 @@ def sorted_neighborhood_pairs(
         F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("k"),
     ).withColumn("blk", F.substring(F.col("k"), 1, block_len))
     w = Window.partitionBy("blk").orderBy("k", "id")
-    parts = []
-    for off in range(1, window + 1):
-        lagged = d.select(
-            "id",
-            "k",
-            F.lag("id", off).over(w).alias("p_id"),
-            F.lag("k", off).over(w).alias("p_k"),
-        ).where(F.col("p_id").isNotNull())
-        parts.append(
-            lagged.select(
-                F.least("id", "p_id").alias("id_a"),
-                F.greatest("id", "p_id").alias("id_b"),
-                F.levenshtein("k", "p_k").cast("bigint").alias("dist"),
-            ).where(F.col("dist") <= max_dist)
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # ONE window pass computing every offset's lag, predecessors exploded
+    # per row -- the per-offset union form re-ran the blocked sort once
+    # per offset (CLAUDE.md twice-consumed rule)
+    with_lags = d.select(
+        "id",
+        "k",
+        *[
+            c
+            for off in range(1, window + 1)
+            for c in (
+                F.lag("id", off).over(w).alias(f"p_id_{off}"),
+                F.lag("k", off).over(w).alias(f"p_k_{off}"),
+            )
+        ],
+    )
+    lagged = with_lags.select(
+        "id",
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"p_id_{off}").alias("p_id"),
+                        F.col(f"p_k_{off}").alias("p_k"),
+                    )
+                    for off in range(1, window + 1)
+                ]
+            )
+        ).alias("p"),
+    ).where(F.col("p.p_id").isNotNull())
+    out = lagged.select(
+        F.least("id", F.col("p.p_id")).alias("id_a"),
+        F.greatest("id", F.col("p.p_id")).alias("id_b"),
+        F.levenshtein("k", F.col("p.p_k")).cast("bigint").alias("dist"),
+    ).where(F.col("dist") <= max_dist)
     # identical keys make the same unordered pair reachable at two offsets
     # (ties broken by id give (x,y) at off 1 and (y,x)-normalized at off 2
     # via a middle row); distinct() keeps the pair relation a set

@@ -411,10 +411,20 @@ def concurrency_from_intervals(
     (drained session_window sessions, whose ends already carry the gap).
     Same scalable two-phase prefix sum; see concurrency_profile's
     docstring for the decomposition argument."""
-    starts = intervals.select(F.col("s").alias("ms"), F.lit(1).alias("d"))
-    ends = intervals.select(F.col("e").alias("ms"), F.lit(-1).alias("d"))
+    # ONE pass over the interval subtree: the union-of-two-selects form
+    # re-evaluates the (possibly expensive) interval lineage once per
+    # boundary branch (CLAUDE.md twice-consumed rule); exploding both
+    # boundary structs from each row keeps a single evaluation.
+    bounds = intervals.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("ms"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("ms"), F.lit(-1).alias("d")),
+            )
+        ).alias("b")
+    ).select("b.ms", "b.d")
     net = (
-        starts.unionByName(ends)
+        bounds
         .groupBy("ms")
         .agg(F.sum("d").cast("bigint").alias("net"))
         .withColumn("h", F.col("ms") - F.col("ms") % bucket_ms)
