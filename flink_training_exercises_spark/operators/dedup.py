@@ -1355,3 +1355,138 @@ verified AS (
 SELECT id_a, id_b, inter AS inter_size, tot - inter AS union_size
 FROM verified WHERE ({td} + {tn}) * inter >= {tn} * tot
 """
+
+# Fellegi-Sunter agreement weights (integer log-odds stand-ins; the
+# m/u-probability-estimated weights need EM and are a modeling choice --
+# these fixed integers keep the DECISION MODEL exercisable and the
+# output exactly deterministic cross-engine).
+FS_WEIGHTS = {
+    "len": (4, -1, 10),  # (agree, disagree, |n_chars| tolerance)
+    "prefix": (6, -2, 20),  # (agree, disagree, prefix chars)
+    "tokens": (3, -1, 2),  # (agree, disagree, |token count| tolerance)
+}
+FS_MATCH_T = 10
+FS_POSSIBLE_T = 4
+
+
+def record_linkage_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_col: str = "n_chars",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Fellegi-Sunter-style probabilistic record linkage over blocked
+    candidate pairs: per pair, each comparison field (length band, text
+    prefix, token count) contributes an agreement/disagreement weight,
+    the summed score classifies the pair match / possible / non_match
+    (the classic two-threshold decision model). Output is the per-block
+    DECISION PROFILE -- (block..., decision, n_pairs, sum_score) -- the
+    review-queue sizing a linkage pipeline actually reports; pair-level
+    output is editdistance_pairs' job.
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Determinism: every weight is a fixed integer (FS_WEIGHTS; the
+    EM-estimated log-odds of the full Fellegi-Sunter model are a
+    modeling layer deliberately left out), agreements are integer/string
+    comparisons, so scores and classes are exactly equal cross-engine.
+
+    Scale shape (100 TB): the per-doc feature projection runs once and is
+    localCheckpoint-ed (it feeds BOTH sides of the self-join -- the
+    MinHash persisted-signature rule); the quadratic is confined to
+    (lang, source) blocks exactly like editdistance_pairs, one equi-join
+    shuffle with blocks co-located; the decision profile folds with
+    map-side partials to a vocabulary-bounded relation."""
+    from ..sources.loaders import widen_scan
+
+    la, ld, ltol = FS_WEIGHTS["len"]
+    pa, pd_, plen = FS_WEIGHTS["prefix"]
+    ta, td, ttol = FS_WEIGHTS["tokens"]
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    feats = (
+        widen_scan(docs)
+        .select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("id"),
+            F.col(length_col).cast("bigint").alias("len"),
+            F.lower(F.substring(F.col(text_col), 1, plen)).alias("pfx"),
+            F.size(words).cast("bigint").alias("ntok"),
+        )
+        .localCheckpoint()
+    )
+    a, b = feats.alias("a"), feats.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
+        F.col("a.id") < F.col("b.id")
+    ]
+    score = (
+        F.when(F.abs(F.col("a.len") - F.col("b.len")) <= ltol, F.lit(la)).otherwise(
+            F.lit(ld)
+        )
+        + F.when(F.col("a.pfx") == F.col("b.pfx"), F.lit(pa)).otherwise(F.lit(pd_))
+        + F.when(F.abs(F.col("a.ntok") - F.col("b.ntok")) <= ttol, F.lit(ta)).otherwise(
+            F.lit(td)
+        )
+    )
+    decision = (
+        F.when(F.col("score") >= FS_MATCH_T, F.lit("match"))
+        .when(F.col("score") >= FS_POSSIBLE_T, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            score.cast("bigint").alias("score"),
+        )
+        .select(*block_cols, "score", decision.alias("decision"))
+        .groupBy(*block_cols, "decision")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+    )
+
+
+def record_linkage_scores_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_col: str = "n_chars",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+) -> str:
+    """DuckDB twin of :func:`record_linkage_scores`: same blocked
+    self-join, same integer weights and thresholds."""
+    la, ld, ltol = FS_WEIGHTS["len"]
+    pa, pd_, plen = FS_WEIGHTS["prefix"]
+    ta, td, ttol = FS_WEIGHTS["tokens"]
+    blk = ", ".join(block_cols)
+    blk_a = ", ".join(f"a.{c} AS {c}" for c in block_cols)
+    join_on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    words = (
+        f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    )
+    return f"""
+WITH feats AS (
+  SELECT {blk}, {id_col} AS id, CAST({length_col} AS BIGINT) AS len,
+         lower(substr({text_col}, 1, {plen})) AS pfx,
+         CAST(len({words}) AS BIGINT) AS ntok
+  FROM {table}
+),
+scored AS (
+  SELECT {blk_a},
+         CAST(CASE WHEN abs(a.len - b.len) <= {ltol} THEN {la} ELSE {ld} END
+            + CASE WHEN a.pfx = b.pfx THEN {pa} ELSE {pd_} END
+            + CASE WHEN abs(a.ntok - b.ntok) <= {ttol} THEN {ta} ELSE {td} END
+           AS BIGINT) AS score
+  FROM feats a JOIN feats b ON {join_on} AND a.id < b.id
+)
+SELECT {blk},
+       CASE WHEN score >= {FS_MATCH_T} THEN 'match'
+            WHEN score >= {FS_POSSIBLE_T} THEN 'possible'
+            ELSE 'non_match' END AS decision,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM scored GROUP BY 1, 2, 3
+"""

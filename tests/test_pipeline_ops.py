@@ -2117,3 +2117,74 @@ def test_theil_sen_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(theil_sen_trend_sql()).fetchall())
     assert got == want and got
+
+
+def test_record_linkage_scores_hand_computed(spark):
+    """One block, four docs: (1,2) agree on everything (4+6+3=13,
+    match); doc4 shares doc1/doc2's prefix and token count but not the
+    length band (-1+6+3=8, possible, twice); doc3 disagrees on all
+    fields (-4, non_match, three pairs)."""
+    from flink_training_exercises_spark.operators.dedup import (
+        record_linkage_scores,
+    )
+
+    long_text = "hello world foo bar baz qux quux corge grault extra tokens here now ok yes"
+    rows = [
+        (1, "hello world foo", "en", "s", 50),
+        (2, "hello world foo", "en", "s", 55),
+        (3, long_text, "en", "s", 500),
+        (4, "hello world foo", "en", "s", 100),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["decision"]: (r["n_pairs"], r["sum_score"])
+        for r in record_linkage_scores(docs).collect()
+    }
+    assert got == {"match": (1, 13), "possible": (2, 16), "non_match": (3, -12)}
+
+
+def test_record_linkage_scores_conservation(spark, sf_small):
+    """Decision classes partition the blocked pair set: per-block pair
+    totals equal C(|block|, 2)."""
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.operators.dedup import (
+        record_linkage_scores,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = {
+        (r["lang"], r["source"]): r["tot"]
+        for r in record_linkage_scores(docs)
+        .groupBy("lang", "source")
+        .agg(F.sum("n_pairs").alias("tot"))
+        .collect()
+    }
+    sizes = {
+        (r["lang"], r["source"]): r["n"]
+        for r in docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {k: n * (n - 1) // 2 for k, n in sizes.items() if n >= 2}
+    assert got == want and got
+
+
+def test_record_linkage_scores_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.dedup import (
+        record_linkage_scores,
+        record_linkage_scores_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = sorted(map(tuple, record_linkage_scores(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(record_linkage_scores_sql()).fetchall())
+    assert got == want and got

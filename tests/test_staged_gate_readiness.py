@@ -23,6 +23,7 @@ def _cases(spark, sf):
     from pyspark.sql import functions as F
 
     from flink_training_exercises_spark.operators import (
+        dedup,
         graph,
         pii,
         sampling,
@@ -55,6 +56,10 @@ def _cases(spark, sf):
     ev = load_table(spark, "events", sf)
     emb = load_table(spark, "embeddings", sf)
     return {
+        "record_linkage_scores": (
+            dedup.record_linkage_scores(docs),
+            dedup.record_linkage_scores_sql(),
+        ),
         "t_closeness_audit": (
             pii.t_closeness_audit(docs),
             pii.t_closeness_audit_sql(),
