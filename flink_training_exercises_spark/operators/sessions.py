@@ -500,3 +500,126 @@ SELECT concurrency, CAST(sum(next_ms - ms) AS BIGINT) AS total_ms,
        CAST(count(*) AS BIGINT) AS n_segments
 FROM lv WHERE next_ms IS NOT NULL GROUP BY 1
 """
+
+ATTR_PPM = 1_000_000
+ATTR_END_PPM = 400_000  # U-shape: 40% first touch, 40% last, 20% middle
+
+
+def attribution_credit(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("view", "click"),
+    window_ms: int = 6 * 3600 * 1000,
+) -> DataFrame:
+    """Multi-touch attribution (U-shaped / position-based): every
+    conversion distributes exactly 1,000,000 ppm of credit over the same
+    user's touch events inside the preceding attribution window -- 40%
+    to the first touch, 40% to the last, 20% split across the middle --
+    the marketing-analytics companion to the funnel and retention
+    queries. Output (event_type, n_touches, credit_ppm), BIGINTs,
+    aggregated per touch type.
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Determinism: credit is integer ppm with the middle split's division
+    remainder assigned to the LAST touch, so every conversion's credits
+    sum to exactly ATTR_PPM (conservation pytest-pinned: total credit =
+    1e6 x attributed conversions); touch order is the (ts, event_id)
+    total order. Single-touch conversions take the full 1e6; two-touch
+    split 50/50 (the standard position-based degenerate cases).
+
+    Scale shape (100 TB): conversions x touches is a hash equi-join on
+    the USER key with a residual time-window filter (the scd2_pit rule:
+    never a range-cartesian); the rank/count windows partition by
+    conversion id -- parallel across conversions; the final fold is a
+    |touch_types|-row aggregate with map-side partials."""
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    ms = _epoch_ms(ts_col)
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"), ms.alias("c_ms"), F.col(id_col).alias("c_id")
+    )
+    touch = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("u"),
+        ms.alias("t_ms"),
+        F.col(id_col).alias("t_id"),
+        F.col(type_col).alias("t_type"),
+    )
+    j = conv.join(touch, "u").where(
+        (F.col("t_ms") <= F.col("c_ms"))
+        & (F.col("t_ms") > F.col("c_ms") - window_ms)
+    )
+    w = Window.partitionBy("c_id").orderBy("t_ms", "t_id")
+    wk = Window.partitionBy("c_id")
+    ranked = j.select(
+        "t_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    end, total, mid_pool = ATTR_END_PPM, ATTR_PPM, ATTR_PPM - 2 * ATTR_END_PPM
+    mid = F.expr(f"{mid_pool} DIV greatest(n - 2, 1)")
+    credit = (
+        F.when(F.col("n") == 1, F.lit(total))
+        .when(F.col("n") == 2, F.lit(total // 2))
+        .when(F.col("rn") == 1, F.lit(end))
+        .when(
+            F.col("rn") == F.col("n"),
+            F.lit(end) + F.lit(mid_pool) - (F.col("n") - 2) * mid,
+        )
+        .otherwise(mid)
+    )
+    return ranked.groupBy(F.col("t_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum(credit).cast("bigint").alias("credit_ppm"),
+    )
+
+
+def attribution_credit_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("view", "click"),
+    window_ms: int = 6 * 3600 * 1000,
+) -> str:
+    """DuckDB twin of :func:`attribution_credit` (`//` = integer
+    division; same total order, same remainder-to-last rule)."""
+    end, total, mid_pool = ATTR_END_PPM, ATTR_PPM, ATTR_PPM - 2 * ATTR_END_PPM
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH conv AS (
+  SELECT {user_col} AS u, epoch_ms({ts_col}) AS c_ms, {id_col} AS c_id
+  FROM {table} WHERE {type_col} = '{conversion_type}'
+),
+touch AS (
+  SELECT {user_col} AS u, epoch_ms({ts_col}) AS t_ms, {id_col} AS t_id,
+         {type_col} AS t_type
+  FROM {table} WHERE {type_col} IN ({tt})
+),
+ranked AS (
+  SELECT t_type,
+         row_number() OVER (PARTITION BY c_id ORDER BY t_ms, t_id) AS rn,
+         count(*) OVER (PARTITION BY c_id) AS n
+  FROM conv JOIN touch USING (u)
+  WHERE t_ms <= c_ms AND t_ms > c_ms - {window_ms}
+),
+credited AS (
+  SELECT t_type,
+         CASE WHEN n = 1 THEN {total}
+              WHEN n = 2 THEN {total // 2}
+              WHEN rn = 1 THEN {end}
+              WHEN rn = n THEN {end} + {mid_pool} - (n - 2) * ({mid_pool} // greatest(n - 2, 1))
+              ELSE {mid_pool} // greatest(n - 2, 1) END AS credit
+  FROM ranked
+)
+SELECT t_type AS event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit) AS BIGINT) AS credit_ppm
+FROM credited GROUP BY 1
+"""

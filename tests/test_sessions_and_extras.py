@@ -242,3 +242,119 @@ def test_concurrency_profile_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(map(tuple, con.execute(concurrency_profile_sql()).fetchall()))
     assert got == want and got
+
+
+def test_attribution_credit_hand_computed(spark):
+    """n=5 touch chain v,c,v,c,v before one purchase: first 400000, three
+    middles 66666 each, last 400000 + remainder 2 -> view 866668 over 3
+    touches, click 133332 over 2; credits sum to exactly 1e6."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.sessions import (
+        attribution_credit,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    types = ["view", "click", "view", "click", "view"]
+    rows = [
+        (i + 1, t0 + timedelta(minutes=i), 7, types[i], 1.0, None)
+        for i in range(5)
+    ] + [(9, t0 + timedelta(minutes=30), 7, "purchase", 5.0, None)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["event_type"]: (r["n_touches"], r["credit_ppm"])
+        for r in attribution_credit(ev).collect()
+    }
+    assert got == {"view": (3, 866668), "click": (2, 133332)}
+    assert sum(v for _, v in got.values()) == 1_000_000
+
+
+def test_attribution_credit_degenerate_counts(spark):
+    """Single-touch takes the full 1e6; two-touch splits 50/50; a touch
+    outside the window earns nothing."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.sessions import (
+        attribution_credit,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: one in-window view -> 1e6
+        (1, t0, 1, "view", 1.0, None),
+        (2, t0 + timedelta(hours=1), 1, "purchase", 5.0, None),
+        # user 2: view + click -> 500000 each
+        (3, t0, 2, "view", 1.0, None),
+        (4, t0 + timedelta(minutes=5), 2, "click", 1.0, None),
+        (5, t0 + timedelta(hours=1), 2, "purchase", 5.0, None),
+        # user 3: touch 7h before purchase -> outside the 6h window
+        (6, t0, 3, "click", 1.0, None),
+        (7, t0 + timedelta(hours=7), 3, "purchase", 5.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["event_type"]: (r["n_touches"], r["credit_ppm"])
+        for r in attribution_credit(ev).collect()
+    }
+    assert got == {"view": (2, 1_500_000), "click": (1, 500_000)}
+
+
+def test_attribution_credit_conservation(spark, sf_small):
+    """Corpus-wide: total credit == 1e6 x (conversions with >= 1 touch)."""
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.operators.sessions import (
+        attribution_credit,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    total = (
+        attribution_credit(ev).agg(F.sum("credit_ppm").alias("s")).first()["s"]
+    )
+    ms = epoch_ms("ts")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), ms.alias("c_ms"), F.col("event_id").alias("c_id")
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("u"), ms.alias("t_ms")
+    )
+    attributed = (
+        conv.join(touch, "u")
+        .where(
+            (F.col("t_ms") <= F.col("c_ms"))
+            & (F.col("t_ms") > F.col("c_ms") - 6 * 3600 * 1000)
+        )
+        .select("c_id")
+        .distinct()
+        .count()
+    )
+    assert total == 1_000_000 * attributed and attributed > 0
+
+
+def test_attribution_credit_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sessions import (
+        attribution_credit,
+        attribution_credit_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    got = sorted(map(tuple, attribution_credit(ev).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(attribution_credit_sql()).fetchall())
+    assert got == want and got

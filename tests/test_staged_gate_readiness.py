@@ -33,6 +33,10 @@ def _cases(spark, sf):
         index_staleness_audit,
         index_staleness_audit_sql,
     )
+    from flink_training_exercises_spark.operators.sessions import (
+        attribution_credit,
+        attribution_credit_sql,
+    )
     from flink_training_exercises_spark.operators.textstats import (
         heaps_vocab_growth,
         heaps_vocab_growth_sql,
@@ -56,6 +60,10 @@ def _cases(spark, sf):
     ev = load_table(spark, "events", sf)
     emb = load_table(spark, "embeddings", sf)
     return {
+        "attribution_credit": (
+            attribution_credit(ev),
+            attribution_credit_sql(),
+        ),
         "record_linkage_scores": (
             dedup.record_linkage_scores(docs),
             dedup.record_linkage_scores_sql(),
