@@ -1158,3 +1158,167 @@ SELECT q AS checkpoint,
 FROM grid LEFT JOIN per_doc USING (q) LEFT JOIN firsts USING (q)
 WINDOW win AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_stop: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.) with corpus-derived
+    statistical stopwords: candidate phrases are the maximal token runs
+    between delimiter words, each word scores deg(w)/freq(w) over the
+    candidate space (deg = summed length of phrases containing it --
+    rewards words that travel in long collocations), and a phrase scores
+    the sum of its members' scores. Output = the corpus's top ``k``
+    keyphrases: (rank, phrase, n_words, score_ppm).
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Delimiters: classic RAKE uses an English stopword list; this corpus
+    (like any specialized corpus) would make that degenerate (no hits ->
+    every document one giant phrase), so the delimiter set is the
+    corpus's own ``n_stop`` most frequent tokens (ties by token ASC) --
+    the statistical-stopword variant from the original paper's
+    discussion, self-contained and deterministic on any corpus.
+
+    Determinism: deg and freq are exact integer sums; a word's score is
+    floor(1e6 * deg / freq) ppm, a phrase's the integer sum over member
+    OCCURRENCES (a repeated word counts twice, per the paper); the final
+    rank's total order is (score DESC, phrase ASC). Phrase assembly is
+    the sort_array(collect_list(struct)) / string_agg ORDER BY pair
+    (session_path_topk precedent).
+
+    Scale shape (100 TB): one explode + vocabulary-sized freq groupBy
+    (the stopword cut is a bounded single-partition window over the
+    vocabulary); phrase ids are a per-DOC running sum (parallel across
+    docs); deg/freq fold on the vocabulary; the global top-k is
+    orderBy().limit(k) -- Spark's distributed TakeOrdered, per-partition
+    heaps + a k-row merge, never a single-partition sort of all
+    phrases -- with ranks assigned on the k-row result."""
+    from pyspark.sql import Window
+
+    d = _widened(docs).select(F.col(id_col).alias("id"), _words(text_col).alias("ws"))
+    toks = d.select("id", F.posexplode("ws").alias("pos", "w"))
+    freq_all = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # bounded single-partition window: vocabulary-sized
+    stop_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    stops = (
+        freq_all.withColumn("r", F.row_number().over(stop_rank))
+        .where(F.col("r") <= n_stop)
+        .select("w", F.lit(True).alias("is_stop"))
+    )
+    marked = toks.join(F.broadcast(stops), "w", "left").select(
+        "id",
+        "pos",
+        "w",
+        F.coalesce("is_stop", F.lit(False)).alias("is_stop"),
+    )
+    wgrp = Window.partitionBy("id").orderBy("pos")
+    cand = (
+        marked.select(
+            "id",
+            "pos",
+            "w",
+            F.sum(F.col("is_stop").cast("int")).over(wgrp).alias("grp"),
+            "is_stop",
+        )
+        .where(~F.col("is_stop"))
+        .drop("is_stop")
+    )
+    wph = Window.partitionBy("id", "grp")
+    with_len = cand.select("id", "grp", "pos", "w", F.count(F.lit(1)).over(wph).alias("n"))
+    wstats = with_len.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("n").alias("deg")
+    )
+    wscore = wstats.select(
+        "w", F.expr("(1000000 * deg) DIV freq").alias("ws_ppm")
+    )
+    phrases = (
+        with_len.join(wscore, "w")
+        .groupBy("id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("ws_ppm").alias("score_ppm"),
+            F.max("n").cast("bigint").alias("n_words"),
+        )
+        .groupBy("phrase")
+        .agg(
+            F.max("score_ppm").cast("bigint").alias("score_ppm"),
+            F.max("n_words").alias("n_words"),
+        )
+    )
+    topk = phrases.orderBy(F.desc("score_ppm"), F.asc("phrase")).limit(k)
+    rk = Window.orderBy(F.desc("score_ppm"), F.asc("phrase"))
+    return topk.select(
+        F.row_number().over(rk).cast("bigint").alias("rank"),
+        "phrase",
+        "n_words",
+        "score_ppm",
+    )
+
+
+def rake_keywords_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_stop: int = 5,
+    k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`rake_keywords`: same statistical stopwords,
+    same integer scoring, string_agg ORDER BY phrase assembly."""
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, {_words_sql(text_col)} AS ws FROM {table}
+),
+toks AS (
+  SELECT id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w FROM d
+),
+freq_all AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+stops AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM freq_all
+  ) WHERE r <= {n_stop}
+),
+marked AS (
+  SELECT id, pos, w, (w IN (SELECT w FROM stops)) AS is_stop FROM toks
+),
+cand AS (
+  SELECT id, pos, w, grp FROM (
+    SELECT id, pos, w, is_stop,
+           sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+             OVER (PARTITION BY id ORDER BY pos) AS grp
+    FROM marked
+  ) WHERE NOT is_stop
+),
+with_len AS (
+  SELECT id, grp, pos, w, count(*) OVER (PARTITION BY id, grp) AS n FROM cand
+),
+wscore AS (
+  SELECT w, (1000000 * CAST(sum(n) AS BIGINT)) // count(*) AS ws_ppm
+  FROM with_len GROUP BY 1
+),
+phrases AS (
+  SELECT phrase, CAST(max(score_ppm) AS BIGINT) AS score_ppm,
+         CAST(max(n_words) AS BIGINT) AS n_words
+  FROM (
+    SELECT id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+           sum(ws_ppm) AS score_ppm, max(n) AS n_words
+    FROM with_len JOIN wscore USING (w)
+    GROUP BY id, grp
+  ) GROUP BY phrase
+)
+SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase) AS BIGINT) AS rank,
+       phrase, n_words, score_ppm
+FROM phrases
+ORDER BY score_ppm DESC, phrase
+LIMIT {k}
+"""

@@ -2188,3 +2188,58 @@ def test_record_linkage_scores_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(record_linkage_scores_sql()).fetchall())
     assert got == want and got
+
+
+def test_rake_keywords_hand_computed(spark):
+    """'the quick fox the lazy dog', one statistical stopword ('the',
+    the most frequent token): phrases 'quick fox' / 'lazy dog', every
+    member word deg=2 freq=1 -> 2e6 ppm, phrase scores 4e6, ties ranked
+    by phrase ASC."""
+    from flink_training_exercises_spark.operators.textstats import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox the lazy dog", "en", "s", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [tuple(r) for r in rake_keywords(docs, n_stop=1).orderBy("rank").collect()]
+    assert got == [
+        (1, "lazy dog", 2, 4_000_000),
+        (2, "quick fox", 2, 4_000_000),
+    ]
+
+
+def test_rake_keywords_rank_contract(spark, sf_small):
+    """Ranks are 1..k dense and scores are non-increasing along them."""
+    from flink_training_exercises_spark.operators.textstats import (
+        rake_keywords,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    rows = sorted(
+        (r["rank"], r["score_ppm"]) for r in rake_keywords(docs).collect()
+    )
+    assert [r for r, _ in rows] == list(range(1, len(rows) + 1)) and rows
+    scores = [s for _, s in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rake_keywords_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.textstats import (
+        rake_keywords,
+        rake_keywords_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = sorted(map(tuple, rake_keywords(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(rake_keywords_sql()).fetchall())
+    assert got == want and got

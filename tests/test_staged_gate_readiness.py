@@ -40,6 +40,8 @@ def _cases(spark, sf):
     from flink_training_exercises_spark.operators.textstats import (
         heaps_vocab_growth,
         heaps_vocab_growth_sql,
+        rake_keywords,
+        rake_keywords_sql,
         source_scorecard,
         source_scorecard_sql,
     )
@@ -88,6 +90,7 @@ def _cases(spark, sf):
             heaps_vocab_growth(docs),
             heaps_vocab_growth_sql(),
         ),
+        "rake_keywords": (rake_keywords(docs), rake_keywords_sql()),
         "clustering_coefficients": (
             graph.clustering_coefficients(graphs_plan.edges_view(spark, sf)),
             graph.clustering_coefficients_sql(
