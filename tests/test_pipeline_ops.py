@@ -2243,3 +2243,51 @@ def test_rake_keywords_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(rake_keywords_sql()).fetchall())
     assert got == want and got
+
+
+def test_rake_keywords_all_stopword_doc_is_empty(spark):
+    """A document made entirely of the statistical stopword produces no
+    candidate phrases -- empty result, not a crash or an empty-string
+    phrase."""
+    from flink_training_exercises_spark.operators.textstats import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the the the", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert rake_keywords(docs, n_stop=1).count() == 0
+
+
+def test_downsample_lttb_breaks_timestamp_ties_by_id(spark):
+    """Two points at the SAME timestamp: the (ms, id) total order is what
+    keeps the bucket walk deterministic -- both engines and any
+    partitioning must pick identical winners (here: the tie rows sort by
+    id, so the endpoint rows are id-deterministic)."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        downsample_lttb,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    ms0 = 1704067200000
+    rows = [
+        (2, t0, 7, "a", 5.0, None),  # tie at t0: id 1 sorts first
+        (1, t0, 7, "a", 1.0, None),
+        (3, t0 + timedelta(seconds=1), 7, "a", 2.0, None),
+        (4, t0 + timedelta(seconds=2), 7, "a", 3.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted(tuple(r) for r in downsample_lttb(ev, n_out=1).collect())
+    # first point = id 1 (100 cents), last = id 4; the two interior
+    # points (id 2 at the tied ts, id 3) fall into bucket 0 and the
+    # 500-cent spike (id 2) wins on area
+    assert got[0] == ("a", -1, ms0, 100)
+    assert ("a", 0, ms0, 500) in got
+    assert got[-1] == ("a", 1, ms0 + 2000, 300)

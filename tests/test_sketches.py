@@ -463,3 +463,31 @@ def test_hilbert_audit_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(hilbert_pruning_audit_sql()).fetchall())
     assert got == want and got
+
+
+def test_hilbert_index_consecutive_addresses_are_grid_neighbors():
+    """The defining locality property (and what separates Hilbert from
+    Morton): consecutive curve positions are always 4-neighbors on the
+    grid -- no diagonal jumps. Checked exhaustively at 16x16 via the
+    DuckDB form (same generated expressions as the Spark chain)."""
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sketches import (
+        hilbert_index_sql,
+    )
+
+    bits = 4
+    n = 1 << bits
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts)
+        + ") t(px, py)"
+    )
+    sql = hilbert_index_sql("SELECT px, py FROM pts", ["px", "py"], "px", "py", bits)
+    by_d = {r[2]: (r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert sorted(by_d) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
