@@ -491,3 +491,86 @@ def test_hilbert_index_consecutive_addresses_are_grid_neighbors():
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_quantile_merge_shards_hand_computed(spark):
+    """Single shard, m=3, cents 100..500: boundaries {1,3,5}th order
+    stats weight 5 each (total 15). p25 est 100 vs exact 200 (err 100);
+    p50 est==exact 300; p75 est 500 vs exact 400; p90 est==exact 500."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.sketches import (
+        quantile_merge_shards,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=i), 7, "view", float(i + 1), None)
+        for i in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["pct"]: (r["est_cents"], r["exact_cents"], r["abs_err"])
+        for r in quantile_merge_shards(ev, n_shards=1, m=3).collect()
+    }
+    assert got == {
+        25: (100, 200, 100),
+        50: (300, 300, 0),
+        75: (500, 400, 100),
+        90: (500, 500, 0),
+    }
+
+
+def test_quantile_merge_shards_exactness_and_monotonicity(spark, sf_small):
+    """The exact column IS the discrete quantile (python-replayed on the
+    collected cents), and both est and exact are monotone in pct."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.operators.sketches import (
+        quantile_merge_shards,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    rows = sorted(
+        (r["pct"], r["est_cents"], r["exact_cents"])
+        for r in quantile_merge_shards(ev).collect()
+    )
+    cents = sorted(
+        r[0]
+        for r in ev.select(
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+        ).collect()
+    )
+    n = len(cents)
+    for pct, est, exact in rows:
+        assert exact == cents[math.ceil(pct * n / 100) - 1]
+        assert cents[0] <= est <= cents[-1]
+    ests = [e for _, e, _ in rows]
+    exacts = [x for _, _, x in rows]
+    assert ests == sorted(ests) and exacts == sorted(exacts)
+
+
+def test_quantile_merge_shards_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sketches import (
+        quantile_merge_shards,
+        quantile_merge_shards_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    got = sorted(map(tuple, quantile_merge_shards(ev).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(quantile_merge_shards_sql()).fetchall())
+    assert got == want and got

@@ -118,6 +118,10 @@ def _cases(spark, sf):
             ),
         ),
         "theil_sen_trend": (theil_sen_trend(ev), theil_sen_trend_sql()),
+        "quantile_merge_shards": (
+            sketches.quantile_merge_shards(ev),
+            sketches.quantile_merge_shards_sql(),
+        ),
         "hilbert_pruning_audit": (
             sketches.hilbert_pruning_audit(docs),
             sketches.hilbert_pruning_audit_sql(),
