@@ -691,3 +691,83 @@ def test_random_walks_match_python_on_random_graphs(spark, edges, steps):
             cur = nb[md5l(f"{start}:{t}:{cur}") % len(nb)]
             want.add((start, t, cur))
     assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),               # lang (QI)
+            st.sampled_from(["s1", "s2", "s3"]),         # source (QI)
+            st.integers(min_value=0, max_value=999),     # n_chars
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_t_closeness_emd_is_a_normalized_distance(spark, rows):
+    """For ANY input: 0 <= emd_num <= emd_den when m > 1 (EMD over [0,1]-
+    scaled bins is a normalized distance), den = k*N*(m-1), and a class
+    that IS the whole corpus has EMD exactly 0."""
+    from flink_training_exercises_spark.operators.pii import t_closeness_audit
+
+    data = [
+        (i, f"txt{i}", lang, src, n) for i, (lang, src, n) in enumerate(rows)
+    ]
+    docs = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = t_closeness_audit(docs).collect()
+    n_total = len(rows)
+    m = len({n // 100 for _, _, n in rows})
+    for r in out:
+        assert r["emd_den"] == r["class_size"] * n_total * (m - 1)
+        assert 0 <= r["emd_num"] <= max(r["emd_den"], 0)
+    if len({(lang, src) for lang, src, _ in rows}) == 1:
+        [r] = out
+        assert r["emd_num"] == 0
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7200),   # offset seconds
+            st.integers(min_value=0, max_value=50000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_downsample_lttb_size_and_selection(spark, pts, n_out):
+    """For ANY series: the output has min(n, n_out + 2)-ish cardinality
+    (endpoints + at most one pick per nonempty bucket), every output row
+    is an input point, and both endpoints are present."""
+    from flink_training_exercises_spark.operators.timeseries import (
+        downsample_lttb,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (i, base + timedelta(seconds=off), 7, "a", c / 100.0, None)
+        for i, (off, c) in enumerate(sorted(pts))
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = downsample_lttb(ev, n_out=n_out).collect()
+    n = len(data)
+    inputs = {(1704067200000 + off * 1000, c) for off, c in pts}
+    got_pts = {(r["ts_ms"], r["cents"]) for r in out}
+    assert got_pts <= inputs
+    buckets = [r["bucket"] for r in out]
+    assert buckets.count(-1) == 1
+    if n >= 2:
+        assert buckets.count(n_out) == 1
+    assert len(out) <= min(n, n_out + 2)
+    interior = [b for b in buckets if 0 <= b < n_out]
+    assert len(interior) == len(set(interior))  # one winner per bucket

@@ -574,3 +574,42 @@ def test_quantile_merge_shards_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(quantile_merge_shards_sql()).fetchall())
     assert got == want and got
+
+
+def test_hilbert_index_production_bitwidth_matches_reference(spark):
+    """Sampled check at the PRODUCTION bit width (16, the audit's
+    config): 128 seeded-random grid points through the Spark chain and
+    the DuckDB chain both equal the textbook walk."""
+    import random
+
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sketches import (
+        ZORDER_BITS,
+        hilbert_index,
+        hilbert_index_sql,
+    )
+
+    bits = ZORDER_BITS
+    n = 1 << bits
+    rng = random.Random(42)
+    pts = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(128)})
+    pts += [(0, 0), (n - 1, n - 1), (0, n - 1), (n - 1, 0)]
+    want = {(x, y): _hilbert_xy2d_reference(n, x, y) for x, y in pts}
+
+    df = spark.createDataFrame(pts, "px long, py long")
+    got = {
+        (r["px"], r["py"]): r["haddr"]
+        for r in hilbert_index(df, "px", "py", bits).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts)
+        + ") t(px, py)"
+    )
+    sql = hilbert_index_sql("SELECT px, py FROM pts", ["px", "py"], "px", "py", bits)
+    duck = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    assert duck == want
