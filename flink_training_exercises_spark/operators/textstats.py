@@ -1072,7 +1072,8 @@ def heaps_vocab_growth(
     <= q/n of max(doc_id). A token's first appearance is min(doc_id)
     containing it -- an order-free aggregate, no global row_number.
     Checkpoint assignment is the integer ceil q = (n*id + max - 1) DIV
-    max, clamped to >= 1 for id 0.
+    max with max floored at 1 (an all-id-0 corpus would divide by zero
+    under ANSI), clamped to >= 1 for id 0.
 
     Scale shape (100 TB): one explode + groupBy(token) shuffle for
     first-appearances (vocabulary-sized output), one map-side per-doc
@@ -1087,8 +1088,14 @@ def heaps_vocab_growth(
     with_q = d.crossJoin(F.broadcast(mx)).select(
         "id",
         "ws",
+        # greatest(max_id, 1): a corpus whose only doc_id is 0 would make
+        # the checkpoint ceil divide by zero under ANSI (hypothesis-found)
         F.greatest(
-            F.expr(f"({n_checkpoints} * id + max_id - 1) DIV max_id"), F.lit(1)
+            F.expr(
+                f"({n_checkpoints} * id + greatest(max_id, 1) - 1) "
+                "DIV greatest(max_id, 1)"
+            ),
+            F.lit(1),
         )
         .cast("bigint")
         .alias("q"),
@@ -1136,7 +1143,7 @@ WITH d AS (
 mx AS (SELECT max(id) AS max_id FROM d),
 wq AS (
   SELECT id, ws,
-         greatest(({n_checkpoints} * id + max_id - 1) // max_id, 1) AS q
+         greatest(({n_checkpoints} * id + greatest(max_id, 1) - 1) // greatest(max_id, 1), 1) AS q
   FROM d, mx
 ),
 per_doc AS (

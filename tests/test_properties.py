@@ -771,3 +771,106 @@ def test_downsample_lttb_size_and_selection(spark, pts, n_out):
     assert len(out) <= min(n, n_out + 2)
     interior = [b for b in buckets if 0 <= b < n_out]
     assert len(interior) == len(set(interior))  # one winner per bucket
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # user
+            st.integers(min_value=0, max_value=28800),   # offset seconds
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_attribution_conserves_credit_for_any_stream(spark, rows):
+    """For ANY event stream: total credit == 1e6 x conversions that have
+    at least one in-window touch (integer remainder handling makes this
+    exact, never approximately-1e6)."""
+    from flink_training_exercises_spark.operators.sessions import (
+        attribution_credit,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (i, base + timedelta(seconds=off), u, t, 1.0, None)
+        for i, (u, off, t) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = attribution_credit(ev).collect()
+    total = sum(r["credit_ppm"] for r in out)
+    win = 6 * 3600
+    touches = [(u, off) for u, off, t in [(r[0], r[1], r[2]) for r in [(d[2], (d[1] - base).total_seconds(), d[3]) for d in data]] if False]
+    # python replay of "conversion with >= 1 in-window touch"
+    evs = [(u, (ts - base).total_seconds(), t) for _, ts, u, t, _, _ in data]
+    attributed = sum(
+        1
+        for (u, cts, t) in evs
+        if t == "purchase"
+        and any(
+            tu == u and tts <= cts and tts > cts - win
+            for (tu, tts, tt) in evs
+            if tt in ("view", "click")
+        )
+    )
+    assert total == 1_000_000 * attributed
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=3),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_approx_topk_one_sided_for_any_corpus(spark, words):
+    """For ANY corpus and small per-shard cut: every estimate is a lower
+    bound of the exact count, and a rank-1 row exists."""
+    from flink_training_exercises_spark.operators.sketches import (
+        approx_topk_shard_union,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i : i + 3]) or words[0], "en", "s", 9) for i in range(len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = approx_topk_shard_union(docs, n_shards=3, per_shard=2, k=5).collect()
+    assert out and all(0 < r["est_count"] <= r["exact_count"] for r in out)
+    assert min(r["rank"] for r in out) == 1
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.text(alphabet="xyz ", min_size=1, max_size=20),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_heaps_curves_are_monotone_and_conserving(spark, texts):
+    """For ANY corpus: all three cumulative curves are non-decreasing and
+    the last checkpoint carries the exact corpus totals."""
+    from flink_training_exercises_spark.operators.textstats import (
+        heaps_vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = heaps_vocab_growth(docs).orderBy("checkpoint").collect()
+    for col in ("docs_cum", "tokens_cum", "vocab_cum"):
+        vals = [r[col] for r in out]
+        assert vals == sorted(vals)
+    toks = [w for t in texts for w in t.lower().split() if w]
+    last = out[-1]
+    assert last["docs_cum"] == len(texts)
+    assert last["tokens_cum"] == len(toks)
+    assert last["vocab_cum"] == len(set(toks))
