@@ -874,3 +874,80 @@ def test_heaps_curves_are_monotone_and_conserving(spark, texts):
     assert last["docs_cum"] == len(texts)
     assert last["tokens_cum"] == len(toks)
     assert last["vocab_cum"] == len(set(toks))
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=100000),  # cents
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=9),           # m
+)
+def test_quantile_sketch_bounds_and_exact_column(spark, cents, m):
+    """For ANY value list: the exact column replays the python discrete
+    quantile, the estimate stays inside [min, max], and both columns are
+    monotone along the percentiles."""
+    import math
+
+    from flink_training_exercises_spark.operators.sketches import (
+        quantile_merge_shards,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (i, base + timedelta(seconds=i), 7, "view", c / 100.0, None)
+        for i, c in enumerate(cents)
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = sorted(
+        (r["pct"], r["est_cents"], r["exact_cents"])
+        for r in quantile_merge_shards(ev, n_shards=3, m=m).collect()
+    )
+    srt = sorted(cents)
+    n = len(srt)
+    for pct, est, exact in rows:
+        assert exact == srt[math.ceil(pct * n / 100) - 1]
+        assert srt[0] <= est <= srt[-1]
+    assert [e for _, e, _ in rows] == sorted(e for _, e, _ in rows)
+    assert [x for _, _, x in rows] == sorted(x for _, _, x in rows)
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.text(alphabet="ab ", min_size=1, max_size=10),
+            st.integers(min_value=0, max_value=400),
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_record_linkage_partitions_blocked_pairs(spark, rows):
+    """For ANY blocked input: the decision classes partition the blocked
+    pair space exactly (sum n_pairs per block == C(|block|, 2))."""
+    from collections import Counter
+
+    from flink_training_exercises_spark.operators.dedup import (
+        record_linkage_scores,
+    )
+
+    data = [
+        (i, txt, lang, "s", n) for i, (lang, txt, n) in enumerate(rows)
+    ]
+    docs = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = Counter()
+    for r in record_linkage_scores(docs).collect():
+        got[(r["lang"], r["source"])] += r["n_pairs"]
+    sizes = Counter((lang, "s") for lang, _, _ in rows)
+    want = {k: n * (n - 1) // 2 for k, n in sizes.items() if n >= 2}
+    assert dict(got) == want
