@@ -509,3 +509,92 @@ FROM (
   FROM hits
 ) WHERE neg_rank <= {k}
 """
+
+def weighted_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    weight_unit: int = 50,
+    max_weight: int = 40,
+    k: int = 25,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement by the
+    unit-ticket min-hash scheme: each document buys ``w`` lottery tickets
+    (here w = 1 + length/weight_unit, capped -- the proportional-to-size
+    sample a curation pipeline draws when longer documents should be
+    likelier), every ticket hashes to a uniform 60-bit key, a document's
+    priority is its MINIMUM ticket key, and the sample is the k smallest
+    priorities. P(doc drawn first) = w_i / W exactly (each ticket is
+    equally likely to be the global minimum), and successive ranks give
+    the without-replacement chain -- the md5-keyed twin of A-RES
+    (Efraimidis & Spirakis), with the float u^(1/w) key replaced by an
+    integer construction (pow is not correctly rounded cross-engine;
+    min-of-w-uniform-keys is the same order statistic, integer-exact).
+    Output (rank, doc_id, weight, priority), all BIGINT.
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Scale shape (100 TB): tickets explode map-side (bounded by
+    max_weight per row -- the cap is the explosion guard), the per-doc
+    min is one hash groupBy with map-side partials, and the global k
+    smallest go through orderBy().limit(k) -- distributed TakeOrdered,
+    never a full sort; ranks are assigned on the k-row result."""
+    from pyspark.sql import Window as W
+
+    w_expr = F.least(
+        F.lit(1) + (F.col(length_col).cast("bigint") / weight_unit).cast("bigint"),
+        F.lit(max_weight),
+    )
+    base = docs.select(F.col(id_col).alias("id"), w_expr.alias("w"))
+    tickets = base.select(
+        "id", "w", F.explode(F.sequence(F.lit(1), F.col("w"))).alias("t")
+    )
+    key = md5_long(
+        F.concat(F.col("id").cast("string"), F.lit(":"), F.col("t").cast("string"))
+    )
+    prio = tickets.select("id", "w", key.alias("tk")).groupBy("id", "w").agg(
+        F.min("tk").alias("priority")
+    )
+    topk = prio.orderBy(F.asc("priority"), F.asc("id")).limit(k)
+    rk = W.orderBy(F.asc("priority"), F.asc("id"))
+    return topk.select(
+        F.row_number().over(rk).cast("bigint").alias("rank"),
+        F.col("id").alias(id_col),
+        F.col("w").alias("weight"),
+        "priority",
+    )
+
+
+def weighted_sample_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+    weight_unit: int = 50,
+    max_weight: int = 40,
+    k: int = 25,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (FLOOR on the weight
+    quotient matches Spark's bigint cast of a true division; same md5
+    ticket keys)."""
+    key = md5_long_sql("CAST(id AS VARCHAR) || ':' || CAST(t AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         least(1 + CAST(floor(CAST({length_col} AS BIGINT) / {weight_unit}) AS BIGINT),
+               {max_weight}) AS w
+  FROM {table}
+),
+tickets AS (
+  SELECT id, w, unnest([x for x in generate_series(1, w)]) AS t FROM base
+),
+prio AS (
+  SELECT id, w, CAST(min({key}) AS BIGINT) AS priority
+  FROM tickets GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY priority, id) AS BIGINT) AS rank,
+       id AS {id_col}, CAST(w AS BIGINT) AS weight, priority
+FROM prio
+ORDER BY priority, id
+LIMIT {k}
+"""

@@ -2291,3 +2291,78 @@ def test_downsample_lttb_breaks_timestamp_ties_by_id(spark):
     assert got[0] == ("a", -1, ms0, 100)
     assert ("a", 0, ms0, 500) in got
     assert got[-1] == ("a", 1, ms0 + 2000, 300)
+
+
+def test_weighted_sample_python_replay(spark):
+    """Small corpus, python md5 replay: priorities are min over each
+    doc's ticket keys, the sample is the k smallest (priority, id)."""
+    import hashlib
+
+    from flink_training_exercises_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(i, "x", "en", "s", n) for i, n in [(1, 10), (2, 120), (3, 260), (4, 990)]]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["weight"], r["priority"])
+        for r in weighted_sample(docs, weight_unit=50, max_weight=40, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    weights = {1: 1, 2: 3, 3: 6, 4: 20}  # 1 + n_chars // 50, under the cap
+    prio = {
+        i: min(md5_60(f"{i}:{t}") for t in range(1, w + 1))
+        for i, w in weights.items()
+    }
+    want = sorted(((prio[i], i) for i in weights))[:3]
+    assert got == [
+        (rk + 1, i, weights[i], p) for rk, (p, i) in enumerate(want)
+    ]
+
+
+def test_weighted_sample_weight_monotonicity_in_expectation(spark, sf_small):
+    """Structural contract on real data: ranks dense 1..k, priorities
+    strictly increasing along ranks, and weights equal the documented
+    formula."""
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    out = weighted_sample(docs).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    prios = [r["priority"] for r in out]
+    assert prios == sorted(prios)
+    wmap = {
+        r["doc_id"]: min(1 + r["n_chars"] // 50, 40)
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    assert all(r["weight"] == wmap[r["doc_id"]] for r in out)
+
+
+def test_weighted_sample_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    got = sorted(map(tuple, weighted_sample(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(weighted_sample_sql()).fetchall())
+    assert got == want and got

@@ -77,6 +77,10 @@ def _cases(spark, sf):
         "value_trend_ols": (value_trend_ols(ev), value_trend_ols_sql()),
         "cusum_level_shift": (cusum_level_shift(ev), cusum_level_shift_sql()),
         "downsample_lttb": (downsample_lttb(ev), downsample_lttb_sql()),
+        "weighted_sample": (
+            sampling.weighted_sample(docs),
+            sampling.weighted_sample_sql(),
+        ),
         "contrastive_negatives": (
             sampling.contrastive_negatives(emb),
             sampling.contrastive_negatives_sql(),
