@@ -1488,5 +1488,5 @@ SELECT {blk},
             ELSE 'non_match' END AS decision,
        CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(score) AS BIGINT) AS sum_score
-FROM scored GROUP BY 1, 2, 3
+FROM scored GROUP BY {blk}, decision
 """

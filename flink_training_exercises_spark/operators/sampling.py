@@ -543,7 +543,7 @@ def weighted_sample(
     from pyspark.sql import Window as W
 
     w_expr = F.least(
-        F.lit(1) + (F.col(length_col).cast("bigint") / weight_unit).cast("bigint"),
+        F.lit(1) + F.floor(F.col(length_col).cast("bigint") / weight_unit).cast("bigint"),
         F.lit(max_weight),
     )
     base = docs.select(F.col(id_col).alias("id"), w_expr.alias("w"))

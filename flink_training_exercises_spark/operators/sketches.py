@@ -1358,6 +1358,9 @@ def quantile_merge_shards(
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("i"),
         )
         .selectExpr("shard", "n_s AS w", f"1 + ((n_s - 1) * i) DIV {m - 1} AS rn")
+        # small shards (n_s < m) repeat boundary ranks -- dedupe so the
+        # picks->ranked join stays 1:1 and no boundary row double-counts
+        .distinct()
     )
     pooled = picks.join(ranked.drop("n_s"), ["shard", "rn"]).select("v", "w")
     # bounded single-partition cumulative: n_shards x m boundary rows
@@ -1422,7 +1425,7 @@ ranked AS (
   FROM base
 ),
 picks AS (
-  SELECT shard, n_s, 1 + ((n_s - 1) * i) // {m - 1} AS rn
+  SELECT DISTINCT shard, n_s, 1 + ((n_s - 1) * i) // {m - 1} AS rn
   FROM (SELECT shard, max(n_s) AS n_s FROM ranked GROUP BY 1),
        (SELECT unnest(range({m})) AS i)
 ),
