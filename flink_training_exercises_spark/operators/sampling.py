@@ -336,16 +336,43 @@ def length_batches(
     max). Sorting by length first is the standard trick that collapses
     padding waste versus arbitrary-order batching; the padding_frac column
     quantifies it for THIS corpus, which is how a pipeline tunes batch
-    size. One global sort (rangepartition + window shares it).
+    size.
+
+    Scale shape (100 TB): the global rank is computed WITHOUT a global
+    window (an unpartitioned row_number plans `Exchange SinglePartition`
+    -- every corpus row through one task). Two-phase offset form instead:
+    (1) local ranks partition by the token count itself
+    (Window.partitionBy(n_tok) -- parallel; the heaviest single length
+    key bounds one task, fine for real length distributions, and a
+    degenerate all-one-length corpus would fall back to the
+    repartitionByRange + per-partition-count zipWithIndex recipe);
+    (2) cumulative start offsets come from the per-length histogram --
+    bounded by DISTINCT token counts (max document length, not corpus
+    size), so its single-partition cumulative window is over a tiny
+    summary frame (the histogram/concurrency-sweep precedent) and joins
+    back via broadcast. global_rank = offset(n_tok) + rank_within(n_tok)
+    is exact because (n_tok, id) is a strict total order -- output is
+    bit-identical to the single-window form at any partition count.
 
     Output (batch_id, n_docs, max_tokens, total_tokens, padding_frac)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     base = docs.select(F.col(id_col).alias("id"), F.size(words).alias("n_tok"))
-    w = Window.orderBy("n_tok", "id")
+    wk = Window.partitionBy("n_tok").orderBy("id")
+    hist = base.groupBy("n_tok").agg(F.count(F.lit(1)).alias("c"))
+    woff = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, -1)
+    offs = hist.select(
+        "n_tok", F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off")
+    )
     # explicit FLOOR before the int cast (CLAUDE.md determinism rule) --
     # double division happens to be exact only for power-of-two batch sizes
-    batched = base.withColumn(
-        "batch_id", F.floor((F.row_number().over(w) - 1) / batch_size).cast("bigint")
+    batched = (
+        base.join(F.broadcast(offs), "n_tok")
+        .withColumn(
+            "batch_id",
+            F.floor(
+                (F.col("off") + F.row_number().over(wk) - 1) / batch_size
+            ).cast("bigint"),
+        )
     )
     agg = batched.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
