@@ -106,103 +106,40 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-7 WINDOW (50) =======================
+    # ======================= ROUND-8 WINDOW (50) =======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # The round-6 driver gate NEVER RAN (no CORRECTNESS_r06 exists), so
-    # the round-6 rotation plan (all 40 r3-evidence rows + canaries + the
-    # 8 round-6 additions) carries over to round 7 intact. The five
-    # round-7 staged promotions each eject one r3 row that the r5 judge
-    # independently re-verified green via check_oracle this cycle
-    # (VERDICT r5 header: asof, rollup, window_analytics, triangle_count,
-    # multimodal_decode_meta) -- those five go FIRST in the round-8
-    # rotation, ahead of the r4 block.
-    # -- new in round 7 (staged promotions, gate-readiness audit green) --
-    "dedup_sorted_neighborhood",    # NEW r7: SNM blocked lag-window dedup
-    "dedup_prefix_filter_jaccard",  # NEW r7: exact AllPairs/PPJoin scale path
-    "session_concurrency_profile",  # NEW r7: sweep-line two-phase prefix sum
-    "streaming_windowed_topk",      # NEW r7: windowed heavy hitters (oracle-ready)
-    "pii_kanonymity_profile",       # NEW r7: k-anonymity / l-diversity audit
-    # -- new in round 6 (never gated: the r6 driver run did not happen) --
-    "streaming_pit_enrichment",     # NEW: stream-static PIT enrichment (VERDICT r5 #2)
-    "label_propagation_communities",  # NEW: synchronous min-label LPA (VERDICT r5 #3)
-    "bm25_topk_retrieval",          # NEW: BM25 ranked retrieval (VERDICT r5 #4)
-    "streaming_snapshot_diff",      # NEW: incremental snapshot-diff twin (VERDICT r5 #5)
-    "collocation_pmi_topk",         # NEW: PMI collocation mining (BM25 determinism recipe)
-    "histogram_merge_shards",       # NEW: additive histogram merge law + quantile walk
-    "dpp_partition_pruning",        # NEW: dynamic partition pruning through a real layout
-    "streaming_incremental_rollup", # NEW: foreachBatch materialized-view maintenance
+    # Window math: 5 staged promotions + 1 changed query
+    # (length_bucket_batches: two-phase offset-rank rewrite of the
+    # unpartitioned global window, VERDICT r7 #3 -- changed code needs a
+    # fresh gate row even though its r7 evidence is green) + 2 canaries
+    # + the 5 r3-evidence rows (three rounds stale, guaranteed slots per
+    # VERDICT r7 #7) + 37 of the 43 r4-evidence rows. Each promotion /
+    # change ejects one r4 row, oldest families first per the starter:
+    # cdc_merge_user_state, sssp_event_graph, vocab_oov_rate,
+    # timeseries_gapfill_hourly, dedup_editdistance_blocked,
+    # hll_merge_shards (the r4-fill block already ejected once; they
+    # lead the round-9 rotation).
+    # -- new in round 8 (staged promotions, gate-readiness audit green) --
+    "hilbert_pruning_audit",        # NEW r8: Hilbert-vs-Morton skipping audit
+    "streaming_windowed_hll",       # NEW r8: windowed HLL distinct (mergeable-sketch stream)
+    "streaming_concurrency_profile",  # NEW r8: streaming sweep-line concurrency twin
+    "pii_tcloseness_audit",         # NEW r8: t-closeness EMD privacy audit
+    "personalized_pagerank",        # NEW r8: seeded-teleport integer PPR
+    # -- changed in round 8 --
+    "length_bucket_batches",        # CHANGED r8: two-phase offset ranking (scale fix)
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
-    # -- r3-evidence rotation: the full streaming family ejected across
-    #    round-5 sessions --
-    "streaming_sessionize",
-    "streaming_exact_dedup",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_popular_places",
-    "streaming_distinct_users",
-    "streaming_travel_time_stateful",
-    # -- r3-evidence rotation: the 11 long-deferred TPC-H rows --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_inventory",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales",
-    # -- r3-evidence rotation: relational / temporal / shaping rows --
-    "range_join_downtime_events",
-    "set_ops_clean_purchase_days",
-    "scd2_user_history",
-    "user_inactive_days",
-    "pivot_user_activity",
-    "value_percentiles",
-    "length_bucket_batches",
-    # -- r3-evidence rotation: text / dedup / pipeline rows --
-    "corpus_bigram_counts",
-    "text_token_count",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_random_projection",
-    "bpe_pair_counts",
-    "contamination_ngram_overlap",
-    "curation_pipeline",
-    "domain_cap_documents",
-    # -- r3-evidence rotation: graph + multimodal stragglers --
-    "multimodal_frame_sample",
-    # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-7 window.
-    # -- the five r3 rows ejected for the round-7 promotions (each was
-    #    independently re-verified green by the r5 judge's check_oracle
-    #    run, the least-risky ejections available): FIRST in line for
-    #    round 8, ahead of the r4 block --
+    # -- r3-evidence rotation: the five rows ejected for the r7
+    #    promotions (stalest evidence in the catalog) --
     "asof_purchase_attribution",
     "window_analytics",
     "rollup_counts",
     "triangle_count_edges",
     "multimodal_decode_meta",
-    # -- remaining r4-evidence rows (next in line after the fill block);
-    #    ALL eight r4-fill rows (embedding_quantize_int8,
-    #    bpe_train_merges, hll_merge_shards, dedup_editdistance_blocked,
-    #    timeseries_gapfill_hourly, vocab_oov_rate, sssp_event_graph,
-    #    cdc_merge_user_state) ejected for the eight round-6 additions
-    #    (streaming_pit_enrichment, label_propagation_communities,
-    #    bm25_topk_retrieval, streaming_snapshot_diff,
-    #    collocation_pmi_topk, histogram_merge_shards,
-    #    dpp_partition_pruning, streaming_incremental_rollup) --
-    "cdc_merge_user_state",
-    "sssp_event_graph",
-    "vocab_oov_rate",
-    "timeseries_gapfill_hourly",
-    "dedup_editdistance_blocked",
-    "hll_merge_shards",
+    # -- r4-evidence rotation: the remaining 37 r4 rows --
     "bpe_train_merges",
     "embedding_quantize_int8",
     "value_histogram",
@@ -240,7 +177,18 @@ _GATE_PRIORITY = [
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity",
-    # -- r5-evidence rows: freshest, cede their slots this round --
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-8 window, stalest-first for
+    # the round-9 rotation.
+    # -- the six r4 rows ejected for the r8 promotions + changed row:
+    #    FIRST in line for round 9 --
+    "cdc_merge_user_state",
+    "sssp_event_graph",
+    "vocab_oov_rate",
+    "timeseries_gapfill_hourly",
+    "dedup_editdistance_blocked",
+    "hll_merge_shards",
+    # -- the r5-evidence block (48 rows, next in line) --
     "scd2_point_in_time_join",
     "cube_user_type_day",
     "snapshot_diff_documents",
@@ -289,7 +237,57 @@ _GATE_PRIORITY = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
+    # -- the r7-evidence block (freshest, last in line; the 47 r7-window
+    #    rows minus length_bucket_batches, which moved up as changed) --
+    "dedup_sorted_neighborhood",
+    "dedup_prefix_filter_jaccard",
+    "session_concurrency_profile",
+    "streaming_windowed_topk",
+    "pii_kanonymity_profile",
+    "streaming_pit_enrichment",
+    "label_propagation_communities",
+    "bm25_topk_retrieval",
+    "streaming_snapshot_diff",
+    "collocation_pmi_topk",
+    "histogram_merge_shards",
+    "dpp_partition_pruning",
+    "streaming_incremental_rollup",
+    "streaming_sessionize",
+    "streaming_exact_dedup",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_popular_places",
+    "streaming_distinct_users",
+    "streaming_travel_time_stateful",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales",
+    "range_join_downtime_events",
+    "set_ops_clean_purchase_days",
+    "scd2_user_history",
+    "user_inactive_days",
+    "pivot_user_activity",
+    "value_percentiles",
+    "corpus_bigram_counts",
+    "text_token_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "bpe_pair_counts",
+    "contamination_ngram_overlap",
+    "curation_pipeline",
+    "domain_cap_documents",
+    "multimodal_frame_sample",
 ]
+
 
 
 def _ordered_catalog() -> dict[str, QuerySpec]:

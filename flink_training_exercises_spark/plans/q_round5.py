@@ -413,3 +413,20 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents_v").alias("cents"),
         )
     )
+
+@register(
+    "hilbert_pruning_audit",
+    oracle=sketches.hilbert_pruning_audit_sql(),
+    doc="Hilbert-vs-Morton file-skipping audit on identical range-scaled "
+    "axes: same per-shard zone maps, same probe predicates and accounting "
+    "as zonemap_pruning_audit -- only the shard placement differs. "
+    "Hilbert's no-diagonal-jump property tends to tighter shard "
+    "rectangles, and the audit quantifies it. The per-bit state "
+    "recurrence (xy2d) is a fixed bits-deep projection chain Catalyst "
+    "collapses into one codegen stage; both addresses compute in a "
+    "single corpus scan (explode of 2 structs, never one scan per "
+    "layout). Output is 2 rows.",
+)
+def q_hilbert_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sketches.hilbert_pruning_audit(docs)

@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .catalog import register
 from ..streaming.queries import (
+    concurrency_profile_oracle,
+    run_concurrency_profile_availablenow,
+    run_windowed_hll_availablenow,
     run_windowed_topk_availablenow,
+    windowed_hll_oracle,
     windowed_topk_oracle,
 )
 from ..operators import (
@@ -223,4 +227,41 @@ def q_session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_topk_availablenow(
         spark, sf_dir, "streaming_windowed_topk_gate"
+    )
+
+@register(
+    "streaming_windowed_hll",
+    oracle=windowed_hll_oracle(),
+    doc="Windowed distinct-user HLL through the real streaming engine: "
+    "per 6-hour event-time window, the per-bucket register maxes ride "
+    "the stream as a stateful windowed max aggregate (fire-once at "
+    "watermark passage), and the harmonic-mean estimate folds in the "
+    "bounded batch stage over the drained registers -- the mergeable-"
+    "sketch streaming recipe (state is HLL_M registers per window, "
+    "never raw users). Oracle = the batch register build cut at the "
+    "final watermark, folded with identical single-literal float "
+    "arithmetic. 100 TB: one stateful shuffle keyed on "
+    "(window, bucket), watermark-bounded state.",
+)
+def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_hll_availablenow(
+        spark, sf_dir, "streaming_windowed_hll_gate"
+    )
+
+@register(
+    "streaming_concurrency_profile",
+    oracle=concurrency_profile_oracle(),
+    doc="Streaming twin of session_concurrency_profile: the stateful "
+    "session_window sessionization rides the stream (fire-once per "
+    "merged session at watermark passage), and the two-phase sweep-line "
+    "level computation runs as a bounded batch stage over the DRAINED "
+    "session intervals -- the windowed_topk composition pattern (the "
+    "stream pays one stateful shuffle; the profile input is "
+    "session-sized, never raw events). Oracle = batch gap sessions "
+    "shifted by the gap, cut at the final watermark, through the shared "
+    "sweep SQL.",
+)
+def q_streaming_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_concurrency_profile_availablenow(
+        spark, sf_dir, "streaming_concurrency_profile_gate"
     )

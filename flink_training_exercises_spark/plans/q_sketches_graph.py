@@ -565,3 +565,20 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p").alias("n_passed"),
         F.count("k").alias("n_kept"),
     )
+
+@register(
+    "personalized_pagerank",
+    oracle=graphs_plan.ppr_oracle(),
+    doc="Personalized PageRank: teleport mass confined to an md5-chosen "
+    "seed set -- the graph-proximity ranking behind recommendation and "
+    "graph-RAG retrieval, the personalized variant of the reference's "
+    "Gelly PageRank (PageRankWithEdgeWeights.java:102-104). "
+    "Exact-integer mode only (pagerank_weighted's determinism recipe): "
+    "BIGINT ranks at RANK_SCALE, integer-div contributions, oracle "
+    "unrolls the identical recurrence. Unreachable vertices rank "
+    "exactly 0. 100 TB: one cached transition table hash-partitioned "
+    "on src, per-iteration join+agg on the same keys, periodic "
+    "localCheckpoint lineage cuts.",
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.personalized_pagerank(graphs_plan.edges_view(spark, sf_dir))

@@ -221,3 +221,20 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pii_kanonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return pii.kanonymity_profile(docs)
+
+@register(
+    "pii_tcloseness_audit",
+    oracle=pii.t_closeness_audit_sql(),
+    doc="t-closeness audit (Li, Li & Venkatasubramanian) -- the third leg "
+    "of the privacy family after k-anonymity/l-diversity: per "
+    "quasi-identifier class, the Earth Mover's Distance between the "
+    "class's bucketed-length distribution and the global one. For 1-D "
+    "ordered unit-spaced bins, EMD = sum_j |N*C_j - k*G_j| / (k*N*(m-1)) "
+    "-- an exact BIGINT rational, zero float ops; the risk flag is an "
+    "integer cross-multiplication. 100 TB: one hash groupBy to "
+    "(class, bin) counts; everything after runs on vocabulary-bounded "
+    "frames (the bounded single-partition global-CDF window included).",
+)
+def q_pii_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return pii.t_closeness_audit(docs)

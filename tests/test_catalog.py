@@ -44,61 +44,63 @@ def test_oracle_is_valid_duckdb(duck, name):
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-7 new (staged promotions)
-    "dedup_sorted_neighborhood",
-    "dedup_prefix_filter_jaccard",
-    "session_concurrency_profile",
-    "streaming_windowed_topk",
-    "pii_kanonymity_profile",
-    # round-6 new (never gated: the r6 driver run did not happen)
-    "streaming_pit_enrichment",
-    "label_propagation_communities",
-    "bm25_topk_retrieval",
-    "streaming_snapshot_diff",
-    "collocation_pmi_topk",
-    "histogram_merge_shards",
-    "dpp_partition_pruning",
-    "streaming_incremental_rollup",
+    # round-8 new (staged promotions)
+    "hilbert_pruning_audit",
+    "streaming_windowed_hll",
+    "streaming_concurrency_profile",
+    "pii_tcloseness_audit",
+    "personalized_pagerank",
+    # round-8 changed (two-phase offset ranking rewrite)
+    "length_bucket_batches",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # r3-evidence rotation (carried over from the unrun r6 window)
-    "streaming_sessionize",
-    "streaming_exact_dedup",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_popular_places",
-    "streaming_distinct_users",
-    "streaming_travel_time_stateful",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_inventory",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales",
-    "range_join_downtime_events",
-    "set_ops_clean_purchase_days",
-    "scd2_user_history",
-    "user_inactive_days",
-    "pivot_user_activity",
-    "value_percentiles",
-    "length_bucket_batches",
-    "corpus_bigram_counts",
-    "text_token_count",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_random_projection",
-    "bpe_pair_counts",
-    "contamination_ngram_overlap",
-    "curation_pipeline",
-    "domain_cap_documents",
-    "multimodal_frame_sample",
+    # r3-evidence rotation (ejected for the r7 promotions)
+    "asof_purchase_attribution",
+    "window_analytics",
+    "rollup_counts",
+    "triangle_count_edges",
+    "multimodal_decode_meta",
+    # r4-evidence rotation (37 of 43; six ejected for the r8 rows)
+    "bpe_train_merges",
+    "embedding_quantize_int8",
+    "value_histogram",
+    "bloom_semijoin_orders",
+    "dq_audit_relational",
+    "dedup_repeated_ngrams",
+    "hll_distinct_users",
+    "countmin_token_freq",
+    "zorder_layout_documents",
+    "value_outliers_mad",
+    "multimodal_resize",
+    "inverted_index_postings",
+    "doc_typicality_bigrams",
+    "frequent_tokens_topk",
+    "ann_topk_pq",
+    "ann_topk_ivf_pq",
+    "ann_recall_at_k",
+    "ann_topk_ivf",
+    "dedup_incremental_minhash",
+    "dedup_lsh_recall",
+    "multimodal_feature_extract",
+    "ann_topk_bruteforce_pandas",
+    "neardup_embedding_cosine_lsh",
+    "text_repetition",
+    "pii_scrub_mails",
+    "sample_stratified_documents",
+    "pack_sequences_4k",
+    "mixture_expand_weighted",
+    "skew_salted_event_counts",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
 ]
+
 
 
 def test_headline_v2_proposal_names_resolve():

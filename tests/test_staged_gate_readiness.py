@@ -5,13 +5,17 @@ driver's correctness gate hashes. The per-op differential tests compare
 python values, where ``1 == 1.0``; this is the test that catches an
 int-vs-float dtype skew (the gate-killer class) BEFORE registration.
 
-Round-7/8 registration: a staged op may be promoted to the catalog only
+Registration rule: a staged op may be promoted to the catalog only
 while its row here is green; new staged ops add a case to CASES.
 Promoted ops leave this file in the same commit chain (their parity is
 then the driver gate's job via check_oracle/CORRECTNESS): the five
 round-7 promotions (sorted_neighborhood, prefix_filter_jaccard,
-concurrency_profile, kanonymity_profile, streaming_windowed_topk) were
-trimmed when they entered the catalog."""
+concurrency_profile, kanonymity_profile, streaming_windowed_topk) and
+the five round-8 promotions (hilbert_pruning_audit,
+streaming_windowed_hll, streaming_concurrency_profile,
+pii_tcloseness_audit [t_closeness_audit], personalized_pagerank) were
+trimmed when they entered the catalog; the round-8 trim also removed
+the staged-STREAMING test entirely (both its cases promoted)."""
 
 import duckdb
 import pytest
@@ -25,7 +29,6 @@ def _cases(spark, sf):
     from flink_training_exercises_spark.operators import (
         dedup,
         graph,
-        pii,
         sampling,
         sketches,
     )
@@ -70,10 +73,6 @@ def _cases(spark, sf):
             dedup.record_linkage_scores(docs),
             dedup.record_linkage_scores_sql(),
         ),
-        "t_closeness_audit": (
-            pii.t_closeness_audit(docs),
-            pii.t_closeness_audit_sql(),
-        ),
         "value_trend_ols": (value_trend_ols(ev), value_trend_ols_sql()),
         "cusum_level_shift": (cusum_level_shift(ev), cusum_level_shift_sql()),
         "downsample_lttb": (downsample_lttb(ev), downsample_lttb_sql()),
@@ -101,10 +100,6 @@ def _cases(spark, sf):
                 graphs_plan.EDGES_SQL.format(events="events")
             ),
         ),
-        "personalized_pagerank": (
-            graph.personalized_pagerank(graphs_plan.edges_view(spark, sf)),
-            graphs_plan.ppr_oracle(),
-        ),
         "join_cardinality_estimate": (
             sketches.join_cardinality_estimate(
                 ev.where(F.col("event_type") == "view")
@@ -125,10 +120,6 @@ def _cases(spark, sf):
         "quantile_merge_shards": (
             sketches.quantile_merge_shards(ev),
             sketches.quantile_merge_shards_sql(),
-        ),
-        "hilbert_pruning_audit": (
-            sketches.hilbert_pruning_audit(docs),
-            sketches.hilbert_pruning_audit_sql(),
         ),
         "approx_topk_shard_union": (
             sketches.approx_topk_shard_union(docs),
@@ -173,62 +164,6 @@ def test_staged_ops_gate_ready(spark, sf_small):
         key = list(sp.columns)
         sv = sorted(map(tuple, sp[key].itertuples(index=False)))
         dv = sorted(map(tuple, du[key].itertuples(index=False)))
-        if sv != dv:
-            failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
-        elif not sv:
-            failures.append(f"{name}: empty result")
-    assert not failures, "\n".join(failures)
-
-
-def test_staged_streaming_ops_gate_ready(spark, sf_small):
-    """Gate-readiness for the two staged STREAMING ops: the run_*
-    availableNow wrappers (the exact callables a future @register will
-    use) must match their DuckDB oracles in values, columns, and dtypes
-    -- upgrading them from pytest-parity to oracle-ready."""
-    from flink_training_exercises_spark.streaming.queries import (
-        concurrency_profile_oracle,
-        run_concurrency_profile_availablenow,
-        run_windowed_hll_availablenow,
-        windowed_hll_oracle,
-    )
-
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
-    )
-    import uuid as _uuid
-
-    cases = {
-        "streaming_concurrency_profile": (
-            run_concurrency_profile_availablenow(
-                spark, sf_small, f"sconc_gr_{_uuid.uuid4().hex[:8]}"
-            ),
-            concurrency_profile_oracle(),
-        ),
-        "streaming_windowed_hll": (
-            run_windowed_hll_availablenow(
-                spark, sf_small, f"whll_gr_{_uuid.uuid4().hex[:8]}"
-            ),
-            windowed_hll_oracle(),
-        ),
-    }
-    failures = []
-    for name, (sdf, sql) in cases.items():
-        sp = sdf.toPandas()
-        du = con.execute(sql).df()
-        if sorted(sp.columns) != sorted(du.columns):
-            failures.append(f"{name}: columns {list(sp.columns)} vs {list(du.columns)}")
-            continue
-        du = du[list(sp.columns)]
-        skew = {
-            c: (str(sp[c].dtype), str(du[c].dtype))
-            for c in sp.columns
-            if str(sp[c].dtype) != str(du[c].dtype)
-        }
-        if skew:
-            failures.append(f"{name}: dtype skew {skew}")
-        sv = sorted(map(tuple, sp.itertuples(index=False)))
-        dv = sorted(map(tuple, du.itertuples(index=False)))
         if sv != dv:
             failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
         elif not sv:
