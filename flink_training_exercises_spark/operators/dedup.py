@@ -1369,36 +1369,25 @@ FS_MATCH_T = 10
 FS_POSSIBLE_T = 4
 
 
-def record_linkage_scores(
+def fs_pair_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     length_col: str = "n_chars",
     block_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
-    """Fellegi-Sunter-style probabilistic record linkage over blocked
-    candidate pairs: per pair, each comparison field (length band, text
-    prefix, token count) contributes an agreement/disagreement weight,
-    the summed score classifies the pair match / possible / non_match
-    (the classic two-threshold decision model). Output is the per-block
-    DECISION PROFILE -- (block..., decision, n_pairs, sum_score) -- the
-    review-queue sizing a linkage pipeline actually reports; pair-level
-    output is editdistance_pairs' job.
+    """Blocked Fellegi-Sunter pair scores -- the shared pair stage under
+    :func:`record_linkage_scores` (per-block decision profile) and
+    :func:`entity_resolution_clusters` (linked-entity closure). Output
+    (block..., id_a, id_b, score): one row per blocked candidate pair
+    (id_a < id_b), score = the summed integer agreement weights over the
+    three comparison fields (length band, text prefix, token count).
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
-
-    Determinism: every weight is a fixed integer (FS_WEIGHTS; the
-    EM-estimated log-odds of the full Fellegi-Sunter model are a
-    modeling layer deliberately left out), agreements are integer/string
-    comparisons, so scores and classes are exactly equal cross-engine.
-
-    Scale shape (100 TB): the per-doc feature projection runs once and is
-    localCheckpoint-ed (it feeds BOTH sides of the self-join -- the
+    Scale shape (100 TB): the per-doc feature projection runs once and
+    is localCheckpoint-ed (it feeds BOTH sides of the self-join -- the
     MinHash persisted-signature rule); the quadratic is confined to
     (lang, source) blocks exactly like editdistance_pairs, one equi-join
-    shuffle with blocks co-located; the decision profile folds with
-    map-side partials to a vocabulary-bounded relation."""
+    shuffle with blocks co-located."""
     from ..sources.loaders import widen_scan
 
     la, ld, ltol = FS_WEIGHTS["len"]
@@ -1429,17 +1418,51 @@ def record_linkage_scores(
             F.lit(td)
         )
     )
+    return a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        score.cast("bigint").alias("score"),
+    )
+
+
+def record_linkage_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_col: str = "n_chars",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Fellegi-Sunter-style probabilistic record linkage over blocked
+    candidate pairs: per pair, each comparison field (length band, text
+    prefix, token count) contributes an agreement/disagreement weight,
+    the summed score classifies the pair match / possible / non_match
+    (the classic two-threshold decision model). Output is the per-block
+    DECISION PROFILE -- (block..., decision, n_pairs, sum_score) -- the
+    review-queue sizing a linkage pipeline actually reports; pair-level
+    output is editdistance_pairs' job.
+
+    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
+    starter has the math).
+
+    Determinism: every weight is a fixed integer (FS_WEIGHTS; the
+    EM-estimated log-odds of the full Fellegi-Sunter model are a
+    modeling layer deliberately left out), agreements are integer/string
+    comparisons, so scores and classes are exactly equal cross-engine.
+
+    Scale shape (100 TB): the per-doc feature projection runs once and is
+    localCheckpoint-ed (it feeds BOTH sides of the self-join -- the
+    MinHash persisted-signature rule); the quadratic is confined to
+    (lang, source) blocks exactly like editdistance_pairs, one equi-join
+    shuffle with blocks co-located; the decision profile folds with
+    map-side partials to a vocabulary-bounded relation."""
     decision = (
         F.when(F.col("score") >= FS_MATCH_T, F.lit("match"))
         .when(F.col("score") >= FS_POSSIBLE_T, F.lit("possible"))
         .otherwise(F.lit("non_match"))
     )
     return (
-        a.join(b, cond)
-        .select(
-            *[F.col(f"a.{c}").alias(c) for c in block_cols],
-            score.cast("bigint").alias("score"),
-        )
+        fs_pair_scores(docs, id_col, text_col, length_col, block_cols)
         .select(*block_cols, "score", decision.alias("decision"))
         .groupBy(*block_cols, "decision")
         .agg(
@@ -1489,4 +1512,116 @@ SELECT {blk},
        CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(score) AS BIGINT) AS sum_score
 FROM scored GROUP BY {blk}, decision
+"""
+
+
+def entity_resolution_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_col: str = "n_chars",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    link_threshold: int | None = None,
+) -> DataFrame:
+    """Entity resolution: the Fellegi-Sunter pair stage closed into
+    canonical entities -- link every blocked pair scoring at or above
+    ``link_threshold`` (default FS_POSSIBLE_T: the optimistic
+    possible-or-match closure a review pipeline sizes its entity table
+    with; FS_MATCH_T gives the conservative auto-link closure), take
+    connected components, and assign every record its component's
+    minimum id as the entity id (singletons are their own entity).
+    Output (doc_id, entity_id, entity_size), all BIGINT -- the
+    record -> golden-entity mapping that master-data/dedup pipelines
+    materialize and join everywhere downstream.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Scale shape (100 TB): pair generation is the blocked
+    :func:`fs_pair_scores` equi-join (quadratic confined to blocks);
+    the closure is alternating large-star/small-star (O(log n) rounds,
+    see :func:`~.graph.connected_components` -- NOT a recursive join);
+    singleton attach + sizing are two hash joins and one groupBy on the
+    entity key. The oracle walks the same closure with a recursive CTE,
+    fine at oracle scale."""
+    from . import graph
+
+    thr = FS_POSSIBLE_T if link_threshold is None else link_threshold
+    pairs = (
+        fs_pair_scores(docs, id_col, text_col, length_col, block_cols)
+        .where(F.col("score") >= thr)
+        .select("id_a", "id_b")
+    )
+    comp = graph.connected_components(pairs)
+    ent = (
+        docs.select(F.col(id_col).cast("bigint").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("id")).cast("bigint").alias("entity_id"),
+        )
+    )
+    sizes = ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("entity_size")
+    )
+    return ent.join(sizes, "entity_id").select(id_col, "entity_id", "entity_size")
+
+
+def entity_resolution_clusters_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_col: str = "n_chars",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    link_threshold: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`entity_resolution_clusters`: the
+    record_linkage feature/score CTEs, links at the same threshold,
+    recursive-CTE closure (the minhash_clusters_sql precedent), same
+    min-id canonicalization and singleton attach."""
+    thr = FS_POSSIBLE_T if link_threshold is None else link_threshold
+    la, ld, ltol = FS_WEIGHTS["len"]
+    pa, pd_, plen = FS_WEIGHTS["prefix"]
+    ta, td, ttol = FS_WEIGHTS["tokens"]
+    blk = ", ".join(block_cols)
+    join_on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    words = (
+        f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    )
+    return f"""
+WITH RECURSIVE feats AS (
+  SELECT {blk}, {id_col} AS id, CAST({length_col} AS BIGINT) AS len,
+         lower(substr({text_col}, 1, {plen})) AS pfx,
+         CAST(len({words}) AS BIGINT) AS ntok
+  FROM {table}
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM feats a JOIN feats b ON {join_on} AND a.id < b.id
+  WHERE CAST(CASE WHEN abs(a.len - b.len) <= {ltol} THEN {la} ELSE {ld} END
+           + CASE WHEN a.pfx = b.pfx THEN {pa} ELSE {pd_} END
+           + CASE WHEN abs(a.ntok - b.ntok) <= {ttol} THEN {ta} ELSE {td} END
+          AS BIGINT) >= {thr}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(id, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+),
+cmap AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+ent AS (
+  SELECT d.{id_col} AS {id_col},
+         CAST(COALESCE(c.comp, d.{id_col}) AS BIGINT) AS entity_id
+  FROM {table} d LEFT JOIN cmap c ON c.id = d.{id_col}
+),
+sizes AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size
+  FROM ent GROUP BY 1
+)
+SELECT ent.{id_col}, ent.entity_id, sizes.entity_size
+FROM ent JOIN sizes USING (entity_id)
 """

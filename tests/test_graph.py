@@ -510,3 +510,85 @@ def test_degree_assortativity_matches_duckdb_twin(spark, sf_small):
         ).fetchall()
     )
     assert got == want and got
+
+def test_edge_jaccard_similarity_hand_computed(spark):
+    from flink_training_exercises_spark.operators.graph import (
+        edge_jaccard_similarity,
+    )
+
+    # Triangle {a,b,c} + pendant c-d:
+    #   (a,b): common {c}, union = 2+2-1 = 3 -> 333333
+    #   (a,c): common {b}, union = 2+3-1 = 4 -> 250000
+    #   (b,c): common {a}, union = 2+3-1 = 4 -> 250000
+    #   (c,d): common {},  union = 3+1-0 = 4 -> 0
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+            ("b", "a"),  # duplicate reversed
+            ("d", "d"),  # self loop dropped
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["degree_a"], r["degree_b"],
+            r["common_neighbors"], r["jaccard_ppm"],
+        )
+        for r in edge_jaccard_similarity(edges).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2, 1, 333333),
+        ("a", "c"): (2, 3, 1, 250000),
+        ("b", "c"): (2, 3, 1, 250000),
+        ("c", "d"): (3, 1, 0, 0),
+    }
+
+
+def test_edge_jaccard_similarity_contracts(spark, sf_small):
+    """Structural invariants on the real events graph: one row per
+    canonical edge, common <= min(degree) - 1 (the partner endpoint is
+    never a common neighbor), and ppm bounded by [0, 1e6]."""
+    from flink_training_exercises_spark.operators.graph import (
+        edge_jaccard_similarity,
+    )
+    from flink_training_exercises_spark.plans import graphs as graphs_plan
+
+    rows = edge_jaccard_similarity(
+        graphs_plan.edges_view(spark, sf_small)
+    ).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["node_a"] < r["node_b"]
+        assert (r["node_a"], r["node_b"]) not in seen
+        seen.add((r["node_a"], r["node_b"]))
+        assert 0 <= r["common_neighbors"] <= min(r["degree_a"], r["degree_b"]) - 1
+        assert 0 <= r["jaccard_ppm"] <= 1000000
+
+
+def test_edge_jaccard_similarity_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.graph import (
+        edge_jaccard_similarity,
+        edge_jaccard_similarity_sql,
+    )
+    from flink_training_exercises_spark.plans import graphs as graphs_plan
+
+    got = sorted(
+        map(
+            tuple,
+            edge_jaccard_similarity(
+                graphs_plan.edges_view(spark, sf_small)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    sql = edge_jaccard_similarity_sql(
+        graphs_plan.EDGES_SQL.format(events="events")
+    )
+    want = sorted(con.execute(sql).fetchall())
+    assert got == want and got

@@ -2366,3 +2366,108 @@ def test_weighted_sample_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(weighted_sample_sql()).fetchall())
     assert got == want and got
+
+def _er_docs(spark):
+    # one (en, web) block: d1/d2 full agreement (score 13, match),
+    # d3 links to both at the possible level (4 - 2 + 3 = 5),
+    # d5 disagrees everywhere (-4); d4 is alone in its (fr, web) block
+    rows = [
+        (1, "aaa bbb ccc", "en", "web", 100),
+        (2, "aaa bbb ccc", "en", "web", 105),
+        (3, "aaa bbb ddd", "en", "web", 110),
+        (4, "aaa bbb ccc", "fr", "web", 100),
+        (5, "zzz yyy xxx www vvv uuu", "en", "web", 300),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_entity_resolution_clusters_hand_computed(spark):
+    from flink_training_exercises_spark.operators.dedup import (
+        entity_resolution_clusters,
+    )
+
+    got = {
+        r["doc_id"]: (r["entity_id"], r["entity_size"])
+        for r in entity_resolution_clusters(_er_docs(spark)).collect()
+    }
+    assert got == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        4: (4, 1),
+        5: (5, 1),
+    }
+
+
+def test_entity_resolution_clusters_conservative_threshold(spark):
+    """At FS_MATCH_T only the full-agreement pair links; the possible-level
+    bridge d3 stays a singleton."""
+    from flink_training_exercises_spark.operators.dedup import (
+        FS_MATCH_T,
+        entity_resolution_clusters,
+    )
+
+    got = {
+        r["doc_id"]: (r["entity_id"], r["entity_size"])
+        for r in entity_resolution_clusters(
+            _er_docs(spark), link_threshold=FS_MATCH_T
+        ).collect()
+    }
+    assert got == {
+        1: (1, 2),
+        2: (1, 2),
+        3: (3, 1),
+        4: (4, 1),
+        5: (5, 1),
+    }
+
+
+def test_entity_resolution_clusters_conservation(spark, sf_small):
+    """Every document lands in exactly one entity; entity_id is the
+    member minimum; sizes agree with membership counts."""
+    from collections import Counter
+
+    from flink_training_exercises_spark.operators.dedup import (
+        entity_resolution_clusters,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    rows = entity_resolution_clusters(docs).collect()
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    members = Counter(r["entity_id"] for r in rows)
+    for r in rows:
+        assert r["entity_size"] == members[r["entity_id"]]
+        assert r["entity_id"] <= r["doc_id"]
+    mins = {}
+    for r in rows:
+        mins[r["entity_id"]] = min(mins.get(r["entity_id"], r["doc_id"]), r["doc_id"])
+    assert all(ent == mn for ent, mn in mins.items())
+
+
+def test_entity_resolution_clusters_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.dedup import (
+        entity_resolution_clusters,
+        entity_resolution_clusters_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            entity_resolution_clusters(
+                load_table(spark, "documents", sf_small)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(entity_resolution_clusters_sql()).fetchall())
+    assert got == want and got

@@ -131,6 +131,16 @@ def _cases(spark, sf):
                 graphs_plan.EDGES_SQL.format(events="events")
             ),
         ),
+        "entity_resolution_clusters": (
+            dedup.entity_resolution_clusters(docs),
+            dedup.entity_resolution_clusters_sql(),
+        ),
+        "edge_jaccard_similarity": (
+            graph.edge_jaccard_similarity(graphs_plan.edges_view(spark, sf)),
+            graph.edge_jaccard_similarity_sql(
+                graphs_plan.EDGES_SQL.format(events="events")
+            ),
+        ),
         "random_walks": (
             graph.random_walks(graphs_plan.edges_view(spark, sf)),
             graph.random_walks_sql(
