@@ -934,3 +934,87 @@ SELECT session_start_ms AS s, session_end_ms + {DEFAULT_GAP_MS} AS e
 FROM s, mx
 WHERE session_end_ms + {DEFAULT_GAP_MS} <= m - {delay_ms}"""
     return concurrency_sweep_sql(sessions_sql)
+
+def streaming_windowed_histogram(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "60 seconds",
+    bin_cents: int = 1000,
+) -> DataFrame:
+    """Fixed-width value histogram ON the stream: per event-time window,
+    counts per bin_cents-wide value bucket -- the streaming twin of the
+    batch histogram family (value_histogram / histogram_merge_shards)
+    and the third mergeable sketch riding the watermarked windowed
+    aggregation after top-k counts and HLL registers.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Why FIXED-width bins: the batch histogram derives equi-width edges
+    from the global min/max, which a stream cannot know ahead of time; a
+    fixed bin width makes the per-bin count an associative+commutative
+    fold with no data-dependent parameters, so it rides the stream
+    natively (fire-once per (window, bin) at watermark passage, the
+    popular_places contract) and per-window state is bounded by the
+    value range over the bin width. bin = cents DIV bin_cents over
+    NONNEGATIVE cents (events.value >= 0; Spark DIV truncates toward
+    zero while DuckDB // floors, so the nonnegativity is what keeps the
+    two spellings equal -- the CLAUDE.md per-engine-division rule).
+
+    Scale shape: one stateful shuffle keyed on (window, bin),
+    watermark-bounded state; the drain is |windows| x |occupied bins|
+    rows, never raw events."""
+    from ..functions.time import ntz_as_utc_instant
+
+    ev = events.select(
+        ntz_as_utc_instant("ts").alias("ts"), "value"
+    ).withWatermark("ts", watermark)
+    cents = F.floor(F.col("value") * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
+    return (
+        ev.select("ts", cents.alias("c"))
+        .select("ts", F.expr(f"c div {bin_cents}").alias("bin"))
+        .groupBy(F.window("ts", window).alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+    )
+
+
+def run_windowed_histogram_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "streaming_windowed_histogram_gate",
+) -> DataFrame:
+    """Gate wrapper for the staged windowed histogram: append mode,
+    availableNow drain, fresh checkpoint. Oracle =
+    :func:`windowed_histogram_oracle`."""
+    from .sources import events_stream
+
+    return drain_availablenow(
+        streaming_windowed_histogram(events_stream(spark, sf_dir)), query_name
+    )
+
+
+def windowed_histogram_oracle(
+    window_ms: int = 6 * 3600 * 1000,
+    delay_ms: int = 60000,
+    bin_cents: int = 1000,
+) -> str:
+    """DuckDB oracle for :func:`run_windowed_histogram_availablenow`:
+    batch per-window fixed-width bin counts over epoch-aligned tumbling
+    windows, cut at max(ts) - delay (the append-mode fire-once
+    horizon)."""
+    return f"""
+WITH ev AS (
+  SELECT epoch_ms(ts) AS ms,
+         CAST(floor(value * 1e2 + 5e-1) AS BIGINT) // {bin_cents} AS bin
+  FROM events
+),
+mx AS (SELECT max(ms) AS m FROM ev)
+SELECT window_end_ms, bin, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT ms - ms % {window_ms} + {window_ms} AS window_end_ms, bin FROM ev), mx
+WHERE window_end_ms <= m - {delay_ms}
+GROUP BY window_end_ms, bin
+"""

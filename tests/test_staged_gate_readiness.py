@@ -14,8 +14,9 @@ concurrency_profile, kanonymity_profile, streaming_windowed_topk) and
 the five round-8 promotions (hilbert_pruning_audit,
 streaming_windowed_hll, streaming_concurrency_profile,
 pii_tcloseness_audit [t_closeness_audit], personalized_pagerank) were
-trimmed when they entered the catalog; the round-8 trim also removed
-the staged-STREAMING test entirely (both its cases promoted)."""
+trimmed when they entered the catalog; the round-8 trim removed the
+round-7 staged-STREAMING cases (both promoted); the streaming test now
+carries the round-8-staged windowed histogram."""
 
 import duckdb
 import pytest
@@ -174,6 +175,53 @@ def test_staged_ops_gate_ready(spark, sf_small):
         key = list(sp.columns)
         sv = sorted(map(tuple, sp[key].itertuples(index=False)))
         dv = sorted(map(tuple, du[key].itertuples(index=False)))
+        if sv != dv:
+            failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
+        elif not sv:
+            failures.append(f"{name}: empty result")
+    assert not failures, "\n".join(failures)
+
+
+def test_staged_streaming_ops_gate_ready(spark, sf_small):
+    """Gate-readiness for staged STREAMING ops: the run_* availableNow
+    wrappers (the exact callables a future @register will use) must match
+    their DuckDB oracles in values, columns, and dtypes."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_windowed_histogram_availablenow,
+        windowed_histogram_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    cases = {
+        "streaming_windowed_histogram": (
+            run_windowed_histogram_availablenow(
+                spark, sf_small, f"whist_gr_{_uuid.uuid4().hex[:8]}"
+            ),
+            windowed_histogram_oracle(),
+        ),
+    }
+    failures = []
+    for name, (sdf, sql) in cases.items():
+        sp = sdf.toPandas()
+        du = con.execute(sql).df()
+        if sorted(sp.columns) != sorted(du.columns):
+            failures.append(f"{name}: columns {list(sp.columns)} vs {list(du.columns)}")
+            continue
+        du = du[list(sp.columns)]
+        skew = {
+            c: (str(sp[c].dtype), str(du[c].dtype))
+            for c in sp.columns
+            if str(sp[c].dtype) != str(du[c].dtype)
+        }
+        if skew:
+            failures.append(f"{name}: dtype skew {skew}")
+        sv = sorted(map(tuple, sp.itertuples(index=False)))
+        dv = sorted(map(tuple, du.itertuples(index=False)))
         if sv != dv:
             failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
         elif not sv:

@@ -1077,3 +1077,83 @@ def test_streaming_concurrency_profile_matches_cut_batch(spark, sf_small):
     )
     want = {tuple(r) for r in concurrency_from_intervals(iv).collect()}
     assert got == want and got
+
+def test_streaming_windowed_histogram_matches_batch(spark, sf_small):
+    """STAGED (round-9 backlog) windowed fixed-width histogram: the
+    drained streaming bin counts must equal the batch per-window counts
+    cut at the final watermark -- exact integer parity."""
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        drain_availablenow,
+        streaming_windowed_histogram,
+    )
+
+    name = f"whist_{uuid.uuid4().hex[:8]}"
+    got = {
+        tuple(r)
+        for r in drain_availablenow(
+            streaming_windowed_histogram(events_stream(spark, sf_small)), name
+        ).collect()
+    }
+
+    ev = load_table(spark, "events", sf_small)
+    win_ms = 6 * 3600 * 1000
+    em = epoch_ms("ts")
+    cents = F.floor(F.col("value") * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
+    max_ms = ev.agg(F.max(em)).first()[0]
+    want = {
+        tuple(r)
+        for r in (
+            ev.select(
+                (em - em % win_ms + win_ms).alias("window_end_ms"),
+                cents.alias("c"),
+            )
+            .select("window_end_ms", F.expr("c div 1000").alias("bin"))
+            .where(F.col("window_end_ms") <= max_ms - 60000)
+            .groupBy("window_end_ms", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .collect()
+        )
+    }
+    assert got == want and got
+
+
+def test_streaming_windowed_histogram_chunked_matches_unchunked(
+    spark, sf_small, tmp_path
+):
+    """Chunked-replay invariance: per-bin counts are associative and
+    commutative, so micro-batch boundaries cannot change the drain."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        drain_availablenow,
+        streaming_windowed_histogram,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "ev_chunks_hist")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = {
+        tuple(r)
+        for r in drain_availablenow(
+            streaming_windowed_histogram(chunked),
+            f"whist_chunked_{_uuid.uuid4().hex[:8]}",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in drain_availablenow(
+            streaming_windowed_histogram(events_stream(spark, sf_small)),
+            f"whist_one_{_uuid.uuid4().hex[:8]}",
+        ).collect()
+    }
+    assert got == want and got
