@@ -1329,3 +1329,96 @@ FROM phrases
 ORDER BY score_ppm DESC, phrase
 LIMIT {k}
 """
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    n_merges: int = 3,
+) -> DataFrame:
+    """Tokenizer fertility audit: per corpus segment (lang, source), the
+    tokens-per-word and tokens-per-character ratios of the trained BPE
+    tokenizer -- the standard multilingual-tokenizer cost metric (a
+    segment with fertility 2x pays 2x the sequence length for the same
+    text, which is how vocab under-coverage of a language shows up in
+    training cost). Composes the gated train -> apply loop: per-doc
+    counts from :func:`bpe_encode`, grouped over the segment columns.
+    Output (group..., n_docs, n_words, n_tokens, fertility_ppm,
+    compression_ppm), ratios as exact integer ppm (guarded DIV -- a
+    segment with zero alpha words reports 0).
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Scale shape (100 TB): bpe_encode's work is vocab-bounded (see its
+    docstring); the segment join is a column-pruned doc_id -> group
+    projection joined on the doc key, and the profile folds with
+    map-side partials to a vocabulary-bounded relation."""
+    enc = bpe_encode(docs, id_col, text_col, n_merges)
+    seg = docs.select(F.col(id_col), *[F.col(c) for c in group_cols])
+    agg = (
+        seg.join(enc, id_col)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(1000000 * n_tokens) DIV n_words"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("fertility_ppm"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("(1000000 * n_tokens) DIV n_chars"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("compression_ppm"),
+    )
+
+
+def tokenizer_fertility_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    n_merges: int = 3,
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility`: the full bpe_encode
+    oracle nested as a CTE (DuckDB allows WITH inside CTE bodies -- the
+    ann_recall_at_k / incremental_corpus precedent), joined to the
+    segment columns and folded with the same guarded integer ppm."""
+    enc = bpe_encode_sql(table, id_col, text_col, n_merges)
+    grp = ", ".join(group_cols)
+    grp_d = ", ".join(f"d.{c}" for c in group_cols)
+    return f"""
+WITH enc AS ({enc}),
+agg AS (
+  SELECT {grp_d},
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(e.n_words) AS BIGINT) AS n_words,
+         CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens
+  FROM {table} d JOIN enc e ON e.{id_col} = d.{id_col}
+  GROUP BY {grp_d}
+)
+SELECT {grp}, n_docs, n_words, n_tokens,
+       CAST(CASE WHEN n_words > 0
+            THEN (1000000 * n_tokens) // n_words ELSE 0 END AS BIGINT)
+         AS fertility_ppm,
+       CAST(CASE WHEN n_chars > 0
+            THEN (1000000 * n_tokens) // n_chars ELSE 0 END AS BIGINT)
+         AS compression_ppm
+FROM agg
+"""

@@ -2471,3 +2471,68 @@ def test_entity_resolution_clusters_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(entity_resolution_clusters_sql()).fetchall())
     assert got == want and got
+
+def test_tokenizer_fertility_consistent_with_bpe_encode(spark, sf_small):
+    """The segment profile is exactly the python fold of the gated
+    bpe_encode per-doc counts over (lang, source)."""
+    from collections import defaultdict
+
+    from flink_training_exercises_spark.operators.textstats import (
+        bpe_encode,
+        tokenizer_fertility,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    seg = {r["doc_id"]: (r["lang"], r["source"]) for r in docs.collect()}
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, chars, tokens
+    for r in bpe_encode(docs).collect():
+        a = agg[seg[r["doc_id"]]]
+        a[0] += 1
+        a[1] += r["n_words"]
+        a[2] += r["n_chars"]
+        a[3] += r["n_tokens"]
+    want = {
+        k: (
+            d,
+            w,
+            t,
+            (1000000 * t) // w if w > 0 else 0,
+            (1000000 * t) // c if c > 0 else 0,
+        )
+        for k, (d, w, c, t) in agg.items()
+    }
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"],
+            r["n_words"],
+            r["n_tokens"],
+            r["fertility_ppm"],
+            r["compression_ppm"],
+        )
+        for r in tokenizer_fertility(docs).collect()
+    }
+    assert got == want and got
+
+
+def test_tokenizer_fertility_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.textstats import (
+        tokenizer_fertility,
+        tokenizer_fertility_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            tokenizer_fertility(load_table(spark, "documents", sf_small)).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(tokenizer_fertility_sql()).fetchall())
+    assert got == want and got

@@ -48,6 +48,8 @@ def _cases(spark, sf):
         rake_keywords_sql,
         source_scorecard,
         source_scorecard_sql,
+        tokenizer_fertility,
+        tokenizer_fertility_sql,
     )
     from flink_training_exercises_spark.operators.timeseries import (
         cusum_level_shift,
@@ -95,6 +97,10 @@ def _cases(spark, sf):
             heaps_vocab_growth_sql(),
         ),
         "rake_keywords": (rake_keywords(docs), rake_keywords_sql()),
+        "tokenizer_fertility": (
+            tokenizer_fertility(docs),
+            tokenizer_fertility_sql(),
+        ),
         "clustering_coefficients": (
             graph.clustering_coefficients(graphs_plan.edges_view(spark, sf)),
             graph.clustering_coefficients_sql(
