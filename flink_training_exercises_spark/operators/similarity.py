@@ -444,3 +444,95 @@ SELECT {id_col}, nn AS norm2,
        list_max(qv) AS q_max
 FROM q
 """
+
+def embedding_centroid_drift(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding centroid drift against the global centroid --
+    the distribution-shift audit an embedding pipeline runs per source /
+    label / snapshot ("did this segment's vectors move away from the
+    corpus?"): for each label, the L1 distance (and max single-dimension
+    distance) between the label's mean vector and the global mean
+    vector, in micro-units of the embedding space.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Determinism: float sums are order-dependent, so each coordinate is
+    quantized to integer micros (floor(x * 1e6) -- floor, not truncate:
+    both engines floor negatives the same way) and summed exactly; the
+    per-dimension mean difference |S_d/n - G_d/N| becomes the integer
+    cross-multiplication |S_d*N - G_d*n| DIV (n*N) (abs BEFORE the
+    division -- Spark DIV truncates toward zero while DuckDB // floors,
+    and the abs is what keeps the operands nonnegative where the two
+    spellings agree). Zero float ops anywhere. Magnitudes: |q| <= 1e6 *
+    |x|, so |S_d*N| <= 1e6*max|x|*n*N -- BIGINT-safe far past 1e6
+    vectors per shard; at larger n, audit per shard and merge (the
+    sketch-family recipe: per-dim sums are additive).
+
+    Scale shape (100 TB): one posexplode (map-side, dim-bounded fanout)
+    into a (label, dim) hash aggregate with map-side partials; the
+    global centroid folds FROM the per-label partials (dim-bounded, no
+    second corpus pass) and broadcasts back onto the dim-bounded
+    (label, dim) frame. Output is one row per label."""
+    base = emb.select(
+        F.col(label_col).cast("bigint").alias("label"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("bigint").alias("qx"),
+    )
+    ld = base.groupBy("label", "dim").agg(
+        F.sum("qx").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    g = ld.groupBy("dim").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("nn")
+    )
+    t = ld.join(F.broadcast(g), "dim").select(
+        "label",
+        "n",
+        F.expr("abs(s * nn - gs * n) DIV (n * nn)").alias("term"),
+    )
+    return t.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.sum("term").cast("bigint").alias("l1_drift_micro"),
+        F.max("term").cast("bigint").alias("max_dim_drift_micro"),
+    )
+
+
+def embedding_centroid_drift_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`embedding_centroid_drift`: same quantized
+    integer sums and cross-multiplied mean differences (parallel
+    unnest + generate_subscripts, the random_projection idiom)."""
+    return f"""
+WITH base AS (
+  SELECT CAST({label_col} AS BIGINT) AS label,
+         CAST(generate_subscripts({vec_col}, 1) - 1 AS INT) AS dim,
+         CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * 1e6) AS BIGINT) AS qx
+  FROM {table}
+),
+ld AS (
+  SELECT label, dim, CAST(sum(qx) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+),
+g AS (
+  SELECT dim, CAST(sum(s) AS BIGINT) AS gs, CAST(sum(n) AS BIGINT) AS nn
+  FROM ld GROUP BY 1
+),
+t AS (
+  SELECT label, n, abs(s * nn - gs * n) // (n * nn) AS term
+  FROM ld JOIN g USING (dim)
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(sum(term) AS BIGINT) AS l1_drift_micro,
+       CAST(max(term) AS BIGINT) AS max_dim_drift_micro
+FROM t GROUP BY 1
+"""

@@ -31,6 +31,7 @@ def _cases(spark, sf):
         dedup,
         graph,
         sampling,
+        similarity,
         sketches,
     )
     from flink_training_exercises_spark.operators.ivf import (
@@ -86,6 +87,10 @@ def _cases(spark, sf):
         "contrastive_negatives": (
             sampling.contrastive_negatives(emb),
             sampling.contrastive_negatives_sql(),
+        ),
+        "embedding_centroid_drift": (
+            similarity.embedding_centroid_drift(emb),
+            similarity.embedding_centroid_drift_sql(),
         ),
         "index_staleness_audit": (
             index_staleness_audit(emb),
