@@ -623,3 +623,67 @@ SELECT t_type AS event_type, CAST(count(*) AS BIGINT) AS n_touches,
        CAST(sum(credit) AS BIGINT) AS credit_ppm
 FROM credited GROUP BY 1
 """
+
+def user_behavior_gini(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user behavioral diversity as GINI IMPURITY over the user's
+    event-type distribution: gini = 1 - sum_t p_t^2 -- 0 for a
+    single-behavior user, approaching 1 - 1/k for a uniform k-type user.
+    The segmentation feature a personalization / anomaly pipeline
+    derives per entity; Gini is chosen over Shannon entropy DELIBERATELY:
+    entropy needs ln() (libm, not correctly rounded cross-engine -- the
+    BM25 lesson), while Gini is a pure rational, so the score ships as
+    the exact integer ppm (1e6 * (n^2 - sum c_t^2)) DIV n^2. Output
+    (user_id, n_events, n_types, gini_ppm), all BIGINT.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Scale shape (100 TB): two hash aggregates with map-side partials
+    ((user, type) counts, then per-user sufficient statistics n and
+    sum c^2) -- the same two-level fold as distinct_users_per_type;
+    output is one row per user. n >= 1 for every emitted user, so the
+    ANSI division needs no guard."""
+    ct = events.groupBy(
+        F.col(user_col).alias("user_id"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per = ct.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    return per.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        "n_types",
+        F.expr("(1000000 * (n * n - sumsq)) DIV (n * n)")
+        .cast("bigint")
+        .alias("gini_ppm"),
+    )
+
+
+def user_behavior_gini_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`user_behavior_gini`: same two-level fold and
+    integer ppm."""
+    return f"""
+WITH ct AS (
+  SELECT {user_col} AS user_id, {type_col} AS t,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+per AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * c) AS BIGINT) AS sumsq
+  FROM ct GROUP BY 1
+)
+SELECT user_id, n AS n_events, n_types,
+       CAST((1000000 * (n * n - sumsq)) // (n * n) AS BIGINT) AS gini_ppm
+FROM per
+"""

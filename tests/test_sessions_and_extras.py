@@ -358,3 +358,68 @@ def test_attribution_credit_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(attribution_credit_sql()).fetchall())
     assert got == want and got
+
+def test_user_behavior_gini_hand_computed(spark):
+    from flink_training_exercises_spark.operators.sessions import (
+        user_behavior_gini,
+    )
+
+    # u1: 2 views + 2 clicks -> n=4, sumsq=8, gini = 1e6*8 // 16 = 500000
+    # u2: 3 views           -> gini 0
+    # u3: 1 view + 1 click + 1 purchase -> n=9... n=3, sumsq=3,
+    #     gini = 1e6*6 // 9 = 666666
+    rows = (
+        [(1, "view")] * 2 + [(1, "click")] * 2
+        + [(2, "view")] * 3
+        + [(3, "view"), (3, "click"), (3, "purchase")]
+    )
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["gini_ppm"])
+        for r in user_behavior_gini(ev).collect()
+    }
+    assert got == {
+        1: (4, 2, 500000),
+        2: (3, 1, 0),
+        3: (3, 3, 666666),
+    }
+
+
+def test_user_behavior_gini_bounds(spark, sf_small):
+    """0 <= gini < 1e6, single-type users are exactly 0, and the uniform
+    bound gini <= 1e6 * (1 - 1/k) holds per user."""
+    from flink_training_exercises_spark.operators.sessions import (
+        user_behavior_gini,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    rows = user_behavior_gini(load_table(spark, "events", sf_small)).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["gini_ppm"] < 1000000
+        if r["n_types"] == 1:
+            assert r["gini_ppm"] == 0
+        assert r["gini_ppm"] <= 1000000 * (r["n_types"] - 1) // r["n_types"]
+
+
+def test_user_behavior_gini_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sessions import (
+        user_behavior_gini,
+        user_behavior_gini_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            user_behavior_gini(load_table(spark, "events", sf_small)).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(user_behavior_gini_sql()).fetchall())
+    assert got == want and got

@@ -41,6 +41,8 @@ def _cases(spark, sf):
     from flink_training_exercises_spark.operators.sessions import (
         attribution_credit,
         attribution_credit_sql,
+        user_behavior_gini,
+        user_behavior_gini_sql,
     )
     from flink_training_exercises_spark.operators.textstats import (
         heaps_vocab_growth,
@@ -72,6 +74,10 @@ def _cases(spark, sf):
         "attribution_credit": (
             attribution_credit(ev),
             attribution_credit_sql(),
+        ),
+        "user_behavior_gini": (
+            user_behavior_gini(ev),
+            user_behavior_gini_sql(),
         ),
         "record_linkage_scores": (
             dedup.record_linkage_scores(docs),
