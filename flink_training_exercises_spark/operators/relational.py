@@ -120,3 +120,71 @@ def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
             (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
         )
     )
+
+def props_json_profile(
+    events: DataFrame,
+    json_col: str = "props",
+    type_col: str = "event_type",
+    path: str = "$.k",
+) -> DataFrame:
+    """Semi-structured column profiling: extract an integer field from a
+    JSON string column (the schema-on-read shape every event pipeline
+    has -- a `props` bag next to the typed columns) and profile it per
+    event type: row count, extraction hit count, exact sum/min/max, and
+    distinct-value count. Output (event_type, n_events, n_with_field,
+    sum_v, min_v, max_v, distinct_v), all BIGINT.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Cross-engine contract for malformed/missing JSON: Spark's
+    get_json_object returns NULL; DuckDB's json_extract ERRORS, so the
+    twin guards with json_valid -- both sides then count the row in
+    n_events but not n_with_field. Extraction stays JVM-side
+    (get_json_object is a codegen'd expression, no UDF); values cast
+    through BIGINT so the aggregate is exact.
+
+    Scale shape (100 TB): map-only extraction fused into the scan
+    projection, one hash groupBy with map-side partials (the
+    count-distinct expands to the standard two-level aggregate);
+    output is vocabulary-bounded (event types)."""
+    v = F.get_json_object(F.col(json_col), path).cast("bigint")
+    return (
+        events.select(F.col(type_col).alias("event_type"), v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("v").cast("bigint").alias("n_with_field"),
+            F.coalesce(F.sum("v"), F.lit(0)).cast("bigint").alias("sum_v"),
+            F.coalesce(F.min("v"), F.lit(-1)).cast("bigint").alias("min_v"),
+            F.coalesce(F.max("v"), F.lit(-1)).cast("bigint").alias("max_v"),
+            F.count_distinct(F.col("v")).cast("bigint").alias("distinct_v"),
+        )
+    )
+
+
+def props_json_profile_sql(
+    table: str = "events",
+    json_col: str = "props",
+    type_col: str = "event_type",
+    path: str = "$.k",
+) -> str:
+    """DuckDB twin of :func:`props_json_profile`: json_valid-guarded
+    json_extract_string (Spark's get_json_object NULLs malformed rows;
+    DuckDB would error without the guard)."""
+    return f"""
+WITH ex AS (
+  SELECT {type_col} AS event_type,
+         CASE WHEN json_valid({json_col})
+              THEN CAST(json_extract_string({json_col}, '{path}') AS BIGINT)
+         END AS v
+  FROM {table}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(v) AS BIGINT) AS n_with_field,
+       CAST(COALESCE(sum(v), 0) AS BIGINT) AS sum_v,
+       CAST(COALESCE(min(v), -1) AS BIGINT) AS min_v,
+       CAST(COALESCE(max(v), -1) AS BIGINT) AS max_v,
+       CAST(count(DISTINCT v) AS BIGINT) AS distinct_v
+FROM ex GROUP BY 1
+"""

@@ -304,3 +304,54 @@ def test_pit_join_matches_python_reference_random(spark, tmp_path):
         for r in CATALOG["scd2_point_in_time_join"].spark(spark, sf).collect()
     }
     assert got == expected and expected  # non-vacuous
+
+def test_props_json_profile_hand_computed(spark):
+    from flink_training_exercises_spark.operators.relational import (
+        props_json_profile,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("view", '{"k": 10}'),
+            ("view", '{"k": 30}'),
+            ("view", '{"k": 10}'),
+            ("view", "not json"),          # malformed -> NULL extraction
+            ("click", '{"other": 5}'),     # field missing -> NULL
+            ("click", '{"k": -7}'),
+        ],
+        "event_type string, props string",
+    )
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_with_field"], r["sum_v"],
+            r["min_v"], r["max_v"], r["distinct_v"],
+        )
+        for r in props_json_profile(ev).collect()
+    }
+    assert got == {
+        "view": (4, 3, 50, 10, 30, 2),
+        "click": (2, 1, -7, -7, -7, 1),
+    }
+
+
+def test_props_json_profile_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.relational import (
+        props_json_profile,
+        props_json_profile_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            props_json_profile(load_table(spark, "events", sf_small)).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(props_json_profile_sql()).fetchall())
+    assert got == want and got

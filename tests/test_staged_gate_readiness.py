@@ -30,6 +30,7 @@ def _cases(spark, sf):
     from flink_training_exercises_spark.operators import (
         dedup,
         graph,
+        relational,
         sampling,
         similarity,
         sketches,
@@ -74,6 +75,10 @@ def _cases(spark, sf):
         "attribution_credit": (
             attribution_credit(ev),
             attribution_credit_sql(),
+        ),
+        "props_json_profile": (
+            relational.props_json_profile(ev),
+            relational.props_json_profile_sql(),
         ),
         "user_behavior_gini": (
             user_behavior_gini(ev),
