@@ -186,8 +186,14 @@ def t_closeness_audit(
 
     b = F.floor(F.col(length_col) / F.lit(length_bucket)).cast("bigint")
     base = docs.select(*qi_cols, b.alias("bin"))
-    cls_bin = base.groupBy(*qi_cols, "bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # (class, bin) counts feed THREE branches (global CDF, class sizes,
+    # the grid join) -- vocabulary-bounded, so localCheckpoint once
+    # instead of re-evaluating the corpus scan per consumer (CLAUDE.md
+    # multi-consumer rule; collocation/histogram/bm25 precedent)
+    cls_bin = (
+        base.groupBy(*qi_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
     )
     glob = cls_bin.groupBy("bin").agg(F.sum("c").alias("g"))
     # bounded single-partition window: one row per distinct length bucket
