@@ -1422,3 +1422,77 @@ SELECT {grp}, n_docs, n_words, n_tokens,
          AS compression_ppm
 FROM agg
 """
+
+def feature_hashing_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Hashing-trick (feature hashing / HashingVectorizer) collision
+    audit: every token maps to bucket = md5(token) % n_buckets with the
+    Weinberger et al. sign trick (a second hash bit decides +/-, which
+    keeps the hashed inner product unbiased under collisions); the
+    profile reports, per bucket, the total occurrence count, the SIGNED
+    count sum the vectorizer would actually store, and the distinct
+    tokens mapped there (distinct - 1 = collisions) -- the audit run
+    before fixing a hash dimension for a 100 TB vectorization job.
+    Output (bucket, total_count, signed_sum, distinct_tokens), all
+    BIGINT, n_buckets rows.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Scale shape (100 TB): tokenize + hash are map-side (widened scan --
+    the per-row HOF rule), one hash groupBy to the n_buckets-bounded
+    profile; distinct tokens per bucket is the standard two-level
+    aggregate (token-level partial first). Zero float ops. The default
+    n_buckets (16) sits below this corpus's ~31-token vocabulary ON
+    PURPOSE: the audit exists to SHOW collisions and sign cancellation;
+    a production dimension would be 2^18+."""
+    toks = _widened(docs).select(F.explode(_words(text_col)).alias("tok"))
+    h = md5_long(F.col("tok"))
+    keyed = toks.select(F.col("tok"), h.alias("h")).select(
+        "tok",
+        (F.col("h") % n_buckets).alias("bucket"),
+        # sign trick: the next hash bit above the bucket bits (md5_long is
+        # nonnegative, so div/% are engine-safe)
+        F.when(F.expr(f"(h div {n_buckets}) % 2") == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    per_tok = keyed.groupBy("bucket", "tok", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return per_tok.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("total_count"),
+        F.sum(F.col("s") * F.col("c")).cast("bigint").alias("signed_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+    )
+
+
+def feature_hashing_profile_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> str:
+    """DuckDB twin of :func:`feature_hashing_profile`: same md5 bucket,
+    sign bit, and two-level fold."""
+    h = md5_long_sql("tok")
+    return f"""
+WITH toks AS (
+  SELECT unnest({_words_sql(text_col)}) AS tok FROM {table}
+),
+keyed AS (
+  SELECT tok, {h} % {n_buckets} AS bucket,
+         CASE WHEN ({h} // {n_buckets}) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+per_tok AS (
+  SELECT bucket, tok, s, CAST(count(*) AS BIGINT) AS c
+  FROM keyed GROUP BY 1, 2, 3
+)
+SELECT bucket,
+       CAST(sum(c) AS BIGINT) AS total_count,
+       CAST(sum(s * c) AS BIGINT) AS signed_sum,
+       CAST(count(*) AS BIGINT) AS distinct_tokens
+FROM per_tok GROUP BY 1
+"""

@@ -2536,3 +2536,76 @@ def test_tokenizer_fertility_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(tokenizer_fertility_sql()).fetchall())
     assert got == want and got
+
+def test_feature_hashing_profile_python_replay(spark):
+    """Buckets, signs, and counts replayed with hashlib on a tiny corpus."""
+    import hashlib
+    from collections import defaultdict
+
+    from flink_training_exercises_spark.operators.textstats import (
+        feature_hashing_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb cc dd aa")],
+        "doc_id long, text string",
+    )
+    want = defaultdict(lambda: [0, 0, set()])
+    for tok in ["aa", "bb", "aa", "bb", "cc", "dd", "aa"]:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        s = 1 if (h // 16) % 2 == 0 else -1
+        b = want[h % 16]
+        b[0] += 1
+        b[1] += s
+        b[2].add(tok)
+    got = {
+        r["bucket"]: (r["total_count"], r["signed_sum"], r["distinct_tokens"])
+        for r in feature_hashing_profile(docs, n_buckets=16).collect()
+    }
+    assert got == {k: (c, s, len(t)) for k, (c, s, t) in want.items()}
+
+
+def test_feature_hashing_profile_conservation(spark, sf_small):
+    """Total counts conserve the corpus token count, signed sums are
+    bounded by totals, and distinct-token counts conserve the vocabulary."""
+    from flink_training_exercises_spark.operators.textstats import (
+        feature_hashing_profile,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    rows = feature_hashing_profile(docs).collect()
+    assert rows
+    toks = docs.selectExpr(
+        "explode(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS tok"
+    )
+    assert sum(r["total_count"] for r in rows) == toks.count()
+    assert sum(r["distinct_tokens"] for r in rows) == toks.distinct().count()
+    for r in rows:
+        assert abs(r["signed_sum"]) <= r["total_count"]
+        assert 1 <= r["distinct_tokens"] <= r["total_count"]
+
+
+def test_feature_hashing_profile_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.textstats import (
+        feature_hashing_profile,
+        feature_hashing_profile_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            feature_hashing_profile(
+                load_table(spark, "documents", sf_small)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(feature_hashing_profile_sql()).fetchall())
+    assert got == want and got

@@ -46,6 +46,8 @@ def _cases(spark, sf):
         user_behavior_gini_sql,
     )
     from flink_training_exercises_spark.operators.textstats import (
+        feature_hashing_profile,
+        feature_hashing_profile_sql,
         heaps_vocab_growth,
         heaps_vocab_growth_sql,
         rake_keywords,
@@ -116,6 +118,10 @@ def _cases(spark, sf):
         "tokenizer_fertility": (
             tokenizer_fertility(docs),
             tokenizer_fertility_sql(),
+        ),
+        "feature_hashing_profile": (
+            feature_hashing_profile(docs),
+            feature_hashing_profile_sql(),
         ),
         "clustering_coefficients": (
             graph.clustering_coefficients(graphs_plan.edges_view(spark, sf)),
