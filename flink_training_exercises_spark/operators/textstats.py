@@ -1496,3 +1496,113 @@ SELECT bucket,
        CAST(count(*) AS BIGINT) AS distinct_tokens
 FROM per_tok GROUP BY 1
 """
+
+def vocab_drift_halves(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Crawl-order vocabulary drift: token occurrence RATES in the first
+    half of the corpus (by document id, i.e. crawl order) vs the second
+    half, reported for the union of the two halves' top-k tokens -- the
+    'did the distribution move under me' check a continuously-ingesting
+    corpus runs between snapshots, next to Heaps' growth (volume) and
+    centroid drift (embeddings). Output (token, cnt_first, cnt_second,
+    rate_first_ppm, rate_second_ppm, delta_ppm), rates as exact integer
+    ppm of each half's token volume, delta possibly negative (a plain
+    BIGINT subtraction -- no engine-divergent negative division
+    anywhere).
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Scale shape (100 TB): the split point is a 1-row min/max broadcast
+    (integer midpoint); per-token half counts come from ONE conditional
+    aggregate over the tokenized scan (never two passes); each half's
+    top-k is a distributed TakeOrdered (orderBy().limit(k)) over the
+    vocab-bounded counts -- no unpartitioned window, no full sort; the
+    union (<= 2k rows) broadcasts back onto the counts frame."""
+    toks = _widened(docs).select(
+        F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("tok")
+    )
+    bounds = docs.agg(
+        F.expr(f"(min({id_col}) + max({id_col})) DIV 2").alias("mid")
+    )
+    counted = (
+        toks.crossJoin(F.broadcast(bounds))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("id") <= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("id") > F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+        .localCheckpoint()  # vocab-bounded; feeds totals + two top-k + join
+    )
+    totals = counted.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    top1 = counted.orderBy(F.desc("c1"), F.asc("tok")).limit(k).select("tok")
+    top2 = counted.orderBy(F.desc("c2"), F.asc("tok")).limit(k).select("tok")
+    sel = top1.union(top2).distinct()
+    return (
+        counted.join(F.broadcast(sel), "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("c1").alias("cnt_first"),
+            F.col("c2").alias("cnt_second"),
+            F.expr("CASE WHEN n1 > 0 THEN (1000000 * c1) DIV n1 ELSE 0 END")
+            .cast("bigint")
+            .alias("rate_first_ppm"),
+            F.expr("CASE WHEN n2 > 0 THEN (1000000 * c2) DIV n2 ELSE 0 END")
+            .cast("bigint")
+            .alias("rate_second_ppm"),
+        )
+        .withColumn(
+            "delta_ppm",
+            (F.col("rate_second_ppm") - F.col("rate_first_ppm")).cast("bigint"),
+        )
+    )
+
+
+def vocab_drift_halves_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`vocab_drift_halves`: same midpoint split,
+    conditional counts, ORDER BY/LIMIT top-k unions, and guarded ppm."""
+    w = _words_sql(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({w}) AS tok FROM {table}
+),
+bounds AS (
+  SELECT (min({id_col}) + max({id_col})) // 2 AS mid FROM {table}
+),
+counted AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN id <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN id > mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM toks, bounds GROUP BY tok
+),
+totals AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM counted),
+sel AS (
+  SELECT tok FROM (SELECT tok FROM counted ORDER BY c1 DESC, tok LIMIT {k})
+  UNION
+  SELECT tok FROM (SELECT tok FROM counted ORDER BY c2 DESC, tok LIMIT {k})
+)
+SELECT c.tok AS token, c.c1 AS cnt_first, c.c2 AS cnt_second,
+       CAST(CASE WHEN n1 > 0 THEN (1000000 * c1) // n1 ELSE 0 END AS BIGINT)
+         AS rate_first_ppm,
+       CAST(CASE WHEN n2 > 0 THEN (1000000 * c2) // n2 ELSE 0 END AS BIGINT)
+         AS rate_second_ppm,
+       CAST(CASE WHEN n2 > 0 THEN (1000000 * c2) // n2 ELSE 0 END
+          - CASE WHEN n1 > 0 THEN (1000000 * c1) // n1 ELSE 0 END AS BIGINT)
+         AS delta_ppm
+FROM counted c JOIN sel USING (tok), totals
+"""

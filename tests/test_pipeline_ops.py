@@ -2609,3 +2609,70 @@ def test_feature_hashing_profile_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(feature_hashing_profile_sql()).fetchall())
     assert got == want and got
+
+def test_vocab_drift_halves_hand_computed(spark):
+    from flink_training_exercises_spark.operators.textstats import (
+        vocab_drift_halves,
+    )
+
+    # mid = (1+4)//2 = 2: first half = docs 1,2 ("a a b", "a c" -> n1=5),
+    # second half = docs 3,4 ("b b", "c c c b" -> n2=6)
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b"), (4, "c c c b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["token"]: (
+            r["cnt_first"], r["cnt_second"],
+            r["rate_first_ppm"], r["rate_second_ppm"], r["delta_ppm"],
+        )
+        for r in vocab_drift_halves(docs, k=2).collect()
+    }
+    assert got == {
+        "a": (3, 0, 600000, 0, -600000),
+        "b": (1, 3, 200000, 500000, 300000),
+        "c": (1, 3, 200000, 500000, 300000),
+    }
+
+
+def test_vocab_drift_halves_contracts(spark, sf_small):
+    """Union membership is at most 2k tokens, rates stay in [0, 1e6],
+    delta is exactly the rate difference, and the result is stable
+    across two evaluations (deterministic tie-breaks)."""
+    from flink_training_exercises_spark.operators.textstats import (
+        vocab_drift_halves,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    rows = vocab_drift_halves(docs).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 0 <= r["rate_first_ppm"] <= 1000000
+        assert 0 <= r["rate_second_ppm"] <= 1000000
+        assert r["delta_ppm"] == r["rate_second_ppm"] - r["rate_first_ppm"]
+    again = vocab_drift_halves(docs).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_vocab_drift_halves_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.textstats import (
+        vocab_drift_halves,
+        vocab_drift_halves_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            vocab_drift_halves(load_table(spark, "documents", sf_small)).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(vocab_drift_halves_sql()).fetchall())
+    assert got == want and got

@@ -48,6 +48,8 @@ def _cases(spark, sf):
     from flink_training_exercises_spark.operators.textstats import (
         feature_hashing_profile,
         feature_hashing_profile_sql,
+        vocab_drift_halves,
+        vocab_drift_halves_sql,
         heaps_vocab_growth,
         heaps_vocab_growth_sql,
         rake_keywords,
@@ -122,6 +124,10 @@ def _cases(spark, sf):
         "feature_hashing_profile": (
             feature_hashing_profile(docs),
             feature_hashing_profile_sql(),
+        ),
+        "vocab_drift_halves": (
+            vocab_drift_halves(docs),
+            vocab_drift_halves_sql(),
         ),
         "clustering_coefficients": (
             graph.clustering_coefficients(graphs_plan.edges_view(spark, sf)),
