@@ -67,14 +67,49 @@ def kafka_ride_source(spark, brokers: str, topic: str):
     )
 
 
+def es_bulk_payloads(rows, index: str, bulk_size: int = 10) -> list[str]:
+    """Pure bulk-request builder under the S8 sink: rows become the
+    PopularPlacesToES document shape {time, location: 'lat,lon', isStart,
+    cnt} (PopularPlacesToES.java:105-148), paired with `index` actions
+    and cut into ndjson payloads of `bulk_size` documents. Separated
+    from the transport so the request SHAPE is unit-testable without
+    `requests` or an endpoint (the two things this container lacks)."""
+    payloads: list[str] = []
+    lines: list[str] = []
+    n = 0
+
+    def flush() -> None:
+        if lines:
+            payloads.append("\n".join(lines) + "\n")
+            lines.clear()
+
+    for r in rows:
+        lines.append(json.dumps({"index": {"_index": index}}))
+        lines.append(
+            json.dumps(
+                {
+                    "time": r["window_end_ms"],
+                    "location": f"{r['center_lat']},{r['center_lon']}",
+                    "isStart": r["is_start"],
+                    "cnt": r["cnt"],
+                }
+            )
+        )
+        n += 1
+        if n % bulk_size == 0:
+            flush()
+    flush()
+    return payloads
+
+
 def elasticsearch_foreach_batch(
     index: str = "nyc-places", endpoint: str = "http://localhost:9200", bulk_size: int = 10
 ) -> Callable[[DataFrame, int], None]:
     """S8 -- PopularPlacesToES as a foreachBatch upsert: documents
-    {time, location: 'lat,lon', isStart, cnt} bulk-indexed `bulk_size` at a
-    time (PopularPlacesToES.java:105-148). Network calls only happen if
-    `requests` is importable and the endpoint answers; otherwise raises
-    NotImplementedError (optional adapter, outside the correctness gate)."""
+    bulk-indexed `bulk_size` at a time via :func:`es_bulk_payloads`.
+    Network calls only happen if `requests` is importable and the
+    endpoint answers; otherwise raises NotImplementedError (optional
+    adapter, outside the correctness gate)."""
 
     def send_partition(rows) -> None:
         # runs ON THE EXECUTOR: builds and ships ndjson bulk requests for
@@ -83,35 +118,13 @@ def elasticsearch_foreach_batch(
         # scales with the cluster, bounded by the ES bulk endpoint)
         import requests  # re-import executor-side
 
-        lines: list[str] = []
-        n = 0
-
-        def flush() -> None:
-            if lines:
-                requests.post(
-                    f"{endpoint}/_bulk",
-                    data="\n".join(lines) + "\n",
-                    headers={"Content-Type": "application/x-ndjson"},
-                    timeout=30,
-                )
-                lines.clear()
-
-        for r in rows:
-            lines.append(json.dumps({"index": {"_index": index}}))
-            lines.append(
-                json.dumps(
-                    {
-                        "time": r["window_end_ms"],
-                        "location": f"{r['center_lat']},{r['center_lon']}",
-                        "isStart": r["is_start"],
-                        "cnt": r["cnt"],
-                    }
-                )
+        for payload in es_bulk_payloads(rows, index, bulk_size):
+            requests.post(
+                f"{endpoint}/_bulk",
+                data=payload,
+                headers={"Content-Type": "application/x-ndjson"},
+                timeout=30,
             )
-            n += 1
-            if n % bulk_size == 0:
-                flush()
-        flush()
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         try:

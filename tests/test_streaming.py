@@ -1157,3 +1157,46 @@ def test_streaming_windowed_histogram_chunked_matches_unchunked(
         ).collect()
     }
     assert got == want and got
+
+def test_es_bulk_payloads_shape():
+    """S8 bulk-request SHAPE without the env: documents carry the
+    PopularPlacesToES field mapping, every payload alternates
+    action/document ndjson lines, trailing newline included, and
+    bulk_size cuts batches at exactly bulk_size documents."""
+    import json as _json
+
+    from flink_training_exercises_spark.streaming.sinks import es_bulk_payloads
+
+    rows = [
+        {
+            "window_end_ms": 1000 + i,
+            "center_lat": 40.75,
+            "center_lon": -73.98,
+            "is_start": bool(i % 2),
+            "cnt": 10 + i,
+        }
+        for i in range(25)
+    ]
+    payloads = es_bulk_payloads(rows, index="nyc-places", bulk_size=10)
+    assert len(payloads) == 3  # 10 + 10 + 5
+    sizes = []
+    for p in payloads:
+        assert p.endswith("\n")
+        lines = p.strip("\n").split("\n")
+        assert len(lines) % 2 == 0
+        sizes.append(len(lines) // 2)
+        for a, d in zip(lines[::2], lines[1::2]):
+            act = _json.loads(a)
+            doc = _json.loads(d)
+            assert act == {"index": {"_index": "nyc-places"}}
+            assert set(doc) == {"time", "location", "isStart", "cnt"}
+            lat, lon = doc["location"].split(",")
+            assert float(lat) == 40.75 and float(lon) == -73.98
+    assert sizes == [10, 10, 5]
+    docs = [
+        _json.loads(d)
+        for p in payloads
+        for d in p.strip("\n").split("\n")[1::2]
+    ]
+    assert [d["time"] for d in docs] == [1000 + i for i in range(25)]
+    assert es_bulk_payloads([], index="x") == []
