@@ -951,3 +951,41 @@ def test_record_linkage_partitions_blocked_pairs(spark, rows):
     sizes = Counter((lang, "s") for lang, _, _ in rows)
     want = {k: n * (n - 1) // 2 for k, n in sizes.items() if n >= 2}
     assert dict(got) == want
+
+@given(
+    n_rows=st.integers(min_value=0, max_value=60),
+    bulk=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_es_bulk_payloads_conserve_rows(n_rows, bulk):
+    """Every input row indexes exactly once, in order, and batch cuts are
+    exactly bulk_size documents except the final remainder (pure helper,
+    no Spark session)."""
+    import json as _json
+    import math
+
+    from flink_training_exercises_spark.streaming.sinks import es_bulk_payloads
+
+    rows = [
+        {
+            "window_end_ms": i,
+            "center_lat": 1.0,
+            "center_lon": 2.0,
+            "is_start": True,
+            "cnt": i,
+        }
+        for i in range(n_rows)
+    ]
+    payloads = es_bulk_payloads(rows, index="ix", bulk_size=bulk)
+    assert len(payloads) == math.ceil(n_rows / bulk)
+    docs = []
+    for j, p in enumerate(payloads):
+        lines = p.strip("\n").split("\n")
+        n_docs = len(lines) // 2
+        assert len(lines) == 2 * n_docs
+        if j < len(payloads) - 1:
+            assert n_docs == bulk
+        else:
+            assert n_docs == n_rows - bulk * (len(payloads) - 1)
+        docs += [_json.loads(d)["time"] for d in lines[1::2]]
+    assert docs == list(range(n_rows))
