@@ -989,3 +989,88 @@ def test_es_bulk_payloads_conserve_rows(n_rows, bulk):
             assert n_docs == n_rows - bulk * (len(payloads) - 1)
         docs += [_json.loads(d)["time"] for d in lines[1::2]]
     assert docs == list(range(n_rows))
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # user
+            st.integers(min_value=0, max_value=3),   # type index
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_user_behavior_gini_matches_python_replay(spark, events):
+    """STAGED round-9: the exact-ppm Gini equals the python fold on random
+    per-user event multisets."""
+    from collections import Counter, defaultdict
+
+    from flink_training_exercises_spark.operators.sessions import (
+        user_behavior_gini,
+    )
+
+    types = ["view", "click", "purchase", "signup"]
+    rows = [(u, types[t]) for u, t in events]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["gini_ppm"])
+        for r in user_behavior_gini(df).collect()
+    }
+    per = defaultdict(Counter)
+    for u, t in rows:
+        per[u][t] += 1
+    want = {}
+    for u, c in per.items():
+        n = sum(c.values())
+        sumsq = sum(v * v for v in c.values())
+        want[u] = (n, len(c), (1000000 * (n * n - sumsq)) // (n * n))
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_edge_jaccard_matches_python_replay(spark, edges):
+    """STAGED round-9: per-edge common-neighbor Jaccard equals an adjacency-
+    set python replay on random graphs (self loops and duplicates
+    ignored, like the operator)."""
+    from collections import defaultdict
+
+    from flink_training_exercises_spark.operators.graph import (
+        edge_jaccard_similarity,
+    )
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not simple:
+        return
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["degree_a"], r["degree_b"],
+            r["common_neighbors"], r["jaccard_ppm"],
+        )
+        for r in edge_jaccard_similarity(df).collect()
+    }
+    adj = defaultdict(set)
+    for a, b in simple:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for a, b in simple:
+        common = len(adj[a] & adj[b])
+        union = len(adj[a]) + len(adj[b]) - common
+        want[(str(a), str(b))] = (
+            len(adj[a]), len(adj[b]), common, (1000000 * common) // union
+        )
+    assert got == want
