@@ -1472,6 +1472,37 @@ def record_linkage_scores(
     )
 
 
+def _fs_sql_parts(
+    table: str,
+    id_col: str,
+    text_col: str,
+    length_col: str,
+    block_cols: tuple[str, ...],
+) -> dict:
+    """Shared SQL fragments under the two Fellegi-Sunter oracles
+    (record_linkage_scores_sql, entity_resolution_clusters_sql) -- the
+    oracle-side single source of truth mirroring :func:`fs_pair_scores`
+    on the Spark side: the feats CTE body, the integer score expression
+    over aliases a/b, and the blocked join condition."""
+    la, ld, ltol = FS_WEIGHTS["len"]
+    pa, pd_, plen = FS_WEIGHTS["prefix"]
+    ta, td, ttol = FS_WEIGHTS["tokens"]
+    blk = ", ".join(block_cols)
+    words = (
+        f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    )
+    feats = f"""SELECT {blk}, {id_col} AS id, CAST({length_col} AS BIGINT) AS len,
+         lower(substr({text_col}, 1, {plen})) AS pfx,
+         CAST(len({words}) AS BIGINT) AS ntok
+  FROM {table}"""
+    score = f"""CAST(CASE WHEN abs(a.len - b.len) <= {ltol} THEN {la} ELSE {ld} END
+            + CASE WHEN a.pfx = b.pfx THEN {pa} ELSE {pd_} END
+            + CASE WHEN abs(a.ntok - b.ntok) <= {ttol} THEN {ta} ELSE {td} END
+           AS BIGINT)"""
+    join_on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    return {"feats": feats, "score": score, "join_on": join_on}
+
+
 def record_linkage_scores_sql(
     table: str = "documents",
     id_col: str = "doc_id",
@@ -1480,30 +1511,19 @@ def record_linkage_scores_sql(
     block_cols: tuple[str, ...] = ("lang", "source"),
 ) -> str:
     """DuckDB twin of :func:`record_linkage_scores`: same blocked
-    self-join, same integer weights and thresholds."""
-    la, ld, ltol = FS_WEIGHTS["len"]
-    pa, pd_, plen = FS_WEIGHTS["prefix"]
-    ta, td, ttol = FS_WEIGHTS["tokens"]
+    self-join, same integer weights and thresholds (shared fragments:
+    :func:`_fs_sql_parts`)."""
+    parts = _fs_sql_parts(table, id_col, text_col, length_col, block_cols)
     blk = ", ".join(block_cols)
     blk_a = ", ".join(f"a.{c} AS {c}" for c in block_cols)
-    join_on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
-    words = (
-        f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
-    )
     return f"""
 WITH feats AS (
-  SELECT {blk}, {id_col} AS id, CAST({length_col} AS BIGINT) AS len,
-         lower(substr({text_col}, 1, {plen})) AS pfx,
-         CAST(len({words}) AS BIGINT) AS ntok
-  FROM {table}
+  {parts["feats"]}
 ),
 scored AS (
   SELECT {blk_a},
-         CAST(CASE WHEN abs(a.len - b.len) <= {ltol} THEN {la} ELSE {ld} END
-            + CASE WHEN a.pfx = b.pfx THEN {pa} ELSE {pd_} END
-            + CASE WHEN abs(a.ntok - b.ntok) <= {ttol} THEN {ta} ELSE {td} END
-           AS BIGINT) AS score
-  FROM feats a JOIN feats b ON {join_on} AND a.id < b.id
+         {parts["score"]} AS score
+  FROM feats a JOIN feats b ON {parts["join_on"]} AND a.id < b.id
 )
 SELECT {blk},
        CASE WHEN score >= {FS_MATCH_T} THEN 'match'
@@ -1574,33 +1594,21 @@ def entity_resolution_clusters_sql(
     block_cols: tuple[str, ...] = ("lang", "source"),
     link_threshold: int | None = None,
 ) -> str:
-    """DuckDB twin of :func:`entity_resolution_clusters`: the
-    record_linkage feature/score CTEs, links at the same threshold,
-    recursive-CTE closure (the minhash_clusters_sql precedent), same
-    min-id canonicalization and singleton attach."""
+    """DuckDB twin of :func:`entity_resolution_clusters`: the shared
+    record_linkage feature/score fragments (:func:`_fs_sql_parts`),
+    links at the same threshold, recursive-CTE closure (the
+    minhash_clusters_sql precedent), same min-id canonicalization and
+    singleton attach."""
     thr = FS_POSSIBLE_T if link_threshold is None else link_threshold
-    la, ld, ltol = FS_WEIGHTS["len"]
-    pa, pd_, plen = FS_WEIGHTS["prefix"]
-    ta, td, ttol = FS_WEIGHTS["tokens"]
-    blk = ", ".join(block_cols)
-    join_on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
-    words = (
-        f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
-    )
+    parts = _fs_sql_parts(table, id_col, text_col, length_col, block_cols)
     return f"""
 WITH RECURSIVE feats AS (
-  SELECT {blk}, {id_col} AS id, CAST({length_col} AS BIGINT) AS len,
-         lower(substr({text_col}, 1, {plen})) AS pfx,
-         CAST(len({words}) AS BIGINT) AS ntok
-  FROM {table}
+  {parts["feats"]}
 ),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b
-  FROM feats a JOIN feats b ON {join_on} AND a.id < b.id
-  WHERE CAST(CASE WHEN abs(a.len - b.len) <= {ltol} THEN {la} ELSE {ld} END
-           + CASE WHEN a.pfx = b.pfx THEN {pa} ELSE {pd_} END
-           + CASE WHEN abs(a.ntok - b.ntok) <= {ttol} THEN {ta} ELSE {td} END
-          AS BIGINT) >= {thr}
+  FROM feats a JOIN feats b ON {parts["join_on"]} AND a.id < b.id
+  WHERE {parts["score"]} >= {thr}
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs

@@ -136,18 +136,21 @@ def props_json_profile(
 
     STAGED FOR ROUND 9 -- the round-8 gate window is full.
 
-    Cross-engine contract for malformed/missing JSON: Spark's
+    Cross-engine contract for dirty rows: malformed JSON (Spark's
     get_json_object returns NULL; DuckDB's json_extract ERRORS, so the
-    twin guards with json_valid -- both sides then count the row in
-    n_events but not n_with_field. Extraction stays JVM-side
-    (get_json_object is a codegen'd expression, no UDF); values cast
-    through BIGINT so the aggregate is exact.
+    twin guards with json_valid) and WRONG-TYPED field values (a string
+    or nested object where the integer should be -- try_cast/TRY_CAST on
+    both sides, because a plain ANSI cast would kill the whole query on
+    one dirty row, which is exactly what a schema-on-read profiler must
+    not do) both count in n_events but not n_with_field. Extraction
+    stays JVM-side (get_json_object is a codegen'd expression, no UDF);
+    values cast through BIGINT so the aggregate is exact.
 
     Scale shape (100 TB): map-only extraction fused into the scan
     projection, one hash groupBy with map-side partials (the
     count-distinct expands to the standard two-level aggregate);
     output is vocabulary-bounded (event types)."""
-    v = F.get_json_object(F.col(json_col), path).cast("bigint")
+    v = F.expr(f"try_cast(get_json_object({json_col}, '{path}') AS BIGINT)")
     return (
         events.select(F.col(type_col).alias("event_type"), v.alias("v"))
         .groupBy("event_type")
@@ -170,12 +173,13 @@ def props_json_profile_sql(
 ) -> str:
     """DuckDB twin of :func:`props_json_profile`: json_valid-guarded
     json_extract_string (Spark's get_json_object NULLs malformed rows;
-    DuckDB would error without the guard)."""
+    DuckDB would error without the guard) through TRY_CAST (wrong-typed
+    field values NULL instead of erroring, matching Spark's try_cast)."""
     return f"""
 WITH ex AS (
   SELECT {type_col} AS event_type,
          CASE WHEN json_valid({json_col})
-              THEN CAST(json_extract_string({json_col}, '{path}') AS BIGINT)
+              THEN TRY_CAST(json_extract_string({json_col}, '{path}') AS BIGINT)
          END AS v
   FROM {table}
 )

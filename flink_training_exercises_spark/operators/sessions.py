@@ -645,7 +645,12 @@ def user_behavior_gini(
     ((user, type) counts, then per-user sufficient statistics n and
     sum c^2) -- the same two-level fold as distinct_users_per_type;
     output is one row per user. n >= 1 for every emitted user, so the
-    ANSI division needs no guard."""
+    ANSI division needs no guard. Exactness bound (the cusum
+    precedent): 1e6 * n^2 must stay under 2^63, i.e. n < ~3.0e6 events
+    PER USER -- ANSI raises loudly past it on both engines (never a
+    silent wrap); the mitigation for bot-scale keys is capping or
+    sampling the offending user's events upstream, which changes the
+    answer only for the key that overflowed."""
     ct = events.groupBy(
         F.col(user_col).alias("user_id"), F.col(type_col).alias("t")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))

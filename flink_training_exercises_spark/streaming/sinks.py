@@ -67,22 +67,18 @@ def kafka_ride_source(spark, brokers: str, topic: str):
     )
 
 
-def es_bulk_payloads(rows, index: str, bulk_size: int = 10) -> list[str]:
-    """Pure bulk-request builder under the S8 sink: rows become the
+def es_bulk_payloads(rows, index: str, bulk_size: int = 10):
+    """Pure bulk-request GENERATOR under the S8 sink: rows become the
     PopularPlacesToES document shape {time, location: 'lat,lon', isStart,
     cnt} (PopularPlacesToES.java:105-148), paired with `index` actions
     and cut into ndjson payloads of `bulk_size` documents. Separated
     from the transport so the request SHAPE is unit-testable without
-    `requests` or an endpoint (the two things this container lacks)."""
-    payloads: list[str] = []
+    `requests` or an endpoint (the two things this container lacks); a
+    GENERATOR, not a list, so the executor holds at most one bulk of
+    ndjson in memory while streaming a partition -- the same memory
+    profile as the pre-refactor inline flush."""
     lines: list[str] = []
     n = 0
-
-    def flush() -> None:
-        if lines:
-            payloads.append("\n".join(lines) + "\n")
-            lines.clear()
-
     for r in rows:
         lines.append(json.dumps({"index": {"_index": index}}))
         lines.append(
@@ -97,9 +93,10 @@ def es_bulk_payloads(rows, index: str, bulk_size: int = 10) -> list[str]:
         )
         n += 1
         if n % bulk_size == 0:
-            flush()
-    flush()
-    return payloads
+            yield "\n".join(lines) + "\n"
+            lines.clear()
+    if lines:
+        yield "\n".join(lines) + "\n"
 
 
 def elasticsearch_foreach_batch(

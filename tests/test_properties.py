@@ -976,7 +976,7 @@ def test_es_bulk_payloads_conserve_rows(n_rows, bulk):
         }
         for i in range(n_rows)
     ]
-    payloads = es_bulk_payloads(rows, index="ix", bulk_size=bulk)
+    payloads = list(es_bulk_payloads(rows, index="ix", bulk_size=bulk))
     assert len(payloads) == math.ceil(n_rows / bulk)
     docs = []
     for j, p in enumerate(payloads):

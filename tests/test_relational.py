@@ -316,7 +316,9 @@ def test_props_json_profile_hand_computed(spark):
             ("view", '{"k": 30}'),
             ("view", '{"k": 10}'),
             ("view", "not json"),          # malformed -> NULL extraction
+            ("view", '{"k": "oops"}'),     # wrong-typed value -> NULL (try_cast)
             ("click", '{"other": 5}'),     # field missing -> NULL
+            ("click", '{"k": {"x": 1}}'),  # nested object -> NULL (try_cast)
             ("click", '{"k": -7}'),
         ],
         "event_type string, props string",
@@ -329,8 +331,8 @@ def test_props_json_profile_hand_computed(spark):
         for r in props_json_profile(ev).collect()
     }
     assert got == {
-        "view": (4, 3, 50, 10, 30, 2),
-        "click": (2, 1, -7, -7, -7, 1),
+        "view": (5, 3, 50, 10, 30, 2),
+        "click": (3, 1, -7, -7, -7, 1),
     }
 
 

@@ -1177,7 +1177,7 @@ def test_es_bulk_payloads_shape():
         }
         for i in range(25)
     ]
-    payloads = es_bulk_payloads(rows, index="nyc-places", bulk_size=10)
+    payloads = list(es_bulk_payloads(rows, index="nyc-places", bulk_size=10))
     assert len(payloads) == 3  # 10 + 10 + 5
     sizes = []
     for p in payloads:
@@ -1199,4 +1199,4 @@ def test_es_bulk_payloads_shape():
         for d in p.strip("\n").split("\n")[1::2]
     ]
     assert [d["time"] for d in docs] == [1000 + i for i in range(25)]
-    assert es_bulk_payloads([], index="x") == []
+    assert list(es_bulk_payloads([], index="x")) == []
