@@ -1458,3 +1458,201 @@ SELECT pct, est_cents, exact_cents,
        CAST(abs(est_cents - exact_cents) AS BIGINT) AS abs_err
 FROM est JOIN exact USING (pct)
 """
+
+def hll_intersection_estimate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_a: str = "spark",
+    term_b: str = "window",
+    p: int = 6,
+) -> DataFrame:
+    """Posting-list overlap estimation from mergeable sketches -- the
+    query-planner / audience-overlap primitive: HLL registers cannot
+    intersect directly, so the standard estimator is inclusion-exclusion
+    over the union merge, |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), where
+    est(A ∪ B) folds the max-of-maxes merged registers (the gated
+    hll_merge_shards law). Sets are the documents containing term_a /
+    term_b (whole-token match via the shared tokenizer -- the inverted
+    index's posting lists); graded against the exact overlap, mirroring
+    hll_distinct's estimator-next-to-truth shape. Output is ONE row.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    p defaults to 6 (m = 64 registers): small enough that the RAW
+    estimator (no linear-counting correction, by repo design) stays in
+    range on this corpus's posting sizes (~385 docs per term at sf0.01,
+    n > 2.5m), large enough that the four register sets -- and therefore
+    the four estimates -- actually separate (at m = 16 the B and union
+    registers coincide on this data and the demo degenerates);
+    production raises p with the posting sizes.
+
+    Determinism: registers are exact integers; every float op is a
+    correctly-rounded IEEE div/add/sub over the shared E-notation
+    numerator literal in one fixed expression tree, rounded once at the
+    end (the BM25 float recipe) -- hash-exact cross-engine.
+
+    Scale shape (100 TB): ONE register-build shuffle keyed on
+    (side, bucket) over the term-filtered scan (state capped at 2m
+    registers); the union fold reuses those registers (merge law, never
+    a second corpus pass); the 2m-row register frame feeds the side
+    folds AND the union fold, so it is localCheckpoint'd once (the
+    multi-consumer rule). The exact twin is one per-doc flag aggregate
+    -- the expensive path the sketch replaces, riding along as the
+    grade. alpha_m for m = 16 uses the published constant family
+    (HLL_NUMERATOR is alpha * m^2 scaled for the register width); the
+    small-m alpha differs from alpha_inf, which is FINE for a graded
+    audit because both engines fold the identical literal."""
+    m = 1 << p
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    flagged = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_contains(words, term_a).alias("in_a"),
+        F.array_contains(words, term_b).alias("in_b"),
+    ).where(F.col("in_a") | F.col("in_b"))
+    h = md5_long(F.col("id").cast("string"))
+    sided = (
+        flagged.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(F.col("in_a"), F.lit("a")),
+                        F.when(F.col("in_b"), F.lit("b")),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("side"),
+            h.alias("h"),
+        )
+        .select(
+            "side",
+            (F.col("h") % m).alias("bucket"),
+            F.expr(f"(h div {m}) % {1 << _HLL_W}").alias("w32"),
+        )
+    )
+    rho = F.when(F.col("w32") == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.lit(_HLL_RHO_CAP) - F.length(F.bin(F.col("w32")))
+    )
+    regs = (
+        sided.select("side", "bucket", rho.alias("rho"))
+        .groupBy("side", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .localCheckpoint()  # <= 2m rows; feeds side folds + union fold
+    )
+    uregs = regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+
+    def fold(frame, side=None):
+        f = frame if side is None else frame.where(F.col("side") == side)
+        return f.agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")
+            ).alias("s_ne"),
+            F.count(F.lit(1)).alias("nb"),
+        ).select(
+            (
+                F.col("s_ne")
+                + (F.lit(m) - F.col("nb")) * F.lit(1 << _HLL_RHO_CAP).cast("bigint")
+            ).alias("s")
+        )
+
+    sa = fold(regs, "a").select(F.col("s").alias("s_a"))
+    sb = fold(regs, "b").select(F.col("s").alias("s_b"))
+    su = fold(uregs).select(F.col("s").alias("s_u"))
+    exact = flagged.agg(
+        F.sum(F.col("in_a").cast("int")).cast("bigint").alias("n_exact_a"),
+        F.sum(F.col("in_b").cast("int")).cast("bigint").alias("n_exact_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("int"))
+        .cast("bigint")
+        .alias("n_exact_both"),
+    )
+    # m = 64 here vs the family default 512: the numerator literal scales
+    # as alpha * m^2, so rebuild it for this m from the same base constant
+    num_lit = f"{(HLL_NUMERATOR / (HLL_M * HLL_M)) * m * m:.17e}"
+    num = F.lit(float(num_lit))
+    return (
+        exact.join(F.broadcast(sa))
+        .join(F.broadcast(sb))
+        .join(F.broadcast(su))
+        .select(
+            "n_exact_a",
+            "n_exact_b",
+            "n_exact_both",
+            F.round(num / F.col("s_a"), 4).alias("est_a"),
+            F.round(num / F.col("s_b"), 4).alias("est_b"),
+            F.round(num / F.col("s_u"), 4).alias("est_union"),
+            F.round(
+                num / F.col("s_a") + num / F.col("s_b") - num / F.col("s_u"), 4
+            ).alias("est_intersection"),
+        )
+    )
+
+
+def hll_intersection_estimate_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_a: str = "spark",
+    term_b: str = "window",
+    p: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hll_intersection_estimate`: same posting
+    flags, register build, max-of-maxes union merge, single-literal
+    float folds, and one-round inclusion-exclusion."""
+    m = 1 << p
+    h = md5_long_sql(f"CAST(id AS VARCHAR)")
+    cap = _HLL_RHO_CAP
+    num_lit = f"{(HLL_NUMERATOR / (HLL_M * HLL_M)) * m * m:.17e}"
+    words = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    return f"""
+WITH flagged AS (
+  SELECT {id_col} AS id,
+         len([x for x in {words} if x = '{term_a}']) > 0 AS in_a,
+         len([x for x in {words} if x = '{term_b}']) > 0 AS in_b
+  FROM {table}
+),
+fl AS (SELECT * FROM flagged WHERE in_a OR in_b),
+sided AS (
+  SELECT s.side AS side, {h} % {m} AS bucket, ({h} // {m}) % {1 << _HLL_W} AS w32
+  FROM (
+    SELECT id, unnest([x for x in [
+      CASE WHEN in_a THEN 'a' END,
+      CASE WHEN in_b THEN 'b' END] if x IS NOT NULL]) AS side
+    FROM fl
+  ) s
+),
+regs AS (
+  SELECT side, bucket,
+         max(CASE WHEN w32 = 0 THEN {cap} ELSE {cap} - length(bin(w32)) END) AS m_j
+  FROM sided GROUP BY 1, 2
+),
+uregs AS (SELECT bucket, max(m_j) AS m_j FROM regs GROUP BY 1),
+sa AS (
+  SELECT CAST(sum(1::BIGINT << ({cap} - m_j)) AS BIGINT)
+       + ({m} - count(*)) * (1::BIGINT << {cap}) AS s
+  FROM regs WHERE side = 'a'
+),
+sb AS (
+  SELECT CAST(sum(1::BIGINT << ({cap} - m_j)) AS BIGINT)
+       + ({m} - count(*)) * (1::BIGINT << {cap}) AS s
+  FROM regs WHERE side = 'b'
+),
+su AS (
+  SELECT CAST(sum(1::BIGINT << ({cap} - m_j)) AS BIGINT)
+       + ({m} - count(*)) * (1::BIGINT << {cap}) AS s
+  FROM uregs
+),
+exact AS (
+  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_a,
+         CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_b,
+         CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_both
+  FROM fl
+)
+SELECT n_exact_a, n_exact_b, n_exact_both,
+       round({num_lit} / sa.s, 4) AS est_a,
+       round({num_lit} / sb.s, 4) AS est_b,
+       round({num_lit} / su.s, 4) AS est_union,
+       round({num_lit} / sa.s + {num_lit} / sb.s - {num_lit} / su.s, 4)
+         AS est_intersection
+FROM exact, sa, sb, su
+"""

@@ -613,3 +613,79 @@ def test_hilbert_index_production_bitwidth_matches_reference(spark):
     sql = hilbert_index_sql("SELECT px, py FROM pts", ["px", "py"], "px", "py", bits)
     duck = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
     assert duck == want
+
+def test_hll_intersection_estimate_contracts(spark, sf_small):
+    """Structural identities of the inclusion-exclusion estimator: the
+    intersection estimate is EXACTLY est_a + est_b - est_union (one
+    expression tree, rounded once -- recompute within rounding), the
+    union estimate dominates both sides (union registers are max-of-
+    maxes, so its fold denominator can only shrink), and the exact
+    columns match direct counts."""
+    from flink_training_exercises_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    r = hll_intersection_estimate(docs).collect()[0]
+    assert r["n_exact_both"] <= min(r["n_exact_a"], r["n_exact_b"])
+    assert r["est_union"] >= max(r["est_a"], r["est_b"])
+    assert r["est_intersection"] <= min(r["est_a"], r["est_b"])
+    assert abs(
+        r["est_intersection"] - (r["est_a"] + r["est_b"] - r["est_union"])
+    ) < 1e-3
+
+
+def test_hll_intersection_estimate_degenerate_sets(spark):
+    """Disjoint posting lists: exact overlap 0. Identical posting lists:
+    all four estimates collapse to one value (side and union registers
+    coincide -- the merge-law identity)."""
+    from flink_training_exercises_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+
+    disjoint = spark.createDataFrame(
+        [(i, "aaa filler") for i in range(30)]
+        + [(100 + i, "bbb filler") for i in range(30)],
+        "doc_id long, text string",
+    )
+    r = hll_intersection_estimate(
+        disjoint, term_a="aaa", term_b="bbb"
+    ).collect()[0]
+    assert (r["n_exact_a"], r["n_exact_b"], r["n_exact_both"]) == (30, 30, 0)
+    assert abs(
+        r["est_intersection"] - (r["est_a"] + r["est_b"] - r["est_union"])
+    ) < 1e-3
+
+    same = spark.createDataFrame(
+        [(i, "ccc ddd filler") for i in range(40)],
+        "doc_id long, text string",
+    )
+    r = hll_intersection_estimate(same, term_a="ccc", term_b="ddd").collect()[0]
+    assert (r["n_exact_a"], r["n_exact_b"], r["n_exact_both"]) == (40, 40, 40)
+    assert r["est_a"] == r["est_b"] == r["est_union"] == r["est_intersection"]
+
+
+def test_hll_intersection_estimate_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sketches import (
+        hll_intersection_estimate,
+        hll_intersection_estimate_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            hll_intersection_estimate(
+                load_table(spark, "documents", sf_small)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(hll_intersection_estimate_sql()).fetchall())
+    assert got == want and got

@@ -156,6 +156,10 @@ def _cases(spark, sf):
             sketches.quantile_merge_shards(ev),
             sketches.quantile_merge_shards_sql(),
         ),
+        "hll_intersection_estimate": (
+            sketches.hll_intersection_estimate(docs),
+            sketches.hll_intersection_estimate_sql(),
+        ),
         "approx_topk_shard_union": (
             sketches.approx_topk_shard_union(docs),
             sketches.approx_topk_shard_union_sql(),
