@@ -1036,3 +1036,67 @@ JOIN deg da ON da.node = e.a
 JOIN deg db ON db.node = e.b
 LEFT JOIN common c ON c.a = e.a AND c.b = e.b
 """
+
+def temporal_reachability(
+    tedges: DataFrame,
+    seed_mod: int = 10,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    t_col: str = "t",
+) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability over a temporal edge
+    list (Wu et al., "Path Problems in Temporal Graphs", VLDB 2014): a
+    path is valid only if edge timestamps are non-decreasing along it,
+    so a hop-shorter path can be unreachable while a longer one works --
+    the property that makes temporal graphs a different algorithm class
+    from static ones (information/contagion flow, session-causality
+    audits). Seeds are the md5 subset md5(vertex) % seed_mod == 0 (the
+    personalized_pagerank predicate) with arrival 0; each round relaxes
+    arrival[v] = min(arrival[v], min{t : (u -> v, t), t >= arrival[u]}).
+    Output (vertex, arrival_ms) for reached vertices only.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Relaxation is MONOTONE (arrivals only decrease, reached set only
+    grows), so the fixed-``rounds`` unrolled oracle equals this side
+    whether or not the fixpoint landed earlier -- the kcore/sssp
+    contract. All arithmetic is BIGINT epoch-ms; no floats.
+
+    Scale shape (100 TB): the timed edge list is localCheckpoint'd once
+    and each round is ONE hash join keyed on src plus a min-aggregate --
+    the frontier never exceeds |V| rows and broadcasts once small (AQE);
+    per-round localCheckpoint cuts the iterative lineage (the
+    weighted_pagerank idiom)."""
+    from ..functions.hashing import md5_long
+
+    e = (
+        tedges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(t_col).cast("bigint").alias("t"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint()
+    )
+    verts = vertices_from_edges(e)
+    arr = (
+        verts.where(md5_long(F.col("vertex")) % seed_mod == 0)
+        .select("vertex", F.lit(0).cast("bigint").alias("arrival_ms"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relax = (
+            arr.join(e, arr["vertex"] == e["src"])
+            .where(F.col("t") >= F.col("arrival_ms"))
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("t").alias("a"))
+            .select(F.col("v").alias("vertex"), F.col("a").alias("arrival_ms"))
+        )
+        arr = (
+            arr.unionByName(relax)
+            .groupBy("vertex")
+            .agg(F.min("arrival_ms").cast("bigint").alias("arrival_ms"))
+            .localCheckpoint()
+        )
+    return arr

@@ -93,3 +93,62 @@ def ppr_oracle(
         ",\n".join(parts)
         + f"\nSELECT vertex, CAST(r AS DOUBLE) / {RANK_SCALE:e} AS rank FROM r{iterations}"
     )
+
+# Timed edge list for the TEMPORAL graph family: one edge per event with
+# its epoch-ms timestamp (not pre-summed -- time-respecting algorithms
+# need every temporal copy). DuckDB spelling; the Spark side builds the
+# same frame in DataFrame code (timed_edges_view) because the engines
+# spell ts -> epoch-ms differently (session-TZ rule).
+TIMED_EDGES_SQL = """
+SELECT 'v' || CAST(user_id % 20 AS STRING) AS src,
+       'v' || CAST((user_id + 1 + event_id % 19) % 20 AS STRING) AS dst,
+       CAST(epoch_ms(ts) AS BIGINT) AS t
+FROM {events}
+"""
+
+
+def timed_edges_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.time import epoch_ms
+    from ..sources import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        F.concat(F.lit("v"), (F.col("user_id") % 20).cast("string")).alias("src"),
+        F.concat(
+            F.lit("v"),
+            ((F.col("user_id") + 1 + F.col("event_id") % 19) % 20).cast("string"),
+        ).alias("dst"),
+        epoch_ms("ts").alias("t"),
+    )
+
+
+def temporal_reachability_oracle(seed_mod: int = 10, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`~..operators.graph.temporal_reachability`:
+    exactly ``rounds`` earliest-arrival relaxations unrolled as
+    materialized CTEs (the sssp/pagerank unroll contract -- relaxation is
+    monotone, so rounds past convergence are identity on both sides)."""
+    from ..functions.hashing import md5_long_sql
+
+    seed = f"{md5_long_sql('vertex')} % {seed_mod} = 0"
+    edges = TIMED_EDGES_SQL.format(events="events")
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges})",
+        "verts AS (SELECT DISTINCT vertex FROM "
+        "(SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e))",
+        f"r0 AS (SELECT vertex, CAST(0 AS BIGINT) AS arrival_ms "
+        f"FROM verts WHERE {seed})",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT vertex, "
+            f"CAST(min(arrival_ms) AS BIGINT) AS arrival_ms FROM ("
+            f"SELECT vertex, arrival_ms FROM r{i} "
+            f"UNION ALL "
+            f"SELECT e.dst AS vertex, min(e.t) AS arrival_ms "
+            f"FROM r{i} a JOIN e ON e.src = a.vertex AND e.t >= a.arrival_ms "
+            f"GROUP BY e.dst"
+            f") GROUP BY vertex)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vertex, arrival_ms FROM r{rounds}"

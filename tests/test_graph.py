@@ -592,3 +592,90 @@ def test_edge_jaccard_similarity_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(sql).fetchall())
     assert got == want and got
+
+def _md5mod(name, mod=10):
+    import hashlib
+
+    return int(hashlib.md5(name.encode()).hexdigest()[:15], 16) % mod
+
+
+def test_temporal_reachability_time_respecting_hand_case(spark):
+    """The defining temporal property: a hop-shorter path whose edge
+    times DECREASE is unreachable while a longer non-decreasing one
+    works. Seed = 'v9' (md5 % 10 == 0, asserted); the direct a->d edge
+    at t=5 is infeasible after arriving at a at t=10, so d's earliest
+    arrival is 20 via c."""
+    from flink_training_exercises_spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    assert _md5mod("v9") == 0
+    others = [n for n in ("a", "c", "d") if _md5mod(n) != 0]
+    assert others == ["a", "c", "d"], "hand-case names must not be seeds"
+    tedges = spark.createDataFrame(
+        [
+            ("v9", "a", 10),
+            ("a", "d", 5),    # infeasible: 5 < arrival(a)=10
+            ("v9", "c", 1),
+            ("c", "d", 20),
+        ],
+        "src string, dst string, t long",
+    )
+    got = {
+        r["vertex"]: r["arrival_ms"]
+        for r in temporal_reachability(tedges, rounds=4).collect()
+    }
+    assert got == {"v9": 0, "a": 10, "c": 1, "d": 20}
+
+
+def test_temporal_reachability_matches_python_replay(spark, sf_small):
+    """Fixed-round earliest-arrival relaxation replayed in python over
+    the real timed edge list equals the Spark loop."""
+    from collections import defaultdict
+
+    from flink_training_exercises_spark.operators.graph import (
+        temporal_reachability,
+    )
+    from flink_training_exercises_spark.plans import graphs as gp
+
+    te = gp.timed_edges_view(spark, sf_small)
+    edges = [(r["src"], r["dst"], r["t"]) for r in te.collect()]
+    verts = {v for e in edges for v in e[:2]}
+    arr = {v: 0 for v in verts if _md5mod(v) == 0}
+    out_adj = defaultdict(list)
+    for s, d, t in edges:
+        if s != d:
+            out_adj[s].append((d, t))
+    for _ in range(4):
+        relax = {}
+        for u, a in arr.items():
+            for v, t in out_adj[u]:
+                if t >= a and (v not in relax or t < relax[v]):
+                    relax[v] = t
+        for v, t in relax.items():
+            if v not in arr or t < arr[v]:
+                arr[v] = t
+    got = {
+        r["vertex"]: r["arrival_ms"]
+        for r in temporal_reachability(te).collect()
+    }
+    assert got == arr and got
+
+
+def test_temporal_reachability_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.graph import (
+        temporal_reachability,
+    )
+    from flink_training_exercises_spark.plans import graphs as gp
+
+    got = sorted(
+        map(tuple, temporal_reachability(gp.timed_edges_view(spark, sf_small)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(gp.temporal_reachability_oracle()).fetchall())
+    assert got == want and got

@@ -180,6 +180,12 @@ def _cases(spark, sf):
                 graphs_plan.EDGES_SQL.format(events="events")
             ),
         ),
+        "temporal_reachability": (
+            graph.temporal_reachability(
+                graphs_plan.timed_edges_view(spark, sf)
+            ),
+            graphs_plan.temporal_reachability_oracle(),
+        ),
         "random_walks": (
             graph.random_walks(graphs_plan.edges_view(spark, sf)),
             graph.random_walks_sql(
