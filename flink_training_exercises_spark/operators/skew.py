@@ -81,3 +81,114 @@ def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc(key))
         .limit(n)
     )
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Key-skew diagnosis BEFORE a shuffle: the per-key row-count
+    distribution summarized into the numbers a salting decision actually
+    needs -- how hot is the hottest key relative to the mean and the
+    p50/p95 keys, and how many mean-sized slices it spans
+    (recommended_salt = ceil(max * n_keys / total), the salt factor that
+    levels the hot key's partition back to an average one; 1 = no
+    salting needed). Completes the skew family: salted_aggregate /
+    salted_broadcast_join APPLY the mitigation, this op DECIDES it.
+    Output ONE row (n_keys, total_rows, max_cnt, p50_cnt, p95_cnt,
+    skew_vs_mean_ppm, recommended_salt), all BIGINT.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Determinism: p50/p95 are exact discrete quantiles (value at rank
+    ceil(p*n) over the per-key counts) computed by the integer
+    cross-multiplied cumulative walk over the COUNT-OF-COUNTS frame --
+    bounded by distinct count VALUES, not keys (the histogram_merge /
+    quantile_merge recipe); skew_vs_mean_ppm = (1e6 * max * n_keys)
+    DIV total and the salt ceiling are pure BIGINT rationals.
+
+    Scale shape (100 TB): one hash groupBy to per-key counts (map-side
+    partials), one tiny groupBy to count-of-counts, a bounded
+    single-partition cumulative over that summary, and 1-row broadcast
+    folds -- never a corpus-wide sort or window."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("c", F.sum("f").over(wc).alias("cf"))
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+        F.max("c").cast("bigint").alias("max_cnt"),
+    )
+    p50 = (
+        tot.select("n_keys")
+        .crossJoin(cum)
+        .where(F.col("cf") * 100 >= F.col("n_keys") * 50)
+        .agg(F.min("c").cast("bigint").alias("p50_cnt"))
+    )
+    p95 = (
+        tot.select("n_keys")
+        .crossJoin(cum)
+        .where(F.col("cf") * 100 >= F.col("n_keys") * 95)
+        .agg(F.min("c").cast("bigint").alias("p95_cnt"))
+    )
+    return (
+        tot.join(F.broadcast(p50))
+        .join(F.broadcast(p95))
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p95_cnt",
+            F.expr("(1000000 * max_cnt * n_keys) DIV total_rows")
+            .cast("bigint")
+            .alias("skew_vs_mean_ppm"),
+            F.expr("(max_cnt * n_keys + total_rows - 1) DIV total_rows")
+            .cast("bigint")
+            .alias("recommended_salt"),
+        )
+    )
+
+
+def skew_profile_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+) -> str:
+    """DuckDB twin of :func:`skew_profile`: same count-of-counts walk and
+    integer rationals."""
+    return f"""
+WITH counts AS (
+  SELECT {key_col} AS k, CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1
+),
+hist AS (SELECT c, count(*) AS f FROM counts GROUP BY 1),
+cum AS (
+  SELECT c, CAST(sum(f) OVER (ORDER BY c
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cf
+  FROM hist
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(c) AS BIGINT) AS total_rows,
+         CAST(max(c) AS BIGINT) AS max_cnt
+  FROM counts
+),
+p50 AS (
+  SELECT CAST(min(c) AS BIGINT) AS p50_cnt FROM cum, tot
+  WHERE cf * 100 >= n_keys * 50
+),
+p95 AS (
+  SELECT CAST(min(c) AS BIGINT) AS p95_cnt FROM cum, tot
+  WHERE cf * 100 >= n_keys * 95
+)
+SELECT n_keys, total_rows, max_cnt, p50_cnt, p95_cnt,
+       CAST((1000000 * max_cnt * n_keys) // total_rows AS BIGINT)
+         AS skew_vs_mean_ppm,
+       CAST((max_cnt * n_keys + total_rows - 1) // total_rows AS BIGINT)
+         AS recommended_salt
+FROM tot, p50, p95
+"""

@@ -46,3 +46,46 @@ def test_top_keys_diagnosis(spark):
     out = top_keys(_skewed(spark), "k", n=1).first()
     assert out["k"] == "hot"
     assert out["share"] == 0.9
+
+def test_skew_profile_hand_computed(spark):
+    from flink_training_exercises_spark.operators.skew import skew_profile
+
+    # a x8, b x1, c x1: counts [1,1,8]; p50 = rank-2 value = 1,
+    # p95 = rank-3 value = 8; skew = 1e6*8*3//10 = 2400000;
+    # salt = ceil(8*3/10) = 3
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] + [("c",)], "user_id string"
+    )
+    r = skew_profile(df).collect()[0]
+    assert tuple(r) == (3, 10, 8, 1, 8, 2400000, 3)
+
+
+def test_skew_profile_uniform_is_unsalted(spark):
+    """Perfectly uniform keys: max == mean, skew exactly 1e6, salt 1."""
+    from flink_training_exercises_spark.operators.skew import skew_profile
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(10) for _ in range(4)], "user_id string"
+    )
+    r = skew_profile(df).collect()[0]
+    assert tuple(r) == (10, 40, 4, 4, 4, 1000000, 1)
+
+
+def test_skew_profile_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.skew import (
+        skew_profile,
+        skew_profile_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, skew_profile(load_table(spark, "events", sf_small)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(skew_profile_sql()).fetchall())
+    assert got == want and got

@@ -34,6 +34,7 @@ def _cases(spark, sf):
         sampling,
         similarity,
         sketches,
+        skew,
     )
     from flink_training_exercises_spark.operators.ivf import (
         index_staleness_audit,
@@ -79,6 +80,10 @@ def _cases(spark, sf):
         "attribution_credit": (
             attribution_credit(ev),
             attribution_credit_sql(),
+        ),
+        "skew_profile": (
+            skew.skew_profile(ev),
+            skew.skew_profile_sql(),
         ),
         "props_json_profile": (
             relational.props_json_profile(ev),
