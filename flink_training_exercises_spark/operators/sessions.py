@@ -692,3 +692,115 @@ SELECT user_id, n AS n_events, n_types,
        CAST((1000000 * (n * n - sumsq)) // (n * n) AS BIGINT) AS gini_ppm
 FROM per
 """
+
+def session_cooccurrence_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_ms: int = DEFAULT_GAP_MS,
+) -> DataFrame:
+    """Market-basket co-occurrence over sessions -- the association-rule
+    screen (baskets = gap sessions, items = event types): for every
+    unordered type pair, in how many sessions both occur, and the LIFT
+    against independence, lift = P(a,b) / (P(a) * P(b)) =
+    (n_both * n_sessions) / (n_a * n_b). Complements
+    event_transitions_markov (adjacent ORDER) with order-free
+    co-presence -- the statistic item-similarity / embedding-prep
+    pipelines start from. Lift ships as exact integer ppm
+    ((1e6 * n_both * n_sessions) DIV (n_a * n_b) -- NPMI would need
+    ln(), the BM25 lesson); > 1e6 means attraction, < 1e6 repulsion.
+    Output (type_a, type_b, n_both, n_a, n_b, lift_ppm) for co-occurring
+    pairs, type_a < type_b.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Scale shape (100 TB): session ids via the shared lag-gap-cumsum
+    windows (user-partitioned, parallel); baskets collapse to DISTINCT
+    (session, type) first, so the within-basket self-join fans out at
+    most C(types_in_session, 2) pairs per session (vocabulary-bounded
+    per basket, never events^2); per-type and pair counts fold with
+    map-side partials to vocabulary-bounded relations; the 1-row session
+    total broadcasts (the A4 pattern)."""
+    sid = _with_session_ids(
+        events, user_col, time_col, id_col, gap_ms,
+        {"t": F.col(type_col)},
+    )
+    basket = (
+        sid.select(user_col, "session_id", "t").distinct()
+        .select(
+            F.concat_ws(
+                ":", F.col(user_col).cast("string"), F.col("session_id").cast("string")
+            ).alias("b"),
+            "t",
+        )
+    )
+    n_sessions = basket.select("b").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    per_type = basket.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    a = basket.select(F.col("b"), F.col("t").alias("type_a"))
+    b = basket.select(F.col("b"), F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, "b")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    na = per_type.select(F.col("t").alias("type_a"), F.col("n_t").alias("n_a"))
+    nb = per_type.select(F.col("t").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * n_both * n_sessions) DIV (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+def session_cooccurrence_lift_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_ms: int = DEFAULT_GAP_MS,
+) -> str:
+    """DuckDB twin of :func:`session_cooccurrence_lift`: the shared
+    session-id CTE prefix, the same basket distinct, self-join, and
+    integer lift."""
+    prefix = _session_sql_prefix(
+        table, user_col, time_col, id_col, gap_ms, f"{type_col} AS t"
+    )
+    return f"""
+WITH {prefix},
+basket AS (
+  SELECT DISTINCT CAST({user_col} AS VARCHAR) || ':' ||
+         CAST(session_id AS VARCHAR) AS b, t
+  FROM sid
+),
+ns AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_sessions FROM basket),
+per_type AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM basket GROUP BY 1),
+pairs AS (
+  SELECT a.t AS type_a, bb.t AS type_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM basket a JOIN basket bb ON a.b = bb.b AND a.t < bb.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, na.n_t AS n_a, nb.n_t AS n_b,
+       CAST((1000000 * n_both * n_sessions) // (na.n_t * nb.n_t) AS BIGINT)
+         AS lift_ppm
+FROM pairs
+JOIN per_type na ON na.t = type_a
+JOIN per_type nb ON nb.t = type_b, ns
+"""

@@ -423,3 +423,79 @@ def test_user_behavior_gini_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(user_behavior_gini_sql()).fetchall())
     assert got == want and got
+
+def test_session_cooccurrence_lift_hand_computed(spark):
+    from datetime import datetime
+
+    from flink_training_exercises_spark.operators.sessions import (
+        session_cooccurrence_lift,
+    )
+
+    mk = datetime
+    rows = [
+        # user 1, one session: view + click + view -> basket {view, click}
+        (1, 1, mk(2024, 1, 1, 10, 0, 0), "view"),
+        (2, 1, mk(2024, 1, 1, 10, 5, 0), "click"),
+        (3, 1, mk(2024, 1, 1, 10, 10, 0), "view"),
+        # user 2, session A: {view}; session B after a >30min gap: {click}
+        (4, 2, mk(2024, 1, 1, 9, 0, 0), "view"),
+        (5, 2, mk(2024, 1, 1, 11, 0, 0), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_both"], r["n_a"], r["n_b"], r["lift_ppm"]
+        )
+        for r in session_cooccurrence_lift(ev).collect()
+    }
+    # 3 baskets; view in 2, click in 2; co-present in 1
+    # lift = 1e6 * 1 * 3 // (2 * 2) = 750000
+    assert got == {("click", "view"): (1, 2, 2, 750000)}
+
+
+def test_session_cooccurrence_lift_contracts(spark, sf_small):
+    """n_both <= min(n_a, n_b); canonical pair order; lift consistent
+    with the count columns by exact recomputation."""
+    from flink_training_exercises_spark.operators.sessions import (
+        session_cooccurrence_lift,
+        sessionize,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    rows = session_cooccurrence_lift(ev).collect()
+    assert rows
+    n_sessions = sessionize(ev).count()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 1 <= r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["lift_ppm"] == (1000000 * r["n_both"] * n_sessions) // (
+            r["n_a"] * r["n_b"]
+        )
+
+
+def test_session_cooccurrence_lift_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sessions import (
+        session_cooccurrence_lift,
+        session_cooccurrence_lift_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            session_cooccurrence_lift(
+                load_table(spark, "events", sf_small)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(session_cooccurrence_lift_sql()).fetchall())
+    assert got == want and got

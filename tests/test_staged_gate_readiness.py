@@ -43,6 +43,8 @@ def _cases(spark, sf):
     from flink_training_exercises_spark.operators.sessions import (
         attribution_credit,
         attribution_credit_sql,
+        session_cooccurrence_lift,
+        session_cooccurrence_lift_sql,
         user_behavior_gini,
         user_behavior_gini_sql,
     )
@@ -88,6 +90,10 @@ def _cases(spark, sf):
         "props_json_profile": (
             relational.props_json_profile(ev),
             relational.props_json_profile_sql(),
+        ),
+        "session_cooccurrence_lift": (
+            session_cooccurrence_lift(ev),
+            session_cooccurrence_lift_sql(),
         ),
         "user_behavior_gini": (
             user_behavior_gini(ev),
