@@ -139,10 +139,13 @@ def props_json_profile(
     Cross-engine contract for dirty rows: malformed JSON (Spark's
     get_json_object returns NULL; DuckDB's json_extract ERRORS, so the
     twin guards with json_valid) and WRONG-TYPED field values (a string
-    or nested object where the integer should be -- try_cast/TRY_CAST on
-    both sides, because a plain ANSI cast would kill the whole query on
-    one dirty row, which is exactly what a schema-on-read profiler must
-    not do) both count in n_events but not n_with_field. Extraction
+    or nested object where the integer should be -- Spark try_cast,
+    which also NULLs non-integer-FORMATTED numbers like 1.5/2.0/1e3;
+    the twin gates on the same ^[+-]?[0-9]+$ format explicitly because
+    DuckDB's TRY_CAST would happily parse those -- a plain ANSI cast
+    would kill the whole query on one dirty row, which is exactly what
+    a schema-on-read profiler must not do) both count in n_events but
+    not n_with_field. Extraction
     stays JVM-side (get_json_object is a codegen'd expression, no UDF);
     values cast through BIGINT so the aggregate is exact.
 
@@ -173,15 +176,26 @@ def props_json_profile_sql(
 ) -> str:
     """DuckDB twin of :func:`props_json_profile`: json_valid-guarded
     json_extract_string (Spark's get_json_object NULLs malformed rows;
-    DuckDB would error without the guard) through TRY_CAST (wrong-typed
-    field values NULL instead of erroring, matching Spark's try_cast)."""
+    DuckDB would error without the guard), then an EXPLICIT integer-
+    format gate before the cast. The format gate is load-bearing:
+    Spark's try_cast('1.5'|'2.0'|'1e3' AS BIGINT) yields NULL while
+    DuckDB's TRY_CAST parses all three, so a bare TRY_CAST twin would
+    silently diverge on any non-integer-formatted JSON number -- the
+    same latent-divergence class as the documented Java-vs-RE2 \\s
+    trap. Both sides now admit exactly ^[+-]?[0-9]+$."""
     return f"""
-WITH ex AS (
+WITH raw AS (
   SELECT {type_col} AS event_type,
          CASE WHEN json_valid({json_col})
-              THEN TRY_CAST(json_extract_string({json_col}, '{path}') AS BIGINT)
-         END AS v
+              THEN json_extract_string({json_col}, '{path}')
+         END AS vs
   FROM {table}
+),
+ex AS (
+  SELECT event_type,
+         CASE WHEN regexp_matches(vs, '^[+-]?[0-9]+$')
+              THEN CAST(vs AS BIGINT) END AS v
+  FROM raw
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,

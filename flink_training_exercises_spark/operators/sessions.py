@@ -722,7 +722,10 @@ def session_cooccurrence_lift(
     most C(types_in_session, 2) pairs per session (vocabulary-bounded
     per basket, never events^2); per-type and pair counts fold with
     map-side partials to vocabulary-bounded relations; the 1-row session
-    total broadcasts (the A4 pattern)."""
+    total broadcasts (the A4 pattern). The basket projection is
+    localCheckpoint'd once for its four consumers (session total,
+    per-type counts, both self-join sides), so the sessionization
+    windows run exactly once per query."""
     sid = _with_session_ids(
         events, user_col, time_col, id_col, gap_ms,
         {"t": F.col(type_col)},
@@ -735,12 +738,20 @@ def session_cooccurrence_lift(
             ).alias("b"),
             "t",
         )
+        # consumed by the session total, the per-type counts, and BOTH
+        # sides of the within-basket self-join: localCheckpoint once so
+        # the sessionization windows run exactly once (the r2 self-join
+        # rule; a bare self-join re-evaluates the subtree per side)
+        .localCheckpoint()
     )
     n_sessions = basket.select("b").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
-    per_type = basket.groupBy("t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    per_type = (
+        basket.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+        # vocabulary-bounded, consumed by two broadcast builds (na/nb)
+        .localCheckpoint()
     )
     a = basket.select(F.col("b"), F.col("t").alias("type_a"))
     b = basket.select(F.col("b"), F.col("t").alias("type_b"))

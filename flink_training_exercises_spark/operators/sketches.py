@@ -1499,17 +1499,24 @@ def hll_intersection_estimate(
     folds AND the union fold, so it is localCheckpoint'd once (the
     multi-consumer rule). The exact twin is one per-doc flag aggregate
     -- the expensive path the sketch replaces, riding along as the
-    grade. alpha_m for m = 16 uses the published constant family
-    (HLL_NUMERATOR is alpha * m^2 scaled for the register width); the
-    small-m alpha differs from alpha_inf, which is FINE for a graded
-    audit because both engines fold the identical literal."""
+    grade. The numerator literal rescales the family's alpha_512
+    constant to m = 64 (alpha * m^2); the published small-m alpha_64
+    (~0.709) differs slightly from alpha_512's base -- a constant-factor
+    bias tolerated BY DESIGN in this graded audit, and irrelevant to
+    parity because both engines fold the identical literal."""
     m = 1 << p
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
-    flagged = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_contains(words, term_a).alias("in_a"),
-        F.array_contains(words, term_b).alias("in_b"),
-    ).where(F.col("in_a") | F.col("in_b"))
+    flagged = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_contains(words, term_a).alias("in_a"),
+            F.array_contains(words, term_b).alias("in_b"),
+        )
+        .where(F.col("in_a") | F.col("in_b"))
+        # posting-bounded; feeds the register build AND the exact grade
+        # -- localCheckpoint so the scan + tokenize runs once
+        .localCheckpoint()
+    )
     h = md5_long(F.col("id").cast("string"))
     sided = (
         flagged.select(
@@ -1565,8 +1572,7 @@ def hll_intersection_estimate(
         .cast("bigint")
         .alias("n_exact_both"),
     )
-    # m = 64 here vs the family default 512: the numerator literal scales
-    # as alpha * m^2, so rebuild it for this m from the same base constant
+    # rescale the family numerator (alpha * m^2) from m = 512 to this m
     num_lit = f"{(HLL_NUMERATOR / (HLL_M * HLL_M)) * m * m:.17e}"
     num = F.lit(float(num_lit))
     return (

@@ -107,37 +107,42 @@ def skew_profile(
     DIV total and the salt ceiling are pure BIGINT rationals.
 
     Scale shape (100 TB): one hash groupBy to per-key counts (map-side
-    partials), one tiny groupBy to count-of-counts, a bounded
-    single-partition cumulative over that summary, and 1-row broadcast
-    folds -- never a corpus-wide sort or window."""
+    partials), one tiny groupBy to count-of-counts -- localCheckpoint'd
+    there, since totals and the quantile picks all read it (the
+    multi-consumer rule) -- a bounded single-partition cumulative over
+    that summary, and ONE conditional aggregate for both quantiles with
+    a 1-row broadcast: never a corpus-wide sort or window, and the
+    per-key groupBy runs exactly once."""
     from pyspark.sql import Window
 
+    # count-of-counts is tiny (distinct count VALUES), and it feeds the
+    # totals AND both quantile picks -- localCheckpoint once so the
+    # per-key groupBy runs exactly once (the multi-consumer rule), then
+    # fold p50/p95 as ONE conditional aggregate instead of two
+    # crossJoin-filter frames (the bloom three-scalar lesson)
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+    hist = (
+        counts.groupBy("c").agg(F.count(F.lit(1)).alias("f")).localCheckpoint()
+    )
     wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select("c", F.sum("f").over(wc).alias("cf"))
-    tot = counts.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-        F.sum("c").cast("bigint").alias("total_rows"),
+    cum = hist.select("c", "f", F.sum("f").over(wc).alias("cf"))
+    tot = hist.agg(
+        F.sum("f").cast("bigint").alias("n_keys"),
+        F.sum(F.col("c") * F.col("f")).cast("bigint").alias("total_rows"),
         F.max("c").cast("bigint").alias("max_cnt"),
     )
-    p50 = (
-        tot.select("n_keys")
-        .crossJoin(cum)
-        .where(F.col("cf") * 100 >= F.col("n_keys") * 50)
-        .agg(F.min("c").cast("bigint").alias("p50_cnt"))
-    )
-    p95 = (
-        tot.select("n_keys")
-        .crossJoin(cum)
-        .where(F.col("cf") * 100 >= F.col("n_keys") * 95)
-        .agg(F.min("c").cast("bigint").alias("p95_cnt"))
+    picks = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cf") * 100 >= F.col("n_keys") * 50, F.col("c")))
+        .cast("bigint")
+        .alias("p50_cnt"),
+        F.min(F.when(F.col("cf") * 100 >= F.col("n_keys") * 95, F.col("c")))
+        .cast("bigint")
+        .alias("p95_cnt"),
     )
     return (
-        tot.join(F.broadcast(p50))
-        .join(F.broadcast(p95))
+        tot.join(F.broadcast(picks))
         .select(
             "n_keys",
             "total_rows",

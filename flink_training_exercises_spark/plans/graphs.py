@@ -134,7 +134,10 @@ def temporal_reachability_oracle(seed_mod: int = 10, rounds: int = 4) -> str:
     seed = f"{md5_long_sql('vertex')} % {seed_mod} = 0"
     edges = TIMED_EDGES_SQL.format(events="events")
     parts = [
-        f"WITH e AS MATERIALIZED ({edges})",
+        # src != dst mirrors the Spark side's self-loop drop -- the
+        # events-derived formula can never produce one, but both sides
+        # are generic and must agree on any edge source
+        f"WITH e AS MATERIALIZED (SELECT * FROM ({edges}) WHERE src != dst)",
         "verts AS (SELECT DISTINCT vertex FROM "
         "(SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e))",
         f"r0 AS (SELECT vertex, CAST(0 AS BIGINT) AS arrival_ms "

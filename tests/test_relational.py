@@ -317,6 +317,8 @@ def test_props_json_profile_hand_computed(spark):
             ("view", '{"k": 10}'),
             ("view", "not json"),          # malformed -> NULL extraction
             ("view", '{"k": "oops"}'),     # wrong-typed value -> NULL (try_cast)
+            ("view", '{"k": 1.5}'),        # non-integer-FORMATTED number -> NULL
+            ("view", '{"k": 1e3}'),        # scientific notation -> NULL
             ("click", '{"other": 5}'),     # field missing -> NULL
             ("click", '{"k": {"x": 1}}'),  # nested object -> NULL (try_cast)
             ("click", '{"k": -7}'),
@@ -331,7 +333,7 @@ def test_props_json_profile_hand_computed(spark):
         for r in props_json_profile(ev).collect()
     }
     assert got == {
-        "view": (5, 3, 50, 10, 30, 2),
+        "view": (7, 3, 50, 10, 30, 2),
         "click": (3, 1, -7, -7, -7, 1),
     }
 
@@ -357,3 +359,22 @@ def test_props_json_profile_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(props_json_profile_sql()).fetchall())
     assert got == want and got
+
+def test_props_json_profile_twin_numeric_format_parity():
+    """The DuckDB twin must NULL non-integer-formatted JSON numbers the
+    way Spark's try_cast does (DuckDB's bare TRY_CAST would parse 1.5 /
+    2.0 / 1e3) -- probed on dirty literals without Spark."""
+    import duckdb
+
+    from flink_training_exercises_spark.operators.relational import (
+        props_json_profile_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW events AS SELECT * FROM (VALUES
+      ('view', '{"k": 10}'), ('view', '{"k": 1.5}'), ('view', '{"k": 2.0}'),
+      ('view', '{"k": 1e3}'), ('view', '{"k": "oops"}'), ('view', 'not json'),
+      ('view', '{"k": -7}')) t(event_type, props)""")
+    rows = con.execute(props_json_profile_sql()).fetchall()
+    # only 10 and -7 extract: 1.5 / 2.0 / 1e3 must NULL like Spark
+    assert rows == [("view", 7, 2, 3, -7, 10, 2)]

@@ -206,41 +206,11 @@ def _cases(spark, sf):
     }
 
 
-def test_staged_ops_gate_ready(spark, sf_small):
-    con = duckdb.connect()
-    for t in ("documents", "events", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
-        )
-    failures = []
-    for name, (sdf, sql) in _cases(spark, sf_small).items():
-        sp = sdf.toPandas()
-        du = con.execute(sql).df()
-        if sorted(sp.columns) != sorted(du.columns):
-            failures.append(f"{name}: columns {list(sp.columns)} vs {list(du.columns)}")
-            continue
-        du = du[list(sp.columns)]
-        skew = {
-            c: (str(sp[c].dtype), str(du[c].dtype))
-            for c in sp.columns
-            if str(sp[c].dtype) != str(du[c].dtype)
-        }
-        if skew:
-            failures.append(f"{name}: dtype skew {skew}")
-        key = list(sp.columns)
-        sv = sorted(map(tuple, sp[key].itertuples(index=False)))
-        dv = sorted(map(tuple, du[key].itertuples(index=False)))
-        if sv != dv:
-            failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
-        elif not sv:
-            failures.append(f"{name}: empty result")
-    assert not failures, "\n".join(failures)
-
-
-def test_staged_streaming_ops_gate_ready(spark, sf_small):
-    """Gate-readiness for staged STREAMING ops: the run_* availableNow
-    wrappers (the exact callables a future @register will use) must match
-    their DuckDB oracles in values, columns, and dtypes."""
+def streaming_cases(spark, sf):
+    """Staged STREAMING cases: the run_* availableNow wrappers (the exact
+    callables a future @register will use) paired with their DuckDB
+    oracles. Shared by the streaming readiness test and
+    tools/hostile_staged_probe.py."""
     import uuid as _uuid
 
     from flink_training_exercises_spark.streaming.queries import (
@@ -248,24 +218,29 @@ def test_staged_streaming_ops_gate_ready(spark, sf_small):
         windowed_histogram_oracle,
     )
 
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
-    )
-    cases = {
+    return {
         "streaming_windowed_histogram": (
             run_windowed_histogram_availablenow(
-                spark, sf_small, f"whist_gr_{_uuid.uuid4().hex[:8]}"
+                spark, sf, f"whist_gr_{_uuid.uuid4().hex[:8]}"
             ),
             windowed_histogram_oracle(),
         ),
     }
+
+
+def compare_cases(con, cases, verbose: bool = False) -> list[str]:
+    """The ONE parity routine (values, column names, pandas dtypes --
+    exactly what the driver gate hashes) shared by both readiness tests
+    and tools/hostile_staged_probe.py; change the bar here and every
+    caller inherits it."""
     failures = []
     for name, (sdf, sql) in cases.items():
         sp = sdf.toPandas()
         du = con.execute(sql).df()
         if sorted(sp.columns) != sorted(du.columns):
-            failures.append(f"{name}: columns {list(sp.columns)} vs {list(du.columns)}")
+            failures.append(
+                f"{name}: columns {list(sp.columns)} vs {list(du.columns)}"
+            )
             continue
         du = du[list(sp.columns)]
         skew = {
@@ -281,4 +256,27 @@ def test_staged_streaming_ops_gate_ready(spark, sf_small):
             failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
         elif not sv:
             failures.append(f"{name}: empty result")
+        elif verbose:
+            print(f"OK    {name}: {len(sv)} rows match")
+    return failures
+
+
+def test_staged_ops_gate_ready(spark, sf_small):
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
+        )
+    failures = compare_cases(con, _cases(spark, sf_small))
+    assert not failures, "\n".join(failures)
+
+
+def test_staged_streaming_ops_gate_ready(spark, sf_small):
+    """Gate-readiness for staged STREAMING ops via the shared case list
+    and parity routine."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    failures = compare_cases(con, streaming_cases(spark, sf_small))
     assert not failures, "\n".join(failures)

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 import sys
-import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -43,48 +42,19 @@ def main() -> int:
     print(f"session tz: {spark.conf.get('spark.sql.session.timeZone')}; "
           f"cpus/shuffle: {cpus}; system TZ: {os.environ.get('TZ', '(unset)')}")
 
-    from tests.test_staged_gate_readiness import _cases
+    from tests.test_staged_gate_readiness import (
+        _cases,
+        compare_cases,
+        streaming_cases,
+    )
 
     con = duckdb.connect()
     for t in ("documents", "events", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     cases = dict(_cases(spark, sf))
-    from flink_training_exercises_spark.streaming.queries import (
-        run_windowed_histogram_availablenow,
-        windowed_histogram_oracle,
-    )
-
-    cases["streaming_windowed_histogram"] = (
-        run_windowed_histogram_availablenow(
-            spark, sf, f"whp_{uuid.uuid4().hex[:8]}"
-        ),
-        windowed_histogram_oracle(),
-    )
-
-    failures = []
-    for name, (sdf, sql) in cases.items():
-        sp = sdf.toPandas()
-        du = con.execute(sql).df()
-        if sorted(sp.columns) != sorted(du.columns):
-            failures.append(f"{name}: columns {list(sp.columns)} vs {list(du.columns)}")
-            continue
-        du = du[list(sp.columns)]
-        skew = {
-            c: (str(sp[c].dtype), str(du[c].dtype))
-            for c in sp.columns
-            if str(sp[c].dtype) != str(du[c].dtype)
-        }
-        if skew:
-            failures.append(f"{name}: dtype skew {skew}")
-        sv = sorted(map(tuple, sp.itertuples(index=False)))
-        dv = sorted(map(tuple, du.itertuples(index=False)))
-        if sv != dv:
-            failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
-        elif not sv:
-            failures.append(f"{name}: empty result")
-        else:
-            print(f"OK    {name}: {len(sv)} rows match")
+    cases.update(streaming_cases(spark, sf))
+    failures = compare_cases(con, cases, verbose=True)
     if failures:
         print("\nFAILURES:")
         for f in failures:
