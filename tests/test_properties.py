@@ -1074,3 +1074,36 @@ def test_edge_jaccard_matches_python_replay(spark, edges):
             len(adj[a]), len(adj[b]), common, (1000000 * common) // union
         )
     assert got == want
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=15)
+)
+@settings(max_examples=20, deadline=None)
+def test_skew_profile_matches_python_replay(spark, counts):
+    """STAGED round-9: the exact discrete p50/p95 walk, skew ppm, and salt
+    ceiling equal a python replay on random per-key count multisets."""
+    from flink_training_exercises_spark.operators.skew import skew_profile
+
+    rows = [(f"k{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "user_id string")
+    r = skew_profile(df).collect()[0]
+    n_keys = len(counts)
+    total = sum(counts)
+    mx = max(counts)
+    s = sorted(counts)
+
+    def q(p):
+        # value at rank ceil(p*n) == min c with cumcount*100 >= n*p
+        import math
+
+        return s[math.ceil(p * n_keys) - 1]
+
+    assert tuple(r) == (
+        n_keys,
+        total,
+        mx,
+        q(0.5),
+        q(0.95),
+        (1000000 * mx * n_keys) // total,
+        (mx * n_keys + total - 1) // total,
+    )
