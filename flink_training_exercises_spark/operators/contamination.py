@@ -124,3 +124,75 @@ SELECT {id_col}, count(*) AS n_grams,
        CAST(count(*) FILTER (WHERE hit) AS DOUBLE) / count(*) AS contam_frac
 FROM marked GROUP BY 1
 """
+
+def bloom_contamination_screen(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    bench_mod: int = BENCH_MOD,
+) -> DataFrame:
+    """The SCALE PATH for decontamination: a Bloom filter over the
+    benchmark subset's n-gram set screens the training corpus's grams
+    map-only, graded against the exact distinct semi-join -- the
+    production recipe at 100 TB is exactly this two-stage shape (Bloom
+    screen ahead of the scan, exact verify only on the flagged
+    remainder), where the gated ngram_contamination is the exact
+    single-stage form. Composes :func:`~.bloom.bloom_semijoin_audit`
+    over the SAME gram pipeline as ngram_contamination (shared
+    _words/_gram_strings, md5 after the explode). Output is ONE row
+    (n_probe_keys, n_candidates, n_true, n_false_pos): candidates >=
+    true always (no false negatives -- the screen can only over-flag),
+    and n_false_pos is the price of the 260-word broadcast filter vs
+    the exact shuffle.
+
+    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+
+    Scale shape (100 TB): the gram subtree is evaluated twice -- once
+    to build the bench-side filter (eval-set-vocabulary bounded;
+    DISTINCT + localCheckpoint'd here so the audit's two internal
+    consumers of the build side don't re-tokenize), once as the
+    map-only corpus screen -- the two passes ARE the production shape
+    (build the filter, then screen the scan). The filter itself is the
+    bounded driver artifact bloom_semijoin_orders established
+    (<= 260 BIGINT words, inlined as an array literal)."""
+    from ..sources.loaders import widen_scan
+    from .bloom import bloom_semijoin_audit
+
+    g = widen_scan(docs).select(
+        (F.col(id_col) % bench_mod == 0).alias("is_bench"),
+        F.explode(_gram_strings(_words(text_col), n)).alias("gs"),
+    ).select("is_bench", md5_long("gs").alias("gh"))
+    bench = (
+        g.where(F.col("is_bench")).select("gh").distinct().localCheckpoint()
+    )
+    corpus = g.where(~F.col("is_bench")).select("gh")
+    return bloom_semijoin_audit(bench, corpus, "gh", "gh")
+
+
+def bloom_contamination_screen_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    bench_mod: int = BENCH_MOD,
+) -> str:
+    """DuckDB twin of :func:`bloom_contamination_screen`: the
+    ngram_contamination gram CTE feeding bloom_semijoin_audit_sql's
+    build/probe slots (each must select one column named ``k``)."""
+    from .bloom import bloom_semijoin_audit_sql
+
+    w = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    slots = ", ".join("w[i]" if j == 0 else f"w[i+{j}]" for j in range(n))
+    gram = f"concat_ws(' ', {slots})"
+    gram_list = (
+        f"list_transform(list_distinct(list_transform(range(1, len(w) - {n - 2}), "
+        f"i -> {gram})), g -> {md5_long_sql('g')})"
+    )
+    grams = (
+        f"(SELECT {id_col} % {bench_mod} = 0 AS is_bench, {gram_list} AS g "
+        f"FROM (SELECT {id_col}, {w} AS w FROM {table}))"
+    )
+    build_sql = f"SELECT unnest(g) AS k FROM {grams} WHERE is_bench"
+    probe_sql = f"SELECT unnest(g) AS k FROM {grams} WHERE NOT is_bench"
+    return bloom_semijoin_audit_sql(build_sql, probe_sql)

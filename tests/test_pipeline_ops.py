@@ -2676,3 +2676,59 @@ def test_vocab_drift_halves_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(vocab_drift_halves_sql()).fetchall())
     assert got == want and got
+
+def test_bloom_contamination_screen_contracts(spark, sf_small):
+    """The Bloom guarantee and the grade: candidates >= true (no false
+    negatives -- every truly contaminated gram is flagged), and n_true
+    equals the exact distinct-gram semi-join recomputed independently."""
+    from pyspark.sql import functions as F
+
+    from flink_training_exercises_spark.operators.contamination import (
+        BENCH_MOD,
+        NGRAM_N,
+        _gram_strings,
+        _words,
+        bloom_contamination_screen,
+    )
+    from flink_training_exercises_spark.functions.hashing import md5_long
+    from flink_training_exercises_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    r = bloom_contamination_screen(docs).collect()[0]
+    assert r["n_candidates"] >= r["n_true"]
+    assert r["n_false_pos"] == r["n_candidates"] - r["n_true"]
+    assert 0 < r["n_true"] <= r["n_probe_keys"]
+
+    g = docs.select(
+        (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+        F.explode(_gram_strings(_words("text"), NGRAM_N)).alias("gs"),
+    ).select("is_bench", md5_long("gs").alias("gh"))
+    bench = {x["gh"] for x in g.where("is_bench").select("gh").distinct().collect()}
+    corpus = {x["gh"] for x in g.where("NOT is_bench").select("gh").distinct().collect()}
+    assert r["n_probe_keys"] == len(corpus)
+    assert r["n_true"] == len(corpus & bench)
+
+
+def test_bloom_contamination_screen_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.contamination import (
+        bloom_contamination_screen,
+        bloom_contamination_screen_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            bloom_contamination_screen(
+                load_table(spark, "documents", sf_small)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(bloom_contamination_screen_sql()).fetchall())
+    assert got == want and got

@@ -28,6 +28,7 @@ def _cases(spark, sf):
     from pyspark.sql import functions as F
 
     from flink_training_exercises_spark.operators import (
+        contamination,
         dedup,
         graph,
         relational,
@@ -82,6 +83,10 @@ def _cases(spark, sf):
         "attribution_credit": (
             attribution_credit(ev),
             attribution_credit_sql(),
+        ),
+        "bloom_contamination_screen": (
+            contamination.bloom_contamination_screen(docs),
+            contamination.bloom_contamination_screen_sql(),
         ),
         "skew_profile": (
             skew.skew_profile(ev),
