@@ -92,6 +92,27 @@ def ngram_contamination(
     )
 
 
+def _grams_sql(
+    table: str, id_col: str, text_col: str, n: int, bench_mod: int
+) -> str:
+    """Shared gram-pipeline SQL (tokenize -> per-doc distinct n-gram
+    strings -> md5 hashes, bench flag) under ngram_contamination_sql AND
+    bloom_contamination_screen_sql -- one source of truth so the
+    documented \\x0B tokenizer contingency (CLAUDE.md) edits exactly one
+    SQL site next to the shared Spark-side _words/_gram_strings."""
+    w = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
+    slots = ", ".join("w[i]" if j == 0 else f"w[i+{j}]" for j in range(n))
+    gram = f"concat_ws(' ', {slots})"
+    gram_list = (
+        f"list_transform(list_distinct(list_transform(range(1, len(w) - {n - 2}), "
+        f"i -> {gram})), g -> {md5_long_sql('g')})"
+    )
+    return (
+        f"SELECT {id_col}, {id_col} % {bench_mod} = 0 AS is_bench, {gram_list} AS g "
+        f"FROM (SELECT {id_col}, {w} AS w FROM {table})"
+    )
+
+
 def ngram_contamination_sql(
     table: str = "documents",
     id_col: str = "doc_id",
@@ -99,19 +120,12 @@ def ngram_contamination_sql(
     n: int = NGRAM_N,
     bench_mod: int = BENCH_MOD,
 ) -> str:
-    w = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
-    slots = ", ".join("w[i]" if j == 0 else f"w[i+{j}]" for j in range(n))
-    gram = f"concat_ws(' ', {slots})"
     # distinct at the STRING level, then hash -- mirrors the Spark side
-    # (array_distinct of gram strings, md5 after the explode)
-    gram_list = (
-        f"list_transform(list_distinct(list_transform(range(1, len(w) - {n - 2}), "
-        f"i -> {gram})), g -> {md5_long_sql('g')})"
-    )
+    # (array_distinct of gram strings, md5 after the explode); the gram
+    # pipeline itself is the shared _grams_sql fragment
     return f"""
 WITH grams AS (
-  SELECT {id_col}, {id_col} % {bench_mod} = 0 AS is_bench, {gram_list} AS g
-  FROM (SELECT {id_col}, {w} AS w FROM {table})
+  {_grams_sql(table, id_col, text_col, n, bench_mod)}
 ),
 corpus AS (SELECT {id_col}, unnest(g) AS gh FROM grams WHERE NOT is_bench),
 bench AS (SELECT DISTINCT unnest(g) AS gh FROM grams WHERE is_bench),
@@ -182,17 +196,7 @@ def bloom_contamination_screen_sql(
     build/probe slots (each must select one column named ``k``)."""
     from .bloom import bloom_semijoin_audit_sql
 
-    w = f"[x for x in string_split_regex(lower({text_col}), '\\s+') if x != '']"
-    slots = ", ".join("w[i]" if j == 0 else f"w[i+{j}]" for j in range(n))
-    gram = f"concat_ws(' ', {slots})"
-    gram_list = (
-        f"list_transform(list_distinct(list_transform(range(1, len(w) - {n - 2}), "
-        f"i -> {gram})), g -> {md5_long_sql('g')})"
-    )
-    grams = (
-        f"(SELECT {id_col} % {bench_mod} = 0 AS is_bench, {gram_list} AS g "
-        f"FROM (SELECT {id_col}, {w} AS w FROM {table}))"
-    )
+    grams = f"({_grams_sql(table, id_col, text_col, n, bench_mod)})"
     build_sql = f"SELECT unnest(g) AS k FROM {grams} WHERE is_bench"
     probe_sql = f"SELECT unnest(g) AS k FROM {grams} WHERE NOT is_bench"
     return bloom_semijoin_audit_sql(build_sql, probe_sql)

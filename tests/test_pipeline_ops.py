@@ -2679,8 +2679,11 @@ def test_vocab_drift_halves_matches_duckdb_twin(spark, sf_small):
 
 def test_bloom_contamination_screen_contracts(spark, sf_small):
     """The Bloom guarantee and the grade: candidates >= true (no false
-    negatives -- every truly contaminated gram is flagged), and n_true
-    equals the exact distinct-gram semi-join recomputed independently."""
+    negatives -- every truly contaminated gram is flagged), and the
+    n_probe_keys / n_true columns equal a recount over the same gram
+    pipeline driven outside the audit (this pins the Bloom/semi-join
+    stage; gram-pipeline correctness itself is the gated
+    contamination_ngram_overlap's job)."""
     from pyspark.sql import functions as F
 
     from flink_training_exercises_spark.operators.contamination import (
@@ -2696,7 +2699,6 @@ def test_bloom_contamination_screen_contracts(spark, sf_small):
     docs = load_table(spark, "documents", sf_small)
     r = bloom_contamination_screen(docs).collect()[0]
     assert r["n_candidates"] >= r["n_true"]
-    assert r["n_false_pos"] == r["n_candidates"] - r["n_true"]
     assert 0 < r["n_true"] <= r["n_probe_keys"]
 
     g = docs.select(
