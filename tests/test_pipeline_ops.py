@@ -2734,3 +2734,84 @@ def test_bloom_contamination_screen_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(bloom_contamination_screen_sql()).fetchall())
     assert got == want and got
+
+def test_quota_sample_python_replay(spark):
+    """Exactly min(k, stratum size) rows per stratum, picked by the md5
+    priority order -- replayed with hashlib."""
+    import hashlib
+
+    from flink_training_exercises_spark.operators.sampling import quota_sample
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "fr", f"src{i % 3}") for i in range(30)
+    ] + [(100, "xx", "lone")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+
+    def prio(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    from collections import defaultdict
+
+    strata = defaultdict(list)
+    for i, lang, src in rows:
+        strata[(lang, src)].append(i)
+    want = {}
+    for key, ids in strata.items():
+        for rk, i in enumerate(sorted(ids, key=lambda x: (prio(x), x))[:3], 1):
+            want[(key[0], key[1], i)] = rk
+    got = {
+        (r["lang"], r["source"], r["doc_id"]): r["sample_rank"]
+        for r in quota_sample(docs, k=3).collect()
+    }
+    assert got == want
+    # the singleton stratum yields exactly its one row
+    assert got[("xx", "lone", 100)] == 1
+
+
+def test_quota_sample_quota_exactness(spark, sf_small):
+    """Every stratum contributes exactly min(k, its size) rows; ranks are
+    1..quota with no gaps."""
+    from collections import Counter
+
+    from flink_training_exercises_spark.operators.sampling import quota_sample
+    from flink_training_exercises_spark.sources import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_small)
+    sizes = {
+        (r["lang"], r["source"]): r["n"]
+        for r in docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = quota_sample(docs, k=3).collect()
+    per = Counter((r["lang"], r["source"]) for r in rows)
+    assert set(per) == set(sizes)
+    for key, n in sizes.items():
+        assert per[key] == min(3, n)
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault((r["lang"], r["source"]), []).append(r["sample_rank"])
+    for key, rks in by_stratum.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_quota_sample_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sampling import (
+        quota_sample,
+        quota_sample_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, quota_sample(load_table(spark, "documents", sf_small)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    want = sorted(con.execute(quota_sample_sql()).fetchall())
+    assert got == want and got

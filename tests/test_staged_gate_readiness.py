@@ -115,6 +115,10 @@ def _cases(spark, sf):
             sampling.weighted_sample(docs),
             sampling.weighted_sample_sql(),
         ),
+        "quota_sample": (
+            sampling.quota_sample(docs),
+            sampling.quota_sample_sql(),
+        ),
         "contrastive_negatives": (
             sampling.contrastive_negatives(emb),
             sampling.contrastive_negatives_sql(),
