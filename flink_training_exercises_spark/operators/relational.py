@@ -139,21 +139,36 @@ def props_json_profile(
     Cross-engine contract for dirty rows: malformed JSON (Spark's
     get_json_object returns NULL; DuckDB's json_extract ERRORS, so the
     twin guards with json_valid) and WRONG-TYPED field values (a string
-    or nested object where the integer should be -- Spark try_cast,
-    which also NULLs non-integer-FORMATTED numbers like 1.5/2.0/1e3;
-    the twin gates on the same ^[+-]?[0-9]+$ format explicitly because
-    DuckDB's TRY_CAST would happily parse those -- a plain ANSI cast
-    would kill the whole query on one dirty row, which is exactly what
-    a schema-on-read profiler must not do) both count in n_events but
-    not n_with_field. Extraction
+    or nested object where the integer should be) both count in
+    n_events but not n_with_field. BOTH engines gate the cast on the
+    SAME explicit ^[+-]?[0-9]+$ format over the RAW extracted string --
+    the gate is load-bearing twice over: Spark's bare try_cast NULLs
+    non-integer-formatted numbers (1.5/2.0/1e3) that DuckDB's TRY_CAST
+    parses, AND Spark's try_cast trims whitespace (" 7 " parses) where
+    a raw-string regexp on the twin would not -- so the gate must sit
+    on the SPARK side too, over the untrimmed string, to make the
+    admitted set identical (ADVICE r8). The regex uses only
+    [0-9]+-^$ -- identical in Java and RE2, no \\s-class divergence.
+    try_cast stays UNDER the gate on both sides so a
+    formatted-but-overflowing integer NULLs identically instead of
+    erroring (a plain ANSI cast would kill the whole query on one
+    dirty row, which is exactly what a schema-on-read profiler must
+    not do). Extraction
     stays JVM-side (get_json_object is a codegen'd expression, no UDF);
     values cast through BIGINT so the aggregate is exact.
+
+    min_v/max_v use -1 purely as a BIGINT-dtype-stability sentinel for
+    the all-NULL group; the field domain admits negatives, so they are
+    only meaningful when n_with_field > 0 -- readers must check that
+    column first (ADVICE r8).
 
     Scale shape (100 TB): map-only extraction fused into the scan
     projection, one hash groupBy with map-side partials (the
     count-distinct expands to the standard two-level aggregate);
     output is vocabulary-bounded (event types)."""
-    v = F.expr(f"try_cast(get_json_object({json_col}, '{path}') AS BIGINT)")
+    vs = F.expr(f"get_json_object({json_col}, '{path}')")
+    v = F.when(vs.rlike("^[+-]?[0-9]+$"), F.expr(
+        f"try_cast(get_json_object({json_col}, '{path}') AS BIGINT)"))
     return (
         events.select(F.col(type_col).alias("event_type"), v.alias("v"))
         .groupBy("event_type")
@@ -176,13 +191,13 @@ def props_json_profile_sql(
 ) -> str:
     """DuckDB twin of :func:`props_json_profile`: json_valid-guarded
     json_extract_string (Spark's get_json_object NULLs malformed rows;
-    DuckDB would error without the guard), then an EXPLICIT integer-
-    format gate before the cast. The format gate is load-bearing:
-    Spark's try_cast('1.5'|'2.0'|'1e3' AS BIGINT) yields NULL while
-    DuckDB's TRY_CAST parses all three, so a bare TRY_CAST twin would
-    silently diverge on any non-integer-formatted JSON number -- the
-    same latent-divergence class as the documented Java-vs-RE2 \\s
-    trap. Both sides now admit exactly ^[+-]?[0-9]+$."""
+    DuckDB would error without the guard), then the SAME explicit
+    integer-format gate the Spark side applies over the RAW extracted
+    string (see props_json_profile's docstring for why the gate lives
+    on both engines: try_cast format laxity 1.5/2.0/1e3 AND whitespace
+    trimming " 7 " -- ADVICE r8). TRY_CAST under the gate so a
+    formatted-but-overflowing integer NULLs identically to Spark's
+    try_cast instead of erroring."""
     return f"""
 WITH raw AS (
   SELECT {type_col} AS event_type,
@@ -194,7 +209,7 @@ WITH raw AS (
 ex AS (
   SELECT event_type,
          CASE WHEN regexp_matches(vs, '^[+-]?[0-9]+$')
-              THEN CAST(vs AS BIGINT) END AS v
+              THEN TRY_CAST(vs AS BIGINT) END AS v
   FROM raw
 )
 SELECT event_type,

@@ -714,6 +714,16 @@ def session_cooccurrence_lift(
     Output (type_a, type_b, n_both, n_a, n_b, lift_ppm) for co-occurring
     pairs, type_a < type_b.
 
+    Exactness bound (ADVICE r8, mirrors user_behavior_gini): the
+    numerator 1e6 * n_both * n_sessions stays inside BIGINT only while
+    n_both * n_sessions < ~9.2e12 -- since n_both <= n_sessions, that
+    is n_sessions up to ~3e6 with fully-correlated pairs, or
+    correspondingly more when pairs are rarer. Past it, ANSI raises
+    loudly on BOTH engines (never a silent wrap). Upstream mitigation
+    at 100 TB: compute lift per shard/stratum (n_sessions per stratum
+    bounded) or pre-divide the constant (floor(1e6 DIV n_a) loses
+    exactness; the stratified route keeps it).
+
     STAGED FOR ROUND 9 -- the round-8 gate window is full.
 
     Scale shape (100 TB): session ids via the shared lag-gap-cumsum

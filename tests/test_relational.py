@@ -319,6 +319,11 @@ def test_props_json_profile_hand_computed(spark):
             ("view", '{"k": "oops"}'),     # wrong-typed value -> NULL (try_cast)
             ("view", '{"k": 1.5}'),        # non-integer-FORMATTED number -> NULL
             ("view", '{"k": 1e3}'),        # scientific notation -> NULL
+            ("view", '{"k": " 7 "}'),      # whitespace-padded STRING -> NULL
+                                           # (the raw-string format gate; bare
+                                           # try_cast would TRIM and parse it
+                                           # while the twin's regexp would not
+                                           # -- the ADVICE r8 divergence)
             ("click", '{"other": 5}'),     # field missing -> NULL
             ("click", '{"k": {"x": 1}}'),  # nested object -> NULL (try_cast)
             ("click", '{"k": -7}'),
@@ -333,7 +338,7 @@ def test_props_json_profile_hand_computed(spark):
         for r in props_json_profile(ev).collect()
     }
     assert got == {
-        "view": (7, 3, 50, 10, 30, 2),
+        "view": (8, 3, 50, 10, 30, 2),
         "click": (3, 1, -7, -7, -7, 1),
     }
 
@@ -374,7 +379,11 @@ def test_props_json_profile_twin_numeric_format_parity():
     con.execute("""CREATE VIEW events AS SELECT * FROM (VALUES
       ('view', '{"k": 10}'), ('view', '{"k": 1.5}'), ('view', '{"k": 2.0}'),
       ('view', '{"k": 1e3}'), ('view', '{"k": "oops"}'), ('view', 'not json'),
+      ('view', '{"k": " 7 "}'), ('view', '{"k": "99999999999999999999999"}'),
       ('view', '{"k": -7}')) t(event_type, props)""")
     rows = con.execute(props_json_profile_sql()).fetchall()
-    # only 10 and -7 extract: 1.5 / 2.0 / 1e3 must NULL like Spark
-    assert rows == [("view", 7, 2, 3, -7, 10, 2)]
+    # only 10 and -7 extract: 1.5 / 2.0 / 1e3 NULL like Spark's try_cast;
+    # ' 7 ' NULLs under the raw-string gate (ADVICE r8 -- Spark now gates
+    # identically instead of trim-parsing); the formatted-but-overflowing
+    # integer NULLs via TRY_CAST instead of erroring
+    assert rows == [("view", 9, 2, 3, -7, 10, 2)]
