@@ -106,89 +106,42 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-8 WINDOW (50) =======================
+    # ======================= ROUND-9 WINDOW (50) =======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # Window math: 5 staged promotions + 1 changed query
-    # (length_bucket_batches: two-phase offset-rank rewrite of the
-    # unpartitioned global window, VERDICT r7 #3 -- changed code needs a
-    # fresh gate row even though its r7 evidence is green) + 2 canaries
-    # + the 5 r3-evidence rows (three rounds stale, guaranteed slots per
-    # VERDICT r7 #7) + 37 of the 43 r4-evidence rows. Each promotion /
-    # change ejects one r4 row, oldest families first per the starter:
-    # cdc_merge_user_state, sssp_event_graph, vocab_oov_rate,
-    # timeseries_gapfill_hourly, dedup_editdistance_blocked,
-    # hll_merge_shards (the r4-fill block already ejected once; they
-    # lead the round-9 rotation).
-    # -- new in round 8 (staged promotions, gate-readiness audit green) --
-    "hilbert_pruning_audit",        # NEW r8: Hilbert-vs-Morton skipping audit
-    "streaming_windowed_hll",       # NEW r8: windowed HLL distinct (mergeable-sketch stream)
-    "streaming_concurrency_profile",  # NEW r8: streaming sweep-line concurrency twin
-    "pii_tcloseness_audit",         # NEW r8: t-closeness EMD privacy audit
-    "personalized_pagerank",        # NEW r8: seeded-teleport integer PPR
-    # -- changed in round 8 --
-    "length_bucket_batches",        # CHANGED r8: two-phase offset ranking (scale fix)
+    # Window math: 8 staged promotions (the VERDICT r8 #2 five plus
+    # weighted_sample [attests its ADVICE r7 floor fix under the gate],
+    # bloom_contamination_screen [the decontamination scale path] and
+    # tokenizer_fertility [closes the BPE train->apply->audit loop] --
+    # VERDICT r8 #3 asked for 6-7+ to drain the staged backlog) + 2
+    # canaries + the 6 r4-evidence rows (the twice-ejected fill block,
+    # guaranteed slots) + 34 of the 48 r5-evidence rows. Each promotion
+    # ejects one r5 row from the tail of the fitting block
+    # (popular_places..neardup_embedding_cosine lead the round-10
+    # rotation).
+    # -- new in round 9 (staged promotions, gate-readiness audit +
+    #    double-hostile staged probe green before registration) --
+    "streaming_windowed_histogram",   # NEW r9: fixed-width histogram on the stream
+    "record_linkage_scores",          # NEW r9: Fellegi-Sunter decision profile
+    "quantile_merge_shards",          # NEW r9: 4th shard-merge family member
+    "entity_resolution_clusters",     # NEW r9: FS pairs -> canonical entities
+    "props_json_profile",             # NEW r9: semi-structured JSON profiling
+    "weighted_sample",                # NEW r9: A-RES weighted sampling (integer twin)
+    "bloom_contamination_screen",     # NEW r9: decontamination scale path
+    "tokenizer_fertility",            # NEW r9: per-segment BPE cost audit
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
-    # -- r3-evidence rotation: the five rows ejected for the r7
-    #    promotions (stalest evidence in the catalog) --
-    "asof_purchase_attribution",
-    "window_analytics",
-    "rollup_counts",
-    "triangle_count_edges",
-    "multimodal_decode_meta",
-    # -- r4-evidence rotation: the remaining 37 r4 rows --
-    "bpe_train_merges",
-    "embedding_quantize_int8",
-    "value_histogram",
-    "bloom_semijoin_orders",
-    "dq_audit_relational",
-    "dedup_repeated_ngrams",
-    "hll_distinct_users",
-    "countmin_token_freq",
-    "zorder_layout_documents",
-    "value_outliers_mad",
-    "multimodal_resize",
-    "inverted_index_postings",
-    "doc_typicality_bigrams",
-    "frequent_tokens_topk",
-    "ann_topk_pq",
-    "ann_topk_ivf_pq",
-    "ann_recall_at_k",
-    "ann_topk_ivf",
-    "dedup_incremental_minhash",
-    "dedup_lsh_recall",
-    "multimodal_feature_extract",
-    "ann_topk_bruteforce_pandas",
-    "neardup_embedding_cosine_lsh",
-    "text_repetition",
-    "pii_scrub_mails",
-    "sample_stratified_documents",
-    "pack_sequences_4k",
-    "mixture_expand_weighted",
-    "skew_salted_event_counts",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
-    # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-8 window, stalest-first for
-    # the round-9 rotation.
-    # -- the six r4 rows ejected for the r8 promotions + changed row:
-    #    FIRST in line for round 9 --
+    # -- r4-evidence rotation: the six rows ejected for the r8
+    #    promotions (stalest evidence in the catalog, twice-ejected) --
     "cdc_merge_user_state",
     "sssp_event_graph",
     "vocab_oov_rate",
     "timeseries_gapfill_hourly",
     "dedup_editdistance_blocked",
     "hll_merge_shards",
-    # -- the r5-evidence block (48 rows, next in line) --
+    # -- r5-evidence rotation: the first 34 of the 48 r5 rows --
     "scd2_point_in_time_join",
     "cube_user_type_day",
     "snapshot_diff_documents",
@@ -223,6 +176,11 @@ _GATE_PRIORITY = [
     "reply_graph",
     "member_of_the_month",
     "mail_count",
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-9 window, stalest-first for
+    # the round-10 rotation.
+    # -- the 14 r5-evidence rows that no longer fit (ejected by the 8
+    #    promotions; FIRST in line for round 10) --
     "popular_places",
     "ride_cleansing",
     "dedup_ngram_jaccard",
@@ -237,8 +195,7 @@ _GATE_PRIORITY = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # -- the r7-evidence block (freshest, last in line; the 47 r7-window
-    #    rows minus length_bucket_batches, which moved up as changed) --
+    # -- the r7-evidence block (next in line) --
     "dedup_sorted_neighborhood",
     "dedup_prefix_filter_jaccard",
     "session_concurrency_profile",
@@ -286,7 +243,58 @@ _GATE_PRIORITY = [
     "curation_pipeline",
     "domain_cap_documents",
     "multimodal_frame_sample",
+    # -- the r8-evidence block (freshest, last in line: the 48 non-canary
+    #    rows of the round-8 window) --
+    "hilbert_pruning_audit",
+    "streaming_windowed_hll",
+    "streaming_concurrency_profile",
+    "pii_tcloseness_audit",
+    "personalized_pagerank",
+    "length_bucket_batches",
+    "asof_purchase_attribution",
+    "window_analytics",
+    "rollup_counts",
+    "triangle_count_edges",
+    "multimodal_decode_meta",
+    "bpe_train_merges",
+    "embedding_quantize_int8",
+    "value_histogram",
+    "bloom_semijoin_orders",
+    "dq_audit_relational",
+    "dedup_repeated_ngrams",
+    "hll_distinct_users",
+    "countmin_token_freq",
+    "zorder_layout_documents",
+    "value_outliers_mad",
+    "multimodal_resize",
+    "inverted_index_postings",
+    "doc_typicality_bigrams",
+    "frequent_tokens_topk",
+    "ann_topk_pq",
+    "ann_topk_ivf_pq",
+    "ann_recall_at_k",
+    "ann_topk_ivf",
+    "dedup_incremental_minhash",
+    "dedup_lsh_recall",
+    "multimodal_feature_extract",
+    "ann_topk_bruteforce_pandas",
+    "neardup_embedding_cosine_lsh",
+    "text_repetition",
+    "pii_scrub_mails",
+    "sample_stratified_documents",
+    "pack_sequences_4k",
+    "mixture_expand_weighted",
+    "skew_salted_event_counts",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
 ]
+
 
 
 

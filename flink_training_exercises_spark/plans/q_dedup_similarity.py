@@ -404,3 +404,45 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dedup.prefix_filter_jaccard_pairs(docs)
+
+
+@register(
+    "record_linkage_scores",
+    oracle=dedup.record_linkage_scores_sql(),
+    doc="Fellegi-Sunter probabilistic record linkage over blocked "
+    "candidate pairs: each comparison field (length band, text prefix, "
+    "token count) contributes a fixed integer agreement/disagreement "
+    "weight, the summed score classifies the pair match / possible / "
+    "non_match (the classic two-threshold decision model); output is "
+    "the per-block decision profile a linkage pipeline sizes its "
+    "review queue with. Every weight an exact integer, so scores and "
+    "classes are bit-equal cross-engine. 100 TB: the per-doc feature "
+    "projection runs once (localCheckpoint -- it feeds BOTH self-join "
+    "sides), the quadratic is confined to (lang, source) blocks like "
+    "editdistance_pairs, and the profile folds with map-side partials "
+    "to a blocks x 3 relation.",
+)
+def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.record_linkage_scores(docs)
+
+
+@register(
+    "entity_resolution_clusters",
+    oracle=dedup.entity_resolution_clusters_sql(),
+    doc="Entity resolution: the shared Fellegi-Sunter pair stage "
+    "(fs_pair_scores, factored out of record_linkage_scores) closed "
+    "into canonical entities -- link every blocked pair scoring at or "
+    "above FS_POSSIBLE_T (the optimistic closure a review pipeline "
+    "sizes its entity table with; match-only is a 1-pair degenerate on "
+    "this corpus), connected components via alternating large-star/"
+    "small-star (O(log n) rounds, never a recursive join), entity id = "
+    "component minimum, singletons their own entity. Output the "
+    "record -> golden-entity mapping master-data pipelines join "
+    "everywhere downstream. 100 TB: blocked pair generation + the "
+    "star-contraction closure are the same shapes as "
+    "dedup_clusters_minhash; sizing is one groupBy on the entity key.",
+)
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.entity_resolution_clusters(docs)

@@ -603,3 +603,23 @@ def q_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select(
         F.col("id").alias("doc_id"), "status", "shard_id", "pos"
     )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=textstats.tokenizer_fertility_sql(),
+    doc="Tokenizer fertility audit: per corpus segment (lang, source), "
+    "tokens-per-word and tokens-per-char of the trained BPE tokenizer "
+    "-- the standard multilingual-tokenizer cost metric (fertility 2x "
+    "means 2x the sequence length for the same text; how vocab "
+    "under-coverage of a language shows up in training cost). Closes "
+    "the tokenizer family: train (bpe_train_merges) -> apply "
+    "(bpe_encode_corpus) -> audit. Ratios as exact integer ppm with "
+    "guarded DIV (ANSI-safe on zero-alpha-word segments). 100 TB: "
+    "bpe_encode's work is vocab-bounded; the segment join is a "
+    "column-pruned doc-keyed projection, the profile folds map-side "
+    "to a vocabulary-bounded relation.",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.tokenizer_fertility(docs)

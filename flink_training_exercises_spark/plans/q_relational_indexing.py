@@ -16,6 +16,7 @@ from ..operators import (
     contamination,
     indexing,
     rangejoin,
+    relational,
     windows,
 )
 
@@ -335,3 +336,26 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at("p", 2) / 100).alias("p90"),
         (F.element_at("p", 3) / 100).alias("p99"),
     )
+
+
+@register(
+    "props_json_profile",
+    oracle=relational.props_json_profile_sql(),
+    doc="Semi-structured column profiling: extract an integer field "
+    "from the events JSON props bag (schema-on-read -- the shape every "
+    "event pipeline has next to its typed columns) via codegen'd "
+    "get_json_object, profile per event type: counts, extraction hits, "
+    "exact sum/min/max, distinct values, all BIGINT. Dirty-row "
+    "contract: malformed JSON and wrong-typed/non-integer-formatted/"
+    "whitespace-padded values count in n_events but never "
+    "n_with_field -- BOTH engines gate the cast on the same "
+    "^[+-]?[0-9]+$ regex over the raw extracted string (json_valid "
+    "guards DuckDB's erroring json_extract; try_cast under the gate "
+    "NULLs formatted-but-overflowing integers identically). Fills the "
+    "semi-structured modality gap: events.props was unused before r8. "
+    "100 TB: map-only extraction fused into the scan projection, one "
+    "hash groupBy with map-side partials, vocabulary-bounded output.",
+)
+def q_props_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return relational.props_json_profile(ev)

@@ -14,8 +14,10 @@ from .catalog import register
 from ..streaming.queries import (
     concurrency_profile_oracle,
     run_concurrency_profile_availablenow,
+    run_windowed_histogram_availablenow,
     run_windowed_hll_availablenow,
     run_windowed_topk_availablenow,
+    windowed_histogram_oracle,
     windowed_hll_oracle,
     windowed_topk_oracle,
 )
@@ -264,4 +266,29 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_concurrency_profile_availablenow(
         spark, sf_dir, "streaming_concurrency_profile_gate"
+    )
+
+
+@register(
+    "streaming_windowed_histogram",
+    oracle=windowed_histogram_oracle(),
+    doc="Fixed-width value histogram ON the stream: per 6-hour "
+    "event-time window, counts per fixed bin_cents-wide value bucket "
+    "-- the streaming twin of the batch histogram family "
+    "(value_histogram / histogram_merge_shards) and the third "
+    "mergeable sketch riding the watermarked windowed aggregation "
+    "after top-k counts and HLL registers. Fixed-width bins are the "
+    "load-bearing choice: the batch histogram derives equi-width edges "
+    "from the global min/max, which a stream cannot know ahead of "
+    "time; a fixed width makes the per-bin count an associative+"
+    "commutative fold with no data-dependent parameters, so it rides "
+    "natively (fire-once per (window, bin) at watermark passage, the "
+    "popular_places contract). Oracle = the batch fold cut at the "
+    "final watermark. 100 TB: one stateful shuffle keyed on "
+    "(window, bin); state bounded by value range over bin width per "
+    "window, watermark-evicted.",
+)
+def q_streaming_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_histogram_availablenow(
+        spark, sf_dir, "streaming_windowed_histogram_gate"
     )

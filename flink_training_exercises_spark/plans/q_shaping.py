@@ -130,3 +130,25 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.distinct_users_per_type(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "weighted_sample",
+    oracle=sampling.weighted_sample_sql(),
+    doc="Deterministic weighted sampling WITHOUT replacement by the "
+    "unit-ticket min-hash scheme: each document buys w = 1 + "
+    "length/50 lottery tickets (capped at 40 -- the explosion guard), "
+    "every ticket hashes to a uniform 60-bit md5 key, priority = the "
+    "doc's MINIMUM ticket key, sample = k smallest priorities. "
+    "P(drawn first) = w_i/W exactly; successive ranks give the "
+    "without-replacement chain -- the md5-keyed twin of A-RES "
+    "(Efraimidis & Spirakis) with the cross-engine-unstable float "
+    "u^(1/w) key replaced by an integer order statistic. Rank uses an "
+    "explicit FLOOR before the BIGINT cast (ADVICE r7 fix -- this "
+    "gate row attests it). 100 TB: map-side ticket explode (bounded "
+    "by the cap), one map-side-combined min groupBy, distributed "
+    "TakeOrdered top-k -- never a global sort.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.weighted_sample(docs)

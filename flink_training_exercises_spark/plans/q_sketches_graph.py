@@ -582,3 +582,25 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.personalized_pagerank(graphs_plan.edges_view(spark, sf_dir))
+
+
+@register(
+    "quantile_merge_shards",
+    oracle=sketches.quantile_merge_shards_sql(),
+    doc="Mergeable quantile sketch audit -- the fourth shard-merge "
+    "family member (HLL, histogram, top-k union): each shard ships "
+    "only its m=17 equi-depth order statistics, the coordinator pools "
+    "them weighted by shard size, and pooled weighted quantiles "
+    "estimate the global p25/p50/p75/p90, audited against the exact "
+    "discrete quantile from the histogram cumulative walk. Small "
+    "shards (n_s < m) deduplicate their boundary picks on BOTH "
+    "engines before pooling (ADVICE r7 fix -- duplicate ranks fanned "
+    "out and over-weighted small shards; this gate row attests it). "
+    "Zero float ops: integer cents, integer rank arithmetic, integer "
+    "cross-multiplied threshold scans. 100 TB: per-shard rank windows "
+    "partition by shard (the work shards would do locally); only "
+    "n_shards x m boundary rows pool.",
+)
+def q_quantile_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sketches.quantile_merge_shards(ev)

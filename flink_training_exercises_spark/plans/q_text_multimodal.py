@@ -238,3 +238,26 @@ def q_pii_kanonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pii_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return pii.t_closeness_audit(docs)
+
+
+@register(
+    "bloom_contamination_screen",
+    oracle=contamination.bloom_contamination_screen_sql(),
+    doc="The SCALE PATH for decontamination: a Bloom filter over the "
+    "benchmark subset's 8-gram set screens the training corpus's grams "
+    "map-only, graded against the exact distinct semi-join -- the "
+    "production recipe at 100 TB is exactly this two-stage shape "
+    "(Bloom screen ahead of the scan, exact verify only on the flagged "
+    "remainder), where the gated contamination_ngram_overlap is the "
+    "exact single-stage form. Composes bloom_semijoin_audit over the "
+    "SAME gram pipeline (shared _words/_gram_strings fragments on both "
+    "engines). One output row (n_probe_keys, n_candidates, n_true, "
+    "n_false_pos); candidates >= true always -- the screen can only "
+    "over-flag, never miss. 100 TB: the bench-side filter is "
+    "eval-set-vocabulary bounded (<=260 BIGINT words, collected + "
+    "inlined as a literal -- the map-only and-mask shape), the corpus "
+    "pass is one screened scan.",
+)
+def q_bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination.bloom_contamination_screen(docs)

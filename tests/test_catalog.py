@@ -44,62 +44,63 @@ def test_oracle_is_valid_duckdb(duck, name):
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-8 new (staged promotions)
-    "hilbert_pruning_audit",
-    "streaming_windowed_hll",
-    "streaming_concurrency_profile",
-    "pii_tcloseness_audit",
-    "personalized_pagerank",
-    # round-8 changed (two-phase offset ranking rewrite)
-    "length_bucket_batches",
+    # round-9 new (staged promotions: the VERDICT r8 #2 five + three
+    # more per VERDICT r8 #3's drain-the-backlog directive)
+    "streaming_windowed_histogram",
+    "record_linkage_scores",
+    "quantile_merge_shards",
+    "entity_resolution_clusters",
+    "props_json_profile",
+    "weighted_sample",
+    "bloom_contamination_screen",
+    "tokenizer_fertility",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # r3-evidence rotation (ejected for the r7 promotions)
-    "asof_purchase_attribution",
-    "window_analytics",
-    "rollup_counts",
-    "triangle_count_edges",
-    "multimodal_decode_meta",
-    # r4-evidence rotation (37 of 43; six ejected for the r8 rows)
-    "bpe_train_merges",
-    "embedding_quantize_int8",
-    "value_histogram",
-    "bloom_semijoin_orders",
-    "dq_audit_relational",
-    "dedup_repeated_ngrams",
-    "hll_distinct_users",
-    "countmin_token_freq",
-    "zorder_layout_documents",
-    "value_outliers_mad",
-    "multimodal_resize",
-    "inverted_index_postings",
-    "doc_typicality_bigrams",
-    "frequent_tokens_topk",
-    "ann_topk_pq",
-    "ann_topk_ivf_pq",
-    "ann_recall_at_k",
-    "ann_topk_ivf",
-    "dedup_incremental_minhash",
-    "dedup_lsh_recall",
-    "multimodal_feature_extract",
-    "ann_topk_bruteforce_pandas",
-    "neardup_embedding_cosine_lsh",
-    "text_repetition",
-    "pii_scrub_mails",
-    "sample_stratified_documents",
-    "pack_sequences_4k",
-    "mixture_expand_weighted",
-    "skew_salted_event_counts",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
+    # r4-evidence rotation (the twice-ejected fill block)
+    "cdc_merge_user_state",
+    "sssp_event_graph",
+    "vocab_oov_rate",
+    "timeseries_gapfill_hourly",
+    "dedup_editdistance_blocked",
+    "hll_merge_shards",
+    # r5-evidence rotation (the first 34 of the 48 r5 rows)
+    "scd2_point_in_time_join",
+    "cube_user_type_day",
+    "snapshot_diff_documents",
+    "skew_salted_join_events",
+    "session_path_topk",
+    "value_hour_correlation",
+    "zonemap_pruning_audit",
+    "streaming_anomaly_zscore",
+    "event_transitions_markov",
+    "anomaly_rolling_zscore",
+    "gopher_quality_flags",
+    "segment_dedup_keepfirst",
+    "chunk_sliding_windows",
+    "split_leakage_neardup",
+    "funnel_user_stages",
+    "retention_cohorts",
+    "streaming_enrich_static",
+    "bpe_encode_corpus",
+    "incremental_corpus_roundtrip",
+    "dedup_clusters_minhash",
+    "dedup_keep_best",
+    "embedding_dedup_clusters",
+    "kcore_interactions",
+    "streaming_cdc_merge",
+    "shuffle_shard_layout",
+    "sessionize_events",
+    "dedup_simhash",
+    "tpch_q1_pricing_summary",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "mail_tfidf",
+    "reply_graph",
+    "member_of_the_month",
+    "mail_count",
 ]
+
 
 
 
