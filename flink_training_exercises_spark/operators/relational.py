@@ -147,8 +147,12 @@ def props_json_profile(
     parses, AND Spark's try_cast trims whitespace (" 7 " parses) where
     a raw-string regexp on the twin would not -- so the gate must sit
     on the SPARK side too, over the untrimmed string, to make the
-    admitted set identical (ADVICE r8). The regex uses only
-    [0-9]+-^$ -- identical in Java and RE2, no \\s-class divergence.
+    admitted set identical (ADVICE r8). Anchors are \\A..\\z, NOT ^..$:
+    Java's $ matches before a FINAL newline even without MULTILINE
+    (so "7\\n" would pass a ^$ gate on Spark and try_cast-trim to 7)
+    while RE2's $ is end-of-text only -- \\A/\\z mean exact
+    end-of-text in BOTH engines; the body uses only [0-9]+- (no
+    \\s-class divergence).
     try_cast stays UNDER the gate on both sides so a
     formatted-but-overflowing integer NULLs identically instead of
     erroring (a plain ANSI cast would kill the whole query on one
@@ -167,7 +171,7 @@ def props_json_profile(
     count-distinct expands to the standard two-level aggregate);
     output is vocabulary-bounded (event types)."""
     vs = F.expr(f"get_json_object({json_col}, '{path}')")
-    v = F.when(vs.rlike("^[+-]?[0-9]+$"), F.expr(
+    v = F.when(vs.rlike(r"\A[+-]?[0-9]+\z"), F.expr(
         f"try_cast(get_json_object({json_col}, '{path}') AS BIGINT)"))
     return (
         events.select(F.col(type_col).alias("event_type"), v.alias("v"))
@@ -195,9 +199,10 @@ def props_json_profile_sql(
     integer-format gate the Spark side applies over the RAW extracted
     string (see props_json_profile's docstring for why the gate lives
     on both engines: try_cast format laxity 1.5/2.0/1e3 AND whitespace
-    trimming " 7 " -- ADVICE r8). TRY_CAST under the gate so a
-    formatted-but-overflowing integer NULLs identically to Spark's
-    try_cast instead of erroring."""
+    trimming " 7 ", and why the anchors are \\A/\\z -- Java's $ admits
+    a trailing newline, RE2's does not; ADVICE r8). TRY_CAST under the
+    gate so a formatted-but-overflowing integer NULLs identically to
+    Spark's try_cast instead of erroring."""
     return f"""
 WITH raw AS (
   SELECT {type_col} AS event_type,
@@ -208,7 +213,7 @@ WITH raw AS (
 ),
 ex AS (
   SELECT event_type,
-         CASE WHEN regexp_matches(vs, '^[+-]?[0-9]+$')
+         CASE WHEN regexp_matches(vs, '\\A[+-]?[0-9]+\\z')
               THEN TRY_CAST(vs AS BIGINT) END AS v
   FROM raw
 )

@@ -324,6 +324,11 @@ def test_props_json_profile_hand_computed(spark):
                                            # try_cast would TRIM and parse it
                                            # while the twin's regexp would not
                                            # -- the ADVICE r8 divergence)
+            ("view", '{"k": "7\\n"}'),     # trailing-NEWLINE string -> NULL
+                                           # (the \\A..\\z anchors; Java's $
+                                           # matches before a final newline,
+                                           # RE2's does not, so a ^..$ gate
+                                           # would admit this on Spark only)
             ("click", '{"other": 5}'),     # field missing -> NULL
             ("click", '{"k": {"x": 1}}'),  # nested object -> NULL (try_cast)
             ("click", '{"k": -7}'),
@@ -338,7 +343,7 @@ def test_props_json_profile_hand_computed(spark):
         for r in props_json_profile(ev).collect()
     }
     assert got == {
-        "view": (8, 3, 50, 10, 30, 2),
+        "view": (9, 3, 50, 10, 30, 2),
         "click": (3, 1, -7, -7, -7, 1),
     }
 
@@ -380,10 +385,13 @@ def test_props_json_profile_twin_numeric_format_parity():
       ('view', '{"k": 10}'), ('view', '{"k": 1.5}'), ('view', '{"k": 2.0}'),
       ('view', '{"k": 1e3}'), ('view', '{"k": "oops"}'), ('view', 'not json'),
       ('view', '{"k": " 7 "}'), ('view', '{"k": "99999999999999999999999"}'),
+      ('view', '{"k": "7\n"}'),
       ('view', '{"k": -7}')) t(event_type, props)""")
     rows = con.execute(props_json_profile_sql()).fetchall()
     # only 10 and -7 extract: 1.5 / 2.0 / 1e3 NULL like Spark's try_cast;
     # ' 7 ' NULLs under the raw-string gate (ADVICE r8 -- Spark now gates
     # identically instead of trim-parsing); the formatted-but-overflowing
-    # integer NULLs via TRY_CAST instead of erroring
-    assert rows == [("view", 9, 2, 3, -7, 10, 2)]
+    # integer NULLs via TRY_CAST instead of erroring; '7\n' NULLs under
+    # the \A..\z anchors (RE2 $ would too, but Java $ would NOT -- the
+    # anchors keep the two engines' admitted sets identical)
+    assert rows == [("view", 10, 2, 3, -7, 10, 2)]
