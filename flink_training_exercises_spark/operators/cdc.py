@@ -103,3 +103,18 @@ r AS (
 SELECT user_id, event_type, value, state_ms, event_id
 FROM r WHERE rk = 1 AND NOT is_delete
 """
+
+
+# SCD2 validity-interval history over the raw event stream: each event's
+# state is valid until the user's next event (NULL = current row). Shared
+# verbatim by the batch scd2_user_history gate (plans/q_relational_indexing)
+# and the streaming incremental-maintenance twin
+# (streaming/queries.run_scd2_maintenance_availablenow), so the two gates
+# hash against the identical contract.
+SCD2_HISTORY_SQL = """
+SELECT user_id, event_id,
+       epoch_ms(ts) AS valid_from_ms,
+       epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         AS valid_to_ms
+FROM events
+"""

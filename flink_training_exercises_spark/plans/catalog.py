@@ -110,16 +110,17 @@ _GATE_PRIORITY = [
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # Window math: 8 staged promotions (the VERDICT r8 #2 five plus
+    # Window math: 9 staged promotions (the VERDICT r8 #2 five plus
     # weighted_sample [attests its ADVICE r7 floor fix under the gate],
-    # bloom_contamination_screen [the decontamination scale path] and
+    # bloom_contamination_screen [the decontamination scale path],
     # tokenizer_fertility [closes the BPE train->apply->audit loop] --
-    # VERDICT r8 #3 asked for 6-7+ to drain the staged backlog) + 2
-    # canaries + the 6 r4-evidence rows (the twice-ejected fill block,
-    # guaranteed slots) + 34 of the 48 r5-evidence rows. Each promotion
-    # ejects one r5 row from the tail of the fitting block
-    # (popular_places..neardup_embedding_cosine lead the round-10
-    # rotation).
+    # VERDICT r8 #3 asked for 6-7+ to drain the staged backlog -- and
+    # streaming_scd2_maintenance, built THIS round: incremental SCD2
+    # production on-stream, the third SCD2 leg) + 2 canaries + the 6
+    # r4-evidence rows (the twice-ejected fill block, guaranteed slots)
+    # + 33 of the 48 r5-evidence rows. Each promotion ejects one r5 row
+    # from the tail of the fitting block
+    # (mail_count..neardup_embedding_cosine lead the round-10 rotation).
     # -- new in round 9 (staged promotions, gate-readiness audit +
     #    double-hostile staged probe green before registration) --
     "streaming_windowed_histogram",   # NEW r9: fixed-width histogram on the stream
@@ -130,6 +131,7 @@ _GATE_PRIORITY = [
     "weighted_sample",                # NEW r9: A-RES weighted sampling (integer twin)
     "bloom_contamination_screen",     # NEW r9: decontamination scale path
     "tokenizer_fertility",            # NEW r9: per-segment BPE cost audit
+    "streaming_scd2_maintenance",     # NEW r9: incremental SCD2 production on-stream
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -175,12 +177,12 @@ _GATE_PRIORITY = [
     "mail_tfidf",
     "reply_graph",
     "member_of_the_month",
-    "mail_count",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-9 window, stalest-first for
     # the round-10 rotation.
-    # -- the 14 r5-evidence rows that no longer fit (ejected by the 8
+    # -- the 15 r5-evidence rows that no longer fit (ejected by the 9
     #    promotions; FIRST in line for round 10) --
+    "mail_count",
     "popular_places",
     "ride_cleansing",
     "dedup_ngram_jaccard",

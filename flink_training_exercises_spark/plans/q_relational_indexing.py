@@ -13,6 +13,7 @@ from ..sources import load_table
 from .catalog import register
 from ..operators import (
     asof,
+    cdc,
     contamination,
     indexing,
     rangejoin,
@@ -106,16 +107,12 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_user_history",
-    oracle="""
-SELECT user_id, event_id,
-       epoch_ms(ts) AS valid_from_ms,
-       epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-         AS valid_to_ms
-FROM events
-""",
+    oracle=cdc.SCD2_HISTORY_SQL,
     doc="SCD2-style validity intervals from a change stream: each event's "
     "state is valid until the user's next event (lead window; NULL = "
-    "current). The MERGE-less CDC pattern from the guide.",
+    "current). The MERGE-less CDC pattern from the guide. Oracle shared "
+    "verbatim with the streaming incremental-maintenance twin "
+    "(streaming_scd2_maintenance).",
 )
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -11,9 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..sources import load_table
 from .catalog import register
+from ..operators import cdc as cdc_ops
 from ..streaming.queries import (
     concurrency_profile_oracle,
     run_concurrency_profile_availablenow,
+    run_scd2_maintenance_availablenow,
     run_windowed_histogram_availablenow,
     run_windowed_hll_availablenow,
     run_windowed_topk_availablenow,
@@ -291,4 +293,31 @@ def q_streaming_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFra
 def q_streaming_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_histogram_availablenow(
         spark, sf_dir, "streaming_windowed_histogram_gate"
+    )
+
+
+@register(
+    "streaming_scd2_maintenance",
+    oracle=cdc_ops.SCD2_HISTORY_SQL,
+    doc="Streaming SCD2 HISTORY MAINTENANCE -- the third leg of the SCD2 "
+    "family: batch scd2_user_history derives validity intervals one-shot, "
+    "streaming_pit_enrichment CONSUMES a standing SCD2 dimension, this "
+    "PRODUCES the dimension incrementally from the change stream "
+    "(foreachBatch: intra-batch intervals from the same (ts, event_id) "
+    "lead window, standing OPEN rows closed at the user's first new "
+    "valid_from via one left join + coalesce). Drain equals the one-shot "
+    "batch lead window under ANY chunking because the close bound is "
+    "exactly the global next-event timestamp (chunked-replay invariance "
+    "pinned). Ordering contract: per-user rows arrive in (ts, event_id) "
+    "order -- the CDC-log commit-order contract. At-least-once "
+    "idempotence via the rollup recipe (folded-batch_id marker, replays "
+    "skipped; state localCheckpoint'd before the overwrite). Oracle "
+    "shared verbatim with the batch gate. 100 TB: per-batch window is "
+    "batch-sized, the dimension join is user-keyed (bucketed layout "
+    "makes the state side Exchange-free), full-table rewrite is the "
+    "transactional-format trade the cdc merge already adjudicated.",
+)
+def q_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_scd2_maintenance_availablenow(
+        spark, sf_dir, "streaming_scd2_maintenance_gate"
     )

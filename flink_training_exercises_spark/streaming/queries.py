@@ -1018,3 +1018,115 @@ FROM (SELECT ms - ms % {window_ms} + {window_ms} AS window_end_ms, bin FROM ev),
 WHERE window_end_ms <= m - {delay_ms}
 GROUP BY window_end_ms, bin
 """
+
+
+def run_scd2_maintenance_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str,
+    b_stream: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming SCD2 HISTORY MAINTENANCE -- the third leg of the SCD2
+    family: the batch scd2_user_history derives validity intervals in one
+    shot, streaming_pit_enrichment CONSUMES a standing SCD2 dimension,
+    and this runner PRODUCES the dimension incrementally from the change
+    stream, the way a warehouse maintains a type-2 dimension off a CDC
+    feed. Each micro-batch (foreachBatch): intra-batch intervals come
+    from the same (ts, event_id) lead window the batch form uses; every
+    standing OPEN row (valid_to_ms IS NULL) whose user has new rows is
+    CLOSED at the user's first new valid_from_ms; rows of untouched
+    users pass through (one coalesce over a single left join -- closed
+    rows keep their bound, open rows of absent users stay open). The
+    drained table equals the one-shot batch lead window under ANY
+    chunking (pinned by
+    tests/test_streaming.py::test_streaming_scd2_chunked_matches_batch)
+    because the close bound a row receives is exactly the global
+    next-event timestamp: intra-batch rows get it from the batch lead,
+    and the batch-boundary row gets it from the next batch the user
+    appears in.
+
+    Ordering contract (the CDC-log contract): per-user rows must ARRIVE
+    in (ts, event_id) order across batches -- true of any changelog
+    consumed in commit order, and of this replay source (the parquet is
+    globally ts-ordered and replay chunks carry strictly increasing
+    mtimes). A disordered feed would need watermarked buffering ahead of
+    the fold; that is the interval-join family's job, not the
+    dimension-maintenance fold's.
+
+    Idempotence under at-least-once foreachBatch: interval assignment is
+    NOT naturally idempotent (re-closing with a replayed batch would
+    re-append duplicate rows), so the rollup recipe applies verbatim --
+    the state carries the last folded batch_id and replayed batch ids
+    are skipped; state is localCheckpoint-ed BEFORE overwriting the
+    parquet dir it was read from (the cdc-merge lesson).
+
+    Scale shape (100 TB/day of changes): the per-batch work is one
+    window over the BATCH (small), one hash join of the standing
+    dimension against the batch's per-user min (keyed the same -- a
+    bucketed dimension layout makes the state side Exchange-free), and
+    the full-table rewrite that a transactional table format (or
+    partition-scoped MERGE on user buckets) replaces with a commit in
+    production -- same adjudicated trade as the cdc merge and the
+    incremental rollup."""
+    from pyspark.sql import Window
+    from ..functions.time import epoch_ms
+    from .sources import events_stream
+
+    if b_stream is None:
+        b_stream = events_stream(spark, sf_dir)
+    rows = b_stream.select(
+        "user_id", "event_id", epoch_ms("ts").alias("ms")
+    )
+    root = tempfile.mkdtemp(prefix=f"fte_{query_name}_")
+    state_dir = os.path.join(root, "state")
+    ck = os.path.join(root, "ck")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+        new_rows = batch_df.select(
+            "user_id",
+            "event_id",
+            F.col("ms").alias("valid_from_ms"),
+            F.lead("ms").over(w).alias("valid_to_ms"),
+        )
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            if state.agg(F.max("folded_batch")).first()[0] >= batch_id:
+                return  # at-least-once replay of an already-folded batch
+            firsts = batch_df.groupBy("user_id").agg(
+                F.min("ms").alias("first_ms")
+            )
+            closed = state.drop("folded_batch").join(
+                firsts, "user_id", "left"
+            ).select(
+                "user_id",
+                "event_id",
+                "valid_from_ms",
+                # closed rows keep their bound; open rows close at the
+                # user's first new event; users absent from the batch
+                # stay open (first_ms NULL)
+                F.coalesce("valid_to_ms", "first_ms").alias("valid_to_ms"),
+            )
+            merged = closed.unionByName(new_rows)
+        else:
+            merged = new_rows
+        merged = merged.withColumn(
+            "folded_batch", F.lit(batch_id)
+        ).localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        rows.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(state_dir):
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, event_id bigint, "
+            "valid_from_ms bigint, valid_to_ms bigint",
+        )
+    return spark.read.parquet(state_dir).drop("folded_batch").localCheckpoint()

@@ -54,6 +54,7 @@ EXPECTED_GATE_WINDOW = [
     "weighted_sample",
     "bloom_contamination_screen",
     "tokenizer_fertility",
+    "streaming_scd2_maintenance",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -64,7 +65,7 @@ EXPECTED_GATE_WINDOW = [
     "timeseries_gapfill_hourly",
     "dedup_editdistance_blocked",
     "hll_merge_shards",
-    # r5-evidence rotation (the first 34 of the 48 r5 rows)
+    # r5-evidence rotation (the first 33 of the 48 r5 rows)
     "scd2_point_in_time_join",
     "cube_user_type_day",
     "snapshot_diff_documents",
@@ -98,7 +99,6 @@ EXPECTED_GATE_WINDOW = [
     "mail_tfidf",
     "reply_graph",
     "member_of_the_month",
-    "mail_count",
 ]
 
 

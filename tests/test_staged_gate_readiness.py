@@ -189,10 +189,12 @@ def streaming_cases(spark, sf):
     """Staged STREAMING cases: the run_* availableNow wrappers (the exact
     callables a future @register will use) paired with their DuckDB
     oracles. Shared by the streaming readiness test and
-    tools/hostile_staged_probe.py. EMPTY since the round-9 promotion of
-    streaming_windowed_histogram (the last staged streaming op); the
-    structure stays so the next staged streaming op drops straight in
-    and both consumers pick it up automatically."""
+    tools/hostile_staged_probe.py. EMPTY since the round-9 promotions
+    (streaming_windowed_histogram, then the same-round-built
+    streaming_scd2_maintenance -- its readiness + double-hostile-probe
+    rows ran green here before registration); the structure stays so
+    the next staged streaming op drops straight in and both consumers
+    pick it up automatically."""
     return {}
 
 
@@ -218,8 +220,22 @@ def compare_cases(con, cases, verbose: bool = False) -> list[str]:
         }
         if skew:
             failures.append(f"{name}: dtype skew {skew}")
-        sv = sorted(map(tuple, sp.itertuples(index=False)))
-        dv = sorted(map(tuple, du.itertuples(index=False)))
+
+        def _norm(t):
+            # NULL-safe compare: a NULL output cell reaches pandas as NaN
+            # and NaN != NaN, so two bit-identical nullable columns would
+            # read as a value mismatch (first hit: streaming_scd2's open
+            # rows). Map NaN -> None on BOTH sides; None is a singleton,
+            # so tuple equality is exact again. repr sort key keeps the
+            # ordering total over mixed None/number columns. The driver's
+            # own hash compare is NULL-tolerant the same way (the batch
+            # scd2_user_history gate row has been green since r3).
+            return tuple(
+                None if (v is None or v != v) else v for v in t
+            )
+
+        sv = sorted(map(_norm, sp.itertuples(index=False)), key=repr)
+        dv = sorted(map(_norm, du.itertuples(index=False)), key=repr)
         if sv != dv:
             failures.append(f"{name}: {len(sv)} vs {len(dv)} rows / value mismatch")
         elif not sv:

@@ -1200,3 +1200,90 @@ def test_es_bulk_payloads_shape():
     ]
     assert [d["time"] for d in docs] == [1000 + i for i in range(25)]
     assert list(es_bulk_payloads([], index="x")) == []
+
+
+def test_streaming_scd2_maintenance_matches_batch(spark, sf_small):
+    """STAGED-FOR-ROUND-9 streaming SCD2 maintenance: the one-shot drain
+    must equal the batch lead-window validity intervals exactly (same
+    (ts, event_id) ordering contract, NULL = current row)."""
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        run_scd2_maintenance_availablenow,
+    )
+    from pyspark.sql import Window as W
+
+    got = sorted(
+        map(
+            tuple,
+            run_scd2_maintenance_availablenow(
+                spark, sf_small, f"scd2_one_{uuid.uuid4().hex[:8]}"
+            ).collect(),
+        )
+    )
+    ev = load_table(spark, "events", sf_small)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        map(
+            tuple,
+            ev.select(
+                "user_id",
+                "event_id",
+                epoch_ms("ts").alias("valid_from_ms"),
+                epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_streaming_scd2_chunked_matches_batch(spark, sf_small, tmp_path):
+    """Batch-boundary invariance of the SCD2 maintenance fold: open rows
+    closed across 4 chronological chunk boundaries must receive exactly
+    the global next-event bound the one-shot lead window assigns."""
+    from flink_training_exercises_spark.functions.time import epoch_ms
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        run_scd2_maintenance_availablenow,
+    )
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "ev_chunks_scd2")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = sorted(
+        map(
+            tuple,
+            run_scd2_maintenance_availablenow(
+                spark,
+                sf_small,
+                f"scd2_chunked_{uuid.uuid4().hex[:8]}",
+                b_stream=chunked,
+            ).collect(),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        map(
+            tuple,
+            ev.select(
+                "user_id",
+                "event_id",
+                epoch_ms("ts").alias("valid_from_ms"),
+                epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
+            ).collect(),
+        )
+    )
+    assert got == want and got
+    # every user has exactly ONE open (current) row -- the SCD2 shape
+    by_user = {}
+    for u, _e, _f, t in got:
+        by_user.setdefault(u, []).append(t)
+    assert all(sum(t is None for t in ts) == 1 for ts in by_user.values())
