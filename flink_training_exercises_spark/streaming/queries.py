@@ -1091,7 +1091,10 @@ def run_scd2_maintenance_availablenow(
         )
         if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
-            if state.agg(F.max("folded_batch")).first()[0] >= batch_id:
+            last = state.agg(F.max("folded_batch")).first()[0]
+            # None-guard: an all-empty first batch writes a zero-row state
+            # whose max(folded_batch) is NULL -- treat as nothing folded
+            if last is not None and last >= batch_id:
                 return  # at-least-once replay of an already-folded batch
             firsts = batch_df.groupBy("user_id").agg(
                 F.min("ms").alias("first_ms")
