@@ -160,7 +160,7 @@ def bloom_contamination_screen(
     and n_false_pos is the price of the 260-word broadcast filter vs
     the exact shuffle.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    GATED ROUND 9 (promoted from the staged backlog).
 
     Scale shape (100 TB): the gram subtree is evaluated twice -- once
     to build the bench-side filter (eval-set-vocabulary bounded;

@@ -1442,8 +1442,7 @@ def record_linkage_scores(
     review-queue sizing a linkage pipeline actually reports; pair-level
     output is editdistance_pairs' job.
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    GATED ROUND 9 (promoted from the staged backlog).
 
     Determinism: every weight is a fixed integer (FS_WEIGHTS; the
     EM-estimated log-odds of the full Fellegi-Sunter model are a
@@ -1554,7 +1553,7 @@ def entity_resolution_clusters(
     record -> golden-entity mapping that master-data/dedup pipelines
     materialize and join everywhere downstream.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    GATED ROUND 9 (promoted from the staged backlog).
 
     Scale shape (100 TB): pair generation is the blocked
     :func:`fs_pair_scores` equi-join (quadratic confined to blocks);

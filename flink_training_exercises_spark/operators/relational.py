@@ -134,7 +134,7 @@ def props_json_profile(
     distinct-value count. Output (event_type, n_events, n_with_field,
     sum_v, min_v, max_v, distinct_v), all BIGINT.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    GATED ROUND 9 (promoted from the staged backlog).
 
     Cross-engine contract for dirty rows: malformed JSON (Spark's
     get_json_object returns NULL; DuckDB's json_extract ERRORS, so the

@@ -559,8 +559,7 @@ def weighted_sample(
     min-of-w-uniform-keys is the same order statistic, integer-exact).
     Output (rank, doc_id, weight, priority), all BIGINT.
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    GATED ROUND 9 (promoted from the staged backlog).
 
     Scale shape (100 TB): tickets explode map-side (bounded by
     max_weight per row -- the cap is the explosion guard), the per-doc

@@ -1321,8 +1321,7 @@ def quantile_merge_shards(
     requested percentile: (pct, est_cents, exact_cents, abs_err), all
     BIGINT.
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    GATED ROUND 9 (promoted from the staged backlog).
 
     Determinism: values are integer cents; boundary picks are integer
     rank arithmetic over the (cents, key) total order; the pooled

@@ -1348,7 +1348,7 @@ def tokenizer_fertility(
     compression_ppm), ratios as exact integer ppm (guarded DIV -- a
     segment with zero alpha words reports 0).
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    GATED ROUND 9 (promoted from the staged backlog).
 
     Scale shape (100 TB): bpe_encode's work is vocab-bounded (see its
     docstring); the segment join is a column-pruned doc_id -> group

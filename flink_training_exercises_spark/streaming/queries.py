@@ -947,7 +947,7 @@ def streaming_windowed_histogram(
     and the third mergeable sketch riding the watermarked windowed
     aggregation after top-k counts and HLL registers.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    GATED ROUND 9 (promoted from the staged backlog).
 
     Why FIXED-width bins: the batch histogram derives equi-width edges
     from the global min/max, which a stream cannot know ahead of time; a
