@@ -1133,3 +1133,110 @@ def run_scd2_maintenance_availablenow(
             "valid_from_ms bigint, valid_to_ms bigint",
         )
     return spark.read.parquet(state_dir).drop("folded_batch").localCheckpoint()
+
+
+def quantile_from_binned(
+    bins: DataFrame,
+    pcts: tuple = (25, 50, 75, 90),
+    bin_cents: int = 1000,
+) -> DataFrame:
+    """Bounded batch stage for the staged streaming windowed quantile:
+    exact discrete quantiles OVER THE BINNED VALUES from a per-window
+    fixed-width histogram (window_end_ms, bin, cnt). For each requested
+    percentile p, the selected bin is the one containing rank
+    r = ceil(p*n/100) in the cumulative walk; both bounds are evaluated
+    by integer cross-multiplication (a < ceil(x) <=> a < x for integer a,
+    so the pair is 100*(cum-cnt) < p*n AND 100*cum >= p*n -- no ceil, no
+    floats). Output (window_end_ms, pct, est_floor_cents, n_values), all
+    BIGINT; est_floor_cents = bin * bin_cents is the bin's lower edge,
+    the resolution the fixed-width sketch carries.
+
+    Scale shape: the cumulative window partitions by window_end_ms
+    (parallel across windows) over the DRAINED histogram -- |windows| x
+    |occupied bins| rows, never raw events; the pct explode multiplies
+    that bounded frame by len(pcts)."""
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("window_end_ms")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("window_end_ms")
+    c = bins.select(
+        "window_end_ms",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    p = c.select(
+        "*", F.explode(F.array(*[F.lit(x) for x in pcts])).alias("pct")
+    )
+    return (
+        p.where(
+            (100 * (F.col("cum") - F.col("cnt")) < F.col("pct") * F.col("n"))
+            & (100 * F.col("cum") >= F.col("pct") * F.col("n"))
+        )
+        .select(
+            F.col("window_end_ms").cast("bigint").alias("window_end_ms"),
+            F.col("pct").cast("bigint").alias("pct"),
+            (F.col("bin") * F.lit(bin_cents)).cast("bigint").alias("est_floor_cents"),
+            F.col("n").cast("bigint").alias("n_values"),
+        )
+    )
+
+
+def run_windowed_quantile_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "streaming_windowed_quantile_gate",
+) -> DataFrame:
+    """STAGED FOR ROUND 10: streaming windowed quantiles -- per event-time
+    window, discrete percentile estimates at fixed-bin resolution. The
+    stream pays exactly what the gated windowed histogram pays (one
+    stateful shuffle keyed on (window, bin), watermark-bounded state:
+    fixed-width bin counts are the parameter-free mergeable fold); the
+    quantile walk runs as a bounded batch stage over the DRAIN -- the
+    windowed_topk/concurrency composition pattern. Completes the quantile
+    family on-stream next to quantile_merge_shards' shard axis: same
+    estimate-vs-sketch trade, windows instead of shards. Oracle =
+    :func:`windowed_quantile_oracle` (the batch histogram cut at the
+    final watermark, walked with identical integer arithmetic)."""
+    from .sources import events_stream
+
+    bins = drain_availablenow(
+        streaming_windowed_histogram(events_stream(spark, sf_dir)), query_name
+    )
+    return quantile_from_binned(bins)
+
+
+def windowed_quantile_oracle(
+    window_ms: int = 6 * 3600 * 1000,
+    delay_ms: int = 60000,
+    bin_cents: int = 1000,
+    pcts: tuple = (25, 50, 75, 90),
+) -> str:
+    """DuckDB oracle for :func:`run_windowed_quantile_availablenow`: the
+    windowed-histogram oracle as a CTE (nested WITH -- the
+    ann_recall_at_k precedent), the same integer cross-multiplied
+    cumulative walk, BIGINT casts on the DuckDB sum() outputs (HUGEINT
+    -> float64 dtype skew otherwise)."""
+    vals = ", ".join(f"({x})" for x in pcts)
+    return f"""
+WITH h AS ({windowed_histogram_oracle(window_ms, delay_ms, bin_cents)}),
+c AS (
+  SELECT window_end_ms, bin, cnt,
+         sum(cnt) OVER (PARTITION BY window_end_ms ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY window_end_ms) AS n
+  FROM h
+),
+pcts(pct) AS (VALUES {vals})
+SELECT CAST(window_end_ms AS BIGINT) AS window_end_ms,
+       CAST(pct AS BIGINT) AS pct,
+       CAST(bin * {bin_cents} AS BIGINT) AS est_floor_cents,
+       CAST(n AS BIGINT) AS n_values
+FROM c, pcts
+WHERE 100 * (cum - cnt) < pct * n AND 100 * cum >= pct * n
+"""

@@ -189,13 +189,25 @@ def streaming_cases(spark, sf):
     """Staged STREAMING cases: the run_* availableNow wrappers (the exact
     callables a future @register will use) paired with their DuckDB
     oracles. Shared by the streaming readiness test and
-    tools/hostile_staged_probe.py. EMPTY since the round-9 promotions
+    tools/hostile_staged_probe.py. The round-9 promotions
     (streaming_windowed_histogram, then the same-round-built
-    streaming_scd2_maintenance -- its readiness + double-hostile-probe
-    rows ran green here before registration); the structure stays so
-    the next staged streaming op drops straight in and both consumers
-    pick it up automatically."""
-    return {}
+    streaming_scd2_maintenance) were trimmed at registration; the list
+    now carries the round-10-staged windowed quantile."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_windowed_quantile_availablenow,
+        windowed_quantile_oracle,
+    )
+
+    return {
+        "streaming_windowed_quantile": (
+            run_windowed_quantile_availablenow(
+                spark, sf, f"wquant_gr_{_uuid.uuid4().hex[:8]}"
+            ),
+            windowed_quantile_oracle(),
+        ),
+    }
 
 
 def compare_cases(con, cases, verbose: bool = False) -> list[str]:

@@ -1287,3 +1287,71 @@ def test_streaming_scd2_chunked_matches_batch(spark, sf_small, tmp_path):
     for u, _e, _f, t in got:
         by_user.setdefault(u, []).append(t)
     assert all(sum(t is None for t in ts) == 1 for ts in by_user.values())
+
+
+def test_quantile_from_binned_hand_computed(spark):
+    """STAGED-FOR-ROUND-10 windowed quantile walk: hand case with a spike
+    bin, an exact-boundary percentile hit, and two windows."""
+    from flink_training_exercises_spark.streaming.queries import (
+        quantile_from_binned,
+    )
+
+    # window 1000: bins 0(cnt 2), 3(cnt 6), 7(cnt 2)  -> n=10
+    #   p25 -> rank ceil(2.5)=3  -> bin 3 (cum_prev 2 < 3 <= 8)
+    #   p50 -> rank 5            -> bin 3
+    #   p75 -> rank ceil(7.5)=8  -> bin 3 (cum 8 >= 7.5)   BOUNDARY: 8 exactly
+    #   p90 -> rank 9            -> bin 7
+    # window 2000: one bin 5(cnt 4) -> every pct -> bin 5
+    bins = spark.createDataFrame(
+        [(1000, 0, 2), (1000, 3, 6), (1000, 7, 2), (2000, 5, 4)],
+        "window_end_ms long, bin long, cnt long",
+    )
+    got = {
+        (r["window_end_ms"], r["pct"]): (r["est_floor_cents"], r["n_values"])
+        for r in quantile_from_binned(bins, bin_cents=1000).collect()
+    }
+    assert got == {
+        (1000, 25): (3000, 10),
+        (1000, 50): (3000, 10),
+        (1000, 75): (3000, 10),
+        (1000, 90): (7000, 10),
+        (2000, 25): (5000, 4),
+        (2000, 50): (5000, 4),
+        (2000, 75): (5000, 4),
+        (2000, 90): (5000, 4),
+    }
+
+
+def test_streaming_windowed_quantile_matches_oracle(spark, sf_small):
+    """STAGED-FOR-ROUND-10 streaming windowed quantile: the drained
+    histogram walked by the batch stage must equal the DuckDB oracle
+    (nested-CTE batch histogram cut at the final watermark + identical
+    integer walk); estimates are monotone in pct per window."""
+    import duckdb
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_windowed_quantile_availablenow,
+        windowed_quantile_oracle,
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            run_windowed_quantile_availablenow(
+                spark, sf_small, f"wquant_{uuid.uuid4().hex[:8]}"
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(windowed_quantile_oracle()).fetchall())
+    assert got == want and got
+    # monotone in pct within each window (cumulative walk contract)
+    by_w = {}
+    for w, pct, est, _n in got:
+        by_w.setdefault(w, []).append((pct, est))
+    for rows in by_w.values():
+        ests = [e for _p, e in sorted(rows)]
+        assert ests == sorted(ests)
