@@ -22,6 +22,17 @@ def epoch_ms(ts) -> Column:
     return F.timestamp_diff("MILLISECOND", ntz_epoch(), _c(ts))
 
 
+def epoch_us(ts) -> Column:
+    """Epoch MICROseconds of a TIMESTAMP_NTZ column -- the full resolution
+    of the testdata's timestamp[us]; bit-identical to DuckDB's
+    ``epoch_us(ts)`` on naive timestamps and session-TZ independent. Use it
+    as the ORDERING key wherever the oracle orders by raw ``ts``:
+    millisecond-truncated epoch_ms ties where full timestamps do not (the
+    streaming-SCD2 review catch), the same latent-divergence class as the
+    r3 per-side-truncation fact."""
+    return F.timestamp_diff("MICROSECOND", ntz_epoch(), _c(ts))
+
+
 def ntz_as_utc_instant(ts) -> Column:
     """TIMESTAMP_NTZ -> TIMESTAMP (LTZ) carrying the same wall-clock read as
     a UTC instant, via pure epoch arithmetic -- independent of the session

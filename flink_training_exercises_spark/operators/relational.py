@@ -171,8 +171,7 @@ def props_json_profile(
     count-distinct expands to the standard two-level aggregate);
     output is vocabulary-bounded (event types)."""
     vs = F.expr(f"get_json_object({json_col}, '{path}')")
-    v = F.when(vs.rlike(r"\A[+-]?[0-9]+\z"), F.expr(
-        f"try_cast(get_json_object({json_col}, '{path}') AS BIGINT)"))
+    v = F.when(vs.rlike(r"\A[+-]?[0-9]+\z"), vs.try_cast("bigint"))
     return (
         events.select(F.col(type_col).alias("event_type"), v.alias("v"))
         .groupBy("event_type")

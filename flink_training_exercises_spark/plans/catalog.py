@@ -143,7 +143,7 @@ _GATE_PRIORITY = [
     "timeseries_gapfill_hourly",
     "dedup_editdistance_blocked",
     "hll_merge_shards",
-    # -- r5-evidence rotation: the first 34 of the 48 r5 rows --
+    # -- r5-evidence rotation: the first 33 of the 48 r5 rows --
     "scd2_point_in_time_join",
     "cube_user_type_day",
     "snapshot_diff_documents",

@@ -1032,7 +1032,9 @@ def run_scd2_maintenance_availablenow(
     and this runner PRODUCES the dimension incrementally from the change
     stream, the way a warehouse maintains a type-2 dimension off a CDC
     feed. Each micro-batch (foreachBatch): intra-batch intervals come
-    from the same (ts, event_id) lead window the batch form uses; every
+    from a lead window ordered by (epoch_us(ts), event_id) -- the full
+    microsecond resolution of the oracle's ORDER BY ts, NOT the
+    truncated output ms, which would tie same-millisecond events; every
     standing OPEN row (valid_to_ms IS NULL) whose user has new rows is
     CLOSED at the user's first new valid_from_ms; rows of untouched
     users pass through (one coalesce over a single left join -- closed
@@ -1069,20 +1071,28 @@ def run_scd2_maintenance_availablenow(
     production -- same adjudicated trade as the cdc merge and the
     incremental rollup."""
     from pyspark.sql import Window
-    from ..functions.time import epoch_ms
+    from ..functions.time import epoch_ms, epoch_us
     from .sources import events_stream
 
     if b_stream is None:
         b_stream = events_stream(spark, sf_dir)
+    # ms is the OUTPUT value (the oracle emits epoch_ms); us is the ORDERING
+    # key at the timestamp's full microsecond resolution -- ordering by the
+    # truncated ms would tie same-millisecond events that the oracle's
+    # ORDER BY ts distinguishes (review catch; latent on this perfectly
+    # ordered testdata, real on any same-ms feed)
     rows = b_stream.select(
-        "user_id", "event_id", epoch_ms("ts").alias("ms")
+        "user_id",
+        "event_id",
+        epoch_ms("ts").alias("ms"),
+        epoch_us("ts").alias("us"),
     )
     root = tempfile.mkdtemp(prefix=f"fte_{query_name}_")
     state_dir = os.path.join(root, "state")
     ck = os.path.join(root, "ck")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
         new_rows = batch_df.select(
             "user_id",
             "event_id",
@@ -1096,6 +1106,9 @@ def run_scd2_maintenance_availablenow(
             # whose max(folded_batch) is NULL -- treat as nothing folded
             if last is not None and last >= batch_id:
                 return  # at-least-once replay of an already-folded batch
+            # min(ms) needs no tie-break: ms is monotone nondecreasing in
+            # us, so min over the batch equals the ms of the
+            # (us, event_id)-first row -- the exact close bound
             firsts = batch_df.groupBy("user_id").agg(
                 F.min("ms").alias("first_ms")
             )

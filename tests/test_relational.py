@@ -385,7 +385,7 @@ def test_props_json_profile_twin_numeric_format_parity():
       ('view', '{"k": 10}'), ('view', '{"k": 1.5}'), ('view', '{"k": 2.0}'),
       ('view', '{"k": 1e3}'), ('view', '{"k": "oops"}'), ('view', 'not json'),
       ('view', '{"k": " 7 "}'), ('view', '{"k": "99999999999999999999999"}'),
-      ('view', '{"k": "7\n"}'),
+      ('view', '{"k": "7\\n"}'),
       ('view', '{"k": -7}')) t(event_type, props)""")
     rows = con.execute(props_json_profile_sql()).fetchall()
     # only 10 and -7 extract: 1.5 / 2.0 / 1e3 NULL like Spark's try_cast;

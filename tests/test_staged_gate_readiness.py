@@ -17,9 +17,11 @@ streaming_concurrency_profile, pii_tcloseness_audit
 promotions (streaming_windowed_histogram, record_linkage_scores,
 quantile_merge_shards, entity_resolution_clusters, props_json_profile,
 weighted_sample, bloom_contamination_screen, tokenizer_fertility) were
-trimmed when they entered the catalog; the round-9 trim emptied the
-staged-STREAMING list (the streaming test skips until the next staged
-streaming op lands)."""
+trimmed when they entered the catalog; the round-9 trims emptied the
+staged-STREAMING list twice (windowed histogram, then the same-round
+built-and-gated SCD2 maintenance), and it now carries the
+round-10-staged windowed quantile -- the skip branch in the streaming
+test is for whenever the list next empties."""
 
 import duckdb
 import pytest
@@ -242,6 +244,13 @@ def compare_cases(con, cases, verbose: bool = False) -> list[str]:
             # ordering total over mixed None/number columns. The driver's
             # own hash compare is NULL-tolerant the same way (the batch
             # scd2_user_history gate row has been green since r3).
+            # KNOWN CONFLATION: a genuine float NaN value also maps to
+            # None, so a Spark-NaN vs DuckDB-NULL divergence would pass
+            # this gate -- acceptable only because raw float outputs are
+            # banned repo-wide (README determinism rule 3: floats appear
+            # only as final deterministic functions of exact integers,
+            # never NaN-able aggregates); don't stage an op that violates
+            # that rule expecting this audit to catch it.
             return tuple(
                 None if (v is None or v != v) else v for v in t
             )

@@ -1355,3 +1355,45 @@ def test_streaming_windowed_quantile_matches_oracle(spark, sf_small):
     for rows in by_w.values():
         ests = [e for _p, e in sorted(rows)]
         assert ests == sorted(ests)
+
+
+def test_streaming_scd2_same_millisecond_orders_by_microsecond(spark, tmp_path):
+    """Review-catch pin: two same-user events inside ONE millisecond with
+    event_id order INVERTED vs microsecond order must close/open exactly
+    as the oracle's ORDER BY ts does. An ms-ordered fold would tie them
+    and tie-break by event_id -- leaving the WRONG row open."""
+    from datetime import datetime
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_scd2_maintenance_availablenow,
+    )
+
+    rows = [
+        # user 1: us=200 carries the LARGER event_id (9), us=700 the
+        # smaller (5) -- ts order is (9, 5); event_id order would be (5, 9)
+        (9, datetime(2024, 1, 1, 10, 0, 0, 200), 1, "click", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 10, 0, 0, 700), 1, "click", 1.0, "{}"),
+        (7, datetime(2024, 1, 1, 10, 0, 1, 0), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "same_ms")
+    replay_to_files(df, "ts", d, n_chunks=1)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    got = {
+        r["event_id"]: (r["valid_from_ms"], r["valid_to_ms"])
+        for r in run_scd2_maintenance_availablenow(
+            spark, "unused", f"scd2_us_{uuid.uuid4().hex[:8]}", b_stream=stream
+        ).collect()
+    }
+    base = 1704103200000  # 2024-01-01T10:00:00Z in epoch ms
+    # both user-1 events truncate to the same ms; event 9 (earlier us)
+    # closes AT that ms, event 5 (later us) stays open
+    assert got == {9: (base, base), 5: (base, None), 7: (base + 1000, None)}
