@@ -1107,3 +1107,133 @@ def test_skew_profile_matches_python_replay(spark, counts):
         (1000000 * mx * n_keys) // total,
         (mx * n_keys + total - 1) // total,
     )
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # window id
+            st.integers(min_value=0, max_value=9),      # bin
+            st.integers(min_value=1, max_value=50),     # cnt
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_quantile_from_binned_matches_python_walk(spark, rows):
+    """STAGED windowed-quantile batch stage vs a literal python replay of
+    the rank walk, for ANY histogram: per (window, pct), the selected bin
+    is the one containing rank ceil(pct*n/100) in the cumulative order."""
+    import math
+
+    from flink_training_exercises_spark.streaming.queries import (
+        quantile_from_binned,
+    )
+
+    bins = spark.createDataFrame(
+        [(w * 1000, b, c) for w, b, c in rows],
+        "window_end_ms long, bin long, cnt long",
+    )
+    pcts = (25, 50, 75, 90)
+    got = {
+        (r["window_end_ms"], r["pct"]): (r["est_floor_cents"], r["n_values"])
+        for r in quantile_from_binned(bins, pcts=pcts, bin_cents=1000).collect()
+    }
+    want = {}
+    by_w = {}
+    for w, b, c in rows:
+        by_w.setdefault(w * 1000, []).append((b, c))
+    for w, bc in by_w.items():
+        bc.sort()
+        n = sum(c for _b, c in bc)
+        for pct in pcts:
+            rank = math.ceil(pct * n / 100)
+            cum = 0
+            for b, c in bc:
+                cum += c
+                if cum >= rank:
+                    want[(w, pct)] = (b * 1000, n)
+                    break
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.data(),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.integers(min_value=0, max_value=5000),    # offset MICROseconds
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[1],
+    ),
+)
+def test_scd2_fold_equals_batch_lead_for_any_event_set(spark, data, rows):
+    """Generative form of the review-catch pin: for ANY event set (offsets
+    span 5 ms, so same-millisecond collisions with event_id order inverted
+    vs microsecond order are common) and ANY chronological chunking, the
+    streaming SCD2 drain equals the batch (ts, event_id) lead window."""
+    import tempfile as _tempfile
+    import uuid as _uuid
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_scd2_maintenance_availablenow,
+    )
+    from flink_training_exercises_spark.streaming.sources import (
+        replay_to_files,
+    )
+
+    n_chunks = data.draw(st.integers(min_value=1, max_value=3))
+    base = datetime(2024, 1, 1)
+    base_ms = 1704067200000
+    df = spark.createDataFrame(
+        [
+            (i, base + timedelta(microseconds=off), u, "t", 1.0, None)
+            for i, (u, off) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = _tempfile.mkdtemp(prefix="scd2_prop_")
+    replay_to_files(df, "ts", d, n_chunks=n_chunks)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got = sorted(
+        map(
+            tuple,
+            run_scd2_maintenance_availablenow(
+                spark, "unused", f"scd2_prop_{_uuid.uuid4().hex[:8]}",
+                b_stream=chunked,
+            ).collect(),
+        )
+    )
+    # python replay of the batch (ts, event_id) lead window
+    by_user = {}
+    for i, (u, off) in enumerate(rows):
+        by_user.setdefault(u, []).append((off, i))
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()  # (microsecond offset, event_id)
+        for j, (off, i) in enumerate(evs):
+            nxt = evs[j + 1][0] if j + 1 < len(evs) else None
+            want.append(
+                (
+                    u,
+                    i,
+                    base_ms + off // 1000,
+                    None if nxt is None else base_ms + nxt // 1000,
+                )
+            )
+    assert got == sorted(want)
