@@ -2815,3 +2815,59 @@ def test_quota_sample_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(quota_sample_sql()).fetchall())
     assert got == want and got
+
+
+def test_bloom_skipping_audit_hand_and_contracts(spark):
+    """STAGED-FOR-ROUND-10 point-predicate skipping audit: structural
+    contracts on a tiny crafted frame -- no false negatives for EITHER
+    index under EITHER layout, clustered truth = exactly one shard per
+    probe, and every scan count bounded by probes x shards."""
+    from flink_training_exercises_spark.operators.bloom import (
+        bloom_skipping_audit,
+    )
+
+    rows = [(i, i % 5) for i in range(40)]  # 5 keys, 8 events each
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    got = {
+        r["layout"]: (
+            r["n_probes"],
+            r["true_pairs"],
+            r["zonemap_scan_pairs"],
+            r["bloom_scan_pairs"],
+            r["bloom_false_pos"],
+        )
+        for r in bloom_skipping_audit(
+            ev, n_shards=4, n_words=2, probe_mod=1
+        ).collect()
+    }
+    assert set(got) == {"hash", "clustered"}
+    for layout, (np_, true, zm, bl, fp) in got.items():
+        assert np_ == 5  # probe_mod=1 probes every key
+        assert true <= zm <= np_ * 4  # zonemaps never miss a containing shard
+        assert true <= bl <= np_ * 4  # blooms never miss one either
+        assert fp == bl - true >= 0
+    # clustered layout places each key wholly inside ONE shard
+    assert got["clustered"][1] == 5
+
+
+def test_bloom_skipping_audit_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.bloom import (
+        bloom_skipping_audit,
+        bloom_skipping_audit_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(
+            tuple,
+            bloom_skipping_audit(load_table(spark, "events", sf_small)).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(bloom_skipping_audit_sql()).fetchall())
+    assert got == want and got

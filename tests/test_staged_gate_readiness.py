@@ -33,6 +33,7 @@ def _cases(spark, sf):
     from pyspark.sql import functions as F
 
     from flink_training_exercises_spark.operators import (
+        bloom,
         graph,
         sampling,
         similarity,
@@ -87,6 +88,10 @@ def _cases(spark, sf):
         "skew_profile": (
             skew.skew_profile(ev),
             skew.skew_profile_sql(),
+        ),
+        "bloom_skipping_audit": (
+            bloom.bloom_skipping_audit(ev),
+            bloom.bloom_skipping_audit_sql(),
         ),
         "session_cooccurrence_lift": (
             session_cooccurrence_lift(ev),
