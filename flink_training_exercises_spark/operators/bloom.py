@@ -356,7 +356,6 @@ def bloom_skipping_audit_sql(
     assignment, per-shard zonemaps + bit_or blooms (per-engine `<<`/`//`
     spellings), and the identical probe accounting."""
     m_bits = 63 * n_words
-    rid_md5 = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
     k_md5 = md5_long_sql("CAST(k AS VARCHAR)")
     cell_rows = " UNION ALL ".join(
         f"SELECT layout, shard, ({permuted_hash_sql(k_md5, a, b)}) % {m_bits} AS pos FROM su"

@@ -1199,26 +1199,33 @@ def test_scd2_fold_equals_batch_lead_for_any_event_set(spark, data, rows):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, "
         "value double, props string",
     )
+    # mkdtemp + try/finally instead of tmp_path: hypothesis forbids
+    # function-scoped fixtures under @given
     d = _tempfile.mkdtemp(prefix="scd2_prop_")
-    replay_to_files(df, "ts", d, n_chunks=n_chunks)
-    schema = (
-        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
-    chunked = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(d)
-    )
-    got = sorted(
-        map(
-            tuple,
-            run_scd2_maintenance_availablenow(
-                spark, "unused", f"scd2_prop_{_uuid.uuid4().hex[:8]}",
-                b_stream=chunked,
-            ).collect(),
+    try:
+        replay_to_files(df, "ts", d, n_chunks=n_chunks)
+        schema = (
+            "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING"
         )
-    )
+        chunked = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        got = sorted(
+            map(
+                tuple,
+                run_scd2_maintenance_availablenow(
+                    spark, "unused", f"scd2_prop_{_uuid.uuid4().hex[:8]}",
+                    b_stream=chunked,
+                ).collect(),
+            )
+        )
+    finally:
+        import shutil as _shutil
+
+        _shutil.rmtree(d, ignore_errors=True)
     # python replay of the batch (ts, event_id) lead window
     by_user = {}
     for i, (u, off) in enumerate(rows):
