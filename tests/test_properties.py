@@ -1244,3 +1244,42 @@ def test_scd2_fold_equals_batch_lead_for_any_event_set(spark, data, rows):
                 )
             )
     assert got == sorted(want)
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),  # event id
+            st.integers(min_value=-50, max_value=50),  # key (negatives too)
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_bloom_skipping_audit_contracts_any_keys(spark, rows):
+    """STAGED bloom skipping audit: for ANY key set (negative keys
+    included -- md5 hashes the string form), neither index ever misses a
+    containing shard, clustered truth is exactly one shard per probed
+    key, and every scan count is bounded by probes x shards."""
+    from flink_training_exercises_spark.operators.bloom import (
+        bloom_skipping_audit,
+    )
+
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    n_shards = 4
+    got = {
+        r["layout"]: r.asDict()
+        for r in bloom_skipping_audit(
+            ev, n_shards=n_shards, n_words=2, probe_mod=1
+        ).collect()
+    }
+    n_keys = len({k for _i, k in rows})
+    assert set(got) == {"hash", "clustered"}
+    for layout, r in got.items():
+        assert r["n_probes"] == n_keys  # probe_mod=1 probes every key
+        assert r["true_pairs"] <= r["zonemap_scan_pairs"] <= n_keys * n_shards
+        assert r["true_pairs"] <= r["bloom_scan_pairs"] <= n_keys * n_shards
+        assert r["bloom_false_pos"] == r["bloom_scan_pairs"] - r["true_pairs"]
+    assert got["clustered"]["true_pairs"] == n_keys
