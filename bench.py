@@ -21,7 +21,9 @@ driver captured only the TAIL of the single (long) JSON line, losing the
 leading ``value`` field. So the full line is printed first and a SHORT
 headline-only JSON line is printed LAST -- whichever end of stdout a
 capture keeps, a parseable line with metric/value survives. The full
-result is also written to BENCH_local.json for local analysis.
+result is also written to BENCH_local_last.json (gitignored) for local
+analysis; set SPARK_GRAFT_RECORD=1 to update the committed
+BENCH_local.json record instead.
 
 Cache hygiene: persisted minhash signature tables and any per-query cache
 are dropped after each query (release_persisted_signatures + clearCache),
@@ -150,7 +152,17 @@ def main() -> None:
         "sf": sf,
         "total_all_queries_wall": full["total_all_queries_wall"],
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+    # BENCH_local.json holds the committed best corroborated quiet run; a
+    # casual corroboration run must not silently replace it (the r9 trap).
+    # Opt in with SPARK_GRAFT_RECORD=1 to update the committed artifact;
+    # every run still writes BENCH_local_last.json (gitignored) for analysis.
+    here = os.path.dirname(os.path.abspath(__file__))
+    target = (
+        "BENCH_local.json"
+        if os.environ.get("SPARK_GRAFT_RECORD") == "1"
+        else "BENCH_local_last.json"
+    )
+    with open(os.path.join(here, target), "w") as f:
         json.dump(full, f)
     print(json.dumps(full))
     print(json.dumps(short))

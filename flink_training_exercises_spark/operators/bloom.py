@@ -226,7 +226,7 @@ def bloom_skipping_audit(
     (layout, n_probes, true_pairs, zonemap_scan_pairs, bloom_scan_pairs,
     bloom_false_pos), counts BIGINT.
 
-    STAGED FOR ROUND 10 -- the round-9 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     What it demonstrates (the lakehouse guidance, made measurable):
     zonemaps are useless for point predicates under a hash layout (every

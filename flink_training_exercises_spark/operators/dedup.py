@@ -1095,10 +1095,7 @@ def sorted_neighborhood_pairs(
     ``window`` predecessors in sort order, keep pairs with Levenshtein
     distance <= ``max_dist``. Output (id_a, id_b, dist), id_a < id_b.
 
-    STAGED FOR ROUND 7 -- pytest-pinned (hand + DuckDB-twin differential
-    in tests/test_pipeline_ops.py) but deliberately NOT registered yet:
-    the round-6 gate window is exactly full with the r3-evidence rotation
-    (CLAUDE.md round-7 starter records the pending registration).
+    Gated since round 7 (catalog name dedup_sorted_neighborhood).
 
     Scale shape (100 TB): the sort is confined to key-prefix blocks
     (``block_len`` chars) -- Window.partitionBy(block).orderBy(key, id)
@@ -1210,11 +1207,7 @@ def prefix_filter_jaccard_pairs(
     id_b, all BIGINT (the threshold test is integer cross-multiplied, so
     the pair set is hash-exact across engines).
 
-    STAGED FOR ROUND 7 -- pytest-pinned (hand case, brute-force-equality
-    property, superset-of-shard-scoped contract, and DuckDB-twin
-    differential in tests/test_pipeline_ops.py) but deliberately NOT
-    registered: the round-6 gate window is exactly full with the
-    r3-evidence rotation (CLAUDE.md round-7 starter).
+    Gated since round 7 (catalog name dedup_prefix_filter_jaccard).
 
     How it avoids all-pairs: order the gram universe by (global document
     frequency ASC, hash ASC) -- rarest first. A document with s distinct

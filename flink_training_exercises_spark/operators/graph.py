@@ -546,8 +546,7 @@ def clustering_coefficients(
     degree < 2 -- the division guard ANSI mode demands), so rows are
     hash-exact across engines.
 
-    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin; round-7
-    registration capacity is consumed (CLAUDE.md round-7 starter).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape: reuses :func:`triangle_count`'s canonical wedge+closing
     join (each a<b<c triangle found once, then credited to its three
@@ -657,8 +656,7 @@ def personalized_pagerank(
     seeds alone -- bit-stable under any partitioning, and the oracle
     unrolls the identical recurrence.
 
-    STAGED (round-8 backlog): pytest-pinned (python-reference recurrence
-    + DuckDB twin + gate-readiness); round-7 capacity is consumed.
+    Gated since round 8 (catalog name personalized_pagerank).
 
     Scale shape: identical to weighted_pagerank -- one cached transition
     table hash-partitioned on src, per-iteration join + aggregate on the
@@ -731,8 +729,7 @@ def random_walks(
     itself, all BIGINT/string -- the (context windows over each walk)
     are downstream skip-gram prep.
 
-    STAGED (round-8 backlog): pytest-pinned (python replay + DuckDB twin
-    + gate-readiness); round-7 capacity is consumed.
+    Gated since round 10 (catalog name random_walks).
 
     Scale shape (100 TB edges): the ranked adjacency (row_number per
     source + out-degree) is ONE window shuffle on src, cached and reused
@@ -845,8 +842,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     20-vertex test graph, where every count-degree is 19 -- makes the
     count form structurally degenerate).
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Determinism: the value_hour_correlation recipe verbatim -- degrees
     are exact BIGINT counts, the five sufficient statistics are exact
@@ -931,7 +927,7 @@ def edge_jaccard_similarity(
     themselves -- both are in the union since b ∈ N(a), a ∈ N(b) -- so
     it is >= 2 and the division needs no zero guard even under ANSI).
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Determinism: the score ships as an exact parts-per-million integer
     ((1e6 * common) DIV union) over BIGINT counts -- rows are hash-exact
@@ -1056,7 +1052,7 @@ def temporal_reachability(
     arrival[v] = min(arrival[v], min{t : (u -> v, t), t >= arrival[u]}).
     Output (vertex, arrival_ms) for reached vertices only.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Relaxation is MONOTONE (arrivals only decrease, reached set only
     grows), so the fixed-``rounds`` unrolled oracle equals this side

@@ -873,8 +873,7 @@ def index_staleness_audit(
     rows (method in {'stale','fresh'}, hits, total) of integer counts --
     the retrain-cadence dashboard number.
 
-    STAGED (round-8 backlog): pytest-pinned (composition differential
-    against the CATALOG oracles); round-7 capacity is consumed.
+    Gated since round 10 (catalog name index_staleness_audit).
 
     Scale shape: both quantizers are TRAIN_N-bounded driver Lloyd (the
     stale one samples only the standing corpus); assignment stays

@@ -90,10 +90,7 @@ def kanonymity_profile(
     smaller than ``k_risk`` (the releasability threshold). All counts
     BIGINT; the flag is 0/1 BIGINT, not BOOLEAN (dtype parity).
 
-    STAGED FOR ROUND 7 -- pytest-pinned (hand case + DuckDB-twin
-    differential in tests/test_pipeline_ops.py) but deliberately NOT
-    registered: the round-6 gate window is exactly full (CLAUDE.md
-    round-7 starter).
+    Gated since round 7 (catalog name pii_kanonymity_profile).
 
     Scale shape (100 TB): one hash-partitioned groupBy on the
     quasi-identifier tuple with map-side partial aggregation;
@@ -163,8 +160,7 @@ def t_closeness_audit(
     l-diverse yet still leak (all its values clustered at one end of the
     range); EMD against the global distribution is the published fix.
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    Gated since round 8 (catalog name pii_tcloseness_audit).
 
     Determinism: for 1-D ordered distributions with unit bin spacing
     scaled to [0,1], EMD = sum_j |CDF_class(j) - CDF_global(j)| / (m-1).

@@ -440,8 +440,7 @@ def contrastive_negatives(
     Output (anchor_id, neg_rank, neg_id, neg_label); neg_rank is the
     1-based probe order of the accepted negatives.
 
-    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin; round-7
-    registration capacity is consumed (CLAUDE.md round-7 starter).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     How it avoids the cross join: probe j of anchor a targets id
     md5(a || ':neg:' || j) % (max_id + 1). Probes that miss (gap id,
@@ -641,7 +640,7 @@ def quota_sample(
     sample_rank records the within-stratum priority order. Output
     (strata..., doc_id, sample_rank).
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): one hash shuffle keyed on the strata for the
     rank window (parallel across strata; the heaviest stratum bounds one

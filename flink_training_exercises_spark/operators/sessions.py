@@ -375,9 +375,7 @@ def concurrency_profile(
     platform runs, and a member of the range/interval-analytics family
     (asof join, range join, gap-fill).
 
-    STAGED FOR ROUND 7 -- pytest-pinned (hand case, conservation law,
-    DuckDB-twin differential) but deliberately NOT registered: the
-    round-6 gate window is exactly full (CLAUDE.md round-7 starter).
+    Gated since round 7 (catalog name session_concurrency_profile).
 
     The classic formulation is a GLOBAL prefix sum over +1/-1 boundary
     events -- a single-partition window, the scale anti-pattern. This
@@ -523,8 +521,7 @@ def attribution_credit(
     queries. Output (event_type, n_touches, credit_ppm), BIGINTs,
     aggregated per touch type.
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Determinism: credit is integer ppm with the middle split's division
     remainder assigned to the LAST touch, so every conversion's credits
@@ -639,7 +636,7 @@ def user_behavior_gini(
     the exact integer ppm (1e6 * (n^2 - sum c_t^2)) DIV n^2. Output
     (user_id, n_events, n_types, gini_ppm), all BIGINT.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): two hash aggregates with map-side partials
     ((user, type) counts, then per-user sufficient statistics n and
@@ -724,7 +721,7 @@ def session_cooccurrence_lift(
     bounded) or pre-divide the constant (floor(1e6 DIV n_a) loses
     exactness; the stratified route keeps it).
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): session ids via the shared lag-gap-cumsum
     windows (user-partitioned, parallel); baskets collapse to DISTINCT

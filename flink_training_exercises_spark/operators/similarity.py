@@ -457,7 +457,7 @@ def embedding_centroid_drift(
     distance) between the label's mean vector and the global mean
     vector, in micro-units of the embedding space.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Determinism: float sums are order-dependent, so each coordinate is
     quantized to integer micros (floor(x * 1e6) -- floor, not truncate:

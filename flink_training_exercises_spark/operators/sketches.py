@@ -854,9 +854,7 @@ def join_cardinality_estimate(
     and integer-exact, next to the exact truth -- the estimator-vs-
     ground-truth audit pattern (hll_distinct / ann_recall_at_k policy).
 
-    STAGED (round-8 backlog): pytest-pinned (identity, one-sidedness,
-    python reference, DuckDB twin + gate-readiness); round-7 capacity
-    is consumed (CLAUDE.md round-7 starter).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): each side's sketch is built from its
     key-aggregated relation (the CMS-from-partials identity, as
@@ -965,8 +963,7 @@ def approx_topk_shard_union(
     full per-shard frequency tables is too expensive: only m rows leave
     each shard.
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     One-sided by construction: a token's estimate sums only the shards
     where it survived the local cut, so est <= exact always, and
@@ -1168,8 +1165,7 @@ def hilbert_pruning_audit(
     zonemap_pruning_audit -- only the shard placement differs, which is
     exactly the variable a layout decision controls.
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    Gated since round 8 (catalog name hilbert_pruning_audit).
 
     Scale shape (100 TB): TWO corpus passes (the 1-row min/max scaling
     scalar, then one scan computing BOTH addresses in a single lineage
@@ -1476,7 +1472,7 @@ def hll_intersection_estimate(
     index's posting lists); graded against the exact overlap, mirroring
     hll_distinct's estimator-next-to-truth shape. Output is ONE row.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     p defaults to 6 (m = 64 registers): small enough that the RAW
     estimator (no linear-counting correction, by repo design) stays in

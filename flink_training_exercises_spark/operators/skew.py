@@ -97,7 +97,7 @@ def skew_profile(
     Output ONE row (n_keys, total_rows, max_cnt, p50_cnt, p95_cnt,
     skew_vs_mean_ppm, recommended_salt), all BIGINT.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Determinism: p50/p95 are exact discrete quantiles (value at rank
     ceil(p*n) over the per-key counts) computed by the integer

@@ -955,9 +955,7 @@ def source_scorecard(
     integer (ppm via BIGINT cross-multiplied integer division), so the
     row set is hash-exact across engines.
 
-    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin
-    composing gopher_quality_flags_sql; round-7 capacity is consumed
-    (CLAUDE.md round-7 starter).
+    Gated since round 10 (catalog name source_scorecard).
 
     Scale shape (100 TB): the per-doc frame is one map-only projection
     (the Gopher battery + an md5) joined on id; the scorecard is one
@@ -1065,8 +1063,7 @@ def heaps_vocab_growth(
     fitting beta is a 10-point driver-side afterthought, deliberately NOT
     folded in (ln/pow are not correctly rounded cross-engine).
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Determinism: corpus order = doc_id order; checkpoint q covers doc_ids
     <= q/n of max(doc_id). A token's first appearance is min(doc_id)
@@ -1181,8 +1178,7 @@ def rake_keywords(
     the sum of its members' scores. Output = the corpus's top ``k``
     keyphrases: (rank, phrase, n_words, score_ppm).
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Delimiters: classic RAKE uses an English stopword list; this corpus
     (like any specialized corpus) would make that degenerate (no hits ->
@@ -1439,7 +1435,7 @@ def feature_hashing_profile(
     Output (bucket, total_count, signed_sum, distinct_tokens), all
     BIGINT, n_buckets rows.
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): tokenize + hash are map-side (widened scan --
     the per-row HOF rule), one hash groupBy to the n_buckets-bounded
@@ -1514,7 +1510,7 @@ def vocab_drift_halves(
     BIGINT subtraction -- no engine-divergent negative division
     anywhere).
 
-    STAGED FOR ROUND 9 -- the round-8 gate window is full.
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): the split point is a 1-row min/max broadcast
     (integer midpoint); per-token half counts come from ONE conditional

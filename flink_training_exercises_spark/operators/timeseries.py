@@ -380,9 +380,7 @@ def value_trend_ols(
     records, applied. Day boundaries are pure epoch-ms integer division,
     never date_trunc (session-TZ rule).
 
-    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin; the
-    round-7 registration capacity is already consumed by the five staged
-    round-7 candidates (CLAUDE.md round-7 starter window math).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): one hash shuffle on event_type; the window min
     and the aggregation share it. Exactness bound: sxx = sum(x^2) <=
@@ -495,8 +493,7 @@ def cusum_level_shift(
     operator's grid). Bucket boundaries are pure epoch-ms arithmetic,
     never date_trunc (session-TZ rule).
 
-    STAGED (round-8 backlog, with value_trend_ols): pytest-pinned with a
-    DuckDB twin; round-7 registration capacity is consumed (CLAUDE.md).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): one shuffle to bucket-aggregate, then windows
     partitioned per type over the BUCKETED series (bounded by the time
@@ -630,8 +627,7 @@ def theil_sen_trend(
     correctly-rounded add/divide -- the Pearson/BM25 recipe, extended to
     an order statistic.
 
-    STAGED (round-8 backlog): pytest-pinned with a DuckDB twin; round-7
-    capacity is consumed (CLAUDE.md round-7 starter).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): the pairwise join is quadratic in DISTINCT
     DAYS PER TYPE, not in rows -- bounded by the time span squared
@@ -741,8 +737,7 @@ def downsample_lttb(
     raw neighbors -- the standard dashboard shape-preserving downsample
     (spikes survive; uniform strides would erase them).
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Why LTOB and not textbook LTTB: LTTB's bucket choice depends on the
     PREVIOUS bucket's chosen point -- a sequential recurrence with no

@@ -639,9 +639,7 @@ def streaming_windowed_topk(
     """Windowed heavy hitters through the real engine: per event-time
     window, the k most frequent event types (count desc, type asc).
 
-    STAGED FOR ROUND 7 -- pytest-pinned (tests/test_streaming.py::
-    test_streaming_windowed_topk_matches_batch) but not yet registered:
-    the round-6 gate window is exactly full (CLAUDE.md round-7 starter).
+    Gated since round 7 (catalog name streaming_windowed_topk).
 
     Append-mode streaming forbids window functions over an aggregated
     stream, so the ranking CANNOT ride the stream -- and it doesn't need
@@ -695,10 +693,7 @@ def streaming_windowed_hll(
     the batch ``hll_distinct`` family, composed from the SAME register
     pipeline (md5 bucket/rho split, ``operators/sketches.py``).
 
-    STAGED (round-8 backlog with the batch OLS/CUSUM additions) --
-    pytest-pinned (tests/test_streaming.py::
-    test_streaming_windowed_hll_matches_batch) but not registered: the
-    round-7 window capacity is consumed (CLAUDE.md round-7 starter).
+    Gated since round 8 (catalog name streaming_windowed_hll).
 
     Why this shape: a register max is an associative+commutative fold, so
     it rides the watermarked windowed aggregation natively (fire-once per
@@ -898,8 +893,7 @@ def run_concurrency_profile_availablenow(
     the windowed_topk composition pattern (the stream pays one stateful
     shuffle; the profile input is session-sized, never raw events).
 
-    STAGED FOR ROUND 8 -- the round-7 gate window is full (CLAUDE.md
-    starter has the math).
+    Gated since round 8 (catalog name streaming_concurrency_profile).
 
     Session_window ends already carry the gap, so the drained intervals
     feed :func:`~..operators.sessions.concurrency_from_intervals`
@@ -1205,17 +1199,20 @@ def run_windowed_quantile_availablenow(
     sf_dir: str,
     query_name: str = "streaming_windowed_quantile_gate",
 ) -> DataFrame:
-    """STAGED FOR ROUND 10: streaming windowed quantiles -- per event-time
-    window, discrete percentile estimates at fixed-bin resolution. The
-    stream pays exactly what the gated windowed histogram pays (one
-    stateful shuffle keyed on (window, bin), watermark-bounded state:
-    fixed-width bin counts are the parameter-free mergeable fold); the
-    quantile walk runs as a bounded batch stage over the DRAIN -- the
-    windowed_topk/concurrency composition pattern. Completes the quantile
-    family on-stream next to quantile_merge_shards' shard axis: same
-    estimate-vs-sketch trade, windows instead of shards. Oracle =
-    :func:`windowed_quantile_oracle` (the batch histogram cut at the
-    final watermark, walked with identical integer arithmetic)."""
+    """Streaming windowed quantiles -- per event-time window, discrete
+    percentile estimates at fixed-bin resolution. The stream pays exactly
+    what the gated windowed histogram pays (one stateful shuffle keyed on
+    (window, bin), watermark-bounded state: fixed-width bin counts are
+    the parameter-free mergeable fold); the quantile walk runs as a
+    bounded batch stage over the DRAIN -- the windowed_topk/concurrency
+    composition pattern. Completes the quantile family on-stream next to
+    quantile_merge_shards' shard axis: same estimate-vs-sketch trade,
+    windows instead of shards. Oracle = :func:`windowed_quantile_oracle`
+    (the batch histogram cut at the final watermark, walked with
+    identical integer arithmetic).
+
+    STAGED (gate-ready; registered when a gate-window slot opens).
+    """
     from .sources import events_stream
 
     bins = drain_availablenow(
