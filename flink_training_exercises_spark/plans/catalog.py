@@ -106,82 +106,32 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-9 WINDOW (50) =======================
+    # ======================= ROUND-10 WINDOW (50) ======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # Window math: 9 staged promotions (the VERDICT r8 #2 five plus
-    # weighted_sample [attests its ADVICE r7 floor fix under the gate],
-    # bloom_contamination_screen [the decontamination scale path],
-    # tokenizer_fertility [closes the BPE train->apply->audit loop] --
-    # VERDICT r8 #3 asked for 6-7+ to drain the staged backlog -- and
-    # streaming_scd2_maintenance, built THIS round: incremental SCD2
-    # production on-stream, the third SCD2 leg) + 2 canaries + the 6
-    # r4-evidence rows (the twice-ejected fill block, guaranteed slots)
-    # + 33 of the 48 r5-evidence rows. Each promotion ejects one r5 row
-    # from the tail of the fitting block
-    # (mail_count..neardup_embedding_cosine lead the round-10 rotation).
-    # -- new in round 9 (staged promotions, gate-readiness audit +
+    # Window math (the VERDICT r9 #1 recorded rotation): 8 staged
+    # promotions (the VERDICT r9 #2 eight -- the drain cadence that
+    # clears the staged backlog by ~r12) + 2 canaries + the 15
+    # r5-evidence rows (stalest in the catalog, each independently
+    # re-verified green by the r9 judge) + the first 25 of the 47
+    # r7-evidence rows (dedup_sorted_neighborhood leads). The remaining
+    # 22 r7 rows lead the round-11 rotation.
+    # -- new in round 10 (staged promotions, gate-readiness audit +
     #    double-hostile staged probe green before registration) --
-    "streaming_windowed_histogram",   # NEW r9: fixed-width histogram on the stream
-    "record_linkage_scores",          # NEW r9: Fellegi-Sunter decision profile
-    "quantile_merge_shards",          # NEW r9: 4th shard-merge family member
-    "entity_resolution_clusters",     # NEW r9: FS pairs -> canonical entities
-    "props_json_profile",             # NEW r9: semi-structured JSON profiling
-    "weighted_sample",                # NEW r9: A-RES weighted sampling (integer twin)
-    "bloom_contamination_screen",     # NEW r9: decontamination scale path
-    "tokenizer_fertility",            # NEW r9: per-segment BPE cost audit
-    "streaming_scd2_maintenance",     # NEW r9: incremental SCD2 production on-stream
+    "streaming_windowed_quantile",    # NEW r10: quantile walk over the streamed histogram
+    "index_staleness_audit",          # NEW r10: completes the ANN ops family
+    "skew_profile",                   # NEW r10: the salting DECISION next to the appliers
+    "quota_sample",                   # NEW r10: quota-exact eval-set construction
+    "temporal_reachability",          # NEW r10: time-respecting graph reachability
+    "source_scorecard",               # NEW r10: composed corpus governance
+    "hll_intersection_estimate",      # NEW r10: sketch-family inclusion-exclusion
+    "random_walks",                   # NEW r10: embedding-prep walk corpus
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
-    # -- r4-evidence rotation: the six rows ejected for the r8
-    #    promotions (stalest evidence in the catalog, twice-ejected) --
-    "cdc_merge_user_state",
-    "sssp_event_graph",
-    "vocab_oov_rate",
-    "timeseries_gapfill_hourly",
-    "dedup_editdistance_blocked",
-    "hll_merge_shards",
-    # -- r5-evidence rotation: the first 33 of the 48 r5 rows --
-    "scd2_point_in_time_join",
-    "cube_user_type_day",
-    "snapshot_diff_documents",
-    "skew_salted_join_events",
-    "session_path_topk",
-    "value_hour_correlation",
-    "zonemap_pruning_audit",
-    "streaming_anomaly_zscore",
-    "event_transitions_markov",
-    "anomaly_rolling_zscore",
-    "gopher_quality_flags",
-    "segment_dedup_keepfirst",
-    "chunk_sliding_windows",
-    "split_leakage_neardup",
-    "funnel_user_stages",
-    "retention_cohorts",
-    "streaming_enrich_static",
-    "bpe_encode_corpus",
-    "incremental_corpus_roundtrip",
-    "dedup_clusters_minhash",
-    "dedup_keep_best",
-    "embedding_dedup_clusters",
-    "kcore_interactions",
-    "streaming_cdc_merge",
-    "shuffle_shard_layout",
-    "sessionize_events",
-    "dedup_simhash",
-    "tpch_q1_pricing_summary",
-    "pagerank_weighted",
-    "travel_time_prediction",
-    "mail_tfidf",
-    "reply_graph",
-    "member_of_the_month",
-    # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-9 window, stalest-first for
-    # the round-10 rotation.
-    # -- the 15 r5-evidence rows that no longer fit (ejected by the 9
-    #    promotions; FIRST in line for round 10) --
+    # -- r5-evidence rotation: the 15 stalest rows (ejected by the r9
+    #    promotions, re-verified green by the r9 judge) --
     "mail_count",
     "popular_places",
     "ride_cleansing",
@@ -197,7 +147,7 @@ _GATE_PRIORITY = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # -- the r7-evidence block (next in line) --
+    # -- r7-evidence rotation: the first 25 of the 47 r7 rows --
     "dedup_sorted_neighborhood",
     "dedup_prefix_filter_jaccard",
     "session_concurrency_profile",
@@ -223,6 +173,11 @@ _GATE_PRIORITY = [
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q15_top_supplier",
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-10 window, stalest-first for
+    # the round-11 rotation.
+    # -- the 22 r7-evidence rows that no longer fit (FIRST in line for
+    #    round 11) --
     "tpch_q16_supplier_part_counts",
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",
@@ -245,8 +200,8 @@ _GATE_PRIORITY = [
     "curation_pipeline",
     "domain_cap_documents",
     "multimodal_frame_sample",
-    # -- the r8-evidence block (freshest, last in line: the 48 non-canary
-    #    rows of the round-8 window) --
+    # -- the r8-evidence block (next in line: the 48 non-canary rows of
+    #    the round-8 window) --
     "hilbert_pruning_audit",
     "streaming_windowed_hll",
     "streaming_concurrency_profile",
@@ -295,6 +250,56 @@ _GATE_PRIORITY = [
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity",
+    # -- the r9-evidence block (freshest, last in line: the 48 non-canary
+    #    rows of the round-9 window) --
+    "streaming_windowed_histogram",
+    "record_linkage_scores",
+    "quantile_merge_shards",
+    "entity_resolution_clusters",
+    "props_json_profile",
+    "weighted_sample",
+    "bloom_contamination_screen",
+    "tokenizer_fertility",
+    "streaming_scd2_maintenance",
+    "cdc_merge_user_state",
+    "sssp_event_graph",
+    "vocab_oov_rate",
+    "timeseries_gapfill_hourly",
+    "dedup_editdistance_blocked",
+    "hll_merge_shards",
+    "scd2_point_in_time_join",
+    "cube_user_type_day",
+    "snapshot_diff_documents",
+    "skew_salted_join_events",
+    "session_path_topk",
+    "value_hour_correlation",
+    "zonemap_pruning_audit",
+    "streaming_anomaly_zscore",
+    "event_transitions_markov",
+    "anomaly_rolling_zscore",
+    "gopher_quality_flags",
+    "segment_dedup_keepfirst",
+    "chunk_sliding_windows",
+    "split_leakage_neardup",
+    "funnel_user_stages",
+    "retention_cohorts",
+    "streaming_enrich_static",
+    "bpe_encode_corpus",
+    "incremental_corpus_roundtrip",
+    "dedup_clusters_minhash",
+    "dedup_keep_best",
+    "embedding_dedup_clusters",
+    "kcore_interactions",
+    "streaming_cdc_merge",
+    "shuffle_shard_layout",
+    "sessionize_events",
+    "dedup_simhash",
+    "tpch_q1_pricing_summary",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "mail_tfidf",
+    "reply_graph",
+    "member_of_the_month",
 ]
 
 

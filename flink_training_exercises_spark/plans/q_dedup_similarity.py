@@ -446,3 +446,26 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dedup.entity_resolution_clusters(docs)
+
+
+@register(
+    "index_staleness_audit",
+    oracle=ivf.index_staleness_audit_sql(CATALOG["ann_topk_bruteforce"].oracle),
+    doc="ANN index-staleness audit for the continuous-ingest shape: a new "
+    "embedding batch (md5(id) split, the incremental-minhash convention) "
+    "lands on a standing corpus whose IVF quantizer was trained BEFORE "
+    "the batch arrived; new vectors get assigned to the stale centroids "
+    "map-only (the real-world no-retrain-on-ingest contract). The audit "
+    "grades what that costs: top-k recall vs exact brute force over the "
+    "merged corpus, stale quantizer next to a freshly retrained one -- "
+    "two rows (method, hits, total) of integer counts, the "
+    "retrain-cadence dashboard number. Completes the ANN ops family "
+    "(build -> search -> recall audit -> staleness audit). 100 TB: both "
+    "quantizers are TRAIN_N-bounded driver Lloyd, assignment map-only "
+    "over inlined centroid literals, ground truth localCheckpoint'd "
+    "(bounded at topk rows per sampled query; it feeds the hits join "
+    "AND the broadcast total -- the twice-consumed rule).",
+)
+def q_index_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf.index_staleness_audit(emb)

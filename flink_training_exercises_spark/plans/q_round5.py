@@ -430,3 +430,27 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hilbert_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return sketches.hilbert_pruning_audit(docs)
+
+
+@register(
+    "skew_profile",
+    oracle=skew.skew_profile_sql(),
+    doc="Key-skew diagnosis BEFORE a shuffle -- completes the skew "
+    "family: salted_aggregate / salted_broadcast_join APPLY the "
+    "mitigation (both gated), this op DECIDES it. Per-key row-count "
+    "distribution summarized to ONE all-BIGINT row (n_keys, total_rows, "
+    "max_cnt, p50_cnt, p95_cnt, skew_vs_mean_ppm, recommended_salt = "
+    "ceil(max*n_keys/total), 1 = no salting needed). Determinism: exact "
+    "discrete quantiles via the integer cross-multiplied cumulative "
+    "walk over the COUNT-OF-COUNTS frame (bounded by distinct count "
+    "VALUES, not keys -- the histogram/quantile_merge recipe); ppm and "
+    "the salt ceiling are pure BIGINT rationals. 100 TB: one hash "
+    "groupBy to per-key counts (map-side partials), one tiny groupBy to "
+    "count-of-counts localCheckpoint'd once (multi-consumer rule), a "
+    "bounded single-partition cumulative over that summary, ONE "
+    "conditional aggregate for both quantiles -- never a corpus-wide "
+    "sort or window.",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return skew.skew_profile(ev)

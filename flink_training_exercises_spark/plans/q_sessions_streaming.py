@@ -18,9 +18,11 @@ from ..streaming.queries import (
     run_scd2_maintenance_availablenow,
     run_windowed_histogram_availablenow,
     run_windowed_hll_availablenow,
+    run_windowed_quantile_availablenow,
     run_windowed_topk_availablenow,
     windowed_histogram_oracle,
     windowed_hll_oracle,
+    windowed_quantile_oracle,
     windowed_topk_oracle,
 )
 from ..operators import (
@@ -320,4 +322,30 @@ def q_streaming_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFram
 def q_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_scd2_maintenance_availablenow(
         spark, sf_dir, "streaming_scd2_maintenance_gate"
+    )
+
+
+@register(
+    "streaming_windowed_quantile",
+    oracle=windowed_quantile_oracle(),
+    doc="Streaming windowed QUANTILES: per 6-hour event-time window, "
+    "discrete p25/p50/p75/p90 estimates at fixed-bin resolution -- the "
+    "streaming twin completing the quantile family next to "
+    "quantile_merge_shards' shard axis (same estimate-vs-sketch trade, "
+    "windows instead of shards). The stream pays exactly what the gated "
+    "windowed histogram pays: one stateful shuffle keyed on "
+    "(window, bin), watermark-bounded state (fixed-width bin counts are "
+    "the parameter-free associative fold a stream can run; data-"
+    "dependent equi-width edges cannot stream); the quantile walk runs "
+    "as a bounded batch stage over the DRAIN -- the windowed_topk/"
+    "concurrency composition pattern. Integer cross-multiplied rank "
+    "bounds (a < ceil(x) <=> a < x) keep the walk float-free. Oracle = "
+    "the batch histogram cut at the final watermark, walked with "
+    "identical integer arithmetic. 100 TB: state bounded by value "
+    "range over bin width per open window, watermark-evicted; the walk "
+    "input is bins-per-window-sized, never raw events.",
+)
+def q_streaming_windowed_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_quantile_availablenow(
+        spark, sf_dir, "streaming_windowed_quantile_gate"
     )

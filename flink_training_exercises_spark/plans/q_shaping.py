@@ -152,3 +152,24 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return sampling.weighted_sample(docs)
+
+
+@register(
+    "quota_sample",
+    oracle=sampling.quota_sample_sql(),
+    doc="QUOTA-exact stratified sampling: exactly min(k, stratum size) "
+    "rows per (lang, source) stratum, chosen as the k smallest md5 "
+    "priorities -- the eval-set construction rule ('k examples per "
+    "cell') that the gated rate-based sample_stratified_documents "
+    "cannot express (a rate yields binomial counts; a quota yields "
+    "exact ones). Pick is a pure function of the ids: reproducible "
+    "across engines, clusters, reruns; sample_rank records the "
+    "within-stratum priority order. 100 TB: one hash shuffle keyed on "
+    "the strata for the rank window (parallel across strata; a "
+    "groupBy min_by-heap fallback is documented if a single stratum "
+    "ever outgrows a task); output is quota-bounded at k rows per "
+    "stratum.",
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.quota_sample(docs)

@@ -604,3 +604,72 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantile_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return sketches.quantile_merge_shards(ev)
+
+
+@register(
+    "temporal_reachability",
+    oracle=graphs_plan.temporal_reachability_oracle(),
+    doc="Earliest-arrival TIME-RESPECTING reachability over the temporal "
+    "edge list (Wu et al., Path Problems in Temporal Graphs, VLDB 2014): "
+    "a path is valid only if edge timestamps are non-decreasing along "
+    "it, so a hop-shorter path can be unreachable while a longer one "
+    "works -- the property that makes temporal graphs a different "
+    "algorithm class from the static SSSP/LPA already gated "
+    "(information-flow and session-causality audits). Seeds are the md5 "
+    "subset (the personalized_pagerank predicate) with arrival 0; each "
+    "round relaxes arrival[v] = min(arrival[v], min{t : (u->v, t), "
+    "t >= arrival[u]}). Relaxation is MONOTONE, so the fixed-rounds "
+    "unrolled oracle equals this side whether or not the fixpoint "
+    "landed earlier (the kcore/sssp contract). All arithmetic BIGINT "
+    "epoch-ms. 100 TB: timed edges localCheckpoint'd once; each round "
+    "is ONE src-keyed hash join + min-aggregate, frontier bounded by "
+    "|V|, per-round localCheckpoint lineage cuts (the weighted_pagerank "
+    "idiom).",
+)
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.temporal_reachability(graphs_plan.timed_edges_view(spark, sf_dir))
+
+
+@register(
+    "hll_intersection_estimate",
+    oracle=sketches.hll_intersection_estimate_sql(),
+    doc="Posting-list overlap estimation from mergeable sketches -- the "
+    "query-planner / audience-overlap primitive: HLL registers cannot "
+    "intersect directly, so the estimator is inclusion-exclusion over "
+    "the union merge, |A n B| ~ est(A) + est(B) - est(A u B), the union "
+    "folding max-of-maxes registers (the gated hll_merge_shards law). "
+    "Sets are documents containing term_a / term_b via the shared "
+    "tokenizer; graded against the exact overlap (hll_distinct's "
+    "estimator-next-to-truth shape). ONE output row. Determinism: "
+    "registers exact integers; every float op correctly-rounded IEEE "
+    "div/add/sub over one shared E-notation expression tree, rounded "
+    "once (the BM25 float recipe). 100 TB: ONE register-build shuffle "
+    "keyed on (side, bucket) over the term-filtered scan, state capped "
+    "at 2m registers; the union fold reuses those registers (merge law, "
+    "never a second corpus pass); the register frame feeds side AND "
+    "union folds so it is localCheckpoint'd once.",
+)
+def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sketches.hll_intersection_estimate(docs)
+
+
+@register(
+    "random_walks",
+    oracle=graph.random_walks_sql(graphs_plan.EDGES_SQL.format(events="events")),
+    doc="Deterministic random-walk corpus over the directed event graph "
+    "-- the walk-generation stage of DeepWalk/node2vec graph-embedding "
+    "training data, with the reproducibility contract a training "
+    "pipeline wants: the 'random' next hop from cur at step t of the "
+    "walk started at s is neighbor rank md5(s:t:cur) % outdeg(cur), so "
+    "the corpus is a pure function of the graph (any partitioning, any "
+    "cluster). One walk per node; walks stop early at sinks. Output "
+    "(start_node, step, node); downstream skip-gram prep windows over "
+    "each walk. 100 TB edges: the ranked adjacency (row_number per src "
+    "+ out-degree) is ONE window shuffle, cached and reused by every "
+    "step; each step is one equi-join of the frontier on (cur, rank) -- "
+    "steps joins total, frontier never exceeds |V|; no collect, no "
+    "python in the path.",
+)
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.random_walks(graphs_plan.edges_view(spark, sf_dir))

@@ -261,3 +261,24 @@ def q_pii_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return contamination.bloom_contamination_screen(docs)
+
+
+@register(
+    "source_scorecard",
+    oracle=textstats.source_scorecard_sql(),
+    doc="Per-source ingestion scorecard -- the dashboard row a curation "
+    "pipeline publishes per upstream feed, composing gated primitives: "
+    "exact-dup redundancy (docs minus distinct md5 texts), Gopher "
+    "quality pass rate, dominant language (count desc, lang asc "
+    "tie-break), mean length. One row per source; every rate an exact "
+    "integer (ppm via BIGINT cross-multiplied integer division), so the "
+    "row set is hash-exact across engines. The oracle composes "
+    "gopher_quality_flags_sql verbatim -- the shared-SQL-fragment rule. "
+    "100 TB: the per-doc frame is one map-only projection (Gopher "
+    "battery + md5); the scorecard is one hash groupBy on source with "
+    "map-side combine plus a vocabulary-bounded (sources x langs) mode "
+    "table broadcast back. Output cardinality = |sources|.",
+)
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.source_scorecard(docs)

@@ -44,61 +44,63 @@ def test_oracle_is_valid_duckdb(duck, name):
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-9 new (staged promotions: the VERDICT r8 #2 five + three
-    # more per VERDICT r8 #3's drain-the-backlog directive)
-    "streaming_windowed_histogram",
-    "record_linkage_scores",
-    "quantile_merge_shards",
-    "entity_resolution_clusters",
-    "props_json_profile",
-    "weighted_sample",
-    "bloom_contamination_screen",
-    "tokenizer_fertility",
-    "streaming_scd2_maintenance",
+    # round-10 new (staged promotions: the VERDICT r9 #2 eight -- the
+    # drain cadence that clears the staged backlog by ~r12)
+    "streaming_windowed_quantile",
+    "index_staleness_audit",
+    "skew_profile",
+    "quota_sample",
+    "temporal_reachability",
+    "source_scorecard",
+    "hll_intersection_estimate",
+    "random_walks",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # r4-evidence rotation (the twice-ejected fill block)
-    "cdc_merge_user_state",
-    "sssp_event_graph",
-    "vocab_oov_rate",
-    "timeseries_gapfill_hourly",
-    "dedup_editdistance_blocked",
-    "hll_merge_shards",
-    # r5-evidence rotation (the first 33 of the 48 r5 rows)
-    "scd2_point_in_time_join",
-    "cube_user_type_day",
-    "snapshot_diff_documents",
-    "skew_salted_join_events",
-    "session_path_topk",
-    "value_hour_correlation",
-    "zonemap_pruning_audit",
-    "streaming_anomaly_zscore",
-    "event_transitions_markov",
-    "anomaly_rolling_zscore",
-    "gopher_quality_flags",
-    "segment_dedup_keepfirst",
-    "chunk_sliding_windows",
-    "split_leakage_neardup",
-    "funnel_user_stages",
-    "retention_cohorts",
-    "streaming_enrich_static",
-    "bpe_encode_corpus",
-    "incremental_corpus_roundtrip",
-    "dedup_clusters_minhash",
-    "dedup_keep_best",
-    "embedding_dedup_clusters",
-    "kcore_interactions",
-    "streaming_cdc_merge",
-    "shuffle_shard_layout",
-    "sessionize_events",
-    "dedup_simhash",
-    "tpch_q1_pricing_summary",
-    "pagerank_weighted",
-    "travel_time_prediction",
-    "mail_tfidf",
-    "reply_graph",
-    "member_of_the_month",
+    # r5-evidence rotation (the 15 stalest rows, each re-verified green
+    # by the r9 judge before rotation)
+    "mail_count",
+    "popular_places",
+    "ride_cleansing",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_fingerprint",
+    "distinct_users_per_type",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "ann_topk_lsh",
+    "text_lang_id",
+    "member_of_the_month_joinback",
+    "travel_time_prediction_stateful",
+    "ann_topk_bruteforce",
+    "neardup_embedding_cosine",
+    # r7-evidence rotation (the first 25 of the 47 r7 rows; the
+    # remaining 22 lead the round-11 rotation)
+    "dedup_sorted_neighborhood",
+    "dedup_prefix_filter_jaccard",
+    "session_concurrency_profile",
+    "streaming_windowed_topk",
+    "pii_kanonymity_profile",
+    "streaming_pit_enrichment",
+    "label_propagation_communities",
+    "bm25_topk_retrieval",
+    "streaming_snapshot_diff",
+    "collocation_pmi_topk",
+    "histogram_merge_shards",
+    "dpp_partition_pruning",
+    "streaming_incremental_rollup",
+    "streaming_sessionize",
+    "streaming_exact_dedup",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_popular_places",
+    "streaming_distinct_users",
+    "streaming_travel_time_stateful",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
 ]
 
 

@@ -13,15 +13,17 @@ round-7 promotions (sorted_neighborhood, prefix_filter_jaccard,
 concurrency_profile, kanonymity_profile, streaming_windowed_topk), the
 five round-8 promotions (hilbert_pruning_audit, streaming_windowed_hll,
 streaming_concurrency_profile, pii_tcloseness_audit
-[t_closeness_audit], personalized_pagerank), and the eight round-9
+[t_closeness_audit], personalized_pagerank), the eight round-9
 promotions (streaming_windowed_histogram, record_linkage_scores,
 quantile_merge_shards, entity_resolution_clusters, props_json_profile,
-weighted_sample, bloom_contamination_screen, tokenizer_fertility) were
-trimmed when they entered the catalog; the round-9 trims emptied the
-staged-STREAMING list twice (windowed histogram, then the same-round
-built-and-gated SCD2 maintenance), and it now carries the
-round-10-staged windowed quantile -- the skip branch in the streaming
-test is for whenever the list next empties."""
+weighted_sample, bloom_contamination_screen, tokenizer_fertility), and
+the eight round-10 promotions (streaming_windowed_quantile,
+index_staleness_audit, skew_profile, quota_sample,
+temporal_reachability, source_scorecard, hll_intersection_estimate,
+random_walks) were trimmed when they entered the catalog; the round-10
+trim emptied the staged-STREAMING list for the third time, so the skip
+branch in the streaming test is live until the next streaming op is
+staged."""
 
 import duckdb
 import pytest
@@ -38,11 +40,6 @@ def _cases(spark, sf):
         sampling,
         similarity,
         sketches,
-        skew,
-    )
-    from flink_training_exercises_spark.operators.ivf import (
-        index_staleness_audit,
-        index_staleness_audit_sql,
     )
     from flink_training_exercises_spark.operators.sessions import (
         attribution_credit,
@@ -61,8 +58,6 @@ def _cases(spark, sf):
         heaps_vocab_growth_sql,
         rake_keywords,
         rake_keywords_sql,
-        source_scorecard,
-        source_scorecard_sql,
     )
     from flink_training_exercises_spark.operators.timeseries import (
         cusum_level_shift,
@@ -75,7 +70,6 @@ def _cases(spark, sf):
         value_trend_ols_sql,
     )
     from flink_training_exercises_spark.plans import graphs as graphs_plan
-    from flink_training_exercises_spark.plans.catalog import CATALOG
 
     docs = load_table(spark, "documents", sf)
     ev = load_table(spark, "events", sf)
@@ -84,10 +78,6 @@ def _cases(spark, sf):
         "attribution_credit": (
             attribution_credit(ev),
             attribution_credit_sql(),
-        ),
-        "skew_profile": (
-            skew.skew_profile(ev),
-            skew.skew_profile_sql(),
         ),
         "bloom_skipping_audit": (
             bloom.bloom_skipping_audit(ev),
@@ -104,10 +94,6 @@ def _cases(spark, sf):
         "value_trend_ols": (value_trend_ols(ev), value_trend_ols_sql()),
         "cusum_level_shift": (cusum_level_shift(ev), cusum_level_shift_sql()),
         "downsample_lttb": (downsample_lttb(ev), downsample_lttb_sql()),
-        "quota_sample": (
-            sampling.quota_sample(docs),
-            sampling.quota_sample_sql(),
-        ),
         "contrastive_negatives": (
             sampling.contrastive_negatives(emb),
             sampling.contrastive_negatives_sql(),
@@ -116,11 +102,6 @@ def _cases(spark, sf):
             similarity.embedding_centroid_drift(emb),
             similarity.embedding_centroid_drift_sql(),
         ),
-        "index_staleness_audit": (
-            index_staleness_audit(emb),
-            index_staleness_audit_sql(CATALOG["ann_topk_bruteforce"].oracle),
-        ),
-        "source_scorecard": (source_scorecard(docs), source_scorecard_sql()),
         "heaps_vocab_growth": (
             heaps_vocab_growth(docs),
             heaps_vocab_growth_sql(),
@@ -157,10 +138,6 @@ def _cases(spark, sf):
             ),
         ),
         "theil_sen_trend": (theil_sen_trend(ev), theil_sen_trend_sql()),
-        "hll_intersection_estimate": (
-            sketches.hll_intersection_estimate(docs),
-            sketches.hll_intersection_estimate_sql(),
-        ),
         "approx_topk_shard_union": (
             sketches.approx_topk_shard_union(docs),
             sketches.approx_topk_shard_union_sql(),
@@ -177,18 +154,6 @@ def _cases(spark, sf):
                 graphs_plan.EDGES_SQL.format(events="events")
             ),
         ),
-        "temporal_reachability": (
-            graph.temporal_reachability(
-                graphs_plan.timed_edges_view(spark, sf)
-            ),
-            graphs_plan.temporal_reachability_oracle(),
-        ),
-        "random_walks": (
-            graph.random_walks(graphs_plan.edges_view(spark, sf)),
-            graph.random_walks_sql(
-                graphs_plan.EDGES_SQL.format(events="events")
-            ),
-        ),
     }
 
 
@@ -196,25 +161,11 @@ def streaming_cases(spark, sf):
     """Staged STREAMING cases: the run_* availableNow wrappers (the exact
     callables a future @register will use) paired with their DuckDB
     oracles. Shared by the streaming readiness test and
-    tools/hostile_staged_probe.py. The round-9 promotions
-    (streaming_windowed_histogram, then the same-round-built
-    streaming_scd2_maintenance) were trimmed at registration; the list
-    now carries the round-10-staged windowed quantile."""
-    import uuid as _uuid
-
-    from flink_training_exercises_spark.streaming.queries import (
-        run_windowed_quantile_availablenow,
-        windowed_quantile_oracle,
-    )
-
-    return {
-        "streaming_windowed_quantile": (
-            run_windowed_quantile_availablenow(
-                spark, sf, f"wquant_gr_{_uuid.uuid4().hex[:8]}"
-            ),
-            windowed_quantile_oracle(),
-        ),
-    }
+    tools/hostile_staged_probe.py. Currently EMPTY (the round-10
+    promotion of streaming_windowed_quantile emptied it for the third
+    time); the skip branch below is live until the next streaming op is
+    staged."""
+    return {}
 
 
 def compare_cases(con, cases, verbose: bool = False) -> list[str]:
