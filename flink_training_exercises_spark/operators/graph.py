@@ -776,10 +776,18 @@ def random_walks(
             )
             % F.col("deg")
         ) + 1
+        # localCheckpoint per step: each state frame is consumed TWICE
+        # (the step-t output branch AND the step-t+1 join), and without
+        # the cut every union branch re-evaluates its whole step chain
+        # from the vertex scan -- O(steps^2) joins instead of the
+        # docstring's ``steps`` (the twice-consumed rule; the
+        # weighted_pagerank per-round idiom). Frontier is bounded by
+        # |V|, so the materialization is small.
         state = (
             state.join(adj, state["cur"] == adj["s"])
             .where(F.col("rnk") == pick)
             .select("start_node", F.col("d").alias("cur"))
+            .localCheckpoint()
         )
         out.append(
             state.select(
