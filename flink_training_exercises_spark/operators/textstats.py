@@ -753,7 +753,10 @@ GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_quality_flags(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-rule document quality flags (Rae et al. 2021 §A1.1): word-count
     bounds, mean-word-length bounds, alphabetic-word fraction, and stopword
@@ -792,6 +795,11 @@ def gopher_quality_flags(
         as_int(f_alpha).alias("flag_alpha_frac"),
         as_int(f_stop).alias("flag_stopwords"),
         as_int(f_wc & f_mwl & f_alpha & f_stop).alias("passes_gopher"),
+        # extra_cols passthrough (the shuffle_shard extra_cols rule):
+        # composed consumers keep their columns here instead of joining
+        # back on id, which would re-evaluate this map-only battery on
+        # both sides of a corpus-wide join.
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -964,23 +972,37 @@ def source_scorecard(
     Output cardinality = |sources|."""
     from ..functions.hashing import md5_long
 
-    flags = gopher_quality_flags(docs, id_col, text_col).select(
-        F.col(id_col), F.col("passes_gopher")
-    )
-    per_doc = docs.select(
+    # One corpus pass: the Gopher battery keeps the scorecard's columns
+    # via extra_cols (the shuffle_shard passthrough rule) instead of a
+    # join-back on id, which would shuffle corpus-vs-corpus and evaluate
+    # the per-doc battery on both sides.
+    per_doc = gopher_quality_flags(
+        docs, id_col, text_col, extra_cols=(source_col, lang_col, len_col, text_col)
+    ).select(
         F.col(id_col),
         F.col(source_col).alias("source"),
         F.col(lang_col).alias("lang"),
         F.col(len_col).cast("bigint").alias("n_chars"),
         md5_long(F.col(text_col)).alias("th"),
-    ).join(flags, id_col)
+        F.col("passes_gopher"),
+    )
     agg = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("th").alias("n_distinct_texts"),
         F.sum("passes_gopher").cast("bigint").alias("n_pass_gopher"),
         F.sum("n_chars").alias("schars"),
     )
-    lc = per_doc.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # The mode table needs only (source, lang): build it from the raw
+    # docs scan, not per_doc -- the flags join is 1:1 (every doc gets a
+    # flag row, map-only) so the cardinality is identical, but Catalyst
+    # cannot prune an inner join, and routing through per_doc would
+    # evaluate the md5 + Gopher-battery subtree a second time (the
+    # multi-consumer rule). This branch prunes to a two-column scan.
+    lc = (
+        docs.select(F.col(source_col).alias("source"), F.col(lang_col).alias("lang"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
     top = (
         lc.withColumn("rk", F.row_number().over(w))
