@@ -1211,7 +1211,7 @@ def run_windowed_quantile_availablenow(
     (the batch histogram cut at the final watermark, walked with
     identical integer arithmetic).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 10 (catalog name streaming_windowed_quantile).
     """
     from .sources import events_stream
 
@@ -1249,4 +1249,247 @@ SELECT CAST(window_end_ms AS BIGINT) AS window_end_ms,
        CAST(n AS BIGINT) AS n_values
 FROM c, pcts
 WHERE 100 * (cum - cnt) < pct * n AND 100 * cum >= pct * n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed Count-Min sketch (staged).
+# ---------------------------------------------------------------------------
+
+# md5(key) % MOD == 0 picks the deterministic audit panel; 7 keeps the
+# panel non-empty even at the sf0.001 smoke scale (15 distinct users)
+CMS_PANEL_MOD = 7
+# Width sized the hll_intersection way: small enough that the one-sided
+# error is actually VISIBLE on this corpus (width 64 -> ~20% of sf0.01
+# panel rows carry overcount > 0; 256+ collides nowhere and the
+# min-over-rows estimator degenerates to a pass-through), large enough
+# that estimates stay within a few counts of exact. Production raises
+# width with the key cardinality -- state is d x width cells per open
+# window either way.
+CMS_STREAM_WIDTH = 64
+
+
+def streaming_windowed_cms(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "6 hours",
+    watermark: str = "60 seconds",
+    width: int = CMS_STREAM_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch ON the stream: per event-time window, the d x w
+    cell counts of a CMS over ``key_col`` -- the FOURTH mergeable sketch
+    riding the watermarked windowed aggregation, after top-k counts
+    (exact heavy hitters), HLL registers (distinct), and fixed-width
+    histogram bins (distribution). Where streaming_windowed_topk keeps
+    exact per-key state (state grows with distinct keys per window), the
+    CMS caps per-window state at d x w integer cells REGARDLESS of key
+    cardinality -- the trade a 100 TB/day key space forces.
+
+    The per-cell count is an associative+commutative fold with no
+    data-dependent parameters (the fixed-width-histogram argument), so
+    it streams natively: each event explodes to d (row, bucket) cells
+    using the SAME _CMS_PARAMS permuted-md5 family as the gated batch
+    countmin_token_freq, and the windowed count fires once per
+    (window, r, bucket) at watermark passage (the popular_places
+    contract).
+
+    STAGED (gate-ready; registered when a gate-window slot opens).
+
+    Scale shape: one stateful shuffle keyed on (window, r, bucket);
+    state bounded at d x w cells per open window, watermark-evicted;
+    the drain is |windows| x occupied-cells rows, never raw events."""
+    from ..functions.hashing import md5_long, permuted_hash
+    from ..functions.time import ntz_as_utc_instant
+    from ..operators.sketches import _CMS_PARAMS
+
+    ev = events.select(
+        ntz_as_utc_instant("ts").alias("ts"),
+        F.col(key_col).cast("string").alias("k"),
+    ).withWatermark("ts", watermark)
+    base = md5_long(F.col("k"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("bigint").alias("r"),
+                (permuted_hash(base, a, b) % width).alias("bucket"),
+            )
+            for r, (a, b) in enumerate(_CMS_PARAMS)
+        ]
+    )
+    return (
+        ev.select("ts", F.explode(cells).alias("cell"))
+        .select("ts", F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+        .groupBy(F.window("ts", window).alias("w"), "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_sum"))
+        .select(
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "r",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("cell_sum").cast("bigint").alias("cell_sum"),
+        )
+    )
+
+
+def cms_window_estimates(
+    cells: DataFrame, events: DataFrame, key_col: str = "user_id", width: int = CMS_STREAM_WIDTH
+) -> DataFrame:
+    """Bounded batch stage over the DRAINED cells (the windowed_topk /
+    quantile composition pattern): estimate each fired window's activity
+    count for a deterministic md5-chosen panel of keys, next to the
+    exact count -- the est-vs-truth audit shape (countmin_token_freq's
+    ``overcount``, per window). The estimate is min over the d rows of
+    the panel key's cells, with an ABSENT cell read as 0 (no row was
+    ever folded there), so panel keys with no activity in a window get
+    an honest >= 0 estimate instead of dropping out.
+
+    Output (window_end_ms, user_id, exact_cnt, est_cnt, overcount), all
+    BIGINT; est_cnt >= exact_cnt row-wise (one-sided CMS error).
+
+    Scale shape: the panel is md5-bounded, the fired-window list is
+    drain-sized, and the probe is a (windows x panel x d)-row frame
+    joined against the drained cells -- bounded scalar/boundary frames,
+    never a corpus pass; the exact twin is one hash aggregate over the
+    panel-filtered batch scan (the audit's deliberate exact pass, the
+    index_staleness policy)."""
+    from ..functions.hashing import md5_long, permuted_hash
+    from ..functions.time import epoch_ms
+    from ..operators.sketches import _CMS_PARAMS
+
+    # drain-sized and consumed TWICE (the fired-window list and the
+    # estimate join) -- localCheckpoint once (the multi-consumer rule;
+    # also breaks the self-join attribute ambiguity of rejoining the
+    # memory-sink relation against its own projection)
+    cells = cells.localCheckpoint()
+    panel = (
+        events.select(F.col(key_col).cast("string").alias("k"))
+        .distinct()
+        .where(md5_long(F.col("k")) % CMS_PANEL_MOD == 0)
+    )
+    base = md5_long(F.col("k"))
+    probe_cells = panel.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("r"),
+                        (permuted_hash(base, a, b) % width).alias("bucket"),
+                    )
+                    for r, (a, b) in enumerate(_CMS_PARAMS)
+                ]
+            )
+        ).alias("cell"),
+    ).select("k", F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+    wins = cells.select("window_end_ms").distinct()
+    est = (
+        wins.crossJoin(probe_cells)
+        .join(cells, ["window_end_ms", "r", "bucket"], "left")
+        .groupBy("window_end_ms", "k")
+        .agg(F.min(F.coalesce(F.col("cell_sum"), F.lit(0))).alias("est_cnt"))
+    )
+    window_ms = 6 * 3600 * 1000
+    em = epoch_ms("ts")
+    exact = (
+        events.select(
+            (em - em % window_ms + window_ms).alias("window_end_ms"),
+            F.col(key_col).cast("string").alias("k"),
+        )
+        .join(panel, "k")
+        .groupBy("window_end_ms", "k")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, ["window_end_ms", "k"], "left")
+        .select(
+            F.col("window_end_ms").cast("bigint").alias("window_end_ms"),
+            F.col("k").cast("bigint").alias(key_col),
+            F.coalesce(F.col("exact_cnt"), F.lit(0)).cast("bigint").alias("exact_cnt"),
+            F.col("est_cnt").cast("bigint").alias("est_cnt"),
+            (F.col("est_cnt") - F.coalesce(F.col("exact_cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
+
+
+def run_windowed_cms_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "streaming_windowed_cms_gate",
+) -> DataFrame:
+    """Gate wrapper for the staged windowed CMS: append mode, availableNow
+    drain of the (window, r, bucket) cells, fresh checkpoint; then the
+    bounded panel-estimate batch stage. Oracle =
+    :func:`windowed_cms_oracle`."""
+    from ..sources import load_table
+    from .sources import events_stream
+
+    cells = drain_availablenow(
+        streaming_windowed_cms(events_stream(spark, sf_dir)), query_name
+    )
+    return cms_window_estimates(cells, load_table(spark, "events", sf_dir))
+
+
+def windowed_cms_oracle(
+    window_ms: int = 6 * 3600 * 1000,
+    delay_ms: int = 60000,
+    width: int = CMS_STREAM_WIDTH,
+) -> str:
+    """DuckDB oracle for :func:`run_windowed_cms_availablenow`: the same
+    per-(window, r, bucket) CMS fold over epoch-aligned tumbling windows
+    cut at max(ts) - delay (the append-mode fire-once horizon), the same
+    md5-panel probe, min-over-rows estimate with absent cells read as 0,
+    and the exact panel counts -- all integer arithmetic, BIGINT casts
+    on the DuckDB count() outputs (HUGEINT dtype-skew rule)."""
+    from ..functions.hashing import md5_long_sql, permuted_hash_sql
+    from ..operators.sketches import _CMS_PARAMS
+
+    base = md5_long_sql("CAST(k AS VARCHAR)")
+    cell_rows = " UNION ALL ".join(
+        f"SELECT window_end_ms, CAST({r} AS BIGINT) AS r, "
+        f"({permuted_hash_sql(base, a, b)}) % {width} AS bucket FROM evw "
+        f"JOIN wins USING (window_end_ms)"
+        for r, (a, b) in enumerate(_CMS_PARAMS)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT k, CAST({r} AS BIGINT) AS r, "
+        f"({permuted_hash_sql(base, a, b)}) % {width} AS bucket FROM panel"
+        for r, (a, b) in enumerate(_CMS_PARAMS)
+    )
+    return f"""
+WITH ev AS (
+  SELECT epoch_ms(ts) AS ms, CAST(user_id AS VARCHAR) AS k FROM events
+),
+mx AS (SELECT max(ms) AS m FROM ev),
+evw AS (SELECT ms - ms % {window_ms} + {window_ms} AS window_end_ms, k FROM ev),
+wins AS (
+  SELECT DISTINCT window_end_ms FROM evw, mx WHERE window_end_ms <= m - {delay_ms}
+),
+cells AS (
+  SELECT window_end_ms, r, bucket, CAST(count(*) AS BIGINT) AS cell_sum
+  FROM ({cell_rows}) GROUP BY 1, 2, 3
+),
+panel AS (
+  SELECT DISTINCT k FROM ev WHERE ({md5_long_sql("CAST(k AS VARCHAR)")}) % {CMS_PANEL_MOD} = 0
+),
+probe_cells AS ({probe_rows}),
+est AS (
+  SELECT w.window_end_ms, p.k,
+         CAST(min(coalesce(c.cell_sum, 0)) AS BIGINT) AS est_cnt
+  FROM wins w CROSS JOIN probe_cells p
+  LEFT JOIN cells c
+    ON c.window_end_ms = w.window_end_ms AND c.r = p.r AND c.bucket = p.bucket
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT window_end_ms, k, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM evw JOIN wins USING (window_end_ms) JOIN panel USING (k)
+  GROUP BY 1, 2
+)
+SELECT CAST(e.window_end_ms AS BIGINT) AS window_end_ms,
+       CAST(e.k AS BIGINT) AS user_id,
+       CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+       e.est_cnt,
+       CAST(e.est_cnt - coalesce(x.exact_cnt, 0) AS BIGINT) AS overcount
+FROM est e LEFT JOIN exact x ON x.window_end_ms = e.window_end_ms AND x.k = e.k
 """

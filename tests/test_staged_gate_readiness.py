@@ -161,11 +161,24 @@ def streaming_cases(spark, sf):
     """Staged STREAMING cases: the run_* availableNow wrappers (the exact
     callables a future @register will use) paired with their DuckDB
     oracles. Shared by the streaming readiness test and
-    tools/hostile_staged_probe.py. Currently EMPTY (the round-10
-    promotion of streaming_windowed_quantile emptied it for the third
-    time); the skip branch below is live until the next streaming op is
-    staged."""
-    return {}
+    tools/hostile_staged_probe.py. The round-10 promotion of
+    streaming_windowed_quantile emptied the list for the third time; it
+    now carries the round-10-staged windowed Count-Min sketch."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_windowed_cms_availablenow,
+        windowed_cms_oracle,
+    )
+
+    return {
+        "streaming_windowed_cms": (
+            run_windowed_cms_availablenow(
+                spark, sf, f"wcms_gr_{_uuid.uuid4().hex[:8]}"
+            ),
+            windowed_cms_oracle(),
+        ),
+    }
 
 
 def compare_cases(con, cases, verbose: bool = False) -> list[str]:

@@ -1397,3 +1397,135 @@ def test_streaming_scd2_same_millisecond_orders_by_microsecond(spark, tmp_path):
     # both user-1 events truncate to the same ms; event 9 (earlier us)
     # closes AT that ms, event 5 (later us) stays open
     assert got == {9: (base, base), 5: (base, None), 7: (base + 1000, None)}
+
+
+def test_streaming_windowed_cms_matches_oracle(spark, sf_small):
+    """STAGED streaming windowed Count-Min sketch: the drained
+    (window, r, bucket) cells walked by the panel-estimate batch stage
+    must equal the DuckDB oracle (same fold cut at the final watermark,
+    same md5 panel, absent cells read as 0); est >= exact row-wise (the
+    one-sided CMS contract)."""
+    import duckdb
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_windowed_cms_availablenow,
+        windowed_cms_oracle,
+    )
+
+    rows = run_windowed_cms_availablenow(
+        spark, sf_small, f"wcms_{uuid.uuid4().hex[:8]}"
+    ).collect()
+    got = sorted(map(tuple, rows))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(windowed_cms_oracle()).fetchall())
+    assert got == want and got
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in rows)
+    assert all(r["overcount"] == r["est_cnt"] - r["exact_cnt"] for r in rows)
+
+
+def test_streaming_windowed_cms_chunked_matches_unchunked(
+    spark, sf_small, tmp_path
+):
+    """Chunked-replay invariance: per-cell counts are associative and
+    commutative, so micro-batch boundaries cannot change the drained
+    sketch."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        drain_availablenow,
+        streaming_windowed_cms,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "ev_chunks_cms")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = {
+        tuple(r)
+        for r in drain_availablenow(
+            streaming_windowed_cms(chunked),
+            f"wcms_chunked_{_uuid.uuid4().hex[:8]}",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in drain_availablenow(
+            streaming_windowed_cms(events_stream(spark, sf_small)),
+            f"wcms_one_{_uuid.uuid4().hex[:8]}",
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_cms_window_estimates_width1_degenerate(spark):
+    """Hand pin of the panel-estimate batch stage at width=1: every key
+    hashes to bucket 0 in every row, so each panel key's estimate is
+    exactly the window's TOTAL event count and overcount = total - own.
+    Exercises the min-over-rows walk, the absent-cell-as-0 path (a
+    window with cells but no panel activity), and the md5 panel
+    predicate against a hashlib replay."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    from flink_training_exercises_spark.streaming.queries import (
+        CMS_PANEL_MOD,
+        cms_window_estimates,
+    )
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # two panel users + one off-panel user (found by replaying the predicate)
+    panel_ids = [u for u in range(1, 200) if md5_long(str(u)) % CMS_PANEL_MOD == 0][:2]
+    off_panel = next(
+        u for u in range(1, 200) if md5_long(str(u)) % CMS_PANEL_MOD != 0
+    )
+    u1, u2 = panel_ids
+    win_ms = 6 * 3600 * 1000
+    base = 1704067200000  # 2024-01-01T00:00:00Z, window-aligned
+    ts = lambda ms: datetime.fromtimestamp(ms / 1e3, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    # window 1: u1 x2, u2 x1, off_panel x1 (total 4); window 2: off_panel x1
+    events = spark.createDataFrame(
+        [
+            (ts(base + 1000), u1),
+            (ts(base + 2000), u1),
+            (ts(base + 3000), u2),
+            (ts(base + 4000), off_panel),
+            (ts(base + win_ms + 1000), off_panel),
+        ],
+        "ts timestamp_ntz, user_id long",
+    )
+    w1_end, w2_end = base + win_ms, base + 2 * win_ms
+    cells = spark.createDataFrame(
+        [(w1_end, r, 0, 4) for r in range(4)]
+        + [(w2_end, r, 0, 1) for r in range(4)],
+        "window_end_ms long, r long, bucket long, cell_sum long",
+    )
+    got = {
+        (r["window_end_ms"], r["user_id"]): (
+            r["exact_cnt"],
+            r["est_cnt"],
+            r["overcount"],
+        )
+        for r in cms_window_estimates(cells, events, width=1).collect()
+    }
+    assert got == {
+        (w1_end, u1): (2, 4, 2),
+        (w1_end, u2): (1, 4, 3),
+        # absent panel keys still get the full-bucket estimate (window 2
+        # has no panel activity at all: exact 0 via the left join)
+        (w2_end, u1): (0, 1, 1),
+        (w2_end, u2): (0, 1, 1),
+    }
