@@ -1104,3 +1104,134 @@ def temporal_reachability(
             .localCheckpoint()
         )
     return arr
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (a < b) distinct edge
+    frame: the triangle_count wedge+closing join, credited back to the
+    triangle's 3 edges via one struct explode (one lineage evaluation --
+    the union-of-three-selects form would re-run the closing join three
+    times; the r7 twice-consumed rule). Output (a, b, support)."""
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"])
+    )
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("ea"), F.col("y").alias("eb")),
+                F.struct(F.col("y").alias("ea"), F.col("z").alias("eb")),
+                F.struct(F.col("x").alias("ea"), F.col("z").alias("eb")),
+            )
+        ).alias("s")
+    )
+    return sides.groupBy(
+        F.col("s.ea").alias("a"), F.col("s.eb").alias("b")
+    ).agg(F.count(F.lit(1)).alias("support"))
+
+
+def k_truss_edges(
+    edges: DataFrame,
+    k: int = 4,
+    max_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss of the undirected simple graph -- the EDGE analog of the
+    gated k-core: the maximal subgraph where every edge participates in
+    at least k-2 triangles (Cohen 2008, "Trussness"; Wang & Cheng, VLDB
+    2012 for the distributed form). Truss is the standard tightening of
+    core for community scaffolding: a k-core can be a sparse star-ish
+    blob, a k-truss is triangle-cemented. Standard peeling -- repeatedly
+    drop edges of support < k-2, recomputing support within the
+    survivor-induced subgraph -- run to fixpoint with a ``max_rounds``
+    cap. Output (a, b, support) for surviving edges, support within the
+    FINAL survivor set.
+
+    STAGED (gate-ready; registered when a gate-window slot opens).
+
+    Determinism contract with the SQL oracle (the kcore/sssp/temporal
+    contract): edge removal is MONOTONE, so rounds after the fixpoint
+    are identity and the oracle's EXACTLY-``max_rounds`` unroll equals
+    this side's early exit; a cap reached before convergence yields the
+    same partially-peeled set on both engines. Zero-support survivors at
+    the cap are absent from the final support frame on BOTH sides (they
+    produce no triangle row), so the outputs agree there too.
+
+    Scale shape (100 TB edges): each round is the triangle_count
+    wedge+closing join over the CURRENT survivor set -- two equi-joins
+    on vertex keys whose skew follows the degree distribution (hub
+    pre-splitting is the same salting idiom as operators/skew), never a
+    cartesian; the survivor set only shrinks, so later rounds cost less.
+    Per-round lineage is cut with localCheckpoint and one isEmpty()
+    drives the early exit (the kcore idiom). The incremental form
+    (decrement supports of triangles through removed edges) needs
+    inclusion-exclusion over triangles with 2-3 removed edges to avoid
+    double-counting -- the recompute form trades one wedge join per
+    round for that bookkeeping, the adjudicated-simple choice at
+    max_rounds <= 6."""
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    thr = k - 2
+    for _ in range(max_rounds):
+        survivors = (
+            _edge_support(e).where(F.col("support") >= thr).select("a", "b")
+        )
+        removed = e.join(survivors, ["a", "b"], "left_anti")
+        if removed.isEmpty():
+            break
+        e = survivors.localCheckpoint()
+    return _edge_support(e).select(
+        "a", "b", F.col("support").cast("bigint").alias("support")
+    )
+
+
+def k_truss_sql(edges_sql: str, k: int = 4, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`k_truss_edges`: exactly ``rounds`` peeling
+    rounds unrolled as CTEs (fixpoint rounds are identity -- the kcore
+    contract). AS MATERIALIZED is load-bearing: each round's survivor
+    set is referenced three times by the next wedge+closing join, and
+    un-materialized CTEs re-expand the whole chain 3^rounds times (the
+    kcore_sql lesson)."""
+    thr = k - 2
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "s0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src != dst)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM s{i} e1 JOIN s{i} e2 ON e1.b = e2.a "
+            f"JOIN s{i} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        parts.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT a, b FROM ("
+            f"SELECT x AS a, y AS b FROM t{i} "
+            f"UNION ALL SELECT y, z FROM t{i} "
+            f"UNION ALL SELECT x, z FROM t{i}"
+            f") GROUP BY a, b HAVING count(*) >= {thr})"
+        )
+    parts.append(
+        f"tf AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        f"FROM s{rounds} e1 JOIN s{rounds} e2 ON e1.b = e2.a "
+        f"JOIN s{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+  SELECT x AS a, y AS b FROM tf
+  UNION ALL SELECT y, z FROM tf
+  UNION ALL SELECT x, z FROM tf
+) GROUP BY a, b"""
+    )

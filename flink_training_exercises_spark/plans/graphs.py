@@ -155,3 +155,56 @@ def temporal_reachability_oracle(seed_mod: int = 10, rounds: int = 4) -> str:
             f") GROUP BY vertex)"
         )
     return ",\n".join(parts) + f"\nSELECT vertex, arrival_ms FROM r{rounds}"
+
+
+# Truss-audit edge list: the 20-vertex EDGES_SQL graph saturates to a
+# CLIQUE at any real SF (every edge support 18 -- truss peeling would be
+# pure identity), so the truss gets its own derivation with VARIED
+# supports at saturation: a 60-vertex modular candidate generator
+# md5-THINNED to ~30% of pairs. The thinning is the load-bearing part --
+# a saturated modular graph is regular, but an md5-thinned one is a
+# deterministic pseudo-random G(60, 0.3) with irregular triangle
+# supports (measured min 1 / median 6 / max 14 at sf0.01), so peeling
+# actually cascades (182 -> 26 edges over 4 rounds at sf0.001). Spelled
+# per-engine (md5 text differs); equality is attested by the
+# differential itself, the TIMED_EDGES precedent.
+TRUSS_EDGES_SQL_DUCK_TEMPLATE = """
+SELECT a AS src, b AS dst FROM (
+  SELECT DISTINCT 'v' || CAST(least(u, v) AS VARCHAR) AS a,
+                  'v' || CAST(greatest(u, v) AS VARCHAR) AS b
+  FROM (SELECT user_id % 60 AS u, (user_id + 1 + event_id % 59) % 60 AS v
+        FROM {events})
+  WHERE u != v
+) WHERE ({thin}) % 10 < 3
+"""
+
+
+def truss_edges_sql(events: str = "events") -> str:
+    from ..functions.hashing import md5_long_sql
+
+    return TRUSS_EDGES_SQL_DUCK_TEMPLATE.format(
+        events=events, thin=md5_long_sql("a || ':' || b")
+    )
+
+
+def truss_edges_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_long
+    from ..sources import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    u = F.col("user_id") % 60
+    v = (F.col("user_id") + 1 + F.col("event_id") % 59) % 60
+    cand = (
+        ev.select(u.alias("u"), v.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.concat(F.lit("v"), F.least("u", "v").cast("string")).alias("a"),
+            F.concat(F.lit("v"), F.greatest("u", "v").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    return cand.where(
+        md5_long(F.concat(F.col("a"), F.lit(":"), F.col("b"))) % 10 < 3
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))

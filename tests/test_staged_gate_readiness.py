@@ -154,6 +154,10 @@ def _cases(spark, sf):
                 graphs_plan.EDGES_SQL.format(events="events")
             ),
         ),
+        "k_truss_edges": (
+            graph.k_truss_edges(graphs_plan.truss_edges_view(spark, sf)),
+            graph.k_truss_sql(graphs_plan.truss_edges_sql()),
+        ),
     }
 
 
