@@ -154,8 +154,9 @@ def main() -> None:
     }
     # BENCH_local.json holds the committed best corroborated quiet run; a
     # casual corroboration run must not silently replace it (the r9 trap).
-    # Opt in with SPARK_GRAFT_RECORD=1 to update the committed artifact;
-    # every run still writes BENCH_local_last.json (gitignored) for analysis.
+    # Default runs write BENCH_local_last.json (gitignored) for analysis;
+    # opt in with SPARK_GRAFT_RECORD=1 to write the committed artifact
+    # INSTEAD (a record run does not touch the _last sidecar).
     here = os.path.dirname(os.path.abspath(__file__))
     target = (
         "BENCH_local.json"

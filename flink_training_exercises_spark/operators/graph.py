@@ -1183,13 +1183,21 @@ def k_truss_edges(
     )
     thr = k - 2
     for _ in range(max_rounds):
-        survivors = (
-            _edge_support(e).where(F.col("support") >= thr).select("a", "b")
-        )
+        # checkpoint the support frame FIRST (the kcore idiom): it feeds
+        # the survivor filter, the removal test, AND -- on convergence --
+        # the return value, and without the cut the isEmpty() action and
+        # the next round would each re-run the wedge+closing join
+        sup = _edge_support(e).localCheckpoint()
+        survivors = sup.where(F.col("support") >= thr).select("a", "b")
         removed = e.join(survivors, ["a", "b"], "left_anti")
         if removed.isEmpty():
-            break
+            # converged: every edge of e has support >= thr, so sup IS
+            # the final support frame (the oracle's tf over s{rounds})
+            return sup.select(
+                "a", "b", F.col("support").cast("bigint").alias("support")
+            )
         e = survivors.localCheckpoint()
+    # cap reached (or max_rounds == 0): support within the final set
     return _edge_support(e).select(
         "a", "b", F.col("support").cast("bigint").alias("support")
     )
@@ -1222,7 +1230,7 @@ def k_truss_sql(edges_sql: str, k: int = 4, rounds: int = 6) -> str:
             f") GROUP BY a, b HAVING count(*) >= {thr})"
         )
     parts.append(
-        f"tf AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        f"tf AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
         f"FROM s{rounds} e1 JOIN s{rounds} e2 ON e1.b = e2.a "
         f"JOIN s{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b)"
     )

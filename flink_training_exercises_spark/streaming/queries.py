@@ -1331,7 +1331,11 @@ def streaming_windowed_cms(
 
 
 def cms_window_estimates(
-    cells: DataFrame, events: DataFrame, key_col: str = "user_id", width: int = CMS_STREAM_WIDTH
+    cells: DataFrame,
+    events: DataFrame,
+    key_col: str = "user_id",
+    width: int = CMS_STREAM_WIDTH,
+    window_ms: int = 6 * 3600 * 1000,
 ) -> DataFrame:
     """Bounded batch stage over the DRAINED cells (the windowed_topk /
     quantile composition pattern): estimate each fired window's activity
@@ -1387,7 +1391,9 @@ def cms_window_estimates(
         .groupBy("window_end_ms", "k")
         .agg(F.min(F.coalesce(F.col("cell_sum"), F.lit(0))).alias("est_cnt"))
     )
-    window_ms = 6 * 3600 * 1000
+    # window_ms MUST match the streaming side's window, or the exact-side
+    # buckets miss the drained window keys and every exact_cnt silently
+    # coalesces to 0 (review-pass catch)
     em = epoch_ms("ts")
     exact = (
         events.select(

@@ -20,10 +20,10 @@ weighted_sample, bloom_contamination_screen, tokenizer_fertility), and
 the eight round-10 promotions (streaming_windowed_quantile,
 index_staleness_audit, skew_profile, quota_sample,
 temporal_reachability, source_scorecard, hll_intersection_estimate,
-random_walks) were trimmed when they entered the catalog; the round-10
-trim emptied the staged-STREAMING list for the third time, so the skip
-branch in the streaming test is live until the next streaming op is
-staged."""
+random_walks) were trimmed when they entered the catalog. The round-10
+trim emptied the staged-STREAMING list for the third time; it was
+refilled the same round with the windowed Count-Min sketch, so the skip
+branch in the streaming test is dormant again."""
 
 import duckdb
 import pytest
