@@ -440,7 +440,7 @@ def contrastive_negatives(
     Output (anchor_id, neg_rank, neg_id, neg_label); neg_rank is the
     1-based probe order of the accepted negatives.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 10 (catalog name contrastive_negatives).
 
     How it avoids the cross join: probe j of anchor a targets id
     md5(a || ':neg:' || j) % (max_id + 1). Probes that miss (gap id,

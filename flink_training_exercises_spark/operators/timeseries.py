@@ -380,7 +380,7 @@ def value_trend_ols(
     records, applied. Day boundaries are pure epoch-ms integer division,
     never date_trunc (session-TZ rule).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 10 (catalog name value_trend_ols).
 
     Scale shape (100 TB): one hash shuffle on event_type; the window min
     and the aggregation share it. Exactness bound: sxx = sum(x^2) <=
@@ -493,7 +493,7 @@ def cusum_level_shift(
     operator's grid). Bucket boundaries are pure epoch-ms arithmetic,
     never date_trunc (session-TZ rule).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 10 (catalog name cusum_level_shift).
 
     Scale shape (100 TB): one shuffle to bucket-aggregate, then windows
     partitioned per type over the BUCKETED series (bounded by the time

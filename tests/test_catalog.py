@@ -45,7 +45,12 @@ def test_oracle_is_valid_duckdb(duck, name):
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
     # round-10 new (staged promotions: the VERDICT r9 #2 eight -- the
-    # drain cadence that clears the staged backlog by ~r12)
+    # drain cadence that clears the staged backlog by ~r12 -- plus the
+    # three oldest staged ops, promoted to over-deliver on the drain the
+    # way round 9 did with its ninth)
+    "value_trend_ols",
+    "cusum_level_shift",
+    "contrastive_negatives",
     "streaming_windowed_quantile",
     "index_staleness_audit",
     "skew_profile",
@@ -74,8 +79,9 @@ EXPECTED_GATE_WINDOW = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # r7-evidence rotation (the first 25 of the 47 r7 rows; the
-    # remaining 22 lead the round-11 rotation)
+    # r7-evidence rotation (the first 22 of the 47 r7 rows; the
+    # remaining 25 -- led by tpch_q11/q12/q15, ejected by the three
+    # extra promotions -- lead the round-11 rotation)
     "dedup_sorted_neighborhood",
     "dedup_prefix_filter_jaccard",
     "session_concurrency_profile",
@@ -98,9 +104,6 @@ EXPECTED_GATE_WINDOW = [
     "streaming_travel_time_stateful",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q15_top_supplier",
 ]
 
 

@@ -17,10 +17,12 @@ streaming_concurrency_profile, pii_tcloseness_audit
 promotions (streaming_windowed_histogram, record_linkage_scores,
 quantile_merge_shards, entity_resolution_clusters, props_json_profile,
 weighted_sample, bloom_contamination_screen, tokenizer_fertility), and
-the eight round-10 promotions (streaming_windowed_quantile,
+the eleven round-10 promotions (streaming_windowed_quantile,
 index_staleness_audit, skew_profile, quota_sample,
 temporal_reachability, source_scorecard, hll_intersection_estimate,
-random_walks) were trimmed when they entered the catalog. The round-10
+random_walks, plus the three oldest staged ops value_trend_ols,
+cusum_level_shift, contrastive_negatives) were trimmed when they
+entered the catalog. The round-10
 trim emptied the staged-STREAMING list for the third time; it was
 refilled the same round with the windowed Count-Min sketch, so the skip
 branch in the streaming test is dormant again."""
@@ -60,14 +62,10 @@ def _cases(spark, sf):
         rake_keywords_sql,
     )
     from flink_training_exercises_spark.operators.timeseries import (
-        cusum_level_shift,
-        cusum_level_shift_sql,
         downsample_lttb,
         downsample_lttb_sql,
         theil_sen_trend,
         theil_sen_trend_sql,
-        value_trend_ols,
-        value_trend_ols_sql,
     )
     from flink_training_exercises_spark.plans import graphs as graphs_plan
 
@@ -91,13 +89,7 @@ def _cases(spark, sf):
             user_behavior_gini(ev),
             user_behavior_gini_sql(),
         ),
-        "value_trend_ols": (value_trend_ols(ev), value_trend_ols_sql()),
-        "cusum_level_shift": (cusum_level_shift(ev), cusum_level_shift_sql()),
         "downsample_lttb": (downsample_lttb(ev), downsample_lttb_sql()),
-        "contrastive_negatives": (
-            sampling.contrastive_negatives(emb),
-            sampling.contrastive_negatives_sql(),
-        ),
         "embedding_centroid_drift": (
             similarity.embedding_centroid_drift(emb),
             similarity.embedding_centroid_drift_sql(),
