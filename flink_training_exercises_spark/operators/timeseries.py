@@ -533,6 +533,12 @@ def cusum_level_shift(
     )
     w_up = wt.orderBy(F.desc("s_up"), F.asc("bucket_ms"))
     w_down = wt.orderBy(F.desc("s_down"), F.asc("bucket_ms"))
+    # ranked is consumed by BOTH peak branches (up filter, down filter)
+    # and the final join broadcasts one side, where exchange reuse never
+    # kicks in -- without the cut the corpus scan, bucket aggregate, and
+    # whole window chain evaluate once per branch (the multi-consumer
+    # rule). The frame is bounded by time-span buckets x types, never by
+    # data volume, so the materialization is small at any SF.
     ranked = s.select(
         "event_type",
         "bucket_ms",
@@ -541,7 +547,7 @@ def cusum_level_shift(
         "s_down",
         F.row_number().over(w_up).alias("ru"),
         F.row_number().over(w_down).alias("rd"),
-    )
+    ).localCheckpoint()
     up = ranked.where(F.col("ru") == 1).select(
         "event_type",
         "n_buckets",
