@@ -447,10 +447,15 @@ def contrastive_negatives(
     same label, or self) are SKIPPED -- the contract is up-to-k negatives
     from ``n_probes`` bounded attempts, not exactly-k (with dense ids and
     a balanced label set, P(all 16 probes fail) < 1e-9 per anchor;
-    degenerate label distributions surface as short rows, loudly). Scale
-    shape: one explode to n_probes rows per anchor (a constant factor,
-    not data-squared), one equi-join on the probed id, one windowed
-    shuffle on anchor for the rank cut; max_id is a 1-row broadcast."""
+    degenerate label distributions surface as short rows, loudly). Two
+    probes of one anchor CAN collide on the same candidate id; duplicates
+    are dropped keeping the EARLIEST probe (a duplicate negative is a
+    degenerate contrastive pair that wastes a slot in the training
+    batch), so the k accepted negatives are distinct by construction.
+    Scale shape: one explode to n_probes rows per anchor (a constant
+    factor, not data-squared), one equi-join on the probed id, one
+    windowed shuffle on anchor shared by the dedup and the rank cut;
+    max_id is a 1-row broadcast."""
     nrow = F.broadcast(emb.agg((F.max(id_col) + 1).alias("_n")))
     anchors = emb.select(
         F.col(id_col).alias("anchor_id"), F.col(label_col).alias("a_label")
@@ -488,9 +493,15 @@ def contrastive_negatives(
             & (F.col("cand") != F.col("anchor_id"))
         )
     )
+    # drop probe collisions (same candidate hit by two probe indices of
+    # one anchor) keeping the earliest j -- both windows partition on
+    # anchor_id, so the dedup shares the rank cut's single shuffle
+    wd = Window.partitionBy("anchor_id", "cand").orderBy("j")
     w = Window.partitionBy("anchor_id").orderBy("j")
     return (
-        hits.select(
+        hits.withColumn("dup", F.row_number().over(wd))
+        .where(F.col("dup") == 1)
+        .select(
             "anchor_id",
             F.row_number().over(w).alias("neg_rank"),
             F.col("cand").alias("neg_id"),
@@ -507,8 +518,9 @@ def contrastive_negatives_sql(
     n_probes: int = 16,
 ) -> str:
     """DuckDB twin of :func:`contrastive_negatives` (same probe targets,
-    same skip rules, same rank cut; constant-bound generate_series -- the
-    column-arg form is the known DuckDB binder trap, CLAUDE.md)."""
+    same skip rules, same earliest-probe collision dedup, same rank cut;
+    constant-bound generate_series -- the column-arg form is the known
+    DuckDB binder trap, CLAUDE.md)."""
     h = md5_long_sql(
         f"CAST(anchor_id AS VARCHAR) || ':neg:' || CAST(gs.j AS VARCHAR)"
     )
@@ -526,13 +538,21 @@ hits AS (
   SELECT p.anchor_id, p.j, p.cand, e.{label_col} AS neg_label
   FROM probes p JOIN {table} e ON p.cand = e.{id_col}
   WHERE e.{label_col} != p.a_label AND p.cand != p.anchor_id
+),
+deduped AS (
+  SELECT anchor_id, j, cand, neg_label
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id, cand ORDER BY j)
+             AS dup
+    FROM hits
+  ) WHERE dup = 1
 )
 SELECT anchor_id, neg_rank, cand AS neg_id, neg_label
 FROM (
   SELECT anchor_id, cand, neg_label,
          CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY j) AS INT)
            AS neg_rank
-  FROM hits
+  FROM deduped
 ) WHERE neg_rank <= {k}
 """
 

@@ -2004,6 +2004,11 @@ def test_contrastive_negatives_contract(spark):
             assert r["neg_id"] != a
             assert labels[r["neg_id"]] != labels[a]
             assert r["neg_label"] == labels[r["neg_id"]]
+        # probe collisions are deduped keeping the earliest j: the k
+        # accepted negatives are DISTINCT per anchor (a tiny 6-id space
+        # makes 16-probe collisions near-certain, so this pin bites)
+        negs = [r["neg_id"] for r in rs]
+        assert len(negs) == len(set(negs))
     # determinism: a second evaluation is identical
     again = sampling.contrastive_negatives(emb).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -39,7 +39,6 @@ def _cases(spark, sf):
     from flink_training_exercises_spark.operators import (
         bloom,
         graph,
-        sampling,
         similarity,
         sketches,
     )
