@@ -421,11 +421,19 @@ def concurrency_from_intervals(
             )
         ).alias("b")
     ).select("b.ms", "b.d")
+    # net is consumed TWICE -- the bucket summary (which feeds a
+    # BROADCAST build, where exchange reuse never applies) and the
+    # level join -- so without the cut the whole upstream chain
+    # (sessionize's user-keyed windows, the boundary explode, this
+    # groupBy) evaluates once per consumer. The materialization is
+    # boundary-sized (<= 2 rows per interval after the per-ms
+    # collapse), the same order as the shuffle it already pays.
     net = (
         bounds
         .groupBy("ms")
         .agg(F.sum("d").cast("bigint").alias("net"))
         .withColumn("h", F.col("ms") - F.col("ms") % bucket_ms)
+        .localCheckpoint()
     )
     hsum = net.groupBy("h").agg(
         F.sum("net").alias("h_net"), F.min("ms").alias("h_first")
