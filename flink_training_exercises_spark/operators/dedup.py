@@ -708,7 +708,11 @@ def minhash_lsh_recall(
     bounded sample (~sample_bp/10000 of the corpus) -- ground truth is a
     sampled audit at any scale, never a full computation."""
     in_sample = _md5_long_c(F.col("id").cast("string")) % 10000 < sample_bp
-    hs = shingle_hashes_df(docs, id_col, text_col).where(in_sample)
+    # the sampled shingle frame feeds BOTH sides of the all-pairs join
+    # (a bare self-join evaluates the expensive shingling subtree once
+    # per side -- the CLAUDE.md round-2 rule); the materialization is
+    # sample-bounded by design
+    hs = shingle_hashes_df(docs, id_col, text_col).where(in_sample).localCheckpoint()
     a = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
     b = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
     exact = (
