@@ -547,12 +547,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = textstats.quality_score(docs).select("doc_id", "quality_score")
     lang = textstats.lang_id(docs).select("doc_id", "pred_lang")
     fp = docs.select("doc_id", dedup.normalized_prefix_key("text").alias("dedup_key"))
+    # passed is consumed TWICE (the survivor aggregation and the flags
+    # left join) -- without the cut the whole quality-battery + lang-id
+    # + fingerprint join tree evaluates once per consumer (the
+    # multi-consumer rule). Three narrow columns, survivor-subset rows.
     passed = (
         docs.select("doc_id", "source")
         .join(q, "doc_id")
         .join(lang, "doc_id")
         .join(fp, "doc_id")
         .where((F.col("quality_score") >= 40) & (F.col("pred_lang") == "en"))
+        .localCheckpoint()
     )
     surv = passed.groupBy("dedup_key").agg(F.min("doc_id").alias("doc_id"))
     flags = (
