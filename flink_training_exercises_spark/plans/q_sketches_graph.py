@@ -360,13 +360,22 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
+    # med and mad are vocabulary-bounded (one row per type) but consumed
+    # by MULTIPLE broadcast builds (dev join + final join; outl join +
+    # two final joins), where exchange reuse never applies -- without
+    # the cuts the corpus-wide percentile aggregations re-run once per
+    # consumer (the multi-consumer rule). dev stays recomputed: given a
+    # materialized med it is a map-only projection off the pruned scan,
+    # cheaper than materializing a corpus-sized frame at scale.
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(cents, 0.5e0)").alias("med")
-    )
+    ).localCheckpoint()
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "cents", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
     )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5e0)").alias("mad"))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5e0)").alias("mad")
+    ).localCheckpoint()
     outl = (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
