@@ -232,10 +232,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     hubs (the standard node-iterator+ optimization, same salting idiom as
     operators/skew); no cartesian anywhere. Output: 1 row (n_triangles)."""
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    # the canonical edge frame feeds THREE consumers (two wedge sides +
+    # the closing join): without the cut the upstream derivation and the
+    # distinct's shuffle re-run once per consumer (the multi-consumer
+    # rule; k_truss_edges checkpoints the same frame for the same reason)
     e = (
         edges.where(F.col(src) != F.col(dst))
         .select(a.alias("a"), b.alias("b"))
         .distinct()
+        .localCheckpoint()
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
