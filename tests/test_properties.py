@@ -594,10 +594,14 @@ def test_contrastive_negatives_matches_python_reference(spark, rows):
     want = []
     for a, al in rows:
         rank = 0
+        seen = set()
         for j in range(16):
             cand = md5l(f"{a}:neg:{j}") % n
             if cand == a or cand not in ids or ids[cand] == al:
                 continue  # gap / self / same label: skipped probe
+            if cand in seen:
+                continue  # probe collision: dedup keeps the earliest j
+            seen.add(cand)
             rank += 1
             if rank > 4:
                 break
