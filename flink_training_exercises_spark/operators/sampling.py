@@ -454,8 +454,9 @@ def contrastive_negatives(
     batch), so the k accepted negatives are distinct by construction.
     Scale shape: one explode to n_probes rows per anchor (a constant
     factor, not data-squared), one equi-join on the probed id, one
-    windowed shuffle on anchor shared by the dedup and the rank cut;
-    max_id is a 1-row broadcast."""
+    anchor-keyed windowed shuffle shared by the lag-based dedup and the
+    rank cut (both windows partition on anchor_id alone); max_id is a
+    1-row broadcast."""
     nrow = F.broadcast(emb.agg((F.max(id_col) + 1).alias("_n")))
     anchors = emb.select(
         F.col(id_col).alias("anchor_id"), F.col(label_col).alias("a_label")
@@ -494,13 +495,18 @@ def contrastive_negatives(
         )
     )
     # drop probe collisions (same candidate hit by two probe indices of
-    # one anchor) keeping the earliest j -- both windows partition on
-    # anchor_id, so the dedup shares the rank cut's single shuffle
-    wd = Window.partitionBy("anchor_id", "cand").orderBy("j")
+    # one anchor) keeping the earliest j. The dedup window partitions on
+    # anchor_id ONLY -- sorting by (cand, j) makes equal candidates
+    # adjacent, so lag(cand) flags every non-first occurrence -- which
+    # lets it share the rank cut's HashPartitioning(anchor_id) exchange
+    # (a partitionBy(anchor_id, cand) row_number would demand its OWN
+    # clustering and add a second corpus-sized shuffle: hash(a, cand)
+    # does not satisfy the rank window's hash(a) requirement).
+    wd = Window.partitionBy("anchor_id").orderBy("cand", "j")
     w = Window.partitionBy("anchor_id").orderBy("j")
     return (
-        hits.withColumn("dup", F.row_number().over(wd))
-        .where(F.col("dup") == 1)
+        hits.withColumn("prev_cand", F.lag("cand").over(wd))
+        .where(F.col("prev_cand").isNull() | (F.col("prev_cand") != F.col("cand")))
         .select(
             "anchor_id",
             F.row_number().over(w).alias("neg_rank"),
