@@ -115,16 +115,25 @@ _GATE_PRIORITY = [
     # that clears the staged backlog by ~r12 -- plus the three OLDEST
     # staged ops value_trend_ols / cusum_level_shift /
     # contrastive_negatives, r6-era stagings promoted to over-deliver on
-    # the drain the way round 9 did with its ninth) + 2 canaries + the
-    # 15 r5-evidence rows (stalest in the catalog, each independently
-    # re-verified green by the r9 judge) + the first 22 of the 47
-    # r7-evidence rows (dedup_sorted_neighborhood leads). The remaining
-    # 25 r7 rows lead the round-11 rotation.
+    # the drain the way round 9 did with its ninth) + 4 CHANGED rows
+    # (the plan-cut pass -- anything-new/changed goes in the window) +
+    # 2 canaries + the 15 r5-evidence rows (stalest in the catalog, each
+    # independently re-verified green by the r9 judge) + the first 18 of
+    # the 47 r7-evidence rows (dedup_sorted_neighborhood leads). The
+    # remaining 28 r7 rows lead the round-11 rotation.
     # -- new in round 10 (staged promotions, gate-readiness audit +
     #    double-hostile staged probe green before registration) --
     "value_trend_ols",                # NEW r10: per-type OLS drift screen (oldest staged)
     "cusum_level_shift",              # NEW r10: CUSUM change-point screen (oldest staged)
     "contrastive_negatives",          # NEW r10: deterministic negative sampling (oldest staged)
+    # -- CHANGED in round 10 (plan-cut pass: localCheckpoint
+    #    multi-consumer fixes -- output-identical, 3-axis verified, but
+    #    the anything-new/changed rule puts them in the window so the
+    #    NEXT gate attests the new plans, not r12) --
+    "curation_pipeline",              # CHANGED r10: passed frame checkpointed once
+    "triangle_count_edges",           # CHANGED r10: canonical edge frame checkpointed
+    "value_outliers_mad",             # CHANGED r10: med/mad frames checkpointed
+    "dedup_lsh_recall",               # CHANGED r10: sampled shingle frame persisted
     "streaming_windowed_quantile",    # NEW r10: quantile walk over the streamed histogram
     "index_staleness_audit",          # NEW r10: completes the ANN ops family
     "skew_profile",                   # NEW r10: the salting DECISION next to the appliers
@@ -172,16 +181,17 @@ _GATE_PRIORITY = [
     "streaming_interval_join",
     "streaming_interval_join_outer",
     "streaming_popular_places",
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-10 window, stalest-first for
+    # the round-11 rotation.
+    # -- the 28 r7-evidence rows that no longer fit (FIRST in line for
+    #    round 11; q11/q12/q15 were ejected by the three extra
+    #    promotions, the last four by the CHANGED plan-cut entries;
+    #    curation_pipeline moved INTO the window as CHANGED) --
     "streaming_distinct_users",
     "streaming_travel_time_stateful",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
-    # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-10 window, stalest-first for
-    # the round-11 rotation.
-    # -- the 25 r7-evidence rows that no longer fit (FIRST in line for
-    #    round 11; q11/q12/q15 were ejected by the three extra
-    #    promotions) --
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q15_top_supplier",
@@ -204,7 +214,6 @@ _GATE_PRIORITY = [
     "embedding_random_projection",
     "bpe_pair_counts",
     "contamination_ngram_overlap",
-    "curation_pipeline",
     "domain_cap_documents",
     "multimodal_frame_sample",
     # -- the r8-evidence block (next in line: the 48 non-canary rows of
@@ -218,7 +227,6 @@ _GATE_PRIORITY = [
     "asof_purchase_attribution",
     "window_analytics",
     "rollup_counts",
-    "triangle_count_edges",
     "multimodal_decode_meta",
     "bpe_train_merges",
     "embedding_quantize_int8",
@@ -229,7 +237,6 @@ _GATE_PRIORITY = [
     "hll_distinct_users",
     "countmin_token_freq",
     "zorder_layout_documents",
-    "value_outliers_mad",
     "multimodal_resize",
     "inverted_index_postings",
     "doc_typicality_bigrams",
@@ -239,7 +246,6 @@ _GATE_PRIORITY = [
     "ann_recall_at_k",
     "ann_topk_ivf",
     "dedup_incremental_minhash",
-    "dedup_lsh_recall",
     "multimodal_feature_extract",
     "ann_topk_bruteforce_pandas",
     "neardup_embedding_cosine_lsh",

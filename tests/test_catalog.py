@@ -51,6 +51,11 @@ EXPECTED_GATE_WINDOW = [
     "value_trend_ols",
     "cusum_level_shift",
     "contrastive_negatives",
+    # round-10 CHANGED (plan-cut pass; anything-new/changed is in-window)
+    "curation_pipeline",
+    "triangle_count_edges",
+    "value_outliers_mad",
+    "dedup_lsh_recall",
     "streaming_windowed_quantile",
     "index_staleness_audit",
     "skew_profile",
@@ -79,9 +84,10 @@ EXPECTED_GATE_WINDOW = [
     "travel_time_prediction_stateful",
     "ann_topk_bruteforce",
     "neardup_embedding_cosine",
-    # r7-evidence rotation (the first 22 of the 47 r7 rows; the
-    # remaining 25 -- led by tpch_q11/q12/q15, ejected by the three
-    # extra promotions -- lead the round-11 rotation)
+    # r7-evidence rotation (the first 18 of the 47 r7 rows; the
+    # remaining 28 -- led by streaming_distinct_users/travel_time/q2/q9
+    # [ejected by the four CHANGED rows] then tpch_q11/q12/q15 [ejected
+    # by the three extra promotions] -- lead the round-11 rotation)
     "dedup_sorted_neighborhood",
     "dedup_prefix_filter_jaccard",
     "session_concurrency_profile",
@@ -100,10 +106,6 @@ EXPECTED_GATE_WINDOW = [
     "streaming_interval_join",
     "streaming_interval_join_outer",
     "streaming_popular_places",
-    "streaming_distinct_users",
-    "streaming_travel_time_stateful",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
 ]
 
 
