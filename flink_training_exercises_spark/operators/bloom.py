@@ -226,8 +226,6 @@ def bloom_skipping_audit(
     (layout, n_probes, true_pairs, zonemap_scan_pairs, bloom_scan_pairs,
     bloom_false_pos), counts BIGINT.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     What it demonstrates (the lakehouse guidance, made measurable):
     zonemaps are useless for point predicates under a hash layout (every
     shard's [min, max] spans nearly the whole key domain, so

@@ -235,7 +235,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # the canonical edge frame feeds THREE consumers (two wedge sides +
     # the closing join): without the cut the upstream derivation and the
     # distinct's shuffle re-run once per consumer (the multi-consumer
-    # rule; k_truss_edges checkpoints the same frame for the same reason)
+    # rule; k_truss_edges checkpoints the same frame for the same reason).
+    # Size bound: unlike the boundary/vocabulary-bounded plan-cut
+    # checkpoints elsewhere, this one is EDGE-SET-SIZED -- it pins the
+    # deduplicated edge list to executor storage. Deliberate trade: the
+    # alternative re-runs the derivation + distinct shuffle 3x, and at
+    # 100 TB the distinct edge set is the graph itself (any triangle
+    # algorithm holds it at least once per join side); see SCALE.md's
+    # k-truss discussion for the same trade at peeling depth.
     e = (
         edges.where(F.col(src) != F.col(dst))
         .select(a.alias("a"), b.alias("b"))
@@ -551,18 +558,21 @@ def clustering_coefficients(
     degree < 2 -- the division guard ANSI mode demands), so rows are
     hash-exact across engines.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Scale shape: reuses :func:`triangle_count`'s canonical wedge+closing
     join (each a<b<c triangle found once, then credited to its three
     corners via one explode), plus one degree aggregation -- two vertex-
     keyed equi-joins and two groupBys, no cartesian; the same hub-salting
     note as the global count applies at web scale."""
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    # the canonical edge frame feeds FIVE consumers (degree union x2, two
+    # wedge sides, closing join): cut once or the derivation + distinct
+    # shuffle re-run per consumer (the triangle_count idiom; same
+    # edge-set-sized materialization trade, documented there)
     e = (
         edges.where(F.col(src) != F.col(dst))
         .select(a.alias("a"), b.alias("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -940,8 +950,6 @@ def edge_jaccard_similarity(
     themselves -- both are in the union since b ∈ N(a), a ∈ N(b) -- so
     it is >= 2 and the division needs no zero guard even under ANSI).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Determinism: the score ships as an exact parts-per-million integer
     ((1e6 * common) DIV union) over BIGINT counts -- rows are hash-exact
     across engines, zero float ops.
@@ -952,16 +960,22 @@ def edge_jaccard_similarity(
     joins -- no cartesian; the hub-salting note from the global triangle
     count applies to the wedge join's degree skew at web scale."""
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    # SIX consumers of the canonical edge frame (degree union x2, two
+    # wedge sides, closing join, the output join chain) -- cut once (the
+    # triangle_count idiom; edge-set-sized, the documented trade)
     e = (
         edges.where(F.col(src) != F.col(dst))
         .select(a.alias("a"), b.alias("b"))
         .distinct()
+        .localCheckpoint()
     )
+    # degrees feed BOTH join sides (da, db): vertex-bounded, cut once
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .localCheckpoint()
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -1065,8 +1079,6 @@ def temporal_reachability(
     arrival[v] = min(arrival[v], min{t : (u -> v, t), t >= arrival[u]}).
     Output (vertex, arrival_ms) for reached vertices only.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Relaxation is MONOTONE (arrivals only decrease, reached set only
     grows), so the fixed-``rounds`` unrolled oracle equals this side
     whether or not the fixpoint landed earlier -- the kcore/sssp
@@ -1154,8 +1166,6 @@ def k_truss_edges(
     survivor-induced subgraph -- run to fixpoint with a ``max_rounds``
     cap. Output (a, b, support) for surviving edges, support within the
     FINAL survivor set.
-
-    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Determinism contract with the SQL oracle (the kcore/sssp/temporal
     contract): edge removal is MONOTONE, so rounds after the fixpoint

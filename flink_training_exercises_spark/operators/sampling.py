@@ -666,8 +666,6 @@ def quota_sample(
     sample_rank records the within-stratum priority order. Output
     (strata..., doc_id, sample_rank).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Scale shape (100 TB): one hash shuffle keyed on the strata for the
     rank window (parallel across strata; the heaviest stratum bounds one
     task's SORT, and per-stratum top-k could swap to a groupBy

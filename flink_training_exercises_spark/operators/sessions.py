@@ -529,8 +529,6 @@ def attribution_credit(
     queries. Output (event_type, n_touches, credit_ppm), BIGINTs,
     aggregated per touch type.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Determinism: credit is integer ppm with the middle split's division
     remainder assigned to the LAST touch, so every conversion's credits
     sum to exactly ATTR_PPM (conservation pytest-pinned: total credit =

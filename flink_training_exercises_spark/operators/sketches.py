@@ -1472,8 +1472,6 @@ def hll_intersection_estimate(
     index's posting lists); graded against the exact overlap, mirroring
     hll_distinct's estimator-next-to-truth shape. Output is ONE row.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     p defaults to 6 (m = 64 registers): small enough that the RAW
     estimator (no linear-counting correction, by repo design) stays in
     range on this corpus's posting sizes (~385 docs per term at sf0.01,

@@ -97,8 +97,6 @@ def skew_profile(
     Output ONE row (n_keys, total_rows, max_cnt, p50_cnt, p95_cnt,
     skew_vs_mean_ppm, recommended_salt), all BIGINT.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Determinism: p50/p95 are exact discrete quantiles (value at rank
     ceil(p*n) over the per-key counts) computed by the integer
     cross-multiplied cumulative walk over the COUNT-OF-COUNTS frame --

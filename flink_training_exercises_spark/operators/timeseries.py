@@ -633,8 +633,6 @@ def theil_sen_trend(
     correctly-rounded add/divide -- the Pearson/BM25 recipe, extended to
     an order statistic.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Scale shape (100 TB): the pairwise join is quadratic in DISTINCT
     DAYS PER TYPE, not in rows -- bounded by the time span squared
     (a decade of days is ~3.7k, ~6.7M pairs per type), after the
@@ -653,6 +651,10 @@ def theil_sen_trend(
         )
         .groupBy("event_type", "d")
         .agg(F.sum("cents").alias("y"))
+        # THREE consumers (both self-join sides + ndays): cut once or the
+        # corpus scan + bucket shuffle re-run per consumer (the
+        # multi-consumer rule); span x types-bounded rows, not data-sized
+        .localCheckpoint()
     )
     a = daily.select("event_type", F.col("d").alias("di"), F.col("y").alias("yi"))
     b = daily.select("event_type", F.col("d").alias("dj"), F.col("y").alias("yj"))
@@ -742,8 +744,6 @@ def downsample_lttb(
     buckets, the point forming the largest triangle with its immediate
     raw neighbors -- the standard dashboard shape-preserving downsample
     (spikes survive; uniform strides would erase them).
-
-    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Why LTOB and not textbook LTTB: LTTB's bucket choice depends on the
     PREVIOUS bucket's chosen point -- a sequential recurrence with no
@@ -870,4 +870,120 @@ winners AS (
 SELECT k AS {key_col}, bucket, ts_ms, cents FROM ends
 UNION ALL
 SELECT k AS {key_col}, bucket, ts_ms, cents FROM winners
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (data-quality screen over monetary values)
+# ---------------------------------------------------------------------------
+
+# P(first digit = d) = log10(1 + 1/d), rounded to exact ppm. The nine
+# constants sum to exactly 1,000,000, so delta_ppm columns are closed
+# under the same budget as obs_ppm. Public math constants (Benford 1938;
+# Nigrini's forensic-accounting screen).
+BENFORD_PPM = {
+    1: 301030,
+    2: 176091,
+    3: 124939,
+    4: 96910,
+    5: 79181,
+    6: 66947,
+    7: 57992,
+    8: 51153,
+    9: 45757,
+}
+assert sum(BENFORD_PPM.values()) == 1_000_000
+
+
+def benford_value_audit(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Benford's-law first-digit audit of the cents series per type --
+    the forensic data-quality screen (Nigrini): fabricated, clipped, or
+    unit-mangled monetary columns drift from the log10(1+1/d) first-
+    digit law, and the per-digit delta localizes HOW (a spike at 5/9 is
+    price-pointing, a flat profile is a uniform synthetic). Output one
+    row per (type, digit) present: (event_type, digit, n, obs_ppm,
+    benford_ppm, delta_ppm), all BIGINT. This corpus is synthetic-
+    uniform, so large deltas are EXPECTED -- the audit measures
+    deviation, it does not assert conformance (digits absent from a
+    type are absent rows on both engines -- the grouped-union rule).
+
+    Determinism: cents = floor(value*100 + 0.5) exact BIGINT; the first
+    significant digit is substr(CAST(cents AS STRING), 1, 1) -- both
+    engines render positive BIGINTs as plain decimal, no float log10
+    anywhere; ppm shares are (1e6 * n) DIV total over nonnegative
+    BIGINTs (truncating DIV == flooring //). Zero/negative cents are
+    excluded (Benford is defined on positive magnitudes).
+
+    Scale shape (100 TB): ONE map-side-combined hash aggregate to the
+    |types| x 9 relation; the per-type total is a window sum OVER that
+    bounded aggregate sharing its hash partitioning -- no second corpus
+    pass, no join-back."""
+    cents = F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
+    d = events.select(
+        F.col(type_col).alias("event_type"), cents.alias("cents")
+    ).where(F.col("cents") > 0).select(
+        "event_type",
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("bigint").alias("digit"),
+    )
+    counts = d.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    benford = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    return counts.select(
+        "event_type",
+        "digit",
+        "n",
+        F.expr("(1000000 * n) DIV sum(n) OVER (PARTITION BY event_type)")
+        .cast("bigint")
+        .alias("obs_ppm"),
+        benford[F.col("digit")].cast("bigint").alias("benford_ppm"),
+        (
+            F.expr("(1000000 * n) DIV sum(n) OVER (PARTITION BY event_type)")
+            - benford[F.col("digit")]
+        )
+        .cast("bigint")
+        .alias("delta_ppm"),
+    )
+
+
+def benford_value_audit_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`benford_value_audit` (same cents fixed
+    point, same string first digit, same ppm DIV arithmetic; BIGINT
+    casts on count/sum outputs -- the HUGEINT dtype-skew rule)."""
+    benford_case = " ".join(
+        f"WHEN {dd} THEN {p}" for dd, p in BENFORD_PPM.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT {type_col} AS event_type,
+         CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS cents
+  FROM {table}
+),
+d AS (
+  SELECT event_type,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+),
+counts AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       CAST((1000000 * n) // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+         AS obs_ppm,
+       CAST(CASE digit {benford_case} END AS BIGINT) AS benford_ppm,
+       CAST((1000000 * n) // sum(n) OVER (PARTITION BY event_type)
+            - CASE digit {benford_case} END AS BIGINT) AS delta_ppm
+FROM counts
 """

@@ -106,88 +106,31 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-10 WINDOW (50) ======================
+    # ======================= ROUND-11 WINDOW (50) ======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # Window math (the VERDICT r9 #1 recorded rotation, extended): 11
-    # staged promotions (the VERDICT r9 #2 eight -- the drain cadence
-    # that clears the staged backlog by ~r12 -- plus the three OLDEST
-    # staged ops value_trend_ols / cusum_level_shift /
-    # contrastive_negatives, r6-era stagings promoted to over-deliver on
-    # the drain the way round 9 did with its ninth) + 4 CHANGED rows
-    # (the plan-cut pass -- anything-new/changed goes in the window) +
-    # 2 canaries + the 15 r5-evidence rows (stalest in the catalog, each
-    # independently re-verified green by the r9 judge) + the first 18 of
-    # the 47 r7-evidence rows (dedup_sorted_neighborhood leads). The
-    # remaining 28 r7 rows lead the round-11 rotation.
-    # -- new in round 10 (staged promotions, gate-readiness audit +
-    #    double-hostile staged probe green before registration) --
-    "value_trend_ols",                # NEW r10: per-type OLS drift screen (oldest staged)
-    "cusum_level_shift",              # NEW r10: CUSUM change-point screen (oldest staged)
-    "contrastive_negatives",          # NEW r10: deterministic negative sampling (oldest staged)
-    # -- CHANGED in round 10 (plan-cut pass: localCheckpoint
-    #    multi-consumer fixes -- output-identical, 3-axis verified, but
-    #    the anything-new/changed rule puts them in the window so the
-    #    NEXT gate attests the new plans, not r12) --
-    "curation_pipeline",              # CHANGED r10: passed frame checkpointed once
-    "triangle_count_edges",           # CHANGED r10: canonical edge frame checkpointed
-    "value_outliers_mad",             # CHANGED r10: med/mad frames checkpointed
-    "dedup_lsh_recall",               # CHANGED r10: sampled shingle frame persisted
-    "streaming_windowed_quantile",    # NEW r10: quantile walk over the streamed histogram
-    "index_staleness_audit",          # NEW r10: completes the ANN ops family
-    "skew_profile",                   # NEW r10: the salting DECISION next to the appliers
-    "quota_sample",                   # NEW r10: quota-exact eval-set construction
-    "temporal_reachability",          # NEW r10: time-respecting graph reachability
-    "source_scorecard",               # NEW r10: composed corpus governance
-    "hll_intersection_estimate",      # NEW r10: sketch-family inclusion-exclusion
-    "random_walks",                   # NEW r10: embedding-prep walk corpus
+    # Window math (the VERDICT r10 #1/#2 recorded rotation): the eight
+    # r11 staged promotions (gate-readiness audit + double-hostile
+    # staged probe green before registration; oracles asserted
+    # byte-identical to the readiness twins) + 2 canaries + ALL 28
+    # r7-evidence rows (stalest in the catalog; the four the r10 judge
+    # independently re-verified lead) + the first 12 of the 45
+    # r8-evidence rows (hilbert_pruning_audit leads). Each registration
+    # ejected one r8 row from the zero-additions fill of 20.
+    # -- new in round 11 (staged promotions) --
+    "streaming_windowed_cms",
+    "k_truss_edges",
+    "bloom_skipping_audit",
+    "clustering_coefficients",
+    "edge_jaccard_similarity",
+    "theil_sen_trend",
+    "downsample_lttb",
+    "attribution_credit",
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
-    # -- r5-evidence rotation: the 15 stalest rows (ejected by the r9
-    #    promotions, re-verified green by the r9 judge) --
-    "mail_count",
-    "popular_places",
-    "ride_cleansing",
-    "dedup_ngram_jaccard",
-    "text_quality_score",
-    "text_fingerprint",
-    "distinct_users_per_type",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "ann_topk_lsh",
-    "text_lang_id",
-    "member_of_the_month_joinback",
-    "travel_time_prediction_stateful",
-    "ann_topk_bruteforce",
-    "neardup_embedding_cosine",
-    # -- r7-evidence rotation: the first 25 of the 47 r7 rows --
-    "dedup_sorted_neighborhood",
-    "dedup_prefix_filter_jaccard",
-    "session_concurrency_profile",
-    "streaming_windowed_topk",
-    "pii_kanonymity_profile",
-    "streaming_pit_enrichment",
-    "label_propagation_communities",
-    "bm25_topk_retrieval",
-    "streaming_snapshot_diff",
-    "collocation_pmi_topk",
-    "histogram_merge_shards",
-    "dpp_partition_pruning",
-    "streaming_incremental_rollup",
-    "streaming_sessionize",
-    "streaming_exact_dedup",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_popular_places",
-    # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-10 window, stalest-first for
-    # the round-11 rotation.
-    # -- the 28 r7-evidence rows that no longer fit (FIRST in line for
-    #    round 11; q11/q12/q15 were ejected by the three extra
-    #    promotions, the last four by the CHANGED plan-cut entries;
-    #    curation_pipeline moved INTO the window as CHANGED) --
+    # -- r7-evidence rotation: all 28 remaining r7 rows --
     "streaming_distinct_users",
     "streaming_travel_time_stateful",
     "tpch_q2_min_cost_supplier",
@@ -216,8 +159,7 @@ _GATE_PRIORITY = [
     "contamination_ngram_overlap",
     "domain_cap_documents",
     "multimodal_frame_sample",
-    # -- the r8-evidence block (next in line: the 48 non-canary rows of
-    #    the round-8 window) --
+    # -- r8-evidence fill: the first 12 of the 45 r8 rows --
     "hilbert_pruning_audit",
     "streaming_windowed_hll",
     "streaming_concurrency_profile",
@@ -230,6 +172,11 @@ _GATE_PRIORITY = [
     "multimodal_decode_meta",
     "bpe_train_merges",
     "embedding_quantize_int8",
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-11 window, stalest-first for
+    # the round-12 rotation.
+    # -- the 33 r8-evidence rows that no longer fit (FIRST in line for
+    #    round 12; value_histogram leads) --
     "value_histogram",
     "bloom_semijoin_orders",
     "dq_audit_relational",
@@ -263,8 +210,8 @@ _GATE_PRIORITY = [
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity",
-    # -- the r9-evidence block (freshest, last in line: the 48 non-canary
-    #    rows of the round-9 window) --
+    # -- the r9-evidence block (next in line: the 48 non-canary rows of
+    #    the round-9 window) --
     "streaming_windowed_histogram",
     "record_linkage_scores",
     "quantile_merge_shards",
@@ -313,6 +260,56 @@ _GATE_PRIORITY = [
     "mail_tfidf",
     "reply_graph",
     "member_of_the_month",
+    # -- the r10-evidence block (freshest, last in line: the 48
+    #    non-canary rows of the round-10 window) --
+    "value_trend_ols",
+    "cusum_level_shift",
+    "contrastive_negatives",
+    "curation_pipeline",
+    "triangle_count_edges",
+    "value_outliers_mad",
+    "dedup_lsh_recall",
+    "streaming_windowed_quantile",
+    "index_staleness_audit",
+    "skew_profile",
+    "quota_sample",
+    "temporal_reachability",
+    "source_scorecard",
+    "hll_intersection_estimate",
+    "random_walks",
+    "mail_count",
+    "popular_places",
+    "ride_cleansing",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_fingerprint",
+    "distinct_users_per_type",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "ann_topk_lsh",
+    "text_lang_id",
+    "member_of_the_month_joinback",
+    "travel_time_prediction_stateful",
+    "ann_topk_bruteforce",
+    "neardup_embedding_cosine",
+    "dedup_sorted_neighborhood",
+    "dedup_prefix_filter_jaccard",
+    "session_concurrency_profile",
+    "streaming_windowed_topk",
+    "pii_kanonymity_profile",
+    "streaming_pit_enrichment",
+    "label_propagation_communities",
+    "bm25_topk_retrieval",
+    "streaming_snapshot_diff",
+    "collocation_pmi_topk",
+    "histogram_merge_shards",
+    "dpp_partition_pruning",
+    "streaming_incremental_rollup",
+    "streaming_sessionize",
+    "streaming_exact_dedup",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_popular_places",
 ]
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .catalog import register
 from ..operators import (
+    bloom,
     dedup,
     indexing,
     sessions,
@@ -499,3 +500,76 @@ def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return timeseries.cusum_level_shift(ev)
+
+
+@register(
+    "theil_sen_trend",
+    oracle=timeseries.theil_sen_trend_sql(),
+    doc="Per-type Theil-Sen trend -- the MEDIAN of all pairwise slopes "
+    "of the daily cents series, the robust twin of the gated "
+    "value_trend_ols (one corrupted day moves OLS arbitrarily; "
+    "Theil-Sen tolerates ~29% outliers). Determinism: daily sums are "
+    "exact BIGINTs; each slope is ONE correctly-rounded double "
+    "division of exact integers so the slope multiset is bit-identical "
+    "across engines; the median picks middle VALUES by position and "
+    "the even-count average is one more correctly-rounded add/divide "
+    "(the Pearson/BM25 float recipe extended to an order statistic). "
+    "100 TB: the pairwise join is quadratic in DISTINCT DAYS per type "
+    "-- span-bounded (a decade ~3.7k days, ~6.7M pairs/type), never "
+    "data-sized, after one bucket-aggregate shuffle; the daily frame "
+    "feeds both self-join sides + the n_days count so it is "
+    "localCheckpoint'd once (multi-consumer rule).",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return timeseries.theil_sen_trend(ev)
+
+
+@register(
+    "downsample_lttb",
+    oracle=timeseries.downsample_lttb_sql(),
+    doc="Perceptual time-series downsampling, largest-triangle-one-"
+    "bucket (LTOB, Steinarsson's parallel variant of LTTB): per series "
+    "key keep both endpoints plus the largest-triangle point from each "
+    "of 20 equal-count interior buckets -- the dashboard shape-"
+    "preserving downsample (spikes survive; uniform strides erase "
+    "them). LTOB over textbook LTTB because LTTB's moving anchor is a "
+    "sequential per-bucket recurrence with no parallel decomposition; "
+    "LTOB's raw-neighbor triangles make buckets independent. "
+    "Determinism: geometry is exact BIGINT (x = epoch ms, y = cents, "
+    "|cross product| as area2); argmax per bucket by (area2 DESC, ms, "
+    "id). 100 TB: everything partitions by series key -- two window "
+    "passes on the SAME partitioning (neighbors+rank, then per-bucket "
+    "argmax), no global sort, no driver; output (n_out+2) x |keys| "
+    "rows.",
+)
+def q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return timeseries.downsample_lttb(ev)
+
+
+@register(
+    "bloom_skipping_audit",
+    oracle=bloom.bloom_skipping_audit_sql(),
+    doc="Per-shard Bloom-filter skipping vs zonemaps for POINT "
+    "predicates -- the parquet column-bloom technique, completing the "
+    "skipping-audit family's missing axis (zonemap/z-order/Hilbert "
+    "grade RANGE skipping; this grades `key = X` lookups). Rows are "
+    "placed under hash and clustered layouts; per (layout, shard) the "
+    "audit builds BOTH a min/max zonemap and an n_words-BIGINT-word "
+    "Bloom filter, then md5-selected present-key probes count scanned "
+    "vs truly-containing (probe, shard) pairs. Shows the lakehouse "
+    "guidance measurably: zonemaps cannot prune point probes under a "
+    "hash layout, blooms prune under ANY layout (no false negatives "
+    "structurally: true <= bloom <= zonemap pairs). 100 TB: shard "
+    "assignment map-only; each index build is ONE order-independent "
+    "hash aggregate (bit_or word masks), at most n_shards x n_words "
+    "rows per layout regardless of data size -- the footprint a "
+    "parquet writer pays for its column bloom; the (layout, shard, "
+    "key) projection and the bounded probe set are localCheckpoint'd "
+    "once for their 3-4 consumers; probe joins touch index-sized "
+    "relations only.",
+)
+def q_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return bloom.bloom_skipping_audit(ev)

@@ -16,10 +16,12 @@ from ..streaming.queries import (
     concurrency_profile_oracle,
     run_concurrency_profile_availablenow,
     run_scd2_maintenance_availablenow,
+    run_windowed_cms_availablenow,
     run_windowed_histogram_availablenow,
     run_windowed_hll_availablenow,
     run_windowed_quantile_availablenow,
     run_windowed_topk_availablenow,
+    windowed_cms_oracle,
     windowed_histogram_oracle,
     windowed_hll_oracle,
     windowed_quantile_oracle,
@@ -348,4 +350,54 @@ def q_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_windowed_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_quantile_availablenow(
         spark, sf_dir, "streaming_windowed_quantile_gate"
+    )
+
+
+@register(
+    "attribution_credit",
+    oracle=sessions.attribution_credit_sql(),
+    doc="Multi-touch attribution (U-shaped / position-based): every "
+    "conversion distributes exactly 1,000,000 ppm of credit over the "
+    "same user's touches in the preceding 6-hour window -- 40% first, "
+    "40% last, 20% split across the middle -- the marketing-analytics "
+    "conservation-law op next to the funnel/retention queries. "
+    "Determinism: integer ppm with the middle split's remainder "
+    "assigned to the LAST touch, so per-conversion credit sums to "
+    "exactly 1e6 (conservation pytest-pinned); touch order is the "
+    "(ts, event_id) total order; single/two-touch degenerates take "
+    "1e6 / 50-50. 100 TB: conversions x touches is a USER-keyed hash "
+    "equi-join with a residual time filter (the scd2_pit rule, never "
+    "a range-cartesian); rank/count windows partition by conversion "
+    "id -- parallel across conversions; the final fold is a "
+    "|touch_types|-row aggregate with map-side partials.",
+)
+def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sessions.attribution_credit(ev)
+
+
+@register(
+    "streaming_windowed_cms",
+    oracle=windowed_cms_oracle(),
+    doc="Streaming windowed COUNT-MIN SKETCH: per 6-hour event-time "
+    "window, a d x 64 CMS over user ids folded as watermarked "
+    "per-(window, row, bucket) cell counts -- the FOURTH mergeable "
+    "sketch on the stream after top-k/HLL/histogram, completing the "
+    "frequency-estimation axis (point-frequency estimates where HLL "
+    "answers cardinality and the histogram answers distribution). "
+    "State is capped at d x width cells per open window REGARDLESS of "
+    "key cardinality -- the property that makes CMS the streaming "
+    "frequency sketch. The drain is walked by a bounded md5-panel "
+    "est-vs-exact batch stage (min over d rows, absent cells read 0); "
+    "width 64 sized so the one-sided error is VISIBLE at sf0.01 (the "
+    "hll_intersection sizing rule -- at 256+ nothing collides and the "
+    "estimator degenerates to pass-through). Oracle = the same integer "
+    "fold over epoch-aligned tumbling windows cut at the append-mode "
+    "horizon. 100 TB: one stateful shuffle keyed (window, r, bucket), "
+    "watermark-evicted bounded state; the panel walk touches "
+    "cells-per-window rows, never raw events.",
+)
+def q_streaming_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_cms_availablenow(
+        spark, sf_dir, "streaming_windowed_cms_gate"
     )

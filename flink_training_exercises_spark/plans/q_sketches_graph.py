@@ -687,3 +687,76 @@ def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.random_walks(graphs_plan.edges_view(spark, sf_dir))
+
+
+@register(
+    "clustering_coefficients",
+    oracle=graph.clustering_coefficients_sql(
+        graphs_plan.EDGES_SQL.format(events="events")
+    ),
+    doc="Per-node LOCAL clustering coefficient c(v) = 2*tri(v) / "
+    "(deg*(deg-1)) over the undirected event graph -- the standard "
+    "cohesion metric next to the gated global triangle count (how "
+    "clique-like each neighborhood is, the community-quality feature "
+    "LPA/k-core consumers want per node). Reuses triangle_count's "
+    "canonical wedge+closing join (each a<b<c triangle found once), "
+    "credits corners via one 3-array explode, one degree aggregation. "
+    "Determinism: coefficient ships as exact ppm ((1e6*2*tri) DIV "
+    "(deg*(deg-1)), 0 below degree 2 -- the ANSI division guard), all "
+    "BIGINT, hash-exact. 100 TB: the canonical edge frame feeds five "
+    "consumers so it is localCheckpoint'd once (the triangle_count "
+    "idiom, edge-set-sized trade documented there); two vertex-keyed "
+    "equi-joins + two groupBys, hub-salting for degree skew, no "
+    "cartesian.",
+)
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.clustering_coefficients(graphs_plan.edges_view(spark, sf_dir))
+
+
+@register(
+    "edge_jaccard_similarity",
+    oracle=graph.edge_jaccard_similarity_sql(
+        graphs_plan.EDGES_SQL.format(events="events")
+    ),
+    doc="Per-EDGE common-neighbor Jaccard (Liben-Nowell & Kleinberg "
+    "2003), the link-prediction / edge-strength companion of the "
+    "per-node clustering coefficient: common neighbors of (a, b) are "
+    "exactly triangles through the edge, the union follows by "
+    "inclusion-exclusion (deg_a + deg_b - common, structurally >= 2 "
+    "since a and b are in each other's neighborhoods -- no zero guard "
+    "needed even under ANSI). Determinism: exact ppm integer score "
+    "over BIGINT counts, zero float ops, hash-exact. 100 TB: one "
+    "wedge+closing triangle join (canonical edge frame checkpointed "
+    "once -- six consumers; vertex-bounded degree frame checkpointed "
+    "for its two join sides), one 3-struct explode credit, two "
+    "vertex-keyed degree joins; hub-salting for wedge skew, no "
+    "cartesian.",
+)
+def q_edge_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.edge_jaccard_similarity(graphs_plan.edges_view(spark, sf_dir))
+
+
+@register(
+    "k_truss_edges",
+    oracle=graph.k_truss_sql(graphs_plan.truss_edges_sql()),
+    doc="k-truss decomposition (k=4): the maximal subgraph where every "
+    "edge sits in >= k-2 triangles (Cohen 2008; Wang & Cheng VLDB'12) "
+    "-- the EDGE analog of the gated k-core and its standard "
+    "tightening: a k-core can be a sparse star, a k-truss is "
+    "triangle-cemented. Peels edges of support < k-2, recomputing "
+    "support in the survivor set per round, to fixpoint under a "
+    "6-round cap. Runs on a dedicated md5-thinned 60-vertex graph "
+    "derivation (load-bearing: the 20-vertex EDGES_SQL graph "
+    "saturates to a clique where peeling is identity; the thinned "
+    "pseudo-random graph cascades 182 -> 26 edges at sf0.001). "
+    "Contract with the unrolled oracle: removal is MONOTONE, so "
+    "early exit equals the exactly-6-round unroll (the kcore/sssp "
+    "contract); zero-support survivors drop identically on both "
+    "engines (absent from the grouped union). 100 TB: per round ONE "
+    "wedge+closing equi-join pair over the shrinking survivor set, "
+    "support frame checkpointed FIRST (it feeds removal test + "
+    "survivor filter + converged return -- 3x re-run otherwise), "
+    "per-round lineage cuts; no cartesian.",
+)
+def q_k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.k_truss_edges(graphs_plan.truss_edges_view(spark, sf_dir))

@@ -1293,8 +1293,6 @@ def streaming_windowed_cms(
     (window, r, bucket) at watermark passage (the popular_places
     contract).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Scale shape: one stateful shuffle keyed on (window, r, bucket);
     state bounded at d x w cells per open window, watermark-evicted;
     the drain is |windows| x occupied-cells rows, never raw events."""
@@ -1498,4 +1496,251 @@ SELECT CAST(e.window_end_ms AS BIGINT) AS window_end_ms,
        e.est_cnt,
        CAST(e.est_cnt - coalesce(x.exact_cnt, 0) AS BIGINT) AS overcount
 FROM est e LEFT JOIN exact x ON x.window_end_ms = e.window_end_ms AND x.k = e.k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed MinHash signatures (FIFTH mergeable sketch on-stream)
+# ---------------------------------------------------------------------------
+
+MH_STREAM_K = 16  # permutations: estimator granularity 1/16 = 62500 ppm,
+#                   coarse enough that est-vs-exact divergence is VISIBLE
+#                   at sf0.01 (the CMS width-64 / hll_intersection sizing
+#                   rule) while the per-window state stays 16 BIGINTs
+
+
+def streaming_windowed_minhash(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "6 hours",
+    watermark: str = "60 seconds",
+    k: int = MH_STREAM_K,
+) -> DataFrame:
+    """MinHash signatures ON the stream: per event-time window, the
+    k-permutation signature (min of each permuted md5 over the window's
+    keys) -- the FIFTH mergeable sketch riding the watermarked windowed
+    aggregation, after top-k / HLL / histogram / CMS, and the one that
+    answers SET-SIMILARITY questions (audience overlap between windows)
+    where HLL answers cardinality and CMS answers point frequency.
+
+    min is the canonical associative+commutative idempotent fold
+    (Broder 1997's resemblance sketch), so it streams natively with no
+    data-dependent parameters; duplicates of a key cannot move the min,
+    so the signature is a pure function of the window's DISTINCT key
+    set under any arrival order or chunking. Permutations reuse the
+    gated batch dedup's ``_MINHASH_PARAMS`` universal-hash family over
+    the shared md5 base -- identical literals in the DuckDB oracle.
+
+    Scale shape: one stateful shuffle keyed on (window, r); state
+    capped at k BIGINT cells per open window REGARDLESS of key
+    cardinality (the CMS argument, 16 cells vs its d x 64); the drain
+    is |windows| x k rows, never raw events."""
+    from ..functions.hashing import md5_long, permuted_hash
+    from ..functions.time import ntz_as_utc_instant
+    from ..operators.dedup import _MINHASH_PARAMS
+
+    ev = events.select(
+        ntz_as_utc_instant("ts").alias("ts"),
+        F.col(key_col).cast("string").alias("k"),
+    ).withWatermark("ts", watermark)
+    base = md5_long(F.col("k"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("bigint").alias("r"),
+                permuted_hash(base, a, b).cast("bigint").alias("h"),
+            )
+            for r, (a, b) in enumerate(_MINHASH_PARAMS[:k])
+        ]
+    )
+    return (
+        ev.select("ts", F.explode(cells).alias("c"))
+        .select("ts", F.col("c.r").alias("r"), F.col("c.h").alias("h"))
+        .groupBy(F.window("ts", window).alias("w"), "r")
+        .agg(F.min("h").alias("sig"))
+        .select(
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "r",
+            F.col("sig").cast("bigint").alias("sig"),
+        )
+    )
+
+
+def minhash_window_similarity(
+    sigs: DataFrame,
+    events: DataFrame,
+    key_col: str = "user_id",
+    k: int = MH_STREAM_K,
+    window_ms: int = 6 * 3600 * 1000,
+) -> DataFrame:
+    """Bounded batch stage over the DRAINED signatures (the windowed
+    topk/quantile/CMS composition pattern): estimate the Jaccard
+    similarity of CONSECUTIVE windows' key sets from signature
+    agreement (matching permutations / k), next to the exact Jaccard
+    from the batch table -- the est-vs-truth audit shape, measuring
+    audience churn window-over-window.
+
+    Output (window_a_end_ms, window_b_end_ms, n_perms, sig_matches,
+    est_jaccard_ppm, exact_jaccard_ppm), all BIGINT; E[matches/k] = J
+    (per-permutation match probability IS the Jaccard). The union is
+    >= 1 structurally (both windows fired, so each saw >= 1 key) --
+    no division guard needed even under ANSI. Integer ppm via DIV.
+
+    Scale shape: every frame after the drain is |windows|- or
+    (|windows| x |keys-per-window|)-bounded, never a raw-event pass
+    except the exact side's ONE distinct aggregate (the audit's
+    deliberate exact pass, the index_staleness policy). The drained
+    signature frame feeds the fired-window list and both pair sides
+    (localCheckpoint once -- also breaks the memory-sink self-join
+    ambiguity, the CMS lesson); the distinct (window, key) frame feeds
+    the per-window counts and both intersection sides (checkpointed
+    once, bounded by windows x distinct keys)."""
+    from ..functions.time import epoch_ms
+
+    sigs = sigs.localCheckpoint()
+    wins = sigs.select("window_end_ms").distinct()
+    pairs = wins.select(F.col("window_end_ms").alias("wa")).join(
+        wins.select(F.col("window_end_ms").alias("wb")),
+        F.col("wb") == F.col("wa") + F.lit(window_ms),
+    )
+    sa = sigs.select(F.col("window_end_ms").alias("wa"), "r", F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("window_end_ms").alias("wb"), "r", F.col("sig").alias("sig_b"))
+    matches = (
+        pairs.join(sa, "wa")
+        .join(sb, ["wb", "r"])
+        .groupBy("wa", "wb")
+        .agg(
+            F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("sig_matches")
+        )
+    )
+    em = epoch_ms("ts")
+    du = (
+        events.select(
+            (em - em % window_ms + window_ms).alias("window_end_ms"),
+            F.col(key_col).cast("string").alias("u"),
+        )
+        .join(wins, "window_end_ms")
+        .distinct()
+        .localCheckpoint()
+    )
+    cnt = du.groupBy("window_end_ms").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu")
+    )
+    inter = (
+        pairs.join(du.select(F.col("window_end_ms").alias("wa"), "u"), "wa")
+        .join(du.select(F.col("window_end_ms").alias("wb"), "u"), ["wb", "u"])
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        pairs.join(cnt.select(F.col("window_end_ms").alias("wa"), F.col("nu").alias("na")), "wa")
+        .join(cnt.select(F.col("window_end_ms").alias("wb"), F.col("nu").alias("nb")), "wb")
+        .join(matches, ["wa", "wb"])
+        .join(inter, ["wa", "wb"], "left")
+        .select(
+            F.col("wa").cast("bigint").alias("window_a_end_ms"),
+            F.col("wb").cast("bigint").alias("window_b_end_ms"),
+            F.lit(k).cast("bigint").alias("n_perms"),
+            F.col("sig_matches"),
+            F.expr(f"(1000000 * sig_matches) DIV {k}")
+            .cast("bigint")
+            .alias("est_jaccard_ppm"),
+            F.expr(
+                "(1000000 * coalesce(inter, 0))"
+                " DIV (na + nb - coalesce(inter, 0))"
+            )
+            .cast("bigint")
+            .alias("exact_jaccard_ppm"),
+        )
+    )
+
+
+def run_windowed_minhash_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "streaming_windowed_minhash_gate",
+) -> DataFrame:
+    """Gate wrapper for the staged windowed MinHash: append mode,
+    availableNow drain of the (window, r) signature cells, fresh
+    checkpoint; then the bounded consecutive-window similarity batch
+    stage. Oracle = :func:`windowed_minhash_oracle`."""
+    from ..sources import load_table
+    from .sources import events_stream
+
+    cells = drain_availablenow(
+        streaming_windowed_minhash(events_stream(spark, sf_dir)), query_name
+    )
+    return minhash_window_similarity(cells, load_table(spark, "events", sf_dir))
+
+
+def windowed_minhash_oracle(
+    window_ms: int = 6 * 3600 * 1000,
+    delay_ms: int = 60000,
+    k: int = MH_STREAM_K,
+) -> str:
+    """DuckDB oracle for :func:`run_windowed_minhash_availablenow`: the
+    same per-(window, r) min fold over epoch-aligned tumbling windows
+    cut at max(ts) - delay (the append-mode fire-once horizon), the
+    same consecutive-window pairing, signature-match count and exact
+    distinct-key Jaccard -- all integer arithmetic, BIGINT casts on the
+    DuckDB count()/sum() outputs (HUGEINT dtype-skew rule)."""
+    from ..functions.hashing import md5_long_sql, permuted_hash_sql
+    from ..operators.dedup import _MINHASH_PARAMS
+
+    base = md5_long_sql("k")
+    sig_rows = " UNION ALL ".join(
+        f"SELECT window_end_ms, CAST({r} AS BIGINT) AS r, "
+        f"CAST(min({permuted_hash_sql(base, a, b)}) AS BIGINT) AS sig "
+        f"FROM evw JOIN wins USING (window_end_ms) GROUP BY 1"
+        for r, (a, b) in enumerate(_MINHASH_PARAMS[:k])
+    )
+    return f"""
+WITH ev AS (
+  SELECT epoch_ms(ts) AS ms, CAST(user_id AS VARCHAR) AS k FROM events
+),
+mx AS (SELECT max(ms) AS m FROM ev),
+evw AS (SELECT ms - ms % {window_ms} + {window_ms} AS window_end_ms, k FROM ev),
+wins AS (
+  SELECT DISTINCT window_end_ms FROM evw, mx WHERE window_end_ms <= m - {delay_ms}
+),
+sig AS ({sig_rows}),
+du AS (SELECT DISTINCT window_end_ms, k FROM evw JOIN wins USING (window_end_ms)),
+cnt AS (
+  SELECT window_end_ms, CAST(count(*) AS BIGINT) AS nu FROM du GROUP BY 1
+),
+pairs AS (
+  SELECT a.window_end_ms AS wa, b.window_end_ms AS wb
+  FROM wins a JOIN wins b ON b.window_end_ms = a.window_end_ms + {window_ms}
+),
+m2 AS (
+  SELECT p.wa, p.wb,
+         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+           AS sig_matches
+  FROM pairs p
+  JOIN sig sa ON sa.window_end_ms = p.wa
+  JOIN sig sb ON sb.window_end_ms = p.wb AND sb.r = sa.r
+  GROUP BY 1, 2
+),
+ix AS (
+  SELECT p.wa, p.wb, CAST(count(*) AS BIGINT) AS inter
+  FROM pairs p
+  JOIN du a ON a.window_end_ms = p.wa
+  JOIN du b ON b.window_end_ms = p.wb AND b.k = a.k
+  GROUP BY 1, 2
+)
+SELECT CAST(p.wa AS BIGINT) AS window_a_end_ms,
+       CAST(p.wb AS BIGINT) AS window_b_end_ms,
+       CAST({k} AS BIGINT) AS n_perms,
+       m2.sig_matches,
+       CAST((1000000 * m2.sig_matches) // {k} AS BIGINT) AS est_jaccard_ppm,
+       CAST((1000000 * coalesce(ix.inter, 0))
+            // (ca.nu + cb.nu - coalesce(ix.inter, 0)) AS BIGINT)
+         AS exact_jaccard_ppm
+FROM pairs p
+JOIN m2 ON m2.wa = p.wa AND m2.wb = p.wb
+JOIN cnt ca ON ca.window_end_ms = p.wa
+JOIN cnt cb ON cb.window_end_ms = p.wb
+LEFT JOIN ix ON ix.wa = p.wa AND ix.wb = p.wb
 """

@@ -44,68 +44,68 @@ def test_oracle_is_valid_duckdb(duck, name):
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-10 new (staged promotions: the VERDICT r9 #2 eight -- the
-    # drain cadence that clears the staged backlog by ~r12 -- plus the
-    # three oldest staged ops, promoted to over-deliver on the drain the
-    # way round 9 did with its ninth)
-    "value_trend_ols",
-    "cusum_level_shift",
-    "contrastive_negatives",
-    # round-10 CHANGED (plan-cut pass; anything-new/changed is in-window)
-    "curation_pipeline",
-    "triangle_count_edges",
-    "value_outliers_mad",
-    "dedup_lsh_recall",
-    "streaming_windowed_quantile",
-    "index_staleness_audit",
-    "skew_profile",
-    "quota_sample",
-    "temporal_reachability",
-    "source_scorecard",
-    "hll_intersection_estimate",
-    "random_walks",
+    # round-11 new (staged promotions: the VERDICT r10 #2 eight --
+    # streaming semantics pin, novel graph family, point-predicate
+    # skipping axis, graph spread pair, robust-trend twin, timeseries
+    # downsample, sessions conservation-law op)
+    "streaming_windowed_cms",
+    "k_truss_edges",
+    "bloom_skipping_audit",
+    "clustering_coefficients",
+    "edge_jaccard_similarity",
+    "theil_sen_trend",
+    "downsample_lttb",
+    "attribution_credit",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # r5-evidence rotation (the 15 stalest rows, each re-verified green
-    # by the r9 judge before rotation)
-    "mail_count",
-    "popular_places",
-    "ride_cleansing",
-    "dedup_ngram_jaccard",
-    "text_quality_score",
-    "text_fingerprint",
-    "distinct_users_per_type",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "ann_topk_lsh",
-    "text_lang_id",
-    "member_of_the_month_joinback",
-    "travel_time_prediction_stateful",
-    "ann_topk_bruteforce",
-    "neardup_embedding_cosine",
-    # r7-evidence rotation (the first 18 of the 47 r7 rows; the
-    # remaining 28 -- led by streaming_distinct_users/travel_time/q2/q9
-    # [ejected by the four CHANGED rows] then tpch_q11/q12/q15 [ejected
-    # by the three extra promotions] -- lead the round-11 rotation)
-    "dedup_sorted_neighborhood",
-    "dedup_prefix_filter_jaccard",
-    "session_concurrency_profile",
-    "streaming_windowed_topk",
-    "pii_kanonymity_profile",
-    "streaming_pit_enrichment",
-    "label_propagation_communities",
-    "bm25_topk_retrieval",
-    "streaming_snapshot_diff",
-    "collocation_pmi_topk",
-    "histogram_merge_shards",
-    "dpp_partition_pruning",
-    "streaming_incremental_rollup",
-    "streaming_sessionize",
-    "streaming_exact_dedup",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_popular_places",
+    # r7-evidence rotation (ALL 28 remaining r7 rows -- the stalest in
+    # the catalog; the first four were independently re-verified green
+    # by the r10 judge before rotation)
+    "streaming_distinct_users",
+    "streaming_travel_time_stateful",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales",
+    "range_join_downtime_events",
+    "set_ops_clean_purchase_days",
+    "scd2_user_history",
+    "user_inactive_days",
+    "pivot_user_activity",
+    "value_percentiles",
+    "corpus_bigram_counts",
+    "text_token_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "bpe_pair_counts",
+    "contamination_ngram_overlap",
+    "domain_cap_documents",
+    "multimodal_frame_sample",
+    # r8-evidence fill (the first 12 of the 45 r8 rows;
+    # hilbert_pruning_audit leads -- each r11 registration ejected one
+    # row from the zero-additions fill of 20, value_histogram et al.
+    # lead the round-12 rotation)
+    "hilbert_pruning_audit",
+    "streaming_windowed_hll",
+    "streaming_concurrency_profile",
+    "pii_tcloseness_audit",
+    "personalized_pagerank",
+    "length_bucket_batches",
+    "asof_purchase_attribution",
+    "window_analytics",
+    "rollup_counts",
+    "multimodal_decode_meta",
+    "bpe_train_merges",
+    "embedding_quantize_int8",
 ]
 
 

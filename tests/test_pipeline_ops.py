@@ -2876,3 +2876,82 @@ def test_bloom_skipping_audit_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(bloom_skipping_audit_sql()).fetchall())
     assert got == want and got
+
+
+def test_benford_value_audit_hand_computed(spark):
+    """Two types, hand-checkable digits: type a has cents 100/250/1999/5
+    plus an excluded zero and an excluded negative (Benford is defined
+    on positive magnitudes), type b is a single 900-cent row taking the
+    full 1e6 ppm. Exercises the cents fixed point, the string first
+    digit, the ppm DIV and the delta closure."""
+    from flink_training_exercises_spark.operators.timeseries import (
+        BENFORD_PPM,
+        benford_value_audit,
+    )
+
+    events = spark.createDataFrame(
+        [
+            ("a", 1.00),
+            ("a", 2.50),
+            ("a", 19.99),
+            ("a", 0.05),
+            ("a", 0.00),
+            ("a", -3.00),
+            ("b", 9.00),
+        ],
+        "event_type string, value double",
+    )
+    got = {
+        (r["event_type"], r["digit"]): (r["n"], r["obs_ppm"], r["benford_ppm"], r["delta_ppm"])
+        for r in benford_value_audit(events).collect()
+    }
+    assert got == {
+        ("a", 1): (2, 500000, BENFORD_PPM[1], 500000 - BENFORD_PPM[1]),
+        ("a", 2): (1, 250000, BENFORD_PPM[2], 250000 - BENFORD_PPM[2]),
+        ("a", 5): (1, 250000, BENFORD_PPM[5], 250000 - BENFORD_PPM[5]),
+        ("b", 9): (1, 1000000, BENFORD_PPM[9], 1000000 - BENFORD_PPM[9]),
+    }
+
+
+def test_benford_value_audit_contracts(spark, sf_small):
+    """Corpus contracts: digits in 1..9; per-type obs_ppm sums to 1e6
+    within the floor rounding budget (at most 8 ppm short); delta is
+    exactly obs - benford; the nine Benford constants sum to exactly
+    1e6."""
+    from flink_training_exercises_spark.operators.timeseries import (
+        BENFORD_PPM,
+        benford_value_audit,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    assert sum(BENFORD_PPM.values()) == 1_000_000
+    rows = benford_value_audit(load_table(spark, "events", sf_small)).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert 1 <= r["digit"] <= 9
+        assert r["benford_ppm"] == BENFORD_PPM[r["digit"]]
+        assert r["delta_ppm"] == r["obs_ppm"] - r["benford_ppm"]
+        by_type.setdefault(r["event_type"], []).append(r["obs_ppm"])
+    for t, ppms in by_type.items():
+        assert 1_000_000 - 8 <= sum(ppms) <= 1_000_000, t
+
+
+def test_benford_value_audit_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        benford_value_audit,
+        benford_value_audit_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, benford_value_audit(load_table(spark, "events", sf_small)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(benford_value_audit_sql()).fetchall())
+    assert got == want and got

@@ -21,11 +21,14 @@ the eleven round-10 promotions (streaming_windowed_quantile,
 index_staleness_audit, skew_profile, quota_sample,
 temporal_reachability, source_scorecard, hll_intersection_estimate,
 random_walks, plus the three oldest staged ops value_trend_ols,
-cusum_level_shift, contrastive_negatives) were trimmed when they
-entered the catalog. The round-10
-trim emptied the staged-STREAMING list for the third time; it was
-refilled the same round with the windowed Count-Min sketch, so the skip
-branch in the streaming test is dormant again."""
+cusum_level_shift, contrastive_negatives), and the eight round-11
+promotions (streaming_windowed_cms, k_truss_edges,
+bloom_skipping_audit, clustering_coefficients,
+edge_jaccard_similarity, theil_sen_trend, downsample_lttb,
+attribution_credit) were trimmed when they entered the catalog. The
+round-11 trim emptied the staged-STREAMING list for the FOURTH time;
+it was refilled the same round with the windowed MinHash, so the skip
+branch is dormant again."""
 
 import duckdb
 import pytest
@@ -37,14 +40,11 @@ def _cases(spark, sf):
     from pyspark.sql import functions as F
 
     from flink_training_exercises_spark.operators import (
-        bloom,
         graph,
         similarity,
         sketches,
     )
     from flink_training_exercises_spark.operators.sessions import (
-        attribution_credit,
-        attribution_credit_sql,
         session_cooccurrence_lift,
         session_cooccurrence_lift_sql,
         user_behavior_gini,
@@ -61,10 +61,8 @@ def _cases(spark, sf):
         rake_keywords_sql,
     )
     from flink_training_exercises_spark.operators.timeseries import (
-        downsample_lttb,
-        downsample_lttb_sql,
-        theil_sen_trend,
-        theil_sen_trend_sql,
+        benford_value_audit,
+        benford_value_audit_sql,
     )
     from flink_training_exercises_spark.plans import graphs as graphs_plan
 
@@ -72,13 +70,9 @@ def _cases(spark, sf):
     ev = load_table(spark, "events", sf)
     emb = load_table(spark, "embeddings", sf)
     return {
-        "attribution_credit": (
-            attribution_credit(ev),
-            attribution_credit_sql(),
-        ),
-        "bloom_skipping_audit": (
-            bloom.bloom_skipping_audit(ev),
-            bloom.bloom_skipping_audit_sql(),
+        "benford_value_audit": (
+            benford_value_audit(ev),
+            benford_value_audit_sql(),
         ),
         "session_cooccurrence_lift": (
             session_cooccurrence_lift(ev),
@@ -87,11 +81,6 @@ def _cases(spark, sf):
         "user_behavior_gini": (
             user_behavior_gini(ev),
             user_behavior_gini_sql(),
-        ),
-        "downsample_lttb": (downsample_lttb(ev), downsample_lttb_sql()),
-        "embedding_centroid_drift": (
-            similarity.embedding_centroid_drift(emb),
-            similarity.embedding_centroid_drift_sql(),
         ),
         "heaps_vocab_growth": (
             heaps_vocab_growth(docs),
@@ -105,12 +94,6 @@ def _cases(spark, sf):
         "vocab_drift_halves": (
             vocab_drift_halves(docs),
             vocab_drift_halves_sql(),
-        ),
-        "clustering_coefficients": (
-            graph.clustering_coefficients(graphs_plan.edges_view(spark, sf)),
-            graph.clustering_coefficients_sql(
-                graphs_plan.EDGES_SQL.format(events="events")
-            ),
         ),
         "join_cardinality_estimate": (
             sketches.join_cardinality_estimate(
@@ -128,26 +111,11 @@ def _cases(spark, sf):
                 "FROM events WHERE event_type = 'click' GROUP BY 1",
             ),
         ),
-        "theil_sen_trend": (theil_sen_trend(ev), theil_sen_trend_sql()),
-        "approx_topk_shard_union": (
-            sketches.approx_topk_shard_union(docs),
-            sketches.approx_topk_shard_union_sql(),
-        ),
         "degree_assortativity": (
             graph.degree_assortativity(graphs_plan.edges_view(spark, sf)),
             graph.degree_assortativity_sql(
                 graphs_plan.EDGES_SQL.format(events="events")
             ),
-        ),
-        "edge_jaccard_similarity": (
-            graph.edge_jaccard_similarity(graphs_plan.edges_view(spark, sf)),
-            graph.edge_jaccard_similarity_sql(
-                graphs_plan.EDGES_SQL.format(events="events")
-            ),
-        ),
-        "k_truss_edges": (
-            graph.k_truss_edges(graphs_plan.truss_edges_view(spark, sf)),
-            graph.k_truss_sql(graphs_plan.truss_edges_sql()),
         ),
     }
 
@@ -156,22 +124,22 @@ def streaming_cases(spark, sf):
     """Staged STREAMING cases: the run_* availableNow wrappers (the exact
     callables a future @register will use) paired with their DuckDB
     oracles. Shared by the streaming readiness test and
-    tools/hostile_staged_probe.py. The round-10 promotion of
-    streaming_windowed_quantile emptied the list for the third time; it
-    now carries the round-10-staged windowed Count-Min sketch."""
+    tools/hostile_staged_probe.py. The round-11 promotion of
+    streaming_windowed_cms emptied the list for the fourth time; it now
+    carries the round-11-staged windowed MinHash."""
     import uuid as _uuid
 
     from flink_training_exercises_spark.streaming.queries import (
-        run_windowed_cms_availablenow,
-        windowed_cms_oracle,
+        run_windowed_minhash_availablenow,
+        windowed_minhash_oracle,
     )
 
     return {
-        "streaming_windowed_cms": (
-            run_windowed_cms_availablenow(
-                spark, sf, f"wcms_gr_{_uuid.uuid4().hex[:8]}"
+        "streaming_windowed_minhash": (
+            run_windowed_minhash_availablenow(
+                spark, sf, f"wmh_gr_{_uuid.uuid4().hex[:8]}"
             ),
-            windowed_cms_oracle(),
+            windowed_minhash_oracle(),
         ),
     }
 

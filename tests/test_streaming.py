@@ -1529,3 +1529,120 @@ def test_cms_window_estimates_width1_degenerate(spark):
         (w2_end, u1): (0, 1, 1),
         (w2_end, u2): (0, 1, 1),
     }
+
+
+def test_streaming_windowed_minhash_matches_oracle(spark, sf_small):
+    """STAGED streaming windowed MinHash: the drained (window, r)
+    signatures walked by the consecutive-window similarity stage must
+    equal the DuckDB oracle (same min fold cut at the final watermark,
+    same pairing, same integer ppm); est and exact agree on the
+    signature-is-a-set-function contract row-wise bounds."""
+    import duckdb
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_windowed_minhash_availablenow,
+        windowed_minhash_oracle,
+    )
+
+    rows = run_windowed_minhash_availablenow(
+        spark, sf_small, f"wmh_{uuid.uuid4().hex[:8]}"
+    ).collect()
+    got = sorted(map(tuple, rows))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(windowed_minhash_oracle()).fetchall())
+    assert got == want and got
+    for r in rows:
+        assert 0 <= r["sig_matches"] <= r["n_perms"]
+        assert r["est_jaccard_ppm"] == (1_000_000 * r["sig_matches"]) // r["n_perms"]
+        assert 0 <= r["exact_jaccard_ppm"] <= 1_000_000
+
+
+def test_streaming_windowed_minhash_chunked_matches_unchunked(
+    spark, sf_small, tmp_path
+):
+    """Chunked-replay invariance: min is associative, commutative AND
+    idempotent, so micro-batch boundaries (and any re-delivery inside
+    one) cannot change the drained signatures."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.sources import load_table
+    from flink_training_exercises_spark.streaming.queries import (
+        drain_availablenow,
+        streaming_windowed_minhash,
+    )
+
+    ev = load_table(spark, "events", sf_small)
+    d = str(tmp_path / "ev_chunks_mh")
+    replay_to_files(ev, "ts", d, n_chunks=4)
+    schema = (
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    chunked = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    got = {
+        tuple(r)
+        for r in drain_availablenow(
+            streaming_windowed_minhash(chunked),
+            f"wmh_chunked_{_uuid.uuid4().hex[:8]}",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in drain_availablenow(
+            streaming_windowed_minhash(events_stream(spark, sf_small)),
+            f"wmh_one_{_uuid.uuid4().hex[:8]}",
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_minhash_window_similarity_hand_computed(spark):
+    """Hand pin of the similarity batch stage with synthetic signatures
+    (k=4, 1-second windows): w1/w2 share 3 of 4 signature cells (est
+    750000) and 2 of 4 distinct users (exact 500000 -- the duplicate
+    user-2 event in w1 must not move the distinct count); w2/w3 share
+    nothing (est 0, exact 0 through the coalesce-absent-inter path);
+    the non-consecutive (w1, w3) pair must NOT appear."""
+    from datetime import datetime, timezone
+
+    from flink_training_exercises_spark.streaming.queries import (
+        minhash_window_similarity,
+    )
+
+    ts = lambda ms: datetime.fromtimestamp(ms / 1e3, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    sigs = spark.createDataFrame(
+        [(1000, 0, 11), (1000, 1, 22), (1000, 2, 33), (1000, 3, 44)]
+        + [(2000, 0, 11), (2000, 1, 22), (2000, 2, 33), (2000, 3, 99)]
+        + [(3000, 0, 55), (3000, 1, 66), (3000, 2, 77), (3000, 3, 88)],
+        "window_end_ms long, r long, sig long",
+    )
+    events = spark.createDataFrame(
+        [
+            (ts(100), 1),
+            (ts(150), 2),
+            (ts(200), 2),
+            (ts(300), 3),
+            (ts(1100), 2),
+            (ts(1200), 3),
+            (ts(1300), 4),
+            (ts(2100), 5),
+        ],
+        "ts timestamp_ntz, user_id long",
+    )
+    got = sorted(
+        map(
+            tuple,
+            minhash_window_similarity(sigs, events, k=4, window_ms=1000).collect(),
+        )
+    )
+    assert got == [
+        (1000, 2000, 4, 3, 750000, 500000),
+        (2000, 3000, 4, 0, 0, 0),
+    ]
