@@ -920,8 +920,10 @@ def benford_value_audit(
 
     Scale shape (100 TB): ONE map-side-combined hash aggregate to the
     |types| x 9 relation; the per-type total is a window sum OVER that
-    bounded aggregate sharing its hash partitioning -- no second corpus
-    pass, no join-back."""
+    bounded relation -- the window's event_type partitioning is COARSER
+    than the aggregate's (event_type, digit) hash, so it costs one more
+    Exchange (the finer-partitionBy rule), but over a |types| x 9 frame,
+    never the corpus; no second corpus pass, no join-back."""
     cents = F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
     d = events.select(
         F.col(type_col).alias("event_type"), cents.alias("cents")
@@ -932,7 +934,6 @@ def benford_value_audit(
     counts = d.groupBy("event_type", "digit").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    w = Window.partitionBy("event_type")
     benford = F.create_map(
         *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
     )

@@ -779,7 +779,7 @@ def run_windowed_topk_availablenow(
     sf_dir: str,
     query_name: str = "streaming_windowed_topk_gate",
 ) -> DataFrame:
-    """Gate wrapper for the staged windowed heavy hitters: drain the
+    """Gate wrapper for the gated windowed heavy hitters: drain the
     streaming windowed counts (append mode, availableNow, fresh
     checkpoint) and rank top-k per window in the bounded batch stage.
     Oracle = :func:`windowed_topk_oracle` (batch counts cut at the final
@@ -824,7 +824,7 @@ def run_windowed_hll_availablenow(
     sf_dir: str,
     query_name: str = "streaming_windowed_hll_gate",
 ) -> DataFrame:
-    """Gate wrapper for the staged windowed HLL distinct: drain the
+    """Gate wrapper for the gated windowed HLL distinct: drain the
     streaming register maxes and fold the estimate in the bounded batch
     stage. Oracle = :func:`windowed_hll_oracle`."""
     from .sources import events_stream
@@ -981,7 +981,7 @@ def run_windowed_histogram_availablenow(
     sf_dir: str,
     query_name: str = "streaming_windowed_histogram_gate",
 ) -> DataFrame:
-    """Gate wrapper for the staged windowed histogram: append mode,
+    """Gate wrapper for the gated windowed histogram: append mode,
     availableNow drain, fresh checkpoint. Oracle =
     :func:`windowed_histogram_oracle`."""
     from .sources import events_stream
@@ -1147,7 +1147,7 @@ def quantile_from_binned(
     pcts: tuple = (25, 50, 75, 90),
     bin_cents: int = 1000,
 ) -> DataFrame:
-    """Bounded batch stage for the staged streaming windowed quantile:
+    """Bounded batch stage for the gated streaming windowed quantile:
     exact discrete quantiles OVER THE BINNED VALUES from a per-window
     fixed-width histogram (window_end_ms, bin, cnt). For each requested
     percentile p, the selected bin is the one containing rank
@@ -1253,7 +1253,7 @@ WHERE 100 * (cum - cnt) < pct * n AND 100 * cum >= pct * n
 
 
 # ---------------------------------------------------------------------------
-# Streaming windowed Count-Min sketch (staged).
+# Streaming windowed Count-Min sketch.
 # ---------------------------------------------------------------------------
 
 # md5(key) % MOD == 0 picks the deterministic audit panel; 7 keeps the
@@ -1421,7 +1421,7 @@ def run_windowed_cms_availablenow(
     sf_dir: str,
     query_name: str = "streaming_windowed_cms_gate",
 ) -> DataFrame:
-    """Gate wrapper for the staged windowed CMS: append mode, availableNow
+    """Gate wrapper for the gated windowed CMS: append mode, availableNow
     drain of the (window, r, bucket) cells, fresh checkpoint; then the
     bounded panel-estimate batch stage. Oracle =
     :func:`windowed_cms_oracle`."""

@@ -82,6 +82,10 @@ def _cases(spark, sf):
             user_behavior_gini(ev),
             user_behavior_gini_sql(),
         ),
+        "embedding_centroid_drift": (
+            similarity.embedding_centroid_drift(emb),
+            similarity.embedding_centroid_drift_sql(),
+        ),
         "heaps_vocab_growth": (
             heaps_vocab_growth(docs),
             heaps_vocab_growth_sql(),
@@ -110,6 +114,10 @@ def _cases(spark, sf):
                 "SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt "
                 "FROM events WHERE event_type = 'click' GROUP BY 1",
             ),
+        ),
+        "approx_topk_shard_union": (
+            sketches.approx_topk_shard_union(docs),
+            sketches.approx_topk_shard_union_sql(),
         ),
         "degree_assortativity": (
             graph.degree_assortativity(graphs_plan.edges_view(spark, sf)),
