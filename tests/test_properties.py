@@ -1287,3 +1287,117 @@ def test_bloom_skipping_audit_contracts_any_keys(spark, rows):
         assert r["true_pairs"] <= r["bloom_scan_pairs"] <= n_keys * n_shards
         assert r["bloom_false_pos"] == r["bloom_scan_pairs"] - r["true_pairs"]
     assert got["clustered"]["true_pairs"] == n_keys
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                      # event_type
+            st.integers(min_value=-(10**7), max_value=10**7), # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_benford_matches_python_reference(spark, rows):
+    """The Benford audit equals a pure-python replay for ANY value list:
+    same cents fixed point (c/100.0 round-trips exactly through
+    floor(v*100 + 0.5) for |c| << 2^45), same positive-only filter, same
+    string first digit, same floor-division ppm."""
+    from flink_training_exercises_spark.operators.timeseries import (
+        BENFORD_PPM,
+        benford_value_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(t, c / 100.0) for t, c in rows], "event_type string, value double"
+    )
+    got = {
+        (r["event_type"], r["digit"]): (r["n"], r["obs_ppm"], r["benford_ppm"], r["delta_ppm"])
+        for r in benford_value_audit(df).collect()
+    }
+    counts: dict = {}
+    for t, c in rows:
+        if c > 0:
+            d = int(str(c)[0])
+            counts[(t, d)] = counts.get((t, d), 0) + 1
+    totals: dict = {}
+    for (t, _), n in counts.items():
+        totals[t] = totals.get(t, 0) + n
+    want = {
+        (t, d): (
+            n,
+            10**6 * n // totals[t],
+            BENFORD_PPM[d],
+            10**6 * n // totals[t] - BENFORD_PPM[d],
+        )
+        for (t, d), n in counts.items()
+    }
+    assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(min_value=0, max_value=3), min_size=4, max_size=4),
+            st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_minhash_similarity_matches_python_reference(spark, windows):
+    """The consecutive-window similarity stage equals a pure-python
+    replay for ANY signature/user layout: same adjacent pairing, same
+    per-permutation match count, same distinct-set Jaccard with
+    inclusion-exclusion union, same floor-division ppm. Signature
+    values 0..3 force frequent cross-window collisions (the est side);
+    duplicate users per window must not move the exact side."""
+    from datetime import datetime, timezone
+
+    from flink_training_exercises_spark.streaming.queries import (
+        minhash_window_similarity,
+    )
+
+    ts = lambda ms: datetime.fromtimestamp(ms / 1e3, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    sig_rows = [
+        ((i + 1) * 1000, r, s)
+        for i, (sig, _) in enumerate(windows)
+        for r, s in enumerate(sig)
+    ]
+    event_rows = [
+        (ts(i * 1000 + 10 + j), u)
+        for i, (_, users) in enumerate(windows)
+        for j, u in enumerate(users)
+    ]
+    sigs = spark.createDataFrame(sig_rows, "window_end_ms long, r long, sig long")
+    events = spark.createDataFrame(event_rows, "ts timestamp_ntz, user_id long")
+    got = sorted(
+        map(
+            tuple,
+            minhash_window_similarity(sigs, events, k=4, window_ms=1000).collect(),
+        )
+    )
+    want = []
+    for i in range(len(windows) - 1):
+        sa, ua = windows[i]
+        sb, ub = windows[i + 1]
+        m = sum(1 for r in range(4) if sa[r] == sb[r])
+        a, b = set(ua), set(ub)
+        inter = len(a & b)
+        union = len(a) + len(b) - inter
+        want.append(
+            (
+                (i + 1) * 1000,
+                (i + 2) * 1000,
+                4,
+                m,
+                10**6 * m // 4,
+                10**6 * inter // union,
+            )
+        )
+    assert got == sorted(want)
