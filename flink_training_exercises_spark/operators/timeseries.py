@@ -911,6 +911,8 @@ def benford_value_audit(
     deviation, it does not assert conformance (digits absent from a
     type are absent rows on both engines -- the grouped-union rule).
 
+    STAGED (gate-ready; registered when a gate-window slot opens).
+
     Determinism: cents = floor(value*100 + 0.5) exact BIGINT; the first
     significant digit is substr(CAST(cents AS STRING), 1, 1) -- both
     engines render positive BIGINTs as plain decimal, no float log10

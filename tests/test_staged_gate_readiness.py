@@ -228,3 +228,36 @@ def test_staged_streaming_ops_gate_ready(spark, sf_small):
     )
     failures = compare_cases(con, cases)
     assert not failures, "\n".join(failures)
+
+
+def test_staged_labels_match_readiness_cases():
+    """Structural guard against the round-11 trim trap (a CASES cleanup
+    regex swallowed two NON-promoted neighbors, silently dropping their
+    readiness + hostile-probe coverage): the set of package functions
+    whose docstring carries the 'STAGED (gate-ready' label must equal
+    the union of batch + streaming readiness case keys, in BOTH
+    directions -- a staged op without a case has lost its promotion
+    gate, and a case without a label is either promoted-but-not-trimmed
+    or missing its convention label. Case keys are parsed from THIS
+    file's source (the dict-entry convention `"name": (`), so the guard
+    costs no Spark work; by the same convention every case key equals
+    the operator function's name."""
+    import pathlib
+    import re
+
+    label = "STAGED (gate-ready"
+    labeled = set()
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "flink_training_exercises_spark"
+    for p in pkg.rglob("*.py"):
+        text = p.read_text()
+        for m in re.finditer(re.escape(label), text):
+            defs = re.findall(r"^def ([a-z0-9_]+)\(", text[: m.start()], re.M)
+            assert defs, f"{p}: label outside any function"
+            labeled.add(defs[-1])
+    here = pathlib.Path(__file__).read_text()
+    keys = set(re.findall(r'^        "([a-z0-9_]+)": \(', here, re.M))
+    assert keys, "case-key parse found nothing -- indentation convention changed?"
+    assert labeled == keys, (
+        f"labeled-but-no-readiness-case: {sorted(labeled - keys)}; "
+        f"case-but-no-label: {sorted(keys - labeled)}"
+    )
