@@ -1,4 +1,4 @@
-"""Round-5/6 additions: quality flags, segment dedup, chunking, Markov transitions, z-score anomalies, zone-map audit, PIT joins, CUBE, snapshot diffs (batch+streaming), salted join.
+"""Quality flags, segment dedup, chunking, Markov transitions, z-score anomalies, layout/skipping audits (zonemap, Hilbert, Bloom point-predicate), PIT joins, CUBE, snapshot diffs (batch+streaming), salted join, skew profile, and the value-series screens (OLS/CUSUM/Theil-Sen trends, LTOB downsampling).
 
 Registration module: imported by plans.catalog for its @register side
 effects; the shared QuerySpec registry, gate ordering and determinism

@@ -1,4 +1,4 @@
-"""Sessionization and the watermarked streaming family (sessionize, exact dedup, interval joins, distinct users).
+"""Sessionization (+ attribution, concurrency) and the watermarked streaming family (sessionize, exact dedup, interval joins, distinct users, windowed top-k/HLL/histogram/quantile/CMS, SCD2 maintenance).
 
 Registration module: imported by plans.catalog for its @register side
 effects; the shared QuerySpec registry, gate ordering and determinism
