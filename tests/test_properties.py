@@ -1401,3 +1401,59 @@ def test_minhash_similarity_matches_python_reference(spark, windows):
             )
         )
     assert got == sorted(want)
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=3, max_value=5),  # k
+)
+def test_k_truss_matches_python_peeling(spark, edges, k):
+    """The gated k-truss equals a pure-python peel on arbitrary small
+    graphs with self-loop/duplicate noise: same canonical simple edges,
+    same support-within-survivors recomputation, same early exit, same
+    6-round cap, and the same zero-support-absent convention (an edge
+    in no triangle produces no support row on either side)."""
+    from flink_training_exercises_spark.operators.graph import k_truss_edges
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in k_truss_edges(df, k=k).collect()
+    }
+
+    def support(E):
+        nodes = {v for e in E for v in e}
+        sup = {}
+        for a, b in E:
+            s = sum(
+                1
+                for c in nodes
+                if c not in (a, b)
+                and (min(a, c), max(a, c)) in E
+                and (min(b, c), max(b, c)) in E
+            )
+            if s > 0:
+                sup[(a, b)] = s
+        return sup
+
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    thr = k - 2
+    want = None
+    for _ in range(6):
+        sup = support(E)
+        survivors = {e for e, s in sup.items() if s >= thr}
+        if survivors == E:
+            want = sup
+            break
+        E = survivors
+    if want is None:
+        want = support(E)
+    assert got == want
