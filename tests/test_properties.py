@@ -1457,3 +1457,183 @@ def test_k_truss_matches_python_peeling(spark, edges, k):
     if want is None:
         want = support(E)
     assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_edge_jaccard_matches_python_on_random_graphs(spark, edges):
+    """Per-edge common-neighbor Jaccard vs a python reference on
+    arbitrary small graphs with self-loop/duplicate noise: same
+    canonical simple edges, same degree counts, same triangle-credited
+    intersection, same inclusion-exclusion union and ppm floor."""
+    from flink_training_exercises_spark.operators.graph import (
+        edge_jaccard_similarity,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["degree_a"],
+            r["degree_b"],
+            r["common_neighbors"],
+            r["jaccard_ppm"],
+        )
+        for r in edge_jaccard_similarity(df).collect()
+    }
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not simple:
+        assert got == {}
+        return
+    nbrs: dict = {}
+    for a, b in simple:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for a, b in simple:
+        common = len(nbrs[a] & nbrs[b])
+        da, db = len(nbrs[a]), len(nbrs[b])
+        want[(a, b)] = (da, db, common, 1_000_000 * common // (da + db - common))
+    assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                    # series key
+            st.integers(min_value=0, max_value=100000),     # ts offset ms
+            st.integers(min_value=-(10**6), max_value=10**6),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_downsample_lttb_matches_python_reference(spark, rows):
+    """LTOB vs a python reference on random per-key series: same
+    (ms, id) total order, same equal-count bucket assignment, same
+    exact-BIGINT doubled triangle area, same (area2 DESC, ms, id)
+    argmax, same endpoint rows, same n <= 2 degenerate."""
+    from flink_training_exercises_spark.operators.timeseries import (
+        downsample_lttb,
+    )
+
+    base_ms = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+    ts = lambda ms: datetime.utcfromtimestamp((base_ms + ms) / 1e3)
+    data = [
+        (t, ts(off), c / 100.0, i) for i, (t, off, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp_ntz, value double, event_id long"
+    )
+    n_out = 20
+    got = sorted(
+        (r["event_type"], r["bucket"], r["ts_ms"], r["cents"])
+        for r in downsample_lttb(df, n_out=n_out).collect()
+    )
+    series: dict = {}
+    for t, off, c in rows:
+        series.setdefault(t, []).append((base_ms + off, c))
+    want = []
+    for t in series:
+        pts = sorted(
+            (base_ms + off, c, i)
+            for i, (tt, off, c) in enumerate(rows)
+            if tt == t
+        )
+        n = len(pts)
+        want.append((t, -1, pts[0][0], pts[0][1]))
+        if n >= 2:
+            want.append((t, n_out, pts[-1][0], pts[-1][1]))
+        best: dict = {}
+        for rn in range(2, n):  # 1-indexed interior rows 2..n-1
+            xp, yp, _ = pts[rn - 2]
+            x, y, i = pts[rn - 1]
+            xn, yn, _ = pts[rn]
+            bucket = ((rn - 2) * n_out) // max(n - 2, 1)
+            area2 = abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp))
+            key = (-area2, x, i)
+            if bucket not in best or key < best[bucket][0]:
+                best[bucket] = (key, x, y)
+        for bucket, (_, x, y) in best.items():
+            want.append((t, bucket, x, y))
+    assert got == sorted(want)
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),            # user
+            st.integers(min_value=0, max_value=50000),        # ts offset ms
+            st.sampled_from(["view", "click", "purchase"]),   # type
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_attribution_credit_matches_python_reference(spark, rows):
+    """U-shaped attribution vs a python reference on random event
+    streams: same user-keyed window join, same (ts, event_id) touch
+    order, same 40/20/40 split with the remainder on the LAST touch,
+    same 1/2-touch degenerates -- and the conservation law (total
+    credit == 1e6 x conversions with >= 1 touch) holds by construction
+    of the reference."""
+    from flink_training_exercises_spark.operators.sessions import (
+        attribution_credit,
+    )
+
+    base_ms = 1_704_067_200_000
+    window_ms = 10_000
+    ts = lambda ms: datetime.utcfromtimestamp((base_ms + ms) / 1e3)
+    data = [
+        (i, ts(off), u, t, 1.0) for i, (u, off, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    got = {
+        r["event_type"]: (r["n_touches"], r["credit_ppm"])
+        for r in attribution_credit(df, window_ms=window_ms).collect()
+    }
+    end, total = 400_000, 1_000_000
+    mid_pool = total - 2 * end
+    agg: dict = {}
+    for i, (u, off, t) in enumerate(rows):
+        if t != "purchase":
+            continue
+        c_ms = base_ms + off
+        touches = sorted(
+            (base_ms + o2, j, t2)
+            for j, (u2, o2, t2) in enumerate(rows)
+            if u2 == u
+            and t2 in ("view", "click")
+            and base_ms + o2 <= c_ms
+            and base_ms + o2 > c_ms - window_ms
+        )
+        n = len(touches)
+        for rn, (_, _, t2) in enumerate(touches, start=1):
+            if n == 1:
+                credit = total
+            elif n == 2:
+                credit = total // 2
+            elif rn == 1:
+                credit = end
+            elif rn == n:
+                credit = end + mid_pool - (n - 2) * (mid_pool // (n - 2))
+            else:
+                credit = mid_pool // (n - 2)
+            cnt, s = agg.get(t2, (0, 0))
+            agg[t2] = (cnt + 1, s + credit)
+    assert got == agg
