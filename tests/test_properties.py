@@ -1637,3 +1637,60 @@ def test_attribution_credit_matches_python_reference(spark, rows):
             cnt, s = agg.get(t2, (0, 0))
             agg[t2] = (cnt + 1, s + credit)
     assert got == agg
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                 # event_type
+            st.integers(min_value=0, max_value=9),       # day index
+            st.integers(min_value=-(10**5), max_value=10**5),  # cents
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_theil_sen_matches_python_reference(spark, rows):
+    """Theil-Sen vs a python reference on random daily series: same
+    exact-BIGINT daily sums, same one-division slopes (python floats
+    ARE IEEE doubles, so slope multisets match bit for bit), same
+    positional median including the even-count two-value average; types
+    with < 2 distinct days are absent on both sides."""
+    from flink_training_exercises_spark.operators.timeseries import (
+        DAY_MS,
+        theil_sen_trend,
+    )
+
+    base_ms = 1_704_067_200_000
+    assert base_ms % DAY_MS == 0  # day-aligned so day index is exact
+    ts = lambda d: datetime.utcfromtimestamp((base_ms + d * DAY_MS + 1000) / 1e3)
+    df = spark.createDataFrame(
+        [(t, ts(d), c / 100.0) for t, d, c in rows],
+        "event_type string, ts timestamp_ntz, value double",
+    )
+    got = {
+        r["event_type"]: (r["n_days"], r["n_pairs"], r["slope_cents_per_day"])
+        for r in theil_sen_trend(df).collect()
+    }
+    daily: dict = {}
+    for t, d, c in rows:
+        daily[(t, d)] = daily.get((t, d), 0) + c
+    by_type: dict = {}
+    for (t, d), y in daily.items():
+        by_type.setdefault(t, []).append((d, y))
+    want = {}
+    for t, pts in by_type.items():
+        if len(pts) < 2:
+            continue
+        pts.sort()
+        slopes = sorted(
+            (yj - yi) / (dj - di)
+            for i, (di, yi) in enumerate(pts)
+            for dj, yj in pts[i + 1 :]
+        )
+        np = len(slopes)
+        mid = [slopes[(np + 1) // 2 - 1], slopes[(np + 2) // 2 - 1]]
+        med = mid[0] if mid[0] == mid[1] else (mid[0] + mid[1]) / 2.0
+        want[t] = (len(pts), np, med)
+    assert got == want
