@@ -1694,3 +1694,106 @@ def test_theil_sen_matches_python_reference(spark, rows):
         med = mid[0] if mid[0] == mid[1] else (mid[0] + mid[1]) / 2.0
         want[t] = (len(pts), np, med)
     assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=9),  # user key per event
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bloom_skipping_audit_matches_python_reference(spark, keys):
+    """The Bloom-vs-zonemap skipping audit vs a full python replay
+    (hashlib md5 + the same universal-hash family) on random key
+    streams: same hash/clustered shard assignment, same per-shard
+    zonemaps and 504-bit blooms, same md5-selected probe panel, same
+    pair counts -- and the replay re-proves the no-false-negative
+    contract (true <= bloom <= n_probes * n_shards) independently."""
+    import hashlib
+
+    from flink_training_exercises_spark.functions.hashing import (
+        MERSENNE_P,
+        hash_params,
+    )
+    from flink_training_exercises_spark.operators.bloom import (
+        BLOOM_K,
+        SKIP_SHARDS,
+        SKIP_WORDS,
+        bloom_skipping_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "event_id long, user_id long"
+    )
+    got = {
+        r["layout"]: (
+            r["n_probes"],
+            r["true_pairs"],
+            r["zonemap_scan_pairs"],
+            r["bloom_scan_pairs"],
+            r["bloom_false_pos"],
+        )
+        for r in bloom_skipping_audit(df).collect()
+    }
+
+    md5l = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    perm = lambda x, a, b: (a * (x % MERSENNE_P) + b) % MERSENNE_P
+    params = hash_params(BLOOM_K, seed=0xB100F)
+    m_bits = 63 * SKIP_WORDS
+
+    def cells(k):
+        base = md5l(str(k))
+        return {
+            ((perm(base, a, b) % m_bits) // 63, (perm(base, a, b) % m_bits) % 63)
+            for a, b in params
+        }
+
+    su = set()  # (layout, shard, k)
+    for i, k in enumerate(keys):
+        su.add(("hash", md5l(str(i)) % SKIP_SHARDS, k))
+        su.add(("clustered", md5l(str(k)) % SKIP_SHARDS, k))
+    probes = sorted({k for k in keys if md5l(str(k)) % 7 == 0})
+    want = {}
+    for layout in ("hash", "clustered"):
+        shards = sorted({s for (l, s, _) in su if l == layout})
+        zmap = {
+            s: (
+                min(k for (l, s2, k) in su if l == layout and s2 == s),
+                max(k for (l, s2, k) in su if l == layout and s2 == s),
+            )
+            for s in shards
+        }
+        bloom = {}
+        for l, s, k in su:
+            if l == layout:
+                bloom.setdefault(s, set()).update(cells(k))
+        true_pairs = sum(
+            1 for p in probes for s in shards if (layout, s, p) in su
+        )
+        zpairs = sum(
+            1
+            for p in probes
+            for s in shards
+            if zmap[s][0] <= p <= zmap[s][1]
+        )
+        bpairs = sum(
+            1
+            for p in probes
+            for s in shards
+            if cells(p) <= bloom.get(s, set())
+        )
+        assert true_pairs <= bpairs <= len(probes) * SKIP_SHARDS
+        want[layout] = (
+            len(probes),
+            true_pairs,
+            zpairs,
+            bpairs,
+            bpairs - true_pairs,
+        )
+    if not probes:
+        # no probe keys selected: the audit's inner joins yield no rows
+        assert got == {}
+        return
+    assert got == want
