@@ -1797,3 +1797,198 @@ def test_bloom_skipping_audit_matches_python_reference(spark, keys):
         assert got == {}
         return
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # src
+            st.integers(min_value=0, max_value=6),   # dst
+            st.integers(min_value=1, max_value=9),   # weight
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_degree_assortativity_matches_python_replay(spark, edges):
+    """Random weighted digraphs: the five BIGINT sufficient statistics and
+    the closed-form double r equal a python fold mirroring the exact
+    operand tree (every op correctly-rounded IEEE, so == not approx)."""
+    import math
+    from collections import defaultdict
+
+    from flink_training_exercises_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    df = spark.createDataFrame(
+        [(f"v{s}", f"v{d}", w) for s, d, w in edges],
+        "src string, dst string, weight long",
+    )
+    [r] = degree_assortativity(df).collect()
+    out_s, in_s = defaultdict(int), defaultdict(int)
+    for s, d, w in edges:
+        out_s[s] += w
+        in_s[d] += w
+    xy = [(out_s[s], in_s[d]) for s, d, _ in edges]
+    n = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    syy = sum(y * y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    assert (r["n_edges"], r["sum_out_strength"], r["sum_in_strength"]) == (
+        n, sx, sy,
+    )
+    fn, fsx, fsy, fsxx, fsyy, fsxy = map(float, (n, sx, sy, sxx, syy, sxy))
+    prod = (fn * fsxx - fsx * fsx) * (fn * fsyy - fsy * fsy)
+    if prod > 0:
+        assert r["assortativity_r"] == (fn * fsxy - fsx * fsy) / math.sqrt(prod)
+    else:
+        assert r["assortativity_r"] is None
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_rake_keywords_matches_python_replay(spark, texts):
+    """Random small corpora: the full RAKE walk (statistical stopwords,
+    phrase runs, deg/freq ppm word scores, occurrence-summed phrase
+    scores, (score DESC, phrase ASC) top-k) equals a python replay."""
+    from collections import Counter
+
+    from flink_training_exercises_spark.operators.textstats import (
+        rake_keywords,
+    )
+
+    n_stop, k = 2, 10
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r["rank"], r["phrase"], r["n_words"], r["score_ppm"])
+        for r in rake_keywords(docs, n_stop=n_stop, k=k)
+        .orderBy("rank")
+        .collect()
+    ]
+    tok = {i: [w for w in t.lower().split() if w] for i, t in enumerate(texts)}
+    freq_all = Counter(w for ws in tok.values() for w in ws)
+    stops = set(
+        w
+        for w, _ in sorted(freq_all.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :n_stop
+        ]
+    )
+    runs = []
+    for ws in tok.values():
+        cur = []
+        for w in ws:
+            if w in stops:
+                if cur:
+                    runs.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            runs.append(cur)
+    freq, deg = Counter(), Counter()
+    for run in runs:
+        for w in run:
+            freq[w] += 1
+            deg[w] += len(run)
+    ws_ppm = {w: (1000000 * deg[w]) // freq[w] for w in freq}
+    phrases = {}
+    for run in runs:
+        p = " ".join(run)
+        phrases[p] = (sum(ws_ppm[w] for w in run), len(run))
+    want_sorted = sorted(
+        ((sc, p, nw) for p, (sc, nw) in phrases.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    want = [
+        (i + 1, p, nw, sc) for i, (sc, p, nw) in enumerate(want_sorted)
+    ]
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=7200),   # offset seconds
+            st.integers(min_value=0, max_value=3),      # type index
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_session_cooccurrence_lift_matches_python_replay(spark, events):
+    """Random event streams: gap-sessionized baskets, pair counts, and the
+    exact integer ppm lift equal a python replay of the whole walk
+    (strictly-greater-than gap rule, DISTINCT (basket, type) items)."""
+    from collections import Counter, defaultdict
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.sessions import (
+        session_cooccurrence_lift,
+    )
+
+    gap_ms = 30 * 60 * 1000
+    types = ["view", "click", "purchase", "signup"]
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=off), u, types[t], 0.0, None)
+        for i, (u, off, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_both"], r["n_a"], r["n_b"], r["lift_ppm"],
+        )
+        for r in session_cooccurrence_lift(df, gap_ms=gap_ms).collect()
+    }
+    per_user = defaultdict(list)
+    for i, (u, off, t) in enumerate(events):
+        per_user[u].append((off * 1000, i, types[t]))
+    baskets = defaultdict(set)
+    for u, evs in per_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ms, _, t in evs:
+            if prev is None or ms - prev > gap_ms:
+                sid += 1
+            prev = ms
+            baskets[(u, sid)].add(t)
+    n_sessions = len(baskets)
+    n_t = Counter(t for items in baskets.values() for t in items)
+    n_both = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                n_both[(s[i], s[j])] += 1
+    want = {
+        (a, b): (
+            c,
+            n_t[a],
+            n_t[b],
+            (1000000 * c * n_sessions) // (n_t[a] * n_t[b]),
+        )
+        for (a, b), c in n_both.items()
+    }
+    assert got == want
