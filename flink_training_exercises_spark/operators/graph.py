@@ -865,8 +865,6 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     20-vertex test graph, where every count-degree is 19 -- makes the
     count form structurally degenerate).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Determinism: the value_hour_correlation recipe verbatim -- degrees
     are exact BIGINT counts, the five sufficient statistics are exact
     BIGINT sums (order-free), and the closed form

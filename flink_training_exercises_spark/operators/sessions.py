@@ -642,8 +642,6 @@ def user_behavior_gini(
     the exact integer ppm (1e6 * (n^2 - sum c_t^2)) DIV n^2. Output
     (user_id, n_events, n_types, gini_ppm), all BIGINT.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Scale shape (100 TB): two hash aggregates with map-side partials
     ((user, type) counts, then per-user sufficient statistics n and
     sum c^2) -- the same two-level fold as distinct_users_per_type;
@@ -726,8 +724,6 @@ def session_cooccurrence_lift(
     at 100 TB: compute lift per shard/stratum (n_sessions per stratum
     bounded) or pre-divide the constant (floor(1e6 DIV n_a) loses
     exactness; the stratified route keeps it).
-
-    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Scale shape (100 TB): session ids via the shared lag-gap-cumsum
     windows (user-partitioned, parallel); baskets collapse to DISTINCT

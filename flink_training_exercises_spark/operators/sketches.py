@@ -854,8 +854,6 @@ def join_cardinality_estimate(
     and integer-exact, next to the exact truth -- the estimator-vs-
     ground-truth audit pattern (hll_distinct / ann_recall_at_k policy).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Scale shape (100 TB): each side's sketch is built from its
     key-aggregated relation (the CMS-from-partials identity, as
     countmin_freq) and collapses to depth*width integer cells with
@@ -962,8 +960,6 @@ def approx_topk_shard_union(
     "top queries/terms across the fleet" pipeline uses when shipping
     full per-shard frequency tables is too expensive: only m rows leave
     each shard.
-
-    STAGED (gate-ready; registered when a gate-window slot opens).
 
     One-sided by construction: a token's estimate sums only the shards
     where it survived the local cut, so est <= exact always, and

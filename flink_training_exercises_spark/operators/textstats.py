@@ -1085,8 +1085,6 @@ def heaps_vocab_growth(
     fitting beta is a 10-point driver-side afterthought, deliberately NOT
     folded in (ln/pow are not correctly rounded cross-engine).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Determinism: corpus order = doc_id order; checkpoint q covers doc_ids
     <= q/n of max(doc_id). A token's first appearance is min(doc_id)
     containing it -- an order-free aggregate, no global row_number.
@@ -1199,8 +1197,6 @@ def rake_keywords(
     rewards words that travel in long collocations), and a phrase scores
     the sum of its members' scores. Output = the corpus's top ``k``
     keyphrases: (rank, phrase, n_words, score_ppm).
-
-    STAGED (gate-ready; registered when a gate-window slot opens).
 
     Delimiters: classic RAKE uses an English stopword list; this corpus
     (like any specialized corpus) would make that degenerate (no hits ->

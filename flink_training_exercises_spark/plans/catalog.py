@@ -106,77 +106,31 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-11 WINDOW (50) ======================
+    # ======================= ROUND-12 WINDOW (50) ======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # Window math (the VERDICT r10 #1/#2 recorded rotation): the eight
-    # r11 staged promotions (gate-readiness audit + double-hostile
-    # staged probe green before registration; oracles asserted
-    # byte-identical to the readiness twins) + 2 canaries + ALL 28
-    # r7-evidence rows (stalest in the catalog; the four the r10 judge
-    # independently re-verified lead) + the first 12 of the 45
-    # r8-evidence rows (hilbert_pruning_audit leads). Each registration
-    # ejected one r8 row from the zero-additions fill of 20.
-    # -- new in round 11 (staged promotions) --
-    "streaming_windowed_cms",
-    "k_truss_edges",
-    "bloom_skipping_audit",
-    "clustering_coefficients",
-    "edge_jaccard_similarity",
-    "theil_sen_trend",
-    "downsample_lttb",
-    "attribution_credit",
+    # Window math (the VERDICT r11 #1/#2 recorded rotation): the eight
+    # r12 staged promotions (gate-readiness audit + double-hostile
+    # staged probe green before registration; oracles byte-identical to
+    # the readiness twins by construction -- same *_sql() calls) + 2
+    # canaries + ALL 33 remaining r8-evidence rows (stalest in the
+    # catalog; value_histogram leads) + the first 7 of the 48
+    # r9-evidence rows (streaming_windowed_histogram leads). Each
+    # registration ejected one r9 row from the zero-additions fill of 15.
+    # -- new in round 12 (staged promotions) --
+    "heaps_vocab_growth",
+    "rake_keywords",
+    "join_cardinality_estimate",
+    "approx_topk_shard_union",
+    "degree_assortativity",
+    "user_behavior_gini",
+    "session_cooccurrence_lift",
+    "streaming_windowed_minhash",
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
-    # -- r7-evidence rotation: all 28 remaining r7 rows --
-    "streaming_distinct_users",
-    "streaming_travel_time_stateful",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_inventory",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales",
-    "range_join_downtime_events",
-    "set_ops_clean_purchase_days",
-    "scd2_user_history",
-    "user_inactive_days",
-    "pivot_user_activity",
-    "value_percentiles",
-    "corpus_bigram_counts",
-    "text_token_count",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_random_projection",
-    "bpe_pair_counts",
-    "contamination_ngram_overlap",
-    "domain_cap_documents",
-    "multimodal_frame_sample",
-    # -- r8-evidence fill: the first 12 of the 45 r8 rows --
-    "hilbert_pruning_audit",
-    "streaming_windowed_hll",
-    "streaming_concurrency_profile",
-    "pii_tcloseness_audit",
-    "personalized_pagerank",
-    "length_bucket_batches",
-    "asof_purchase_attribution",
-    "window_analytics",
-    "rollup_counts",
-    "multimodal_decode_meta",
-    "bpe_train_merges",
-    "embedding_quantize_int8",
-    # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-11 window, stalest-first for
-    # the round-12 rotation.
-    # -- the 33 r8-evidence rows that no longer fit (FIRST in line for
-    #    round 12; value_histogram leads) --
+    # -- r8-evidence rotation: all 33 remaining r8 rows --
     "value_histogram",
     "bloom_semijoin_orders",
     "dq_audit_relational",
@@ -210,8 +164,7 @@ _GATE_PRIORITY = [
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity",
-    # -- the r9-evidence block (next in line: the 48 non-canary rows of
-    #    the round-9 window) --
+    # -- r9-evidence fill: the first 7 of the 48 r9 rows --
     "streaming_windowed_histogram",
     "record_linkage_scores",
     "quantile_merge_shards",
@@ -219,6 +172,11 @@ _GATE_PRIORITY = [
     "props_json_profile",
     "weighted_sample",
     "bloom_contamination_screen",
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-12 window, stalest-first for
+    # the round-13 rotation.
+    # -- the 41 r9-evidence rows that no longer fit (FIRST in line for
+    #    round 13; tokenizer_fertility leads) --
     "tokenizer_fertility",
     "streaming_scd2_maintenance",
     "cdc_merge_user_state",
@@ -260,8 +218,8 @@ _GATE_PRIORITY = [
     "mail_tfidf",
     "reply_graph",
     "member_of_the_month",
-    # -- the r10-evidence block (freshest, last in line: the 48
-    #    non-canary rows of the round-10 window) --
+    # -- the r10-evidence block (next in line: the 48 non-canary rows of
+    #    the round-10 window) --
     "value_trend_ols",
     "cusum_level_shift",
     "contrastive_negatives",
@@ -310,6 +268,57 @@ _GATE_PRIORITY = [
     "streaming_interval_join",
     "streaming_interval_join_outer",
     "streaming_popular_places",
+    # -- the r11-evidence block (freshest, last in line: the 48
+    #    non-canary rows of the round-11 window -- the 8 r11 promotions,
+    #    then the 28 ex-r7 rows, then the 12 ex-r8 fill rows) --
+    "streaming_windowed_cms",
+    "k_truss_edges",
+    "bloom_skipping_audit",
+    "clustering_coefficients",
+    "edge_jaccard_similarity",
+    "theil_sen_trend",
+    "downsample_lttb",
+    "attribution_credit",
+    "streaming_distinct_users",
+    "streaming_travel_time_stateful",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales",
+    "range_join_downtime_events",
+    "set_ops_clean_purchase_days",
+    "scd2_user_history",
+    "user_inactive_days",
+    "pivot_user_activity",
+    "value_percentiles",
+    "corpus_bigram_counts",
+    "text_token_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "bpe_pair_counts",
+    "contamination_ngram_overlap",
+    "domain_cap_documents",
+    "multimodal_frame_sample",
+    "hilbert_pruning_audit",
+    "streaming_windowed_hll",
+    "streaming_concurrency_profile",
+    "pii_tcloseness_audit",
+    "personalized_pagerank",
+    "length_bucket_batches",
+    "asof_purchase_attribution",
+    "window_analytics",
+    "rollup_counts",
+    "multimodal_decode_meta",
+    "bpe_train_merges",
+    "embedding_quantize_int8",
 ]
 
 

@@ -19,11 +19,13 @@ from ..streaming.queries import (
     run_windowed_cms_availablenow,
     run_windowed_histogram_availablenow,
     run_windowed_hll_availablenow,
+    run_windowed_minhash_availablenow,
     run_windowed_quantile_availablenow,
     run_windowed_topk_availablenow,
     windowed_cms_oracle,
     windowed_histogram_oracle,
     windowed_hll_oracle,
+    windowed_minhash_oracle,
     windowed_quantile_oracle,
     windowed_topk_oracle,
 )
@@ -400,4 +402,77 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_cms_availablenow(
         spark, sf_dir, "streaming_windowed_cms_gate"
+    )
+
+
+@register(
+    "user_behavior_gini",
+    oracle=sessions.user_behavior_gini_sql(),
+    doc="Per-user behavioral diversity as GINI IMPURITY over the user's "
+    "event-type distribution (1 - sum p_t^2): 0 for a single-behavior "
+    "user, approaching 1 - 1/k for a uniform k-type one -- the "
+    "segmentation feature personalization/anomaly pipelines derive "
+    "per entity. Gini over Shannon entropy DELIBERATELY: entropy "
+    "needs ln() (libm, not correctly rounded cross-engine -- the BM25 "
+    "lesson); Gini is a pure rational, shipped as exact integer ppm "
+    "(1e6*(n^2 - sum c^2)) DIV n^2. BIGINT bound documented at the "
+    "operator: 1e6*n^2 < 2^63 means n < ~3e6 events PER USER; ANSI "
+    "raises loudly past it on both engines. 100 TB: two hash "
+    "aggregates with map-side partials ((user, type) counts, then "
+    "per-user sufficient statistics) -- the distinct_users_per_type "
+    "fold; one row per user.",
+)
+def q_user_behavior_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sessions.user_behavior_gini(ev)
+
+
+@register(
+    "session_cooccurrence_lift",
+    oracle=sessions.session_cooccurrence_lift_sql(),
+    doc="Market-basket co-occurrence over gap sessions -- the "
+    "association-rule screen (baskets = 30-min-gap sessions, items = "
+    "event types): per unordered type pair, sessions containing both "
+    "and the LIFT against independence as exact integer ppm "
+    "((1e6*n_both*n_sessions) DIV (n_a*n_b); NPMI would need ln()). "
+    "Complements event_transitions_markov (adjacent ORDER) with "
+    "order-free co-presence. BIGINT bound documented at the operator "
+    "(n_sessions ~3e6 fully-correlated; stratified lift is the 100 TB "
+    "mitigation). 100 TB: session ids via the shared lag-gap-cumsum "
+    "user-partitioned windows; baskets collapse to DISTINCT (session, "
+    "type) FIRST so the within-basket self-join fans out at most "
+    "C(types, 2) per session -- vocabulary-bounded, never events^2; "
+    "the basket frame is localCheckpoint-ed once for its four "
+    "consumers; the 1-row session total broadcasts (A4 pattern).",
+)
+def q_session_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sessions.session_cooccurrence_lift(ev)
+
+
+@register(
+    "streaming_windowed_minhash",
+    oracle=windowed_minhash_oracle(),
+    doc="MinHash signatures ON the stream: per 6-hour event-time window, "
+    "the k=16-permutation signature (min of each permuted md5 over the "
+    "window's keys) -- the FIFTH mergeable sketch riding the "
+    "watermarked windowed aggregation, after top-k/HLL/histogram/CMS, "
+    "and the one answering SET-SIMILARITY questions (audience overlap "
+    "between windows) where HLL answers cardinality and CMS point "
+    "frequency. min is the canonical associative+commutative "
+    "IDEMPOTENT fold (Broder 1997), so the drain is a pure function "
+    "of each window's DISTINCT key set under any arrival order, "
+    "chunking, or duplicate delivery. Permutations reuse the gated "
+    "batch dedup's _MINHASH_PARAMS over the shared md5 base -- "
+    "identical literals in the oracle. The bounded batch stage pairs "
+    "CONSECUTIVE windows: signature-match Jaccard estimate next to "
+    "the exact distinct-key Jaccard (est-vs-exact audit pattern). "
+    "100 TB: one stateful shuffle keyed (window, r); state capped at "
+    "k BIGINT cells per open window REGARDLESS of key cardinality; "
+    "the similarity walk touches |windows| x k rows, never raw "
+    "events.",
+)
+def q_streaming_windowed_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_minhash_availablenow(
+        spark, sf_dir, "streaming_windowed_minhash_gate"
     )

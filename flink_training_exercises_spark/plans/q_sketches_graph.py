@@ -760,3 +760,76 @@ def q_edge_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_truss_edges(graphs_plan.truss_edges_view(spark, sf_dir))
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=sketches.join_cardinality_estimate_sql(
+        "SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM events WHERE event_type = 'view' GROUP BY 1",
+        "SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM events WHERE event_type = 'click' GROUP BY 1",
+    ),
+    doc="Join-size estimation via the Count-Min INNER PRODUCT (Cormode "
+    "& Muthukrishnan's a.b estimator) -- the optimizer-statistics "
+    "question answered from two 4 KiB sketches instead of the join: "
+    "est = min over hash rows of sum_b cmsR[r][b]*cmsS[r][b], "
+    "one-sided est >= exact, next to the exact truth (the estimator-"
+    "vs-ground-truth audit pattern). Estimates the view-user x "
+    "click-user join. 100 TB: each side's sketch builds from its "
+    "key-aggregated relation with map-side combine and collapses to "
+    "depth x width integer cells; the inner product joins cells "
+    "against cells -- constant-size work however large the inputs; "
+    "the key-vocabulary-sized count relations feed two consumers "
+    "each, so they are localCheckpoint-ed once (twice-consumed rule).",
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sketches.join_cardinality_estimate(
+        ev.where(F.col("event_type") == "view").groupBy("user_id").count(),
+        ev.where(F.col("event_type") == "click").groupBy("user_id").count(),
+    )
+
+
+@register(
+    "approx_topk_shard_union",
+    oracle=sketches.approx_topk_shard_union_sql(),
+    doc="Approximate distributed top-k via per-shard top-m union -- "
+    "completes the shard-merge family (HLL, histogram, quantile): "
+    "md5-sharded corpus, each shard's EXACT top-12 token counts, "
+    "union ranked by summed lower-bound estimates, audited vs exact "
+    "global counts. One-sided by construction (a token's estimate "
+    "sums only shards where it survived the local cut, est <= exact). "
+    "The pattern every top-terms-across-the-fleet pipeline uses when "
+    "full per-shard frequency tables are too expensive: only m rows "
+    "leave each shard. 100 TB: one explode + groupBy(shard, token) "
+    "with map-side combine, the local cut a window on the SAME "
+    "partitioning, final rank over <= n_shards*m survivors (bounded); "
+    "the exact column is the audit's deliberate ground truth.",
+)
+def q_approx_topk_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sketches.approx_topk_shard_union(docs)
+
+
+@register(
+    "degree_assortativity",
+    oracle=graph.degree_assortativity_sql(
+        graphs_plan.EDGES_SQL.format(events="events")
+    ),
+    doc="Directed strength assortativity (Newman's degree-mixing "
+    "statistic on WEIGHTED degrees): the Pearson correlation, over "
+    "edges, between source out-strength and target in-strength -- do "
+    "hubs link to hubs? Strength, not raw count, because the count-"
+    "degree-regular test graph (every vertex 19) makes the count form "
+    "structurally degenerate. Exact BIGINT sufficient statistics "
+    "(order-free integer partials), closed-form double r over "
+    "identical operand trees (div/mul/sub/sqrt all correctly-rounded "
+    "IEEE), NULL on zero variance on both engines. 100 TB: two "
+    "degree aggregations, two hash equi-joins edge->degree, one "
+    "global integer partial-aggregate -- no windows, no driver "
+    "arithmetic; integer partials commute so partitioning cannot "
+    "perturb the statistics.",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.degree_assortativity(graphs_plan.edges_view(spark, sf_dir))

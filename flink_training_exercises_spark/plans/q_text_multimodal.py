@@ -282,3 +282,46 @@ def q_bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textstats.source_scorecard(docs)
+
+
+@register(
+    "heaps_vocab_growth",
+    oracle=textstats.heaps_vocab_growth_sql(),
+    doc="Heaps'-law vocabulary growth curve: cumulative corpus size vs "
+    "cumulative distinct-vocab size at 10 evenly-spaced doc-id "
+    "checkpoints -- the corpus-scaling diagnostic (V = K*N^beta: "
+    "saturating vocabulary means duplication/templates, runaway means "
+    "OCR noise). A token's first appearance is min(doc_id) containing "
+    "it -- an ORDER-FREE aggregate, no global row numbering; checkpoint "
+    "assignment is an integer ceil over max(doc_id) (1-row broadcast), "
+    "clamped for the id-0 edge ANSI division would reject. The curve "
+    "is the output; fitting beta is a 10-point driver afterthought "
+    "(ln/pow are not correctly rounded cross-engine). 100 TB: one "
+    "explode + vocabulary-sized groupBy(token), one per-doc map-side "
+    "count to 10 rows; cumulative sums run on the 10-row frame "
+    "(bounded single-partition window) -- no global sort anywhere.",
+)
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.heaps_vocab_growth(docs)
+
+
+@register(
+    "rake_keywords",
+    oracle=textstats.rake_keywords_sql(),
+    doc="RAKE keyword extraction (Rose et al. 2010) with corpus-derived "
+    "statistical stopwords: candidate phrases are maximal token runs "
+    "between the corpus's 5 most frequent tokens (the statistical-"
+    "stopword variant -- a fixed English list would degenerate on a "
+    "specialized corpus), word score = floor(1e6*deg/freq) ppm over "
+    "the candidate space, phrase score = integer sum over member "
+    "OCCURRENCES, top-20 by (score DESC, phrase ASC). 100 TB: one "
+    "explode + vocabulary-sized freq groupBy (stopword cut = bounded "
+    "vocabulary window); phrase ids via per-DOC running sums "
+    "(parallel); the global top-k is orderBy().limit(k) -- Spark's "
+    "distributed TakeOrdered (per-partition heaps + k-row merge), "
+    "never a single-partition sort of all phrases.",
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.rake_keywords(docs)

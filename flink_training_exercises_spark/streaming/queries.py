@@ -1531,8 +1531,6 @@ def streaming_windowed_minhash(
     gated batch dedup's ``_MINHASH_PARAMS`` universal-hash family over
     the shared md5 base -- identical literals in the DuckDB oracle.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
-
     Scale shape: one stateful shuffle keyed on (window, r); state
     capped at k BIGINT cells per open window REGARDLESS of key
     cardinality (the CMS argument, 16 cells vs its d x 64); the drain

@@ -44,68 +44,63 @@ def test_oracle_is_valid_duckdb(duck, name):
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-11 new (staged promotions: the VERDICT r10 #2 eight --
-    # streaming semantics pin, novel graph family, point-predicate
-    # skipping axis, graph spread pair, robust-trend twin, timeseries
-    # downsample, sessions conservation-law op)
-    "streaming_windowed_cms",
-    "k_truss_edges",
-    "bloom_skipping_audit",
-    "clustering_coefficients",
-    "edge_jaccard_similarity",
-    "theil_sen_trend",
-    "downsample_lttb",
-    "attribution_credit",
+    # round-12 new (staged promotions: the VERDICT r11 #2 eight --
+    # text spread pair, CMS planner primitive, shard-merge completion,
+    # graph mixing statistic, rational diversity twin, market-basket
+    # screen, and the fifth mergeable on-stream sketch)
+    "heaps_vocab_growth",
+    "rake_keywords",
+    "join_cardinality_estimate",
+    "approx_topk_shard_union",
+    "degree_assortativity",
+    "user_behavior_gini",
+    "session_cooccurrence_lift",
+    "streaming_windowed_minhash",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # r7-evidence rotation (ALL 28 remaining r7 rows -- the stalest in
-    # the catalog; the first four were independently re-verified green
-    # by the r10 judge before rotation)
-    "streaming_distinct_users",
-    "streaming_travel_time_stateful",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_inventory",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales",
-    "range_join_downtime_events",
-    "set_ops_clean_purchase_days",
-    "scd2_user_history",
-    "user_inactive_days",
-    "pivot_user_activity",
-    "value_percentiles",
-    "corpus_bigram_counts",
-    "text_token_count",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_random_projection",
-    "bpe_pair_counts",
-    "contamination_ngram_overlap",
-    "domain_cap_documents",
-    "multimodal_frame_sample",
-    # r8-evidence fill (the first 12 of the 45 r8 rows;
-    # hilbert_pruning_audit leads -- each r11 registration ejected one
-    # row from the zero-additions fill of 20, value_histogram et al.
-    # lead the round-12 rotation)
-    "hilbert_pruning_audit",
-    "streaming_windowed_hll",
-    "streaming_concurrency_profile",
-    "pii_tcloseness_audit",
-    "personalized_pagerank",
-    "length_bucket_batches",
-    "asof_purchase_attribution",
-    "window_analytics",
-    "rollup_counts",
-    "multimodal_decode_meta",
-    "bpe_train_merges",
-    "embedding_quantize_int8",
+    # r8-evidence rotation: all 33 remaining r8 rows
+    "value_histogram",
+    "bloom_semijoin_orders",
+    "dq_audit_relational",
+    "dedup_repeated_ngrams",
+    "hll_distinct_users",
+    "countmin_token_freq",
+    "zorder_layout_documents",
+    "multimodal_resize",
+    "inverted_index_postings",
+    "doc_typicality_bigrams",
+    "frequent_tokens_topk",
+    "ann_topk_pq",
+    "ann_topk_ivf_pq",
+    "ann_recall_at_k",
+    "ann_topk_ivf",
+    "dedup_incremental_minhash",
+    "multimodal_feature_extract",
+    "ann_topk_bruteforce_pandas",
+    "neardup_embedding_cosine_lsh",
+    "text_repetition",
+    "pii_scrub_mails",
+    "sample_stratified_documents",
+    "pack_sequences_4k",
+    "mixture_expand_weighted",
+    "skew_salted_event_counts",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    # r9-evidence fill: the first 7 of the 48 r9 rows
+    "streaming_windowed_histogram",
+    "record_linkage_scores",
+    "quantile_merge_shards",
+    "entity_resolution_clusters",
+    "props_json_profile",
+    "weighted_sample",
+    "bloom_contamination_screen",
 ]
 
 

@@ -25,10 +25,13 @@ cusum_level_shift, contrastive_negatives), and the eight round-11
 promotions (streaming_windowed_cms, k_truss_edges,
 bloom_skipping_audit, clustering_coefficients,
 edge_jaccard_similarity, theil_sen_trend, downsample_lttb,
-attribution_credit) were trimmed when they entered the catalog. The
-round-11 trim emptied the staged-STREAMING list for the FOURTH time;
-it was refilled the same round with the windowed MinHash, so the skip
-branch is dormant again."""
+attribution_credit), and the eight round-12 promotions
+(heaps_vocab_growth, rake_keywords, join_cardinality_estimate,
+approx_topk_shard_union, degree_assortativity, user_behavior_gini,
+session_cooccurrence_lift, streaming_windowed_minhash) were trimmed
+when they entered the catalog. The round-12 trim emptied the
+staged-STREAMING list for the FIFTH time; the skip branch is live
+until a new streaming op is staged."""
 
 import duckdb
 import pytest
@@ -37,34 +40,17 @@ from flink_training_exercises_spark.sources import load_table
 
 
 def _cases(spark, sf):
-    from pyspark.sql import functions as F
-
-    from flink_training_exercises_spark.operators import (
-        graph,
-        similarity,
-        sketches,
-    )
-    from flink_training_exercises_spark.operators.sessions import (
-        session_cooccurrence_lift,
-        session_cooccurrence_lift_sql,
-        user_behavior_gini,
-        user_behavior_gini_sql,
-    )
+    from flink_training_exercises_spark.operators import similarity
     from flink_training_exercises_spark.operators.textstats import (
         feature_hashing_profile,
         feature_hashing_profile_sql,
         vocab_drift_halves,
         vocab_drift_halves_sql,
-        heaps_vocab_growth,
-        heaps_vocab_growth_sql,
-        rake_keywords,
-        rake_keywords_sql,
     )
     from flink_training_exercises_spark.operators.timeseries import (
         benford_value_audit,
         benford_value_audit_sql,
     )
-    from flink_training_exercises_spark.plans import graphs as graphs_plan
 
     docs = load_table(spark, "documents", sf)
     ev = load_table(spark, "events", sf)
@@ -74,23 +60,10 @@ def _cases(spark, sf):
             benford_value_audit(ev),
             benford_value_audit_sql(),
         ),
-        "session_cooccurrence_lift": (
-            session_cooccurrence_lift(ev),
-            session_cooccurrence_lift_sql(),
-        ),
-        "user_behavior_gini": (
-            user_behavior_gini(ev),
-            user_behavior_gini_sql(),
-        ),
         "embedding_centroid_drift": (
             similarity.embedding_centroid_drift(emb),
             similarity.embedding_centroid_drift_sql(),
         ),
-        "heaps_vocab_growth": (
-            heaps_vocab_growth(docs),
-            heaps_vocab_growth_sql(),
-        ),
-        "rake_keywords": (rake_keywords(docs), rake_keywords_sql()),
         "feature_hashing_profile": (
             feature_hashing_profile(docs),
             feature_hashing_profile_sql(),
@@ -99,32 +72,6 @@ def _cases(spark, sf):
             vocab_drift_halves(docs),
             vocab_drift_halves_sql(),
         ),
-        "join_cardinality_estimate": (
-            sketches.join_cardinality_estimate(
-                ev.where(F.col("event_type") == "view")
-                .groupBy("user_id")
-                .count(),
-                ev.where(F.col("event_type") == "click")
-                .groupBy("user_id")
-                .count(),
-            ),
-            sketches.join_cardinality_estimate_sql(
-                "SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt "
-                "FROM events WHERE event_type = 'view' GROUP BY 1",
-                "SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt "
-                "FROM events WHERE event_type = 'click' GROUP BY 1",
-            ),
-        ),
-        "approx_topk_shard_union": (
-            sketches.approx_topk_shard_union(docs),
-            sketches.approx_topk_shard_union_sql(),
-        ),
-        "degree_assortativity": (
-            graph.degree_assortativity(graphs_plan.edges_view(spark, sf)),
-            graph.degree_assortativity_sql(
-                graphs_plan.EDGES_SQL.format(events="events")
-            ),
-        ),
     }
 
 
@@ -132,24 +79,10 @@ def streaming_cases(spark, sf):
     """Staged STREAMING cases: the run_* availableNow wrappers (the exact
     callables a future @register will use) paired with their DuckDB
     oracles. Shared by the streaming readiness test and
-    tools/hostile_staged_probe.py. The round-11 promotion of
-    streaming_windowed_cms emptied the list for the fourth time; it now
-    carries the round-11-staged windowed MinHash."""
-    import uuid as _uuid
-
-    from flink_training_exercises_spark.streaming.queries import (
-        run_windowed_minhash_availablenow,
-        windowed_minhash_oracle,
-    )
-
-    return {
-        "streaming_windowed_minhash": (
-            run_windowed_minhash_availablenow(
-                spark, sf, f"wmh_gr_{_uuid.uuid4().hex[:8]}"
-            ),
-            windowed_minhash_oracle(),
-        ),
-    }
+    tools/hostile_staged_probe.py. The round-12 promotion of
+    streaming_windowed_minhash emptied the list for the FIFTH time; the
+    skip branch is live until a new streaming op is staged."""
+    return {}
 
 
 def compare_cases(con, cases, verbose: bool = False) -> list[str]:
