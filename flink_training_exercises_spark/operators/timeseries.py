@@ -998,3 +998,155 @@ SELECT event_type, digit, n,
             - CASE digit {benford_case} END AS BIGINT) AS delta_ppm
 FROM counts
 """
+
+
+def chi_squared_independence(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Chi-squared independence screen between event type and UTC
+    hour-of-day -- the feature/drift screen ("does behavior depend on
+    time-of-day?") every segmentation pipeline runs before trusting a
+    feature. Chi-squared over the G-test / mutual information
+    DELIBERATELY: those need ln() (libm, not correctly rounded
+    cross-engine -- the BM25 lesson); the chi-squared statistic is a
+    pure rational of exact BIGINT sufficient statistics, finished with
+    correctly-rounded double mul/div over identical operand trees.
+
+    Output one row per (type, hour) cell of the FULL bounded grid
+    (distinct types x distinct hours present -- a zero-observed cell
+    still contributes its expectation, absent-cell chi2 = E): (
+    event_type, hour, n, row_total, col_total, expected_milli,
+    chi2_contrib). The total statistic is the driver-side sum of the
+    bounded contributions; cells ship unrounded doubles ONLY as
+    deterministic functions of exact integers (the assortativity_r
+    rule).
+
+    STAGED (gate-ready; registered when a gate-window slot opens).
+
+    Determinism: hour-of-day is pure epoch arithmetic ((epoch_ms % day)
+    DIV hour), never hour() -- session-TZ independent; d = N*n - R*C is
+    exact BIGINT; chi2_contrib = (d_d * d_d) / (N_d * R_d * C_d) with
+    both engines evaluating the same left-associated tree;
+    expected_milli = (1000 * R * C) DIV N exact. R, C, N >= 1 for every
+    grid cell (each axis value was observed), so no ANSI zero guards.
+
+    BIGINT bounds (the benford/cooccurrence precedent): N*n and R*C stay
+    inside BIGINT while N < ~3.0e9 events; 1000*R*C while R*C < ~9.2e15
+    (worst case N < ~9.6e7 if one type and one hour dominate, ~1.2e9 at
+    uniform margins). ANSI raises loudly past them on both engines;
+    the 100 TB mitigation is stratifying the screen per shard/day (the
+    stratified-lift route), which also bounds the grid.
+
+    Scale shape (100 TB): ONE map-side-combined hash aggregate to the
+    |types| x 24 cell relation; the grid, margins, and total are window
+    sums/joins over that bounded frame (three window partitionings --
+    the finer-partitionBy rule costs Exchanges only over <= |types|*24
+    rows, never the corpus); no second corpus pass, no join-back."""
+    from pyspark.sql import Window
+
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    ms = _epoch_ms(ts_col)
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        (ms % F.lit(DAY_MS)).alias("_msday"),
+    ).selectExpr("event_type", f"_msday div {HOUR_MS} AS hour")
+    obs = base.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # bounded: |types| x |hours present| <= |types| x 24; consumed by the
+    # grid axes AND the cell join -- localCheckpoint once (the
+    # multi-consumer rule; the axes/join would otherwise re-run the
+    # corpus aggregate three times)
+    obs = obs.localCheckpoint()
+    types = obs.select("event_type").distinct()
+    hours = obs.select("hour").distinct()
+    grid = (
+        types.crossJoin(hours)
+        .join(obs, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.col("hour").cast("bigint").alias("hour"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("hour")
+    w_all = Window.partitionBy()
+    cells = grid.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w_row).cast("bigint").alias("row_total"),
+        F.sum("n").over(w_col).cast("bigint").alias("col_total"),
+        F.sum("n").over(w_all).cast("bigint").alias("n_total"),
+    )
+    d = (
+        F.col("n_total") * F.col("n")
+        - F.col("row_total") * F.col("col_total")
+    ).cast("bigint")
+    dd = d.cast("double")
+    return cells.select(
+        "event_type",
+        "hour",
+        "n",
+        "row_total",
+        "col_total",
+        F.expr("(1000 * row_total * col_total) DIV n_total")
+        .cast("bigint")
+        .alias("expected_milli"),
+        (
+            (dd * dd)
+            / (
+                F.col("n_total").cast("double")
+                * F.col("row_total").cast("double")
+                * F.col("col_total").cast("double")
+            )
+        ).alias("chi2_contrib"),
+    )
+
+
+def chi_squared_independence_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`chi_squared_independence` (same epoch-ms hour
+    bucket, same full-grid construction, same BIGINT margins and the
+    IDENTICAL left-associated double tree for the contribution; BIGINT
+    casts on sum() outputs -- the HUGEINT dtype-skew rule)."""
+    return f"""
+WITH base AS (
+  SELECT {type_col} AS event_type,
+         (epoch_ms({ts_col}) % {DAY_MS}) // {HOUR_MS} AS hour
+  FROM {table}
+),
+obs AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, CAST(h.hour AS BIGINT) AS hour,
+         CAST(coalesce(o.n, 0) AS BIGINT) AS n
+  FROM (SELECT DISTINCT event_type FROM obs) t
+  CROSS JOIN (SELECT DISTINCT hour FROM obs) h
+  LEFT JOIN obs o ON o.event_type = t.event_type AND o.hour = h.hour
+),
+cells AS (
+  SELECT event_type, hour, n,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_total,
+         CAST(sum(n) OVER (PARTITION BY hour) AS BIGINT) AS col_total,
+         CAST(sum(n) OVER () AS BIGINT) AS n_total
+  FROM grid
+)
+SELECT event_type, hour, n, row_total, col_total,
+       CAST((1000 * row_total * col_total) // n_total AS BIGINT)
+         AS expected_milli,
+       (CAST(n_total * n - row_total * col_total AS DOUBLE)
+        * CAST(n_total * n - row_total * col_total AS DOUBLE))
+       / (CAST(n_total AS DOUBLE) * CAST(row_total AS DOUBLE)
+          * CAST(col_total AS DOUBLE)) AS chi2_contrib
+FROM cells
+"""

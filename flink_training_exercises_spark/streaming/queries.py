@@ -1744,3 +1744,245 @@ JOIN cnt ca ON ca.window_end_ms = p.wa
 JOIN cnt cb ON cb.window_end_ms = p.wb
 LEFT JOIN ix ON ix.wa = p.wa AND ix.wb = p.wb
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed Bloom filter (SIXTH mergeable sketch on-stream)
+# ---------------------------------------------------------------------------
+
+BLOOM_STREAM_WORDS = 8  # 63 bits/word = 504 bits; sized so the one-sided
+#                         false-positive error is VISIBLE at sf0.01 (~64
+#                         distinct keys/window -> 66 measured FPs over the
+#                         ~2000 absent panel probes -- the CMS width-64 /
+#                         MinHash k=16 sizing rule; at 260 words nothing
+#                         collides and the audit degenerates to
+#                         pass-through; at sf0.001 windows are too thin to
+#                         collide, so visibility is asserted by the sf0.01
+#                         gate, not the sf0.001 pytest fixture)
+
+
+def streaming_windowed_bloom(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "6 hours",
+    watermark: str = "60 seconds",
+    n_words: int = BLOOM_STREAM_WORDS,
+) -> DataFrame:
+    """Bloom filter ON the stream: per event-time window, the bit_or-folded
+    word vector of a Bloom filter over ``key_col`` -- the SIXTH mergeable
+    sketch riding the watermarked windowed aggregation, after top-k / HLL
+    / histogram / CMS / MinHash, and the one answering MEMBERSHIP
+    questions ("was key k active in window w?") where HLL answers
+    cardinality, CMS point frequency, and MinHash set similarity.
+
+    bit_or is associative + commutative + IDEMPOTENT (the MinHash min
+    argument), so the drained words are a pure function of each window's
+    DISTINCT key set under any arrival order, chunking, or duplicate
+    delivery. Cells reuse the gated batch Bloom's ``_BLOOM_PARAMS``
+    universal-hash family over the shared md5 base (identical literals in
+    the DuckDB oracle); the one-sided contract is NO FALSE NEGATIVES --
+    a present key always hits, an absent key hits with the documented
+    collision probability.
+
+    STAGED (gate-ready; registered when a gate-window slot opens).
+
+    Scale shape (100 TB): one stateful shuffle keyed on (window, word);
+    state capped at n_words BIGINT cells per open window REGARDLESS of
+    key cardinality; the membership walk in the batch stage touches
+    |windows| x panel x K rows, never raw events."""
+    from ..functions.time import ntz_as_utc_instant
+    from ..operators.bloom import _cells
+
+    ev = events.select(
+        ntz_as_utc_instant("ts").alias("ts"),
+        F.col(key_col).cast("string").alias("k"),
+    ).withWatermark("ts", watermark)
+    cells = F.array(*_cells(F.col("k"), n_words))
+    return (
+        ev.select("ts", F.explode(cells).alias("c"))
+        .select("ts", F.col("c.word").alias("word"), F.col("c.bit").alias("bit"))
+        .groupBy(F.window("ts", window).alias("w"), "word")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).alias("bits")
+        )
+        .select(
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            F.col("word").cast("bigint").alias("word"),
+            F.col("bits").cast("bigint").alias("bits"),
+        )
+    )
+
+
+def bloom_window_membership(
+    words: DataFrame,
+    events: DataFrame,
+    key_col: str = "user_id",
+    n_words: int = BLOOM_STREAM_WORDS,
+    window_ms: int = 6 * 3600 * 1000,
+) -> DataFrame:
+    """Bounded batch stage over the DRAINED per-window Bloom words (the
+    cms_window_estimates composition): probe every fired window's filter
+    with the deterministic md5-chosen key panel and grade membership
+    against the exact per-window presence -- the est-vs-truth audit shape
+    with the Bloom one-sided contract (bloom_hit >= present row-wise;
+    false_positive = bloom_hit AND NOT present; a false NEGATIVE is
+    structurally impossible and the readiness differential would catch
+    one as a value mismatch).
+
+    Output (window_end_ms, user_id, present, bloom_hit, false_positive),
+    all BIGINT 0/1 flags apart from the keys.
+
+    Scale shape: the panel is md5-bounded, the fired-window list is
+    drain-sized, and the probe joins (windows x panel x K) rows against
+    the n_words-bounded drained state -- never a corpus pass; the exact
+    side is one hash aggregate over the panel-filtered batch scan (the
+    audit's deliberate ground truth, the index_staleness policy)."""
+    from ..functions.hashing import md5_long
+    from ..functions.time import epoch_ms
+    from ..operators.bloom import _cells
+
+    # drain-sized and consumed twice (fired-window list + the probe join)
+    # -- localCheckpoint once (multi-consumer rule; also breaks the
+    # memory-sink self-join attribute ambiguity)
+    words = words.localCheckpoint()
+    panel = (
+        events.select(F.col(key_col).cast("string").alias("k"))
+        .distinct()
+        .where(md5_long(F.col("k")) % CMS_PANEL_MOD == 0)
+    )
+    probe_cells = panel.select(
+        "k", F.explode(F.array(*_cells(F.col("k"), n_words))).alias("c")
+    ).select(
+        "k",
+        F.col("c.word").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(c.bit AS INT))").alias("mask"),
+    )
+    wins = words.select("window_end_ms").distinct()
+    probed = (
+        wins.crossJoin(probe_cells)
+        .join(words, ["window_end_ms", "word"], "left")
+        .groupBy("window_end_ms", "k")
+        .agg(
+            F.min(
+                F.when(
+                    F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                    != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("bloom_hit")
+        )
+    )
+    em = epoch_ms("ts")
+    exact = (
+        events.select(
+            (em - em % window_ms + window_ms).alias("window_end_ms"),
+            F.col(key_col).cast("string").alias("k"),
+        )
+        .join(panel, "k")
+        .groupBy("window_end_ms", "k")
+        .agg(F.lit(1).alias("present"))
+    )
+    return (
+        probed.join(exact, ["window_end_ms", "k"], "left")
+        .select(
+            F.col("window_end_ms").cast("bigint").alias("window_end_ms"),
+            F.col("k").cast("bigint").alias(key_col),
+            F.coalesce(F.col("present"), F.lit(0)).cast("bigint").alias("present"),
+            F.col("bloom_hit").cast("bigint").alias("bloom_hit"),
+            (
+                F.col("bloom_hit")
+                * (F.lit(1) - F.coalesce(F.col("present"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("false_positive"),
+        )
+    )
+
+
+def run_windowed_bloom_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "streaming_windowed_bloom_gate",
+) -> DataFrame:
+    """Gate wrapper for the staged windowed Bloom: append mode,
+    availableNow drain of the (window, word) bit vectors, fresh
+    checkpoint; then the bounded panel-membership batch stage. Oracle =
+    :func:`windowed_bloom_oracle`."""
+    from ..sources import load_table
+    from .sources import events_stream
+
+    words = drain_availablenow(
+        streaming_windowed_bloom(events_stream(spark, sf_dir)), query_name
+    )
+    return bloom_window_membership(words, load_table(spark, "events", sf_dir))
+
+
+def windowed_bloom_oracle(
+    window_ms: int = 6 * 3600 * 1000,
+    delay_ms: int = 60000,
+    n_words: int = BLOOM_STREAM_WORDS,
+) -> str:
+    """DuckDB oracle for :func:`run_windowed_bloom_availablenow`: the same
+    per-(window, word) bit_or fold over epoch-aligned tumbling windows cut
+    at max(ts) - delay (the append-mode fire-once horizon), the same
+    md5-panel probe cells, min-over-cells membership with absent words
+    read as 0 -- all integer arithmetic, BIGINT casts on DuckDB
+    aggregate outputs (HUGEINT dtype-skew rule)."""
+    from ..functions.hashing import md5_long_sql, permuted_hash_sql
+    from ..operators.bloom import _BLOOM_PARAMS
+
+    base = md5_long_sql("CAST(k AS VARCHAR)")
+    m_bits = 63 * n_words
+    cell_rows = " UNION ALL ".join(
+        f"SELECT window_end_ms, "
+        f"(({permuted_hash_sql(base, a, b)}) % {m_bits}) // 63 AS word, "
+        f"(({permuted_hash_sql(base, a, b)}) % {m_bits}) % 63 AS bit "
+        f"FROM evw JOIN wins USING (window_end_ms)"
+        for a, b in _BLOOM_PARAMS
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT k, "
+        f"(({permuted_hash_sql(base, a, b)}) % {m_bits}) // 63 AS word, "
+        f"(1::BIGINT << CAST((({permuted_hash_sql(base, a, b)}) % {m_bits}) % 63 AS INT)) AS mask "
+        f"FROM panel"
+        for a, b in _BLOOM_PARAMS
+    )
+    return f"""
+WITH ev AS (
+  SELECT epoch_ms(ts) AS ms, CAST(user_id AS VARCHAR) AS k FROM events
+),
+mx AS (SELECT max(ms) AS m FROM ev),
+evw AS (SELECT ms - ms % {window_ms} + {window_ms} AS window_end_ms, k FROM ev),
+wins AS (
+  SELECT DISTINCT window_end_ms FROM evw, mx WHERE window_end_ms <= m - {delay_ms}
+),
+words AS (
+  SELECT window_end_ms, word,
+         CAST(bit_or(1::BIGINT << CAST(bit AS INT)) AS BIGINT) AS bits
+  FROM ({cell_rows}) GROUP BY 1, 2
+),
+panel AS (
+  SELECT DISTINCT k FROM ev WHERE ({md5_long_sql("CAST(k AS VARCHAR)")}) % {CMS_PANEL_MOD} = 0
+),
+probe_cells AS ({probe_rows}),
+probed AS (
+  SELECT w.window_end_ms, p.k,
+         CAST(min(CASE WHEN (coalesce(c.bits, 0) & p.mask) <> 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hit
+  FROM wins w CROSS JOIN probe_cells p
+  LEFT JOIN words c ON c.window_end_ms = w.window_end_ms AND c.word = p.word
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT DISTINCT window_end_ms, k, 1 AS present
+  FROM evw JOIN wins USING (window_end_ms) JOIN panel USING (k)
+)
+SELECT CAST(p.window_end_ms AS BIGINT) AS window_end_ms,
+       CAST(p.k AS BIGINT) AS user_id,
+       CAST(coalesce(x.present, 0) AS BIGINT) AS present,
+       p.bloom_hit,
+       CAST(p.bloom_hit * (1 - coalesce(x.present, 0)) AS BIGINT) AS false_positive
+FROM probed p LEFT JOIN exact x ON x.window_end_ms = p.window_end_ms AND x.k = p.k
+"""

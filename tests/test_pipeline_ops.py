@@ -2955,3 +2955,93 @@ def test_benford_value_audit_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(benford_value_audit_sql()).fetchall())
     assert got == want and got
+
+
+def test_chi_squared_independence_hand_computed(spark):
+    """2x2 perfectly-associated table: types A/B, hours 0/1, A only at
+    hour 0, B only at hour 1, 10 events each. Every cell (including the
+    two ZERO-observed grid cells) contributes exactly 5.0 and the total
+    is N = 20 (chi2 = N*phi^2 with phi = 1); expected_milli = 5000
+    everywhere (uniform margins)."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        chi_squared_independence,
+    )
+
+    base = datetime(2024, 1, 1)  # midnight UTC -> hour 0
+    rows = [
+        (i, base + timedelta(minutes=i), 1, "A", 0.0, None) for i in range(10)
+    ] + [
+        (100 + i, base + timedelta(hours=1, minutes=i), 1, "B", 0.0, None)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r["event_type"], r["hour"]): r
+        for r in chi_squared_independence(df).collect()
+    }
+    assert set(out) == {("A", 0), ("A", 1), ("B", 0), ("B", 1)}
+    for (t, h), r in out.items():
+        assert (r["row_total"], r["col_total"]) == (10, 10)
+        assert r["expected_milli"] == 5000
+        assert r["chi2_contrib"] == 5.0
+        assert r["n"] == (10 if (t, h) in {("A", 0), ("B", 1)} else 0)
+
+
+def test_chi_squared_independence_contracts(spark, sf_small):
+    """Grid closure (sum n == N on every row's margins), nonnegative
+    contributions, and the single-type degenerate: with one event type
+    every cell's observed equals its column total, so every contribution
+    is EXACTLY 0.0 (independence is structural, not approximate)."""
+    from flink_training_exercises_spark.operators.timeseries import (
+        chi_squared_independence,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    rows = chi_squared_independence(ev).collect()
+    n_total = sum(r["n"] for r in rows)
+    for r in rows:
+        assert r["chi2_contrib"] >= 0.0
+        assert r["expected_milli"] >= 0
+    # margins close over the grid
+    from collections import defaultdict
+
+    by_type, by_hour = defaultdict(int), defaultdict(int)
+    for r in rows:
+        by_type[r["event_type"]] += r["n"]
+        by_hour[r["hour"]] += r["n"]
+    for r in rows:
+        assert by_type[r["event_type"]] == r["row_total"]
+        assert by_hour[r["hour"]] == r["col_total"]
+    assert n_total == ev.count()
+    # single-type degenerate
+    one = chi_squared_independence(
+        ev.where(ev.event_type == "view")
+    ).collect()
+    assert one and all(r["chi2_contrib"] == 0.0 for r in one)
+
+
+def test_chi_squared_independence_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        chi_squared_independence,
+        chi_squared_independence_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, chi_squared_independence(load_table(spark, "events", sf_small)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(chi_squared_independence_sql()).fetchall())
+    assert got == want and got

@@ -1992,3 +1992,70 @@ def test_session_cooccurrence_lift_matches_python_replay(spark, events):
         for (a, b), c in n_both.items()
     }
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # type index
+            st.integers(min_value=0, max_value=23),   # hour
+            st.integers(min_value=0, max_value=59),   # minute
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_chi_squared_independence_matches_python_replay(spark, events):
+    """Random contingency tables: the full grid (zero cells included),
+    exact BIGINT margins, integer expected_milli, and the double
+    contribution over the identical left-associated tree equal a python
+    fold (every float op correctly-rounded IEEE, so == not approx)."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        chi_squared_independence,
+    )
+
+    types = ["view", "click", "purchase", "signup"]
+    base = datetime(2024, 1, 1)  # midnight UTC
+    rows = [
+        (i, base + timedelta(hours=h, minutes=m), 1, types[t], 0.0, None)
+        for i, (t, h, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["event_type"], r["hour"]): (
+            r["n"],
+            r["row_total"],
+            r["col_total"],
+            r["expected_milli"],
+            r["chi2_contrib"],
+        )
+        for r in chi_squared_independence(df).collect()
+    }
+    obs = Counter((types[t], h) for t, h, _ in events)
+    tset = sorted({t for t, _ in obs})
+    hset = sorted({h for _, h in obs})
+    n_total = sum(obs.values())
+    row_t = Counter()
+    col_t = Counter()
+    for (t, h), c in obs.items():
+        row_t[t] += c
+        col_t[h] += c
+    want = {}
+    for t in tset:
+        for h in hset:
+            n = obs.get((t, h), 0)
+            r_, c_ = row_t[t], col_t[h]
+            d = n_total * n - r_ * c_
+            contrib = (float(d) * float(d)) / (
+                float(n_total) * float(r_) * float(c_)
+            )
+            want[(t, h)] = (n, r_, c_, (1000 * r_ * c_) // n_total, contrib)
+    assert got == want

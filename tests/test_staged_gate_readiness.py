@@ -50,6 +50,8 @@ def _cases(spark, sf):
     from flink_training_exercises_spark.operators.timeseries import (
         benford_value_audit,
         benford_value_audit_sql,
+        chi_squared_independence,
+        chi_squared_independence_sql,
     )
 
     docs = load_table(spark, "documents", sf)
@@ -59,6 +61,10 @@ def _cases(spark, sf):
         "benford_value_audit": (
             benford_value_audit(ev),
             benford_value_audit_sql(),
+        ),
+        "chi_squared_independence": (
+            chi_squared_independence(ev),
+            chi_squared_independence_sql(),
         ),
         "embedding_centroid_drift": (
             similarity.embedding_centroid_drift(emb),
@@ -80,9 +86,24 @@ def streaming_cases(spark, sf):
     callables a future @register will use) paired with their DuckDB
     oracles. Shared by the streaming readiness test and
     tools/hostile_staged_probe.py. The round-12 promotion of
-    streaming_windowed_minhash emptied the list for the FIFTH time; the
-    skip branch is live until a new streaming op is staged."""
-    return {}
+    streaming_windowed_minhash emptied the list for the FIFTH time; it
+    was refilled the same round with the windowed Bloom filter, so the
+    skip branch is dormant again."""
+    import uuid as _uuid
+
+    from flink_training_exercises_spark.streaming.queries import (
+        run_windowed_bloom_availablenow,
+        windowed_bloom_oracle,
+    )
+
+    return {
+        "streaming_windowed_bloom": (
+            run_windowed_bloom_availablenow(
+                spark, sf, f"wbl_gr_{_uuid.uuid4().hex[:8]}"
+            ),
+            windowed_bloom_oracle(),
+        ),
+    }
 
 
 def compare_cases(con, cases, verbose: bool = False) -> list[str]:
