@@ -877,7 +877,13 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     Scale shape (100 TB): two degree aggregations (hash groupBy on each
     endpoint), two hash equi-joins edge->degree, one global integer
     partial-aggregate. No windows, no driver arithmetic; integer
-    partials commute so partitioning cannot perturb the statistics."""
+    partials commute so partitioning cannot perturb the statistics.
+    The edge frame feeds THREE consumers (both degree aggregates + the
+    xy probe), so it is localCheckpoint-ed once -- edge-set-sized, the
+    clustering_coefficients/k-truss canonical-edge precedent; without
+    it the events-scan edge derivation re-runs per consumer (r2
+    broadcast/multi-consumer rule)."""
+    edges = edges.localCheckpoint()
     out_deg = edges.groupBy("src").agg(F.sum("weight").cast("bigint").alias("x"))
     in_deg = edges.groupBy("dst").agg(F.sum("weight").cast("bigint").alias("y"))
     xy = edges.select("src", "dst").join(out_deg, "src").join(in_deg, "dst")

@@ -1101,7 +1101,11 @@ def heaps_vocab_growth(
     from pyspark.sql import Window
 
     d = _widened(docs).select(F.col(id_col).alias("id"), _words(text_col).alias("ws"))
-    mx = d.agg(F.max("id").alias("max_id"))
+    # 1-row frame consumed by the broadcast under BOTH with_q consumers
+    # (per_doc + firsts) -- broadcast builds re-evaluate the subtree per
+    # consumer (r2 rule), so without the checkpoint the max(id) corpus
+    # aggregate re-runs twice more; localCheckpoint once (1 row)
+    mx = d.agg(F.max("id").alias("max_id")).localCheckpoint()
     with_q = d.crossJoin(F.broadcast(mx)).select(
         "id",
         "ws",
@@ -1215,7 +1219,9 @@ def rake_keywords(
     Scale shape (100 TB): one explode + vocabulary-sized freq groupBy
     (the stopword cut is a bounded single-partition window over the
     vocabulary); phrase ids are a per-DOC running sum (parallel across
-    docs); deg/freq fold on the vocabulary; the global top-k is
+    docs); deg/freq are w-keyed WINDOW aggregates over the candidate
+    frame (the bm25 df-as-window rule -- a groupBy + join-back would
+    consume the explode + window chain twice); the global top-k is
     orderBy().limit(k) -- Spark's distributed TakeOrdered, per-partition
     heaps + a k-row merge, never a single-partition sort of all
     phrases -- with ranks assigned on the k-row result."""
@@ -1251,15 +1257,25 @@ def rake_keywords(
     )
     wph = Window.partitionBy("id", "grp")
     with_len = cand.select("id", "grp", "pos", "w", F.count(F.lit(1)).over(wph).alias("n"))
-    wstats = with_len.groupBy("w").agg(
-        F.count(F.lit(1)).alias("freq"), F.sum("n").alias("deg")
-    )
-    wscore = wstats.select(
-        "w", F.expr("(1000000 * deg) DIV freq").alias("ws_ppm")
+    # deg/freq as window aggregates over the SAME candidate frame (the
+    # bm25 df-as-window rule): the groupBy(w) + join-back form consumed
+    # with_len TWICE, re-running the explode + stopword join + per-doc
+    # window chain once per consumer; the w-keyed window pays the same
+    # shuffle the groupBy did, in ONE lineage
+    ww = Window.partitionBy("w")
+    scored = with_len.select(
+        "id",
+        "grp",
+        "pos",
+        "w",
+        "n",
+        F.sum("n").over(ww).alias("_deg"),
+        F.count(F.lit(1)).over(ww).alias("_freq"),
+    ).selectExpr(
+        "id", "grp", "pos", "w", "n", "(1000000 * _deg) DIV _freq AS ws_ppm"
     )
     phrases = (
-        with_len.join(wscore, "w")
-        .groupBy("id", "grp")
+        scored.groupBy("id", "grp")
         .agg(
             F.array_join(
                 F.transform(
