@@ -921,12 +921,16 @@ def benford_value_audit(
     excluded (Benford is defined on positive magnitudes).
 
     BIGINT bound: obs_ppm's numerator (1000000 * n) overflows BIGINT
-    when a single (type, digit) count exceeds ~9.2e12 rows -- Spark
-    ANSI raises, DuckDB silently widens to HUGEINT, a latent
-    cross-engine divergence (the session_cooccurrence_lift precedent).
-    ~9.2e12 rows of one first digit for one type is far beyond this
-    engine's target scale; if ever approached, pre-aggregate to
-    per-(type, digit) shares before the ppm multiply.
+    when a single (type, digit) count exceeds ~9.2e12 rows. The twin's
+    n is CAST(count(*) AS BIGINT), so the multiply is INT64-typed on
+    BOTH engines and BOTH raise loudly past the bound (verified
+    empirically in DuckDB -- 'Out of Range Error: Overflow in
+    multiplication of INT64'; NOT a silent HUGEINT widen, contrary to
+    ADVICE r11's premise) -- never a silent wrap, exactly the
+    session_cooccurrence_lift precedent. ~9.2e12 rows of one first
+    digit for one type is far beyond this engine's target scale; if
+    ever approached, pre-aggregate to per-(type, digit) shares before
+    the ppm multiply.
 
     Scale shape (100 TB): ONE map-side-combined hash aggregate to the
     |types| x 9 relation; the per-type total is a window sum OVER that

@@ -1269,6 +1269,47 @@ CMS_PANEL_MOD = 7
 CMS_STREAM_WIDTH = 64
 
 
+def _md5_panel(events: DataFrame, key_col: str) -> DataFrame:
+    """The deterministic md5 audit-key panel (md5(key) % CMS_PANEL_MOD
+    == 0) shared by the CMS and Bloom est-vs-truth batch stages -- ONE
+    definition so the two audits cannot drift (r12 review catch)."""
+    from ..functions.hashing import md5_long
+
+    return (
+        events.select(F.col(key_col).cast("string").alias("k"))
+        .distinct()
+        .where(md5_long(F.col("k")) % CMS_PANEL_MOD == 0)
+    )
+
+
+def _panel_sql() -> str:
+    """DuckDB fragment of :func:`_md5_panel` over the oracles' ``ev``
+    CTE -- byte-identical to the text the CMS oracle always embedded."""
+    from ..functions.hashing import md5_long_sql
+
+    return (
+        f"SELECT DISTINCT k FROM ev WHERE "
+        f"({md5_long_sql('CAST(k AS VARCHAR)')}) % {CMS_PANEL_MOD} = 0"
+    )
+
+
+def _panel_window_events(
+    events: DataFrame, key_col: str, window_ms: int, panel: DataFrame
+) -> DataFrame:
+    """Exact-side (window_end_ms, k) rows of panel keys. window_ms MUST
+    match the streaming side's window, or the exact-side buckets miss
+    the drained window keys and every exact count/presence silently
+    coalesces to 0 (the cms review-pass catch, now enforced in ONE
+    place for every est-vs-truth batch stage)."""
+    from ..functions.time import epoch_ms
+
+    em = epoch_ms("ts")
+    return events.select(
+        (em - em % window_ms + window_ms).alias("window_end_ms"),
+        F.col(key_col).cast("string").alias("k"),
+    ).join(panel, "k")
+
+
 def streaming_windowed_cms(
     events: DataFrame,
     key_col: str = "user_id",
@@ -1354,7 +1395,6 @@ def cms_window_estimates(
     panel-filtered batch scan (the audit's deliberate exact pass, the
     index_staleness policy)."""
     from ..functions.hashing import md5_long, permuted_hash
-    from ..functions.time import epoch_ms
     from ..operators.sketches import _CMS_PARAMS
 
     # drain-sized and consumed TWICE (the fired-window list and the
@@ -1362,11 +1402,7 @@ def cms_window_estimates(
     # also breaks the self-join attribute ambiguity of rejoining the
     # memory-sink relation against its own projection)
     cells = cells.localCheckpoint()
-    panel = (
-        events.select(F.col(key_col).cast("string").alias("k"))
-        .distinct()
-        .where(md5_long(F.col("k")) % CMS_PANEL_MOD == 0)
-    )
+    panel = _md5_panel(events, key_col)
     base = md5_long(F.col("k"))
     probe_cells = panel.select(
         "k",
@@ -1389,16 +1425,8 @@ def cms_window_estimates(
         .groupBy("window_end_ms", "k")
         .agg(F.min(F.coalesce(F.col("cell_sum"), F.lit(0))).alias("est_cnt"))
     )
-    # window_ms MUST match the streaming side's window, or the exact-side
-    # buckets miss the drained window keys and every exact_cnt silently
-    # coalesces to 0 (review-pass catch)
-    em = epoch_ms("ts")
     exact = (
-        events.select(
-            (em - em % window_ms + window_ms).alias("window_end_ms"),
-            F.col(key_col).cast("string").alias("k"),
-        )
-        .join(panel, "k")
+        _panel_window_events(events, key_col, window_ms, panel)
         .groupBy("window_end_ms", "k")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
@@ -1474,7 +1502,7 @@ cells AS (
   FROM ({cell_rows}) GROUP BY 1, 2, 3
 ),
 panel AS (
-  SELECT DISTINCT k FROM ev WHERE ({md5_long_sql("CAST(k AS VARCHAR)")}) % {CMS_PANEL_MOD} = 0
+  {_panel_sql()}
 ),
 probe_cells AS ({probe_rows}),
 est AS (
@@ -1839,19 +1867,13 @@ def bloom_window_membership(
     the n_words-bounded drained state -- never a corpus pass; the exact
     side is one hash aggregate over the panel-filtered batch scan (the
     audit's deliberate ground truth, the index_staleness policy)."""
-    from ..functions.hashing import md5_long
-    from ..functions.time import epoch_ms
     from ..operators.bloom import _cells
 
     # drain-sized and consumed twice (fired-window list + the probe join)
     # -- localCheckpoint once (multi-consumer rule; also breaks the
     # memory-sink self-join attribute ambiguity)
     words = words.localCheckpoint()
-    panel = (
-        events.select(F.col(key_col).cast("string").alias("k"))
-        .distinct()
-        .where(md5_long(F.col("k")) % CMS_PANEL_MOD == 0)
-    )
+    panel = _md5_panel(events, key_col)
     probe_cells = panel.select(
         "k", F.explode(F.array(*_cells(F.col("k"), n_words))).alias("c")
     ).select(
@@ -1874,13 +1896,8 @@ def bloom_window_membership(
             ).alias("bloom_hit")
         )
     )
-    em = epoch_ms("ts")
     exact = (
-        events.select(
-            (em - em % window_ms + window_ms).alias("window_end_ms"),
-            F.col(key_col).cast("string").alias("k"),
-        )
-        .join(panel, "k")
+        _panel_window_events(events, key_col, window_ms, panel)
         .groupBy("window_end_ms", "k")
         .agg(F.lit(1).alias("present"))
     )
@@ -1935,18 +1952,20 @@ def windowed_bloom_oracle(
 
     base = md5_long_sql("CAST(k AS VARCHAR)")
     m_bits = 63 * n_words
+    # pos computed ONCE per hash param, word/bit derived from it -- the
+    # batch Bloom oracles' established pos-first form (bloom.py
+    # bloom_semijoin_audit_sql / bloom_skipping_audit_sql)
     cell_rows = " UNION ALL ".join(
-        f"SELECT window_end_ms, "
-        f"(({permuted_hash_sql(base, a, b)}) % {m_bits}) // 63 AS word, "
-        f"(({permuted_hash_sql(base, a, b)}) % {m_bits}) % 63 AS bit "
-        f"FROM evw JOIN wins USING (window_end_ms)"
+        f"SELECT window_end_ms, pos // 63 AS word, pos % 63 AS bit FROM ("
+        f"SELECT window_end_ms, ({permuted_hash_sql(base, a, b)}) % {m_bits}"
+        f" AS pos FROM evw JOIN wins USING (window_end_ms))"
         for a, b in _BLOOM_PARAMS
     )
     probe_rows = " UNION ALL ".join(
-        f"SELECT k, "
-        f"(({permuted_hash_sql(base, a, b)}) % {m_bits}) // 63 AS word, "
-        f"(1::BIGINT << CAST((({permuted_hash_sql(base, a, b)}) % {m_bits}) % 63 AS INT)) AS mask "
-        f"FROM panel"
+        f"SELECT k, pos // 63 AS word, "
+        f"(1::BIGINT << CAST(pos % 63 AS INT)) AS mask FROM ("
+        f"SELECT k, ({permuted_hash_sql(base, a, b)}) % {m_bits} AS pos "
+        f"FROM panel)"
         for a, b in _BLOOM_PARAMS
     )
     return f"""
@@ -1964,7 +1983,7 @@ words AS (
   FROM ({cell_rows}) GROUP BY 1, 2
 ),
 panel AS (
-  SELECT DISTINCT k FROM ev WHERE ({md5_long_sql("CAST(k AS VARCHAR)")}) % {CMS_PANEL_MOD} = 0
+  {_panel_sql()}
 ),
 probe_cells AS ({probe_rows}),
 probed AS (

@@ -30,8 +30,9 @@ attribution_credit), and the eight round-12 promotions
 approx_topk_shard_union, degree_assortativity, user_behavior_gini,
 session_cooccurrence_lift, streaming_windowed_minhash) were trimmed
 when they entered the catalog. The round-12 trim emptied the
-staged-STREAMING list for the FIFTH time; the skip branch is live
-until a new streaming op is staged."""
+staged-STREAMING list for the FIFTH time; it was refilled the same
+round with the windowed Bloom filter, so the skip branch is dormant
+again."""
 
 import duckdb
 import pytest
