@@ -2059,3 +2059,115 @@ def test_chi_squared_independence_matches_python_replay(spark, events):
             )
             want[(t, h)] = (n, r_, c_, (1000 * r_ * c_) // n_total, contrib)
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_vocab_drift_halves_matches_python_replay(spark, texts):
+    """Random corpora: the id-midpoint split, the ONE-pass conditional
+    half counts, per-half top-k union, and the zero-guarded exact ppm
+    rates equal a python replay of the whole walk."""
+    from collections import Counter
+
+    from flink_training_exercises_spark.operators.textstats import (
+        vocab_drift_halves,
+    )
+
+    k = 3
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["token"]: (
+            r["cnt_first"],
+            r["cnt_second"],
+            r["rate_first_ppm"],
+            r["rate_second_ppm"],
+            r["delta_ppm"],
+        )
+        for r in vocab_drift_halves(docs, k=k).collect()
+    }
+    mid = (0 + len(texts) - 1) // 2
+    c1, c2 = Counter(), Counter()
+    for i, t in enumerate(texts):
+        for w in t.lower().split():
+            if not w:
+                continue
+            (c1 if i <= mid else c2)[w] += 1
+    vocab = set(c1) | set(c2)
+    if not vocab:
+        assert got == {}
+        return
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    top1 = sorted(vocab, key=lambda w: (-c1[w], w))[:k]
+    top2 = sorted(vocab, key=lambda w: (-c2[w], w))[:k]
+    want = {}
+    for w in set(top1) | set(top2):
+        r1 = (1000000 * c1[w]) // n1 if n1 > 0 else 0
+        r2 = (1000000 * c2[w]) // n2 if n2 > 0 else 0
+        want[w] = (c1[w], c2[w], r1, r2, r2 - r1)
+    assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # label
+            st.lists(
+                st.integers(min_value=-300, max_value=300).map(
+                    lambda c: c / 100.0
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_embedding_centroid_drift_matches_python_replay(spark, vecs):
+    """Random labeled vectors: the quantized integer sums, the
+    cross-multiplied |S*N - G*n| DIV (n*N) terms (abs BEFORE the
+    division), and the per-label L1/max folds equal a python replay."""
+    import math
+    from collections import defaultdict
+
+    from flink_training_exercises_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(i, l, v) for i, (l, v) in enumerate(vecs)],
+        "id long, label long, embedding array<double>",
+    )
+    got = {
+        r["label"]: (r["n_vecs"], r["l1_drift_micro"], r["max_dim_drift_micro"])
+        for r in embedding_centroid_drift(df).collect()
+    }
+    s = defaultdict(lambda: [0, 0, 0, 0])
+    n = defaultdict(int)
+    for l, v in vecs:
+        n[l] += 1
+        for d, x in enumerate(v):
+            s[l][d] += math.floor(x * 1e6)
+    gs = [sum(s[l][d] for l in s) for d in range(4)]
+    nn = sum(n.values())
+    want = {}
+    for l in n:
+        terms = [
+            abs(s[l][d] * nn - gs[d] * n[l]) // (n[l] * nn) for d in range(4)
+        ]
+        want[l] = (n[l], sum(terms), max(terms))
+    assert got == want
