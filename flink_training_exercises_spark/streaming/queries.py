@@ -1293,19 +1293,29 @@ def _panel_sql() -> str:
     )
 
 
-def _panel_window_events(
-    events: DataFrame, key_col: str, window_ms: int, panel: DataFrame
-) -> DataFrame:
-    """Exact-side (window_end_ms, k) rows of panel keys. window_ms MUST
-    match the streaming side's window, or the exact-side buckets miss
-    the drained window keys and every exact count/presence silently
-    coalesces to 0 (the cms review-pass catch, now enforced in ONE
-    place for every est-vs-truth batch stage)."""
+def _window_end_expr(window_ms: int):
+    """The epoch-aligned tumbling-window END expression every exact-side
+    batch stage must share with the streaming fold. window_ms MUST match
+    the streaming side's window, or the exact-side buckets miss the
+    drained window keys and every exact count/presence/overlap silently
+    coalesces to 0 (the cms review-pass catch, enforced in ONE place:
+    the CMS/Bloom panel stages route through _panel_window_events, the
+    MinHash similarity stage uses this expression directly -- its exact
+    side walks ALL keys, not the panel)."""
     from ..functions.time import epoch_ms
 
     em = epoch_ms("ts")
+    return em - em % window_ms + window_ms
+
+
+def _panel_window_events(
+    events: DataFrame, key_col: str, window_ms: int, panel: DataFrame
+) -> DataFrame:
+    """Exact-side (window_end_ms, k) rows of panel keys for the CMS and
+    Bloom est-vs-truth stages (see :func:`_window_end_expr` for the
+    window_ms-must-match hazard this centralizes)."""
     return events.select(
-        (em - em % window_ms + window_ms).alias("window_end_ms"),
+        _window_end_expr(window_ms).alias("window_end_ms"),
         F.col(key_col).cast("string").alias("k"),
     ).join(panel, "k")
 
@@ -1623,7 +1633,6 @@ def minhash_window_similarity(
     ambiguity, the CMS lesson); the distinct (window, key) frame feeds
     the per-window counts and both intersection sides (checkpointed
     once, bounded by windows x distinct keys)."""
-    from ..functions.time import epoch_ms
 
     sigs = sigs.localCheckpoint()
     wins = sigs.select("window_end_ms").distinct()
@@ -1643,10 +1652,9 @@ def minhash_window_similarity(
             .alias("sig_matches")
         )
     )
-    em = epoch_ms("ts")
     du = (
         events.select(
-            (em - em % window_ms + window_ms).alias("window_end_ms"),
+            _window_end_expr(window_ms).alias("window_end_ms"),
             F.col(key_col).cast("string").alias("u"),
         )
         .join(wins, "window_end_ms")

@@ -2101,9 +2101,9 @@ def test_vocab_drift_halves_matches_python_replay(spark, texts):
     mid = (0 + len(texts) - 1) // 2
     c1, c2 = Counter(), Counter()
     for i, t in enumerate(texts):
+        # bare split() never yields empty strings, matching the
+        # operator's F.filter(w != '') over the regex split
         for w in t.lower().split():
-            if not w:
-                continue
             (c1 if i <= mid else c2)[w] += 1
     vocab = set(c1) | set(c2)
     if not vocab:
