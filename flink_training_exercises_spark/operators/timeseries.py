@@ -1009,10 +1009,10 @@ def chi_squared_independence(
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Chi-squared independence screen between event type and UTC
-    hour-of-day -- the feature/drift screen ("does behavior depend on
-    time-of-day?") every segmentation pipeline runs before trusting a
-    feature. Chi-squared over the G-test / mutual information
+    """Chi-squared independence screen (Pearson 1900) between event
+    type and UTC hour-of-day -- the feature/drift screen ("does
+    behavior depend on time-of-day?") every segmentation pipeline runs
+    before trusting a feature. Chi-squared over the G-test / mutual information
     DELIBERATELY: those need ln() (libm, not correctly rounded
     cross-engine -- the BM25 lesson); the chi-squared statistic is a
     pure rational of exact BIGINT sufficient statistics, finished with
