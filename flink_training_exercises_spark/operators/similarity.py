@@ -457,7 +457,7 @@ def embedding_centroid_drift(
     distance) between the label's mean vector and the global mean
     vector, in micro-units of the embedding space.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 13 (catalog name embedding_centroid_drift).
 
     Determinism: float sums are order-dependent, so each coordinate is
     quantized to integer micros (floor(x * 1e6) -- floor, not truncate:

@@ -1217,8 +1217,9 @@ def rake_keywords(
     (session_path_topk precedent).
 
     Scale shape (100 TB): one explode + vocabulary-sized freq groupBy
-    (the stopword cut is a bounded single-partition window over the
-    vocabulary); phrase ids are a per-DOC running sum (parallel across
+    (the stopword cut is a distributed TakeOrdered over the vocabulary
+    -- orderBy().limit(n_stop), no single-partition window); phrase ids
+    are a per-DOC running sum (parallel across
     docs); deg/freq are w-keyed WINDOW aggregates over the candidate
     frame (the bm25 df-as-window rule -- a groupBy + join-back would
     consume the explode + window chain twice); the global top-k is
@@ -1230,11 +1231,15 @@ def rake_keywords(
     d = _widened(docs).select(F.col(id_col).alias("id"), _words(text_col).alias("ws"))
     toks = d.select("id", F.posexplode("ws").alias("pos", "w"))
     freq_all = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    # bounded single-partition window: vocabulary-sized
-    stop_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    # stopword cut as a distributed TakeOrdered (orderBy().limit --
+    # per-partition heaps + an n_stop-row merge), NOT a row_number over
+    # an unpartitioned window: the window form moved the whole
+    # vocabulary to one partition for a top-5 cut (the
+    # vocab_drift_halves precedent; same (c DESC, w ASC) total order,
+    # so the selected set is identical)
     stops = (
-        freq_all.withColumn("r", F.row_number().over(stop_rank))
-        .where(F.col("r") <= n_stop)
+        freq_all.orderBy(F.desc("c"), F.asc("w"))
+        .limit(n_stop)
         .select("w", F.lit(True).alias("is_stop"))
     )
     marked = toks.join(F.broadcast(stops), "w", "left").select(
@@ -1469,7 +1474,7 @@ def feature_hashing_profile(
     Output (bucket, total_count, signed_sum, distinct_tokens), all
     BIGINT, n_buckets rows.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 13 (catalog name feature_hashing_profile).
 
     Scale shape (100 TB): tokenize + hash are map-side (widened scan --
     the per-row HOF rule), one hash groupBy to the n_buckets-bounded
@@ -1544,7 +1549,7 @@ def vocab_drift_halves(
     BIGINT subtraction -- no engine-divergent negative division
     anywhere).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 13 (catalog name vocab_drift_halves).
 
     Scale shape (100 TB): the split point is a 1-row min/max broadcast
     (integer midpoint); per-token half counts come from ONE conditional

@@ -911,7 +911,7 @@ def benford_value_audit(
     deviation, it does not assert conformance (digits absent from a
     type are absent rows on both engines -- the grouped-union rule).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 13 (catalog name benford_value_audit).
 
     Determinism: cents = floor(value*100 + 0.5) exact BIGINT; the first
     significant digit is substr(CAST(cents AS STRING), 1, 1) -- both
@@ -1027,10 +1027,15 @@ def chi_squared_independence(
     deterministic functions of exact integers (the assortativity_r
     rule).
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 13 (catalog name chi_squared_independence).
 
     Determinism: hour-of-day is pure epoch arithmetic ((epoch_ms % day)
-    DIV hour), never hour() -- session-TZ independent; d = N*n - R*C is
+    DIV hour), never hour() -- session-TZ independent; PRECONDITION
+    epoch_ms >= 0 (post-1970 timestamps): for negative ms Spark's
+    truncating `%`/`div` and DuckDB's flooring `%`/`//` diverge (the
+    per-engine integer-division rule -- nonnegative operands are one of
+    the two safe forms; testdata is post-epoch so the hazard is
+    latent); d = N*n - R*C is
     exact BIGINT; chi2_contrib = (d_d * d_d) / (N_d * R_d * C_d) with
     both engines evaluating the same left-associated tree;
     expected_milli = (1000 * R * C) DIV N exact. R, C, N >= 1 for every

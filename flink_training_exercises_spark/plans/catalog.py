@@ -106,77 +106,35 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-12 WINDOW (50) ======================
+    # ======================= ROUND-13 WINDOW (50) ======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # Window math (the VERDICT r11 #1/#2 recorded rotation): the eight
-    # r12 staged promotions (gate-readiness audit + double-hostile
-    # staged probe green before registration; oracles byte-identical to
-    # the readiness twins by construction -- same *_sql() calls) + 2
-    # canaries + ALL 33 remaining r8-evidence rows (stalest in the
-    # catalog; value_histogram leads) + the first 7 of the 48
-    # r9-evidence rows (streaming_windowed_histogram leads). Each
-    # registration ejected one r9 row from the zero-additions fill of 15.
-    # -- new in round 12 (staged promotions) --
-    "heaps_vocab_growth",
+    # Window math (the VERDICT r12 #1/#3 recorded rotation): the SIX
+    # r13 staged promotions -- the backlog-clearing rotation
+    # (gate-readiness audit + double-hostile staged probe green before
+    # registration; registered oracles byte-identical to the readiness
+    # twins by construction, same *_sql() calls) -- plus rake_keywords
+    # as a CHANGED row (the stopword cut swapped from an unpartitioned
+    # row_number window to the TakeOrdered orderBy().limit idiom,
+    # VERDICT r12 advice; output identical, plan attested by this
+    # window) + 2 canaries + ALL 41 remaining r9-evidence rows (the
+    # stalest in the catalog; tokenizer_fertility leads). 7 new/changed
+    # rows eject the entire 7-row r10 fill of the zero-additions plan
+    # (value_trend_ols et al. now lead the round-14 rotation).
+    # -- new in round 13 (staged promotions) --
+    "benford_value_audit",
+    "chi_squared_independence",
+    "embedding_centroid_drift",
+    "feature_hashing_profile",
+    "vocab_drift_halves",
+    "streaming_windowed_bloom",
+    # -- CHANGED in round 13 (plan swap, output-identical) --
     "rake_keywords",
-    "join_cardinality_estimate",
-    "approx_topk_shard_union",
-    "degree_assortativity",
-    "user_behavior_gini",
-    "session_cooccurrence_lift",
-    "streaming_windowed_minhash",
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
-    # -- r8-evidence rotation: all 33 remaining r8 rows --
-    "value_histogram",
-    "bloom_semijoin_orders",
-    "dq_audit_relational",
-    "dedup_repeated_ngrams",
-    "hll_distinct_users",
-    "countmin_token_freq",
-    "zorder_layout_documents",
-    "multimodal_resize",
-    "inverted_index_postings",
-    "doc_typicality_bigrams",
-    "frequent_tokens_topk",
-    "ann_topk_pq",
-    "ann_topk_ivf_pq",
-    "ann_recall_at_k",
-    "ann_topk_ivf",
-    "dedup_incremental_minhash",
-    "multimodal_feature_extract",
-    "ann_topk_bruteforce_pandas",
-    "neardup_embedding_cosine_lsh",
-    "text_repetition",
-    "pii_scrub_mails",
-    "sample_stratified_documents",
-    "pack_sequences_4k",
-    "mixture_expand_weighted",
-    "skew_salted_event_counts",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
-    # -- r9-evidence fill: the first 7 of the 48 r9 rows --
-    "streaming_windowed_histogram",
-    "record_linkage_scores",
-    "quantile_merge_shards",
-    "entity_resolution_clusters",
-    "props_json_profile",
-    "weighted_sample",
-    "bloom_contamination_screen",
-    # ===================== CUTOFF: 50 entries above =====================
-    # Everything below is OUTSIDE the round-12 window, stalest-first for
-    # the round-13 rotation.
-    # -- the 41 r9-evidence rows that no longer fit (FIRST in line for
-    #    round 13; tokenizer_fertility leads) --
+    # -- r9-evidence rotation: all 41 remaining r9 rows --
     "tokenizer_fertility",
     "streaming_scd2_maintenance",
     "cdc_merge_user_state",
@@ -218,8 +176,11 @@ _GATE_PRIORITY = [
     "mail_tfidf",
     "reply_graph",
     "member_of_the_month",
-    # -- the r10-evidence block (next in line: the 48 non-canary rows of
-    #    the round-10 window) --
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-13 window, stalest-first for
+    # the round-14 rotation.
+    # -- the r10-evidence block (FIRST in line for round 14: the 48
+    #    non-canary rows of the round-10 window; value_trend_ols leads) --
     "value_trend_ols",
     "cusum_level_shift",
     "contrastive_negatives",
@@ -268,9 +229,8 @@ _GATE_PRIORITY = [
     "streaming_interval_join",
     "streaming_interval_join_outer",
     "streaming_popular_places",
-    # -- the r11-evidence block (freshest, last in line: the 48
-    #    non-canary rows of the round-11 window -- the 8 r11 promotions,
-    #    then the 28 ex-r7 rows, then the 12 ex-r8 fill rows) --
+    # -- the r11-evidence block (next: the 48 non-canary rows of the
+    #    round-11 window) --
     "streaming_windowed_cms",
     "k_truss_edges",
     "bloom_skipping_audit",
@@ -319,6 +279,58 @@ _GATE_PRIORITY = [
     "multimodal_decode_meta",
     "bpe_train_merges",
     "embedding_quantize_int8",
+    # -- the r12-evidence block (freshest, last in line: the 47
+    #    non-canary non-rake rows of the round-12 window -- the 7
+    #    remaining r12 promotions, then the 33 ex-r8 rows, then the 7
+    #    ex-r9 fill rows; rake_keywords moved to the r13 window as
+    #    CHANGED) --
+    "heaps_vocab_growth",
+    "join_cardinality_estimate",
+    "approx_topk_shard_union",
+    "degree_assortativity",
+    "user_behavior_gini",
+    "session_cooccurrence_lift",
+    "streaming_windowed_minhash",
+    "value_histogram",
+    "bloom_semijoin_orders",
+    "dq_audit_relational",
+    "dedup_repeated_ngrams",
+    "hll_distinct_users",
+    "countmin_token_freq",
+    "zorder_layout_documents",
+    "multimodal_resize",
+    "inverted_index_postings",
+    "doc_typicality_bigrams",
+    "frequent_tokens_topk",
+    "ann_topk_pq",
+    "ann_topk_ivf_pq",
+    "ann_recall_at_k",
+    "ann_topk_ivf",
+    "dedup_incremental_minhash",
+    "multimodal_feature_extract",
+    "ann_topk_bruteforce_pandas",
+    "neardup_embedding_cosine_lsh",
+    "text_repetition",
+    "pii_scrub_mails",
+    "sample_stratified_documents",
+    "pack_sequences_4k",
+    "mixture_expand_weighted",
+    "skew_salted_event_counts",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    "streaming_windowed_histogram",
+    "record_linkage_scores",
+    "quantile_merge_shards",
+    "entity_resolution_clusters",
+    "props_json_profile",
+    "weighted_sample",
+    "bloom_contamination_screen",
 ]
 
 

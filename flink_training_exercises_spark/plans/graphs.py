@@ -64,7 +64,7 @@ def ppr_oracle(
 ) -> str:
     """Personalized-PageRank twin of :func:`pagerank_oracle`: identical
     unrolled integer recurrence, teleport mass confined to the md5 seed
-    set (operators/graph.personalized_pagerank -- STAGED, round-8)."""
+    set (operators/graph.personalized_pagerank, gated since round 8)."""
     from ..functions.hashing import md5_long_sql
 
     d100 = int(round(damping * 100))

@@ -573,3 +573,54 @@ def q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return bloom.bloom_skipping_audit(ev)
+
+
+@register(
+    "benford_value_audit",
+    oracle=timeseries.benford_value_audit_sql(),
+    doc="Benford's-law first-digit audit of the cents series per type "
+    "(Benford 1938; Nigrini's forensic-accounting screen): fabricated, "
+    "clipped, or unit-mangled monetary columns drift from the "
+    "log10(1+1/d) first-digit law, and the per-digit delta localizes "
+    "HOW. One row per (type, digit) PRESENT: n, obs_ppm, benford_ppm "
+    "(exact ppm constants summing to exactly 1e6), delta_ppm -- all "
+    "BIGINT; this synthetic-uniform corpus is EXPECTED to deviate (the "
+    "audit measures deviation, never asserts conformance). First digit "
+    "via substr(CAST(cents AS STRING), 1, 1) -- no float log10; ppm by "
+    "(1e6*n) DIV total over nonnegative BIGINTs; zero/negative cents "
+    "excluded (Benford is defined on positive magnitudes). Overflow "
+    "past ~9.2e12 rows per (type, digit) raises LOUDLY on both engines "
+    "(empirically verified -- DuckDB INT64 multiply, not a HUGEINT "
+    "widen). 100 TB: ONE map-side-combined hash aggregate to the "
+    "|types| x 9 relation; shares are a window sum over that bounded "
+    "frame.",
+)
+def q_benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return timeseries.benford_value_audit(ev)
+
+
+@register(
+    "chi_squared_independence",
+    oracle=timeseries.chi_squared_independence_sql(),
+    doc="Chi-squared independence screen (Pearson 1900) between event "
+    "type and UTC hour-of-day -- the does-behavior-depend-on-time "
+    "feature/drift screen, chosen over the G-test / mutual information "
+    "DELIBERATELY: those need ln() (libm, not correctly rounded "
+    "cross-engine -- the BM25 lesson) while chi-squared is a pure "
+    "rational of exact BIGINT sufficient statistics. One row per cell "
+    "of the FULL bounded grid (types x hours present, zero-observed "
+    "cells included): n, row/col totals, expected_milli = (1000*R*C) "
+    "DIV N exact, chi2_contrib = d^2/(N*R*C) in correctly-rounded "
+    "double over identical left-associated trees (d = N*n - R*C exact "
+    "BIGINT). Hour bucket is pure epoch-ms arithmetic (session-TZ "
+    "independent; post-epoch precondition documented). BIGINT bounds "
+    "documented, ANSI raises loudly past them; stratify per shard/day "
+    "at 100 TB. Scale: ONE map-side-combined hash aggregate to the "
+    "|types| x 24 relation; grid, margins, and contributions are "
+    "window sums/joins over that bounded frame -- no second corpus "
+    "pass.",
+)
+def q_chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return timeseries.chi_squared_independence(ev)

@@ -1,4 +1,4 @@
-"""Sessionization (+ attribution, concurrency) and the watermarked streaming family (sessionize, exact dedup, interval joins, distinct users, windowed top-k/HLL/histogram/quantile/CMS, SCD2 maintenance).
+"""Sessionization (+ attribution, concurrency) and the watermarked streaming family (sessionize, exact dedup, interval joins, distinct users, windowed top-k/HLL/histogram/quantile/CMS/MinHash/Bloom, SCD2 maintenance).
 
 Registration module: imported by plans.catalog for its @register side
 effects; the shared QuerySpec registry, gate ordering and determinism
@@ -16,12 +16,14 @@ from ..streaming.queries import (
     concurrency_profile_oracle,
     run_concurrency_profile_availablenow,
     run_scd2_maintenance_availablenow,
+    run_windowed_bloom_availablenow,
     run_windowed_cms_availablenow,
     run_windowed_histogram_availablenow,
     run_windowed_hll_availablenow,
     run_windowed_minhash_availablenow,
     run_windowed_quantile_availablenow,
     run_windowed_topk_availablenow,
+    windowed_bloom_oracle,
     windowed_cms_oracle,
     windowed_histogram_oracle,
     windowed_hll_oracle,
@@ -475,4 +477,34 @@ def q_session_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_windowed_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_minhash_availablenow(
         spark, sf_dir, "streaming_windowed_minhash_gate"
+    )
+
+
+@register(
+    "streaming_windowed_bloom",
+    oracle=windowed_bloom_oracle(),
+    doc="Bloom filter ON the stream: per 6-hour event-time window, the "
+    "bit_or-folded word vector of a Bloom filter over the window's "
+    "keys -- the SIXTH mergeable sketch riding the watermarked "
+    "windowed aggregation, after top-k/HLL/histogram/CMS/MinHash, and "
+    "the one answering MEMBERSHIP questions (was key k active in "
+    "window w?) where HLL answers cardinality, CMS point frequency, "
+    "MinHash set similarity. bit_or is associative + commutative + "
+    "IDEMPOTENT, so the drain is a pure function of each window's "
+    "DISTINCT key set under any arrival order, chunking, or duplicate "
+    "delivery (chunked-replay invariance pinned). Cells reuse the "
+    "gated batch Bloom's _BLOOM_PARAMS universal-hash family over the "
+    "shared md5 base -- identical literals in the oracle. The bounded "
+    "batch stage probes every fired window's filter with the md5 key "
+    "panel and grades against exact presence: bloom_hit >= present "
+    "row-wise (NO false negatives structurally), 66 false positives "
+    "visible at sf0.01 under the visibility sizing rule (8 words = "
+    "504 bits). 100 TB: one stateful shuffle keyed (window, word); "
+    "state capped at 8 BIGINT cells per open window REGARDLESS of key "
+    "cardinality; the membership walk touches |windows| x panel x K "
+    "rows, never raw events.",
+)
+def q_streaming_windowed_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_bloom_availablenow(
+        spark, sf_dir, "streaming_windowed_bloom_gate"
     )

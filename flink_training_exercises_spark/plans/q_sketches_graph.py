@@ -833,3 +833,27 @@ def q_approx_topk_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degree_assortativity(graphs_plan.edges_view(spark, sf_dir))
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=similarity.embedding_centroid_drift_sql(),
+    doc="Per-label embedding centroid drift vs the global centroid -- "
+    "the distribution-shift audit an embedding pipeline runs per "
+    "source/label/snapshot: L1 and max single-dimension distance "
+    "between each label's mean vector and the corpus mean, in integer "
+    "micros. Float sums are order-dependent, so coordinates are "
+    "quantized to floor(x*1e6) micros and summed exactly; the mean "
+    "difference |S_d/n - G_d/N| becomes the cross-multiplication "
+    "|S_d*N - G_d*n| DIV (n*N) with abs BEFORE the division (the "
+    "per-engine integer-division rule: nonnegative operands make "
+    "Spark's truncating DIV equal DuckDB's flooring //). Zero float "
+    "ops. 100 TB: one posexplode into a (label, dim) hash aggregate "
+    "with map-side partials; the global centroid folds FROM the "
+    "per-label partials (dim-bounded, no second corpus pass) and "
+    "broadcasts back; output is one row per label. Per-dim sums are "
+    "additive, so shard-and-merge extends it past ~1e6 vectors/label.",
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.embedding_centroid_drift(emb)

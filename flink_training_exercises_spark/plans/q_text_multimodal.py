@@ -325,3 +325,50 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textstats.rake_keywords(docs)
+
+
+@register(
+    "feature_hashing_profile",
+    oracle=textstats.feature_hashing_profile_sql(),
+    doc="Hashing-trick (HashingVectorizer) collision audit: every token "
+    "maps to bucket = md5(token) % n_buckets with the Weinberger et "
+    "al. sign trick (the next hash bit decides +/-, keeping the hashed "
+    "inner product unbiased under collisions); per bucket the profile "
+    "reports total occurrences, the SIGNED sum the vectorizer would "
+    "store, and distinct tokens (distinct - 1 = collisions) -- the "
+    "audit run before fixing a hash dimension for a 100 TB "
+    "vectorization job. Default 16 buckets sits BELOW this corpus's "
+    "vocabulary on purpose: the audit exists to exhibit collisions and "
+    "sign cancellation (production dimension would be 2^18+). All "
+    "BIGINT, zero float ops; md5_long is nonnegative so div/% are "
+    "engine-safe. 100 TB: tokenize + hash are map-side over the "
+    "widened scan; one hash groupBy to the n_buckets-bounded profile; "
+    "distinct-per-bucket via the standard two-level aggregate.",
+)
+def q_feature_hashing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.feature_hashing_profile(docs)
+
+
+@register(
+    "vocab_drift_halves",
+    oracle=textstats.vocab_drift_halves_sql(),
+    doc="Crawl-order vocabulary drift: token occurrence RATES in the "
+    "first half of the corpus (by doc id, i.e. crawl order) vs the "
+    "second half, for the union of the halves' top-k tokens -- the "
+    "did-the-distribution-move-under-me check a continuously-ingesting "
+    "corpus runs between snapshots, next to Heaps' growth (volume) and "
+    "centroid drift (embeddings). Rates are exact integer ppm of each "
+    "half's token volume; delta is a plain BIGINT subtraction (no "
+    "engine-divergent negative division anywhere). 100 TB: the split "
+    "point is a 1-row min/max broadcast; per-token half counts come "
+    "from ONE conditional aggregate over the tokenized scan (never two "
+    "passes); each half's top-k is a distributed TakeOrdered "
+    "(orderBy().limit) over the vocab-bounded counts -- no "
+    "unpartitioned window, no full sort; the <=2k union broadcasts "
+    "back; the counts frame is localCheckpoint'd once for its four "
+    "consumers (multi-consumer rule).",
+)
+def q_vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.vocab_drift_halves(docs)

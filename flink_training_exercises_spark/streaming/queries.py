@@ -21,6 +21,16 @@ from ..operators.windows import DEFAULT_SLIDE, DEFAULT_THRESHOLD, DEFAULT_WINDOW
 
 DEFAULT_WATERMARK = "60 seconds"  # = maxEventDelay (RideCleansing.java:45)
 
+# ONE source of truth for the windowed-sketch pairs' default window (ADVICE
+# r12): every streaming fold's `window` duration string and its batch
+# stage's / oracle's epoch-ms width MUST agree -- a mismatch silently
+# zeroes the est-vs-truth join (the _window_end_expr hazard). Deriving
+# both from SKETCH_WINDOW_MS enforces the invariant by construction;
+# never write the literal "6 hours" / 21600000 in a sketch-pair default.
+SKETCH_WINDOW_MS = 6 * 3600 * 1000
+SKETCH_WINDOW = f"{SKETCH_WINDOW_MS // (3600 * 1000)} hours"
+assert SKETCH_WINDOW_MS % (3600 * 1000) == 0  # the derivation above is hour-exact
+
 
 def streaming_exact_dedup(
     events: DataFrame,
@@ -632,7 +642,7 @@ def run_rollup_merge_availablenow(
 
 def streaming_windowed_topk(
     events: DataFrame,
-    window: str = "6 hours",
+    window: str = SKETCH_WINDOW,
     k: int = 3,
     watermark: str = "60 seconds",
 ) -> DataFrame:
@@ -684,7 +694,7 @@ def rank_topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
 
 def streaming_windowed_hll(
     events: DataFrame,
-    window: str = "6 hours",
+    window: str = SKETCH_WINDOW,
     watermark: str = "60 seconds",
     p: int = None,
 ) -> DataFrame:
@@ -794,7 +804,7 @@ def run_windowed_topk_availablenow(
 
 
 def windowed_topk_oracle(
-    window_ms: int = 6 * 3600 * 1000, k: int = 3, delay_ms: int = 60000
+    window_ms: int = SKETCH_WINDOW_MS, k: int = 3, delay_ms: int = 60000
 ) -> str:
     """DuckDB oracle for :func:`run_windowed_topk_availablenow`: tumbling
     epoch-aligned windows over events, cut at max(ts) - delay (the
@@ -837,7 +847,7 @@ def run_windowed_hll_availablenow(
 
 
 def windowed_hll_oracle(
-    window_ms: int = 6 * 3600 * 1000, delay_ms: int = 60000
+    window_ms: int = SKETCH_WINDOW_MS, delay_ms: int = 60000
 ) -> str:
     """DuckDB oracle for :func:`run_windowed_hll_availablenow`: the batch
     HLL register build per epoch-aligned window, cut at the final
@@ -931,7 +941,7 @@ WHERE session_end_ms + {DEFAULT_GAP_MS} <= m - {delay_ms}"""
 
 def streaming_windowed_histogram(
     events: DataFrame,
-    window: str = "6 hours",
+    window: str = SKETCH_WINDOW,
     watermark: str = "60 seconds",
     bin_cents: int = 1000,
 ) -> DataFrame:
@@ -992,7 +1002,7 @@ def run_windowed_histogram_availablenow(
 
 
 def windowed_histogram_oracle(
-    window_ms: int = 6 * 3600 * 1000,
+    window_ms: int = SKETCH_WINDOW_MS,
     delay_ms: int = 60000,
     bin_cents: int = 1000,
 ) -> str:
@@ -1222,7 +1232,7 @@ def run_windowed_quantile_availablenow(
 
 
 def windowed_quantile_oracle(
-    window_ms: int = 6 * 3600 * 1000,
+    window_ms: int = SKETCH_WINDOW_MS,
     delay_ms: int = 60000,
     bin_cents: int = 1000,
     pcts: tuple = (25, 50, 75, 90),
@@ -1323,7 +1333,7 @@ def _panel_window_events(
 def streaming_windowed_cms(
     events: DataFrame,
     key_col: str = "user_id",
-    window: str = "6 hours",
+    window: str = SKETCH_WINDOW,
     watermark: str = "60 seconds",
     width: int = CMS_STREAM_WIDTH,
 ) -> DataFrame:
@@ -1384,7 +1394,7 @@ def cms_window_estimates(
     events: DataFrame,
     key_col: str = "user_id",
     width: int = CMS_STREAM_WIDTH,
-    window_ms: int = 6 * 3600 * 1000,
+    window_ms: int = SKETCH_WINDOW_MS,
 ) -> DataFrame:
     """Bounded batch stage over the DRAINED cells (the windowed_topk /
     quantile composition pattern): estimate each fired window's activity
@@ -1473,7 +1483,7 @@ def run_windowed_cms_availablenow(
 
 
 def windowed_cms_oracle(
-    window_ms: int = 6 * 3600 * 1000,
+    window_ms: int = SKETCH_WINDOW_MS,
     delay_ms: int = 60000,
     width: int = CMS_STREAM_WIDTH,
 ) -> str:
@@ -1550,7 +1560,7 @@ MH_STREAM_K = 16  # permutations: estimator granularity 1/16 = 62500 ppm,
 def streaming_windowed_minhash(
     events: DataFrame,
     key_col: str = "user_id",
-    window: str = "6 hours",
+    window: str = SKETCH_WINDOW,
     watermark: str = "60 seconds",
     k: int = MH_STREAM_K,
 ) -> DataFrame:
@@ -1609,7 +1619,7 @@ def minhash_window_similarity(
     events: DataFrame,
     key_col: str = "user_id",
     k: int = MH_STREAM_K,
-    window_ms: int = 6 * 3600 * 1000,
+    window_ms: int = SKETCH_WINDOW_MS,
 ) -> DataFrame:
     """Bounded batch stage over the DRAINED signatures (the windowed
     topk/quantile/CMS composition pattern): estimate the Jaccard
@@ -1712,7 +1722,7 @@ def run_windowed_minhash_availablenow(
 
 
 def windowed_minhash_oracle(
-    window_ms: int = 6 * 3600 * 1000,
+    window_ms: int = SKETCH_WINDOW_MS,
     delay_ms: int = 60000,
     k: int = MH_STREAM_K,
 ) -> str:
@@ -1800,7 +1810,7 @@ BLOOM_STREAM_WORDS = 8  # 63 bits/word = 504 bits; sized so the one-sided
 def streaming_windowed_bloom(
     events: DataFrame,
     key_col: str = "user_id",
-    window: str = "6 hours",
+    window: str = SKETCH_WINDOW,
     watermark: str = "60 seconds",
     n_words: int = BLOOM_STREAM_WORDS,
 ) -> DataFrame:
@@ -1820,7 +1830,7 @@ def streaming_windowed_bloom(
     a present key always hits, an absent key hits with the documented
     collision probability.
 
-    STAGED (gate-ready; registered when a gate-window slot opens).
+    Gated since round 13 (catalog name streaming_windowed_bloom).
 
     Scale shape (100 TB): one stateful shuffle keyed on (window, word);
     state capped at n_words BIGINT cells per open window REGARDLESS of
@@ -1856,7 +1866,7 @@ def bloom_window_membership(
     events: DataFrame,
     key_col: str = "user_id",
     n_words: int = BLOOM_STREAM_WORDS,
-    window_ms: int = 6 * 3600 * 1000,
+    window_ms: int = SKETCH_WINDOW_MS,
 ) -> DataFrame:
     """Bounded batch stage over the DRAINED per-window Bloom words (the
     cms_window_estimates composition): probe every fired window's filter
@@ -1945,7 +1955,7 @@ def run_windowed_bloom_availablenow(
 
 
 def windowed_bloom_oracle(
-    window_ms: int = 6 * 3600 * 1000,
+    window_ms: int = SKETCH_WINDOW_MS,
     delay_ms: int = 60000,
     n_words: int = BLOOM_STREAM_WORDS,
 ) -> str:

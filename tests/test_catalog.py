@@ -44,63 +44,67 @@ def test_oracle_is_valid_duckdb(duck, name):
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-12 new (staged promotions: the VERDICT r11 #2 eight --
-    # text spread pair, CMS planner primitive, shard-merge completion,
-    # graph mixing statistic, rational diversity twin, market-basket
-    # screen, and the fifth mergeable on-stream sketch)
-    "heaps_vocab_growth",
+    # round-13 new (staged promotions: the VERDICT r12 #1 backlog-
+    # clearing six -- forensic Benford + chi-squared drift screens,
+    # embedding centroid drift, hashing-trick collision audit,
+    # crawl-order vocab drift, and the sixth mergeable on-stream
+    # sketch [Bloom/membership])
+    "benford_value_audit",
+    "chi_squared_independence",
+    "embedding_centroid_drift",
+    "feature_hashing_profile",
+    "vocab_drift_halves",
+    "streaming_windowed_bloom",
+    # round-13 CHANGED (rake stopword cut: unpartitioned row_number
+    # window -> TakeOrdered orderBy().limit, VERDICT r12 #3; output
+    # identical, the new plan attested by this window row)
     "rake_keywords",
-    "join_cardinality_estimate",
-    "approx_topk_shard_union",
-    "degree_assortativity",
-    "user_behavior_gini",
-    "session_cooccurrence_lift",
-    "streaming_windowed_minhash",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # r8-evidence rotation: all 33 remaining r8 rows
-    "value_histogram",
-    "bloom_semijoin_orders",
-    "dq_audit_relational",
-    "dedup_repeated_ngrams",
-    "hll_distinct_users",
-    "countmin_token_freq",
-    "zorder_layout_documents",
-    "multimodal_resize",
-    "inverted_index_postings",
-    "doc_typicality_bigrams",
-    "frequent_tokens_topk",
-    "ann_topk_pq",
-    "ann_topk_ivf_pq",
-    "ann_recall_at_k",
-    "ann_topk_ivf",
-    "dedup_incremental_minhash",
-    "multimodal_feature_extract",
-    "ann_topk_bruteforce_pandas",
-    "neardup_embedding_cosine_lsh",
-    "text_repetition",
-    "pii_scrub_mails",
-    "sample_stratified_documents",
-    "pack_sequences_4k",
-    "mixture_expand_weighted",
-    "skew_salted_event_counts",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
-    # r9-evidence fill: the first 7 of the 48 r9 rows
-    "streaming_windowed_histogram",
-    "record_linkage_scores",
-    "quantile_merge_shards",
-    "entity_resolution_clusters",
-    "props_json_profile",
-    "weighted_sample",
-    "bloom_contamination_screen",
+    # the 41 r9-evidence rows (stalest; the 7 r10 fill rows of the
+    # zero-additions plan were ejected by the 7 new/changed rows)
+    "tokenizer_fertility",
+    "streaming_scd2_maintenance",
+    "cdc_merge_user_state",
+    "sssp_event_graph",
+    "vocab_oov_rate",
+    "timeseries_gapfill_hourly",
+    "dedup_editdistance_blocked",
+    "hll_merge_shards",
+    "scd2_point_in_time_join",
+    "cube_user_type_day",
+    "snapshot_diff_documents",
+    "skew_salted_join_events",
+    "session_path_topk",
+    "value_hour_correlation",
+    "zonemap_pruning_audit",
+    "streaming_anomaly_zscore",
+    "event_transitions_markov",
+    "anomaly_rolling_zscore",
+    "gopher_quality_flags",
+    "segment_dedup_keepfirst",
+    "chunk_sliding_windows",
+    "split_leakage_neardup",
+    "funnel_user_stages",
+    "retention_cohorts",
+    "streaming_enrich_static",
+    "bpe_encode_corpus",
+    "incremental_corpus_roundtrip",
+    "dedup_clusters_minhash",
+    "dedup_keep_best",
+    "embedding_dedup_clusters",
+    "kcore_interactions",
+    "streaming_cdc_merge",
+    "shuffle_shard_layout",
+    "sessionize_events",
+    "dedup_simhash",
+    "tpch_q1_pricing_summary",
+    "pagerank_weighted",
+    "travel_time_prediction",
+    "mail_tfidf",
+    "reply_graph",
+    "member_of_the_month",
 ]
 
 
