@@ -488,6 +488,12 @@ def embedding_centroid_drift(
         F.sum("qx").alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+    # bounded (|labels| x dim) and consumed by BOTH the global-centroid
+    # broadcast build and the probe side -- localCheckpoint once (the
+    # multi-consumer rule: exchange reuse never kicks in under broadcast
+    # builds, so the posexplode + corpus aggregate re-ran per consumer;
+    # 3 corpus scans -> 1 by executedPlan)
+    ld = ld.localCheckpoint()
     g = ld.groupBy("dim").agg(
         F.sum("s").alias("gs"), F.sum("n").alias("nn")
     )
