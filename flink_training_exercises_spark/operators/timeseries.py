@@ -1159,3 +1159,376 @@ SELECT event_type, hour, n, row_total, col_total,
           * CAST(col_total AS DOUBLE)) AS chi2_contrib
 FROM cells
 """
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample drift screen (exact rational ECDF gap)
+# ---------------------------------------------------------------------------
+
+
+def ks_two_sample_drift(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample screen (Kolmogorov 1933, Smirnov
+    1939) of the cents series, first time-half vs second time-half per
+    type -- the DISTRIBUTIONAL drift screen completing the family next
+    to chi_squared_independence (categorical axis) and benford
+    (digit-law axis): "did the value distribution move between the
+    first and second half of the window?". The KS statistic
+    sup|F1 - F2| is a PURE RATIONAL of integer counts -- no floats
+    exist anywhere in this operator, making it the rare test statistic
+    that is exactly hash-comparable cross-engine.
+
+    Output one row per type present in BOTH halves: (event_type,
+    n_first, n_second, ks_num, ks_ppm, ks_at_cents) where
+    ks_num = max over sample points v of |n2*F1cum(v) - n1*F2cum(v)|
+    (the KS statistic scaled by n1*n2, an exact BIGINT),
+    ks_ppm = (1e6 * ks_num) DIV (n1 * n2), and ks_at_cents is the
+    SMALLEST cents value attaining the max (a deterministic tie-break).
+    The sup over the reals is attained at a sample point of either
+    half, so maxing over the union of observed values is exact.
+
+    STAGED (gate-ready; registered when a gate-window slot opens).
+
+    Determinism: cents = floor(value*100 + 0.5) exact BIGINT (repo
+    fixed-point rule); the time midpoint is (min_ms + max_ms) DIV 2
+    over one 1-row broadcast -- PRECONDITION epoch_ms >= 0 (post-1970,
+    the chi_squared/centroid-drift per-engine integer-division rule);
+    every statistic is an exact BIGINT; the ppm division has
+    nonnegative operands so truncating DIV == flooring //.
+
+    BIGINT bounds: D = |n2*F1 - n1*F2| <= n1*n2 and the ppm numerator
+    1e6*ks_num need n1*n2 < ~9.2e12 (~3e6 rows per half per type at
+    balance); ANSI raises loudly past it on both engines. The 100 TB
+    mitigation is stratifying the screen per shard/day (the
+    chi-squared/cooccurrence precedent), which also bounds each grid.
+
+    Scale shape (100 TB): one pruned 1-row min/max scan (the
+    vocab_drift_halves midpoint idiom), then ONE map-side-combined
+    conditional hash aggregate to the (type, distinct-cents) cell
+    relation -- bounded by value quantization, never corpus-sized (at
+    extreme value ranges, pre-bin cents the way value_histogram does);
+    half totals, cumulative ECDFs, the max, and the argmax join-back
+    are all windows/joins over that bounded frame, localCheckpoint'd
+    once for its three consumers (multi-consumer rule)."""
+    from pyspark.sql import Window
+
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    ms = _epoch_ms(ts_col)
+    # 1-row midpoint broadcast (pruned ts-only scan)
+    mid = events.select(ms.alias("_ms")).agg(
+        F.expr("(min(_ms) + max(_ms)) DIV 2").alias("mid")
+    )
+    cents = F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        cents.alias("cents"),
+        ms.alias("_ms"),
+    )
+    cells = (
+        base.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("_ms") <= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("_ms") > F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    w_type = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = cells.select(
+        "event_type",
+        "cents",
+        F.sum("c1").over(w_type).cast("bigint").alias("n1"),
+        F.sum("c2").over(w_type).cast("bigint").alias("n2"),
+        F.sum("c1").over(w_cum).cast("bigint").alias("f1"),
+        F.sum("c2").over(w_cum).cast("bigint").alias("f2"),
+    ).where((F.col("n1") > 0) & (F.col("n2") > 0))
+    scored = scored.select(
+        "event_type",
+        "cents",
+        "n1",
+        "n2",
+        F.abs(F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    # bounded (types x distinct cents) and consumed by the max aggregate
+    # AND the argmax join-back -- localCheckpoint once (multi-consumer
+    # rule; the conditional corpus aggregate + window chain would re-run
+    # per consumer)
+    scored = scored.localCheckpoint()
+    # renamed join keys: peak derives FROM the checkpointed scored, so a
+    # qualified self-join condition would hit the ambiguous-attribute
+    # trap (Spark warns 'trivially true equals predicate')
+    peak = scored.groupBy("event_type").agg(
+        F.max("n1").cast("bigint").alias("n_first"),
+        F.max("n2").cast("bigint").alias("n_second"),
+        F.max("d").cast("bigint").alias("ks_num"),
+    ).select(
+        F.col("event_type").alias("_pet"), "n_first", "n_second", "ks_num"
+    )
+    return (
+        peak.join(
+            scored,
+            (F.col("_pet") == F.col("event_type"))
+            & (F.col("ks_num") == F.col("d")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_first").cast("bigint").alias("n_first"),
+            F.max("n_second").cast("bigint").alias("n_second"),
+            F.max("ks_num").cast("bigint").alias("ks_num"),
+            F.expr(
+                "CAST((1000000 * max(ks_num)) DIV (max(n_first) * max(n_second))"
+                " AS BIGINT)"
+            ).alias("ks_ppm"),
+            F.min("cents").cast("bigint").alias("ks_at_cents"),
+        )
+    )
+
+
+def ks_two_sample_drift_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`ks_two_sample_drift` (same midpoint, same
+    conditional cell counts, same cumulative ECDFs and scaled-gap max;
+    BIGINT casts on sum() outputs -- the HUGEINT dtype-skew rule)."""
+    return f"""
+WITH mid AS (
+  SELECT (min(epoch_ms({ts_col})) + max(epoch_ms({ts_col}))) // 2 AS mid
+  FROM {table}
+),
+base AS (
+  SELECT {type_col} AS event_type,
+         CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS cents,
+         epoch_ms({ts_col}) AS ms
+  FROM {table}
+),
+cells AS (
+  SELECT event_type, cents,
+         CAST(sum(CASE WHEN ms <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN ms > mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM base, mid GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, cents, n1, n2,
+         CAST(abs(n2 * f1 - n1 * f2) AS BIGINT) AS d
+  FROM (
+    SELECT event_type, cents,
+           CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+           CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2,
+           CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+           CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+    FROM cells
+  ) WHERE n1 > 0 AND n2 > 0
+),
+peak AS (
+  SELECT event_type, CAST(max(n1) AS BIGINT) AS n_first,
+         CAST(max(n2) AS BIGINT) AS n_second,
+         CAST(max(d) AS BIGINT) AS ks_num
+  FROM scored GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(max(p.n_first) AS BIGINT) AS n_first,
+       CAST(max(p.n_second) AS BIGINT) AS n_second,
+       CAST(max(p.ks_num) AS BIGINT) AS ks_num,
+       CAST((1000000 * max(p.ks_num)) // (max(p.n_first) * max(p.n_second))
+            AS BIGINT) AS ks_ppm,
+       CAST(min(s.cents) AS BIGINT) AS ks_at_cents
+FROM peak p JOIN scored s ON s.event_type = p.event_type AND s.d = p.ks_num
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function screen (exact sufficient statistics per lag)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 6  # lags 1..6 hours: short-horizon memory screen
+
+
+def value_acf_lags(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = ACF_MAX_LAG,
+) -> DataFrame:
+    """Autocorrelation function screen: per event type, the Pearson
+    correlation between the hourly cents-volume series and itself at
+    lags 1..``max_lag`` hours -- the memory/seasonality diagnostic
+    (Box & Jenkins) a forecasting pipeline runs before choosing model
+    order, completing the timeseries screen family next to
+    value_hour_correlation (hour-of-day seasonality), value_trend_ols /
+    theil_sen (trend) and cusum (level shifts). Built-in ``corr()``
+    stays banned (order-dependent running-moment floats); each lag's
+    five sufficient statistics are EXACT BIGINT sums over the paired
+    series and r is the closed form in correctly-rounded double over
+    identical expression trees (the value_hour_correlation recipe).
+
+    Output (event_type, lag, n_pairs, sum_x, sum_y, pearson_r); r is
+    NULL when either side of a lag's pair set is constant (prod <= 0 --
+    same NULL contract as value_hour_correlation). Pairs exist only
+    where BOTH buckets are present (missing hours pair with nothing;
+    the gapfill operator is the regularization path if a filled series
+    is wanted).
+
+    STAGED (gate-ready; registered when a gate-window slot opens).
+
+    Determinism: hourly buckets are pure epoch-ms arithmetic
+    (session-TZ independent); the series value is the exact per-bucket
+    BIGINT cents sum re-origined per type by its window minimum (the
+    value_trend_ols re-origin move -- Pearson is shift-invariant, and
+    shifting keeps sxx bounded by the per-type RANGE of hourly volumes,
+    not their absolute magnitude); sqrt/div/mul/sub are correctly
+    rounded IEEE over identical trees. BIGINT bound: n_pairs *
+    range_cents^2 < 2^63 -- at a $1M hourly-volume range that is ~920k
+    buckets (a century of hours); ANSI raises loudly past it, and the
+    mitigation is rescaling the fixed point (whole units buy 10^4x).
+
+    Scale shape (100 TB): ONE map-side-combined hash aggregate to the
+    (type, hour-bucket) frame -- span-bounded, never corpus-sized --
+    localCheckpoint'd once (it feeds the explode side AND the join
+    side; the multi-consumer rule). Lag pairing is a map-side explode
+    of lags 1..max_lag joined back on (type, bucket) -- an EQUI-join
+    with fanout max_lag, never a per-type range cross join; the final
+    per-(type, lag) aggregate is bounded by |types| * max_lag."""
+    from pyspark.sql import Window
+
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    ms = _epoch_ms(ts_col)
+    cents = F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
+    b = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            (ms - ms % F.lit(HOUR_MS)).alias("bucket_ms"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "bucket_ms")
+        .agg(F.sum("c").cast("bigint").alias("v"))
+    )
+    b = b.select(
+        "event_type",
+        "bucket_ms",
+        (F.col("v") - F.min("v").over(Window.partitionBy("event_type")))
+        .cast("bigint")
+        .alias("v"),
+    )
+    # span-bounded (types x hours) and consumed by BOTH self-join sides
+    # -- localCheckpoint once (multi-consumer rule)
+    b = b.localCheckpoint()
+    a = b.select(
+        F.col("event_type").alias("_aet"),
+        F.col("v").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        F.col("bucket_ms").alias("_ab"),
+    ).select(
+        "_aet",
+        "x",
+        F.col("lag").cast("bigint").alias("lag"),
+        (F.col("_ab") + F.col("lag") * F.lit(HOUR_MS)).alias("_target"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("_aet") == F.col("event_type"))
+        & (F.col("_target") == F.col("bucket_ms")),
+    ).select("event_type", "lag", "x", F.col("v").alias("y"))
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    prod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = F.when(prod > 0, (n * sxy - sx * sy) / F.sqrt(prod))
+    return agg.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("sx").cast("bigint").alias("sum_x"),
+        F.col("sy").cast("bigint").alias("sum_y"),
+        r.alias("pearson_r"),
+    )
+
+
+def value_acf_lags_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = ACF_MAX_LAG,
+) -> str:
+    """DuckDB twin of :func:`value_acf_lags` (same re-origined hourly
+    series, same lag explode + equi-join pairing, IDENTICAL double
+    expression tree for the closed form; BIGINT casts on sum() outputs
+    -- the HUGEINT dtype-skew rule)."""
+    lags = ", ".join(str(i) for i in range(1, max_lag + 1))
+    return f"""
+WITH raw AS (
+  SELECT {type_col} AS event_type,
+         epoch_ms({ts_col}) - epoch_ms({ts_col}) % {HOUR_MS} AS bucket_ms,
+         CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS c
+  FROM {table}
+),
+bsum AS (
+  SELECT event_type, bucket_ms, CAST(sum(c) AS BIGINT) AS v
+  FROM raw GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, bucket_ms,
+         CAST(v - min(v) OVER (PARTITION BY event_type) AS BIGINT) AS v
+  FROM bsum
+),
+a AS (
+  SELECT event_type, v AS x, CAST(lag AS BIGINT) AS lag,
+         bucket_ms + lag * {HOUR_MS} AS target
+  FROM (SELECT event_type, v, bucket_ms, unnest([{lags}]) AS lag FROM b)
+),
+pairs AS (
+  SELECT a.event_type, a.lag, a.x, b.v AS y
+  FROM a JOIN b ON b.event_type = a.event_type AND b.bucket_ms = a.target
+),
+agg AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, lag, n, sx, sy,
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS prod,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+  FROM agg
+)
+SELECT event_type, lag, n AS n_pairs, sx AS sum_x, sy AS sum_y,
+       CASE WHEN prod > 0e0 THEN num / sqrt(prod) END AS pearson_r
+FROM d
+"""

@@ -3045,3 +3045,186 @@ def test_chi_squared_independence_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(chi_squared_independence_sql()).fetchall())
     assert got == want and got
+
+
+def test_ks_two_sample_drift_hand_computed(spark):
+    """2+2 split: first half cents {100, 200}, second {300, 400} -- the
+    ECDF gap walk gives D/(n1*n2) = |2*F1 - 2*F2| = 2,4,2,0 over the
+    four sample points, so ks_num = 4 at cents 200 and ks_ppm is the
+    full 1,000,000 (disjoint supports)."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        ks_two_sample_drift,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "a", 1.0, None),
+        (1, base + timedelta(hours=1), 1, "a", 2.0, None),
+        (2, base + timedelta(hours=10), 1, "a", 3.0, None),
+        (3, base + timedelta(hours=11), 1, "a", 4.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = ks_two_sample_drift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_type"], r["n_first"], r["n_second"]) == ("a", 2, 2)
+    assert (r["ks_num"], r["ks_ppm"], r["ks_at_cents"]) == (4, 1000000, 200)
+
+
+def test_ks_two_sample_drift_contracts(spark, sf_small):
+    """0 <= ks_num <= n1*n2 (so ks_ppm in [0, 1e6]); a type must appear
+    in BOTH halves to emit a row; the identical-halves degenerate is
+    exactly 0 with the argmax tie-break at the smallest cents."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        ks_two_sample_drift,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    rows = ks_two_sample_drift(load_table(spark, "events", sf_small)).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["ks_num"] <= r["n_first"] * r["n_second"]
+        assert 0 <= r["ks_ppm"] <= 1_000_000
+    # identical halves -> ks_num == 0, argmax at the smallest cents
+    base = datetime(2024, 1, 1)
+    mirrored = [
+        (i, base + timedelta(hours=h), 1, "a", v, None)
+        for i, (h, v) in enumerate(
+            [(0, 1.0), (1, 2.0), (2, 3.0), (10, 1.0), (11, 2.0), (12, 3.0)]
+        )
+    ]
+    df = spark.createDataFrame(
+        mirrored,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = ks_two_sample_drift(df).collect()
+    assert len(out) == 1
+    assert (out[0]["ks_num"], out[0]["ks_ppm"], out[0]["ks_at_cents"]) == (
+        0,
+        0,
+        100,
+    )
+    # a type present in only one half emits no row
+    single = spark.createDataFrame(
+        [(0, base, 1, "b", 1.0, None), (1, base + timedelta(hours=1), 1, "b", 2.0, None)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # both rows land in the first half (mid = 30 min in), second empty
+    assert ks_two_sample_drift(single.where("event_id = 0")).count() == 0
+
+
+def test_ks_two_sample_drift_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        ks_two_sample_drift,
+        ks_two_sample_drift_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, ks_two_sample_drift(load_table(spark, "events", sf_small)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(ks_two_sample_drift_sql()).fetchall())
+    assert got == want and got
+
+
+def test_value_acf_lags_hand_computed(spark):
+    """Perfectly linear hourly series 100,200,300,400 cents: every lag
+    with >= 2 pairs correlates exactly 1.0 (the closed form divides
+    identical products); lag 3 has ONE pair -> zero variance -> NULL;
+    n_pairs at lag l is 4 - l; sums reflect the min-shifted series
+    (v' = 0,100,200,300)."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        value_acf_lags,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(hours=i), 1, "a", float(i + 1), None)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["lag"]: r for r in value_acf_lags(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert [out[l]["n_pairs"] for l in (1, 2, 3)] == [3, 2, 1]
+    assert out[1]["pearson_r"] == 1.0
+    assert out[2]["pearson_r"] == 1.0
+    assert out[3]["pearson_r"] is None
+    assert (out[1]["sum_x"], out[1]["sum_y"]) == (300, 600)
+
+
+def test_value_acf_lags_contracts(spark, sf_small):
+    """|r| <= 1 up to one ulp-cluster of rounding, lags within 1..6,
+    pair counts bounded by the per-type bucket count, and a gapped
+    series pairs only where BOTH buckets exist."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        value_acf_lags,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    rows = value_acf_lags(load_table(spark, "events", sf_small)).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["lag"] <= 6
+        assert r["n_pairs"] >= 1
+        if r["pearson_r"] is not None:
+            assert abs(r["pearson_r"]) <= 1.0 + 1e-12
+    # gapped series: buckets 0,1,3 -> lag1 pairs only (0,1); lag2 (1,3)
+    # ... lag2 pairs bucket b with b+2: (1,3) present -> 1 pair; lag3
+    # pairs (0,3) -> 1 pair
+    base = datetime(2024, 1, 1)
+    gapped = [
+        (i, base + timedelta(hours=h), 1, "a", float(v), None)
+        for i, (h, v) in enumerate([(0, 1.0), (1, 5.0), (3, 2.0)])
+    ]
+    df = spark.createDataFrame(
+        gapped,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["lag"]: r["n_pairs"] for r in value_acf_lags(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_value_acf_lags_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        value_acf_lags,
+        value_acf_lags_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, value_acf_lags(load_table(spark, "events", sf_small)).collect()),
+        key=repr,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(value_acf_lags_sql()).fetchall(), key=repr)
+    assert got == want and got

@@ -2171,3 +2171,162 @@ def test_embedding_centroid_drift_matches_python_replay(spark, vecs):
         ]
         want[l] = (n[l], sum(terms), max(terms))
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # type index
+            st.integers(min_value=0, max_value=47),    # hour offset
+            st.integers(min_value=0, max_value=8),     # value dollars
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_ks_two_sample_drift_matches_python_replay(spark, events):
+    """Random two-sample splits: the exact-rational KS walk (global
+    midpoint halving, per-type conditional cell counts, cumulative
+    ECDFs, scaled-gap max with smallest-cents tie-break) equals a
+    direct python fold -- every statistic is an integer, so == not
+    approx."""
+    from collections import Counter
+    from datetime import timezone
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        ks_two_sample_drift,
+    )
+
+    types = ["view", "click", "purchase"]
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(hours=h), 1, types[t], float(v), None)
+        for i, (t, h, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["event_type"]: (
+            r["n_first"],
+            r["n_second"],
+            r["ks_num"],
+            r["ks_ppm"],
+            r["ks_at_cents"],
+        )
+        for r in ks_two_sample_drift(df).collect()
+    }
+
+    def ms_of(h):
+        dt = (base + timedelta(hours=h)).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    all_ms = [ms_of(h) for _, h, _ in events]
+    mid = (min(all_ms) + max(all_ms)) // 2
+    want = {}
+    for ti, tname in enumerate(types):
+        cells = Counter()
+        for t, h, v in events:
+            if t != ti:
+                continue
+            half = 1 if ms_of(h) <= mid else 2
+            cells[(v * 100, half)] += 1
+        n1 = sum(c for (_, hf), c in cells.items() if hf == 1)
+        n2 = sum(c for (_, hf), c in cells.items() if hf == 2)
+        if n1 == 0 or n2 == 0:
+            continue
+        f1 = f2 = 0
+        best, best_at = -1, None
+        for cents in sorted({c for c, _ in cells}):
+            f1 += cells.get((cents, 1), 0)
+            f2 += cells.get((cents, 2), 0)
+            d = abs(n2 * f1 - n1 * f2)
+            if d > best:
+                best, best_at = d, cents
+        want[tname] = (n1, n2, best, (1000000 * best) // (n1 * n2), best_at)
+    assert got == want
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),     # type index
+            st.integers(min_value=0, max_value=10),    # hour bucket
+            st.integers(min_value=0, max_value=500),   # value cents
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_value_acf_lags_matches_python_replay(spark, series):
+    """Random gapped hourly series: the lag pairing (both buckets
+    present), the min-shifted exact BIGINT sums, and the closed-form r
+    over the identical double tree equal a python fold (sqrt/div/mul/
+    sub are correctly-rounded IEEE, so == not approx, None included)."""
+    import math
+    from collections import defaultdict
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        value_acf_lags,
+    )
+
+    types = ["view", "click"]
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(hours=h, minutes=i % 60), 1, types[t], v / 100.0, None)
+        for i, (t, h, v) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["event_type"], r["lag"]): (
+            r["n_pairs"],
+            r["sum_x"],
+            r["sum_y"],
+            r["pearson_r"],
+        )
+        for r in value_acf_lags(df).collect()
+    }
+    # python fold: bucket sums (floor(v*100+0.5) re-quantizes exactly for
+    # integer-cent inputs), per-type min shift, lag pairing, closed form
+    bsum = defaultdict(int)
+    for t, h, v in series:
+        bsum[(types[t], h)] += v
+    vmin = defaultdict(lambda: None)
+    for (t, h), v in bsum.items():
+        vmin[t] = v if vmin[t] is None else min(vmin[t], v)
+    shifted = {(t, h): v - vmin[t] for (t, h), v in bsum.items()}
+    want = {}
+    for t in types:
+        buckets = sorted(h for (tt, h) in shifted if tt == t)
+        for lag in range(1, 7):
+            pairs = [
+                (shifted[(t, h)], shifted[(t, h + lag)])
+                for h in buckets
+                if (t, h + lag) in shifted
+            ]
+            if not pairs:
+                continue
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            prod = (float(n) * float(sxx) - float(sx) * float(sx)) * (
+                float(n) * float(syy) - float(sy) * float(sy)
+            )
+            r = (
+                (float(n) * float(sxy) - float(sx) * float(sy)) / math.sqrt(prod)
+                if prod > 0
+                else None
+            )
+            want[(t, lag)] = (n, sx, sy, r)
+    assert got == want

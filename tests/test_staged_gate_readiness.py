@@ -33,19 +33,40 @@ round-13 promotions (benford_value_audit, chi_squared_independence,
 embedding_centroid_drift, feature_hashing_profile, vocab_drift_halves,
 streaming_windowed_bloom -- the backlog-clearing rotation VERDICT r12
 #1 recorded) were trimmed when they entered the catalog. The round-13
-trim emptied BOTH lists (backlog = 0); new stagings refill them."""
+trim emptied BOTH lists; the batch list was refilled the same round
+with the two round-13 stagings (ks_two_sample_drift, value_acf_lags);
+the streaming list stays empty until a new streaming op is staged."""
 
 import duckdb
 import pytest
+
+from flink_training_exercises_spark.sources import load_table
 
 
 def _cases(spark, sf):
     """Staged BATCH cases: operator DataFrame paired with its DuckDB
     twin SQL, keyed by the operator function's name (the label-parity
-    test's convention). EMPTY since the round-13 backlog-clearing
-    promotion; new staged batch ops add entries like
-    `"op_name": (op_name(frame), op_name_sql()),` back here."""
-    return {}
+    test's convention). Refilled after the round-13 backlog-clearing
+    promotion with the two round-13 stagings (the <=2 cadence): the
+    exact-rational KS two-sample drift screen and the ACF lag screen."""
+    from flink_training_exercises_spark.operators.timeseries import (
+        ks_two_sample_drift,
+        ks_two_sample_drift_sql,
+        value_acf_lags,
+        value_acf_lags_sql,
+    )
+
+    ev = load_table(spark, "events", sf)
+    return {
+        "ks_two_sample_drift": (
+            ks_two_sample_drift(ev),
+            ks_two_sample_drift_sql(),
+        ),
+        "value_acf_lags": (
+            value_acf_lags(ev),
+            value_acf_lags_sql(),
+        ),
+    }
 
 
 def streaming_cases(spark, sf):
