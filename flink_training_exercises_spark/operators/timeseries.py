@@ -1219,6 +1219,13 @@ def ks_two_sample_drift(
     from ..functions.time import epoch_ms as _epoch_ms
 
     ms = _epoch_ms(ts_col)
+    # NULL values are excluded on BOTH engines BEFORE anything else:
+    # the cumulative-ECDF window orders by cents, and Spark ASC sorts
+    # NULLS FIRST while DuckDB ASC sorts NULLS LAST -- an unfiltered
+    # NULL cell would shift every prefix sum differently per engine
+    # (the benford IsNotNull precedent; latent on this NULL-free
+    # testdata, structural here)
+    events = events.where(F.col(value_col).isNotNull())
     # 1-row midpoint broadcast (pruned ts-only scan)
     mid = events.select(ms.alias("_ms")).agg(
         F.expr("(min(_ms) + max(_ms)) DIV 2").alias("mid")
@@ -1309,15 +1316,18 @@ def ks_two_sample_drift_sql(
     conditional cell counts, same cumulative ECDFs and scaled-gap max;
     BIGINT casts on sum() outputs -- the HUGEINT dtype-skew rule)."""
     return f"""
-WITH mid AS (
+WITH src AS (
+  SELECT * FROM {table} WHERE {value_col} IS NOT NULL
+),
+mid AS (
   SELECT (min(epoch_ms({ts_col})) + max(epoch_ms({ts_col}))) // 2 AS mid
-  FROM {table}
+  FROM src
 ),
 base AS (
   SELECT {type_col} AS event_type,
          CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS cents,
          epoch_ms({ts_col}) AS ms
-  FROM {table}
+  FROM src
 ),
 cells AS (
   SELECT event_type, cents,
@@ -1414,6 +1424,11 @@ def value_acf_lags(
 
     from ..functions.time import epoch_ms as _epoch_ms
 
+    if max_lag < 1:
+        # F.sequence(1, 0) would auto-step DOWN ([1, 0]: lag-0 self
+        # pairs + a spurious lag) while the twin's unnest list is
+        # empty -- fail loudly instead of diverging
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     ms = _epoch_ms(ts_col)
     cents = F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
     b = (
@@ -1485,6 +1500,8 @@ def value_acf_lags_sql(
     series, same lag explode + equi-join pairing, IDENTICAL double
     expression tree for the closed form; BIGINT casts on sum() outputs
     -- the HUGEINT dtype-skew rule)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     lags = ", ".join(str(i) for i in range(1, max_lag + 1))
     return f"""
 WITH raw AS (

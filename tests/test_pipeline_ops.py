@@ -3119,7 +3119,11 @@ def test_ks_two_sample_drift_contracts(spark, sf_small):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, "
         "value double, props string",
     )
-    # both rows land in the first half (mid = 30 min in), second empty
+    # keep ONLY row 0: its midpoint equals its own ts, so the one row
+    # is the whole first half and the second half is empty -> no output
+    # (with BOTH rows kept, mid = base + 30 min would split them into
+    # opposite halves and a row WOULD be emitted -- don't drop the
+    # where() below)
     assert ks_two_sample_drift(single.where("event_id = 0")).count() == 0
 
 
