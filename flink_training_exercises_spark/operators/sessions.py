@@ -824,3 +824,176 @@ FROM pairs
 JOIN per_type na ON na.t = type_a
 JOIN per_type nb ON nb.t = type_b, ns
 """
+
+
+RFM_DAY_MS = 86_400_000
+RFM_N_Q = 4  # quartiles -- the classic 4x4x4 RFM grid
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_q: int = RFM_N_Q,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quantile segmentation -- the
+    classic CRM / user-analytics grid (Hughes 1994): each user scored
+    0..n_q-1 on days-since-last-event, event count, and total cents,
+    then counted per (r_q, f_q, m_q) cell. The cell grid is what a
+    targeting/retention pipeline reads ("champions" = high on all
+    three); n_q=4 is the standard quartile form.
+
+    Output (r_q, f_q, m_q, n_users, sum_events, sum_cents) -- at most
+    n_q^3 rows, ALL exact BIGINTs (no floats anywhere). Quantile
+    assignment is VALUE-COLLAPSED: q(v) = least(n_q-1,
+    n_q * count_strictly_below(v) DIV n_users), so every user sharing a
+    metric value lands in the same bucket (no arbitrary tie split) and
+    boundary ties collapse downward -- deterministic at any partition
+    count on both engines (nonnegative operands, so Spark's truncating
+    DIV equals DuckDB's flooring //). The recency quantile counts users
+    STRICTLY MORE RECENT (last-active-day DESCENDING) -- identical to
+    strictly-below on days-since-last, without ever materializing a
+    corpus-wide max-day column -- so r_q = 0 is the MOST RECENT cohort
+    while f_q = 0 / m_q = 0 are the least-active/least-valuable
+    ("0 = best recency, 0 = worst activity" per RFM convention).
+
+    Determinism: recency is epoch-ms floor-division to days (session-TZ
+    independent; epoch_ms >= 0 precondition per the per-engine
+    integer-division rule); monetary is exact integer cents with NULL
+    values coalesced to 0 on BOTH engines BEFORE aggregation (a NULL
+    metric would hit the Spark-NULLS-FIRST vs DuckDB-NULLS-LAST window
+    ordering divergence -- the KS lesson -- and sum-skipping would
+    desync m from f).
+
+    Scale shape (100 TB): ONE map-side-combined hash aggregate reduces
+    the corpus to the per-user (last_d, f, m) frame, localCheckpoint'd
+    once for its FIVE consumers (three metric histograms, the 1-row
+    user count, the final join chain -- the multi-consumer rule). Each
+    quantile map is a groupBy histogram BOUNDED BY DISTINCT METRIC
+    VALUES (days by the span, counts by per-user activity, cents by
+    value quantization -- the KS cell-relation class, never
+    corpus-sized), a cumulative window over that bounded frame (the
+    length_batches offset precedent) with the 1-row count broadcast
+    into it, and a broadcast join back. No corpus-sized window, no
+    per-user global rank, no corpus-wide scalar projection.
+
+    STAGED (gate-ready; registered when a gate-window slot opens)."""
+    d_col = F.floor(epoch_ms(ts_col) / F.lit(RFM_DAY_MS)).cast("bigint")
+    cents = F.coalesce(
+        F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint"),
+        F.lit(0),
+    )
+    per_user = (
+        events.select(
+            F.col(user_col).alias("user_id"), d_col.alias("d"), cents.alias("c")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum("c").cast("bigint").alias("m"),
+        )
+        # FIVE consumers (3 histograms + user count + join chain): cut
+        # the corpus scan once (multi-consumer rule); |users|-bounded
+        .localCheckpoint()
+    )
+    # 1-row frame consumed by all three quantile maps: checkpoint or the
+    # per_user count re-aggregates once per map (multi-consumer rule)
+    n1 = per_user.agg(F.count(F.lit(1)).alias("n_users")).localCheckpoint()
+
+    def _qmap(col: str, q_name: str, descending: bool = False) -> DataFrame:
+        """(value -> quantile) map: distinct-value histogram, cumulative
+        strictly-better count over the bounded frame, integer bucket."""
+        hist = per_user.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        hist = hist.crossJoin(F.broadcast(n1))
+        order = F.col(col).desc() if descending else F.col(col).asc()
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+        staged = hist.select(
+            col,
+            "n_users",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias("below"),
+        )
+        # true integer division (nonnegative operands: Spark's
+        # truncating DIV == DuckDB's flooring //), never a double
+        # divide + cast
+        return staged.select(
+            col,
+            F.least(
+                F.lit(n_q - 1).cast("bigint"),
+                F.expr(f"({n_q} * below) DIV n_users").cast("bigint"),
+            ).alias(q_name),
+        )
+
+    rq = _qmap("last_d", "r_q", descending=True)
+    fq = _qmap("f", "f_q")
+    mq = _qmap("m", "m_q")
+    joined = (
+        per_user.join(F.broadcast(rq), "last_d")
+        .join(F.broadcast(fq), "f")
+        .join(F.broadcast(mq), "m")
+    )
+    return (
+        joined.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("f").cast("bigint").alias("sum_events"),
+            F.sum("m").cast("bigint").alias("sum_cents"),
+        )
+        .select("r_q", "f_q", "m_q", "n_users", "sum_events", "sum_cents")
+    )
+
+
+def rfm_segments_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_q: int = RFM_N_Q,
+) -> str:
+    """DuckDB twin of :func:`rfm_segments` (same per-user BIGINT frame,
+    same value-collapsed strictly-below quantile maps over the
+    distinct-value histograms, same flooring integer division; BIGINT
+    casts on sum()/count() outputs -- the HUGEINT dtype-skew rule)."""
+    qcap = n_q - 1
+    return f"""
+WITH per_user AS (
+  SELECT {user_col} AS user_id,
+         max(epoch_ms({ts_col}) // {RFM_DAY_MS}) AS last_d,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(COALESCE(CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT), 0))
+              AS BIGINT) AS m
+  FROM {table} GROUP BY 1
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM per_user),
+rh AS (SELECT last_d, CAST(count(*) AS BIGINT) AS cnt FROM per_user GROUP BY 1),
+rq AS (
+  SELECT last_d, least(CAST({qcap} AS BIGINT),
+                  CAST(({n_q} * COALESCE(CAST(sum(cnt) OVER
+                    (ORDER BY last_d DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0)) // n_users AS BIGINT)) AS r_q
+  FROM rh, n1
+),
+fh AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt FROM per_user GROUP BY 1),
+fq AS (
+  SELECT f, least(CAST({qcap} AS BIGINT),
+                  CAST(({n_q} * COALESCE(CAST(sum(cnt) OVER
+                    (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0)) // n_users AS BIGINT)) AS f_q
+  FROM fh, n1
+),
+mh AS (SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM per_user GROUP BY 1),
+mq AS (
+  SELECT m, least(CAST({qcap} AS BIGINT),
+                  CAST(({n_q} * COALESCE(CAST(sum(cnt) OVER
+                    (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0)) // n_users AS BIGINT)) AS m_q
+  FROM mh, n1
+)
+SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(f) AS BIGINT) AS sum_events, CAST(sum(m) AS BIGINT) AS sum_cents
+FROM per_user
+JOIN rq USING (last_d) JOIN fq USING (f) JOIN mq USING (m)
+GROUP BY 1, 2, 3
+"""

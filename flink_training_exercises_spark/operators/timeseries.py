@@ -1549,3 +1549,176 @@ SELECT event_type, lag, n AS n_pairs, sx AS sum_x, sy AS sum_y,
        CASE WHEN prod > 0e0 THEN num / sqrt(prod) END AS pearson_r
 FROM d
 """
+
+
+def mann_kendall_trend(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type over the daily
+    cents series -- the nonparametric significance test completing the
+    trend family: value_trend_ols gives the least-squares slope,
+    theil_sen_trend the robust slope, cusum_level_shift the change
+    point, and Mann-Kendall answers "is there a trend AT ALL" without
+    assuming linearity or a noise distribution (Mann 1945, Kendall
+    1975 -- the standard hydrology/climatology screen).
+
+    Output (event_type, n_days, s_stat, var_s_x18, z_mk):
+    ``s_stat`` = sum over ordered day pairs of sign(y_j - y_i) -- an
+    EXACT BIGINT (positive = rising); ``var_s_x18`` = 18 * Var(S) with
+    the tie correction, also exact BIGINT:
+    n(n-1)(2n+5) - sum_t t(t-1)(2t+5) over tie groups of equal daily
+    values; ``z_mk`` is the continuity-corrected normal score
+    (S - sign(S)) / sqrt(var_s_x18 / 18) -- NULL when var_s_x18 = 0
+    (all daily values tied). Types need >= 2 distinct days to appear
+    (no pairs otherwise -- the theil_sen_trend contract).
+
+    STAGED (gate-ready; registered when a gate-window slot opens).
+
+    Determinism: daily sums are exact BIGINT cents (the theil_sen
+    bucket frame); S and the variance are pure integer arithmetic, and
+    z is div/sqrt of exact integers over IDENTICAL expression trees on
+    both engines -- correctly-rounded IEEE, bit-identical (the
+    Pearson/BM25 recipe). Buckets are epoch-ms floor-division
+    (session-TZ independent; epoch_ms >= 0 precondition per the
+    per-engine integer-division rule -- testdata is post-epoch).
+    BIGINT bound: n(n-1)(2n+5) ~ 2n^3 < 2^63 needs n < ~1.66e6 daily
+    buckets per type (a century is 36.5k) -- ANSI raises loudly past
+    it; the stratified per-shard screen is the 100 TB mitigation.
+
+    Scale shape (100 TB): ONE map-side-combined hash aggregate reduces
+    the corpus to the span-bounded (type, day) frame,
+    localCheckpoint'd once for its FOUR consumers (both pair-join
+    sides, the tie histogram, the day count -- the multi-consumer
+    rule). The pairwise join is quadratic in distinct DAYS per type,
+    never in rows -- the theil_sen confinement; ties and counts are
+    grouped aggregates of the same bounded frame."""
+    from ..functions.time import epoch_ms as _epoch_ms
+
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.floor(_epoch_ms(ts_col) / F.lit(DAY_MS)).cast("bigint").alias("d"),
+            F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("y"))
+        # FOUR consumers (both pair-join sides + ties + n_days): cut the
+        # corpus scan once (multi-consumer rule); span x types-bounded
+        .localCheckpoint()
+    )
+    a = daily.select("event_type", F.col("d").alias("di"), F.col("y").alias("yi"))
+    b = daily.select("event_type", F.col("d").alias("dj"), F.col("y").alias("yj"))
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("di") < F.col("dj"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yj") > F.col("yi"), F.lit(1))
+                .when(F.col("yj") < F.col("yi"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - F.lit(1)) * (F.lit(2) * F.col("t") + F.lit(5))
+            )
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    j = (
+        nd.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - F.lit(1))
+                * (F.lit(2) * F.col("n_days") + F.lit(5))
+                - F.col("tie_sum")
+            )
+            .cast("bigint")
+            .alias("var_s_x18"),
+        )
+    )
+    num = (
+        F.col("s_stat")
+        - F.when(F.col("s_stat") > 0, F.lit(1))
+        .when(F.col("s_stat") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+    ).cast("double")
+    z = F.when(
+        F.col("var_s_x18") > 0,
+        num / F.sqrt(F.col("var_s_x18").cast("double") / F.lit(18.0)),
+    )
+    return j.select("event_type", "n_days", "s_stat", "var_s_x18", z.alias("z_mk"))
+
+
+def mann_kendall_trend_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`mann_kendall_trend` (same daily BIGINT
+    sums, same integer S / tie-corrected 18*Var(S), IDENTICAL double
+    tree for z; BIGINT casts on sum() outputs -- the HUGEINT
+    dtype-skew rule)."""
+    return f"""
+WITH daily AS (
+  SELECT {type_col} AS event_type,
+         epoch_ms({ts_col}) // {DAY_MS} AS d,
+         CAST(sum(CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT)) AS BIGINT) AS y
+  FROM {table} GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+  GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+  FROM (
+    SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+    FROM daily GROUP BY 1, 2
+  ) GROUP BY 1
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+),
+j AS (
+  SELECT nd.event_type, nd.n_days, s.s_stat,
+         CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tie_sum
+              AS BIGINT) AS var_s_x18
+  FROM nd
+  JOIN s ON s.event_type = nd.event_type
+  JOIN ties ON ties.event_type = nd.event_type
+)
+SELECT event_type, n_days, s_stat, var_s_x18,
+       CASE WHEN var_s_x18 > 0 THEN
+         CAST(s_stat - (CASE WHEN s_stat > 0 THEN 1
+                             WHEN s_stat < 0 THEN -1 ELSE 0 END) AS DOUBLE)
+         / sqrt(CAST(var_s_x18 AS DOUBLE) / 1.8e1)
+       END AS z_mk
+FROM j
+"""

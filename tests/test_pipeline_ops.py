@@ -3232,3 +3232,201 @@ def test_value_acf_lags_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(value_acf_lags_sql()).fetchall(), key=repr)
     assert got == want and got
+
+
+def test_mann_kendall_trend_hand_computed(spark):
+    """Strictly rising 4-day series: S = 6 (all pairs rising), no ties
+    so var_s_x18 = 4*3*13 = 156, z = 5/sqrt(156/18); a same-day pair of
+    events must SUM into one daily bucket before pairing."""
+    import math
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "a", 1.0, None),
+        (1, base + timedelta(days=1), 1, "a", 2.0, None),
+        (2, base + timedelta(days=2), 1, "a", 3.0, None),
+        # two events on day 3 sum to 400 cents (one bucket, still rising)
+        (3, base + timedelta(days=3), 1, "a", 1.5, None),
+        (4, base + timedelta(days=3, hours=1), 1, "a", 2.5, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = mann_kendall_trend(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_type"], r["n_days"], r["s_stat"], r["var_s_x18"]) == (
+        "a",
+        4,
+        6,
+        156,
+    )
+    assert r["z_mk"] == (6 - 1) / math.sqrt(156 / 18.0)
+
+
+def test_mann_kendall_trend_contracts(spark, sf_small):
+    """|S| <= n(n-1)/2, var_s_x18 in [0, n(n-1)(2n+5)], z sign matches
+    S sign; the all-tied degenerate emits z NULL and a single-day type
+    emits no row; the tie correction is exact (hand case)."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    rows = mann_kendall_trend(load_table(spark, "events", sf_small)).collect()
+    assert rows
+    for r in rows:
+        n = r["n_days"]
+        assert n >= 2
+        assert abs(r["s_stat"]) <= n * (n - 1) // 2
+        assert 0 <= r["var_s_x18"] <= n * (n - 1) * (2 * n + 5)
+        if r["z_mk"] is not None:
+            # continuity correction: z > 0 iff S > 1 (S in {-1, 0, 1} -> z = 0)
+            assert (r["z_mk"] > 0) == (r["s_stat"] > 1)
+            assert (r["z_mk"] < 0) == (r["s_stat"] < -1)
+    base = datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # tie case: days [100, 100, 200] cents -> S = 2,
+    # tie_sum = 2*1*9 = 18, var18 = 3*2*11 - 18 = 48
+    tied = spark.createDataFrame(
+        [
+            (0, base, 1, "a", 1.0, None),
+            (1, base + timedelta(days=1), 1, "a", 1.0, None),
+            (2, base + timedelta(days=2), 1, "a", 2.0, None),
+        ],
+        schema,
+    )
+    r = mann_kendall_trend(tied).collect()[0]
+    assert (r["s_stat"], r["var_s_x18"]) == (2, 48)
+    # all-tied degenerate: var18 = 0 -> z NULL
+    flat = spark.createDataFrame(
+        [
+            (0, base, 1, "a", 1.0, None),
+            (1, base + timedelta(days=1), 1, "a", 1.0, None),
+        ],
+        schema,
+    )
+    r = mann_kendall_trend(flat).collect()[0]
+    assert (r["s_stat"], r["var_s_x18"], r["z_mk"]) == (0, 0, None)
+    # single-day type: no pairs, no row
+    single = spark.createDataFrame([(0, base, 1, "b", 1.0, None)], schema)
+    assert mann_kendall_trend(single).count() == 0
+
+
+def test_mann_kendall_trend_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        mann_kendall_trend,
+        mann_kendall_trend_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, mann_kendall_trend(load_table(spark, "events", sf_small)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(mann_kendall_trend_sql()).fetchall())
+    assert got == want and got
+
+
+def test_rfm_segments_hand_computed(spark):
+    """Four single-event users with distinct days and values: recency
+    quantiles ascend with days-since-last (r_q = 0 is most recent),
+    frequency all ties into f_q = 0 (value-collapsed), monetary tracks
+    the cents order; a NULL value coalesces to 0 cents but still counts
+    one event."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.sessions import rfm_segments
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "a", 1.0, None),
+        (1, base + timedelta(days=1), 2, "a", 2.0, None),
+        (2, base + timedelta(days=2), 3, "a", 3.0, None),
+        (3, base + timedelta(days=3), 4, "a", 4.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted(map(tuple, rfm_segments(df).collect()))
+    want = sorted(
+        [
+            (3, 0, 0, 1, 1, 100),   # user 1: oldest, cheapest
+            (2, 0, 1, 1, 1, 200),
+            (1, 0, 2, 1, 1, 300),
+            (0, 0, 3, 1, 1, 400),   # user 4: most recent, most valuable
+        ]
+    )
+    assert got == want
+    # NULL value -> 0 cents, still one event; all users tie on f and r
+    nulls = spark.createDataFrame(
+        [
+            (0, base, 1, "a", None, None),
+            (1, base, 2, "a", 1.0, None),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted(map(tuple, rfm_segments(nulls).collect()))
+    # m: user1 = 0 -> below 0 -> q0; user2 = 100 -> below 1 -> 4*1//2 = 2
+    assert got == sorted([(0, 0, 0, 1, 1, 0), (0, 0, 2, 1, 1, 100)])
+
+
+def test_rfm_segments_contracts(spark, sf_small):
+    """Grid cells partition the user base: quantile labels are in
+    [0, n_q), n_users sums to the distinct-user count, sum_events to
+    the corpus row count, and every quantile axis is populated at the
+    extremes (0 and n_q-1 appear when users differ)."""
+    from flink_training_exercises_spark.operators.sessions import rfm_segments
+    from flink_training_exercises_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_small)
+    rows = rfm_segments(ev).collect()
+    assert rows
+    for r in rows:
+        for c in ("r_q", "f_q", "m_q"):
+            assert 0 <= r[c] <= 3
+    assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
+    assert sum(r["sum_events"] for r in rows) == ev.count()
+    for c in ("f_q", "m_q"):
+        seen = {r[c] for r in rows}
+        assert 0 in seen and 3 in seen
+
+
+def test_rfm_segments_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from flink_training_exercises_spark.operators.sessions import (
+        rfm_segments,
+        rfm_segments_sql,
+    )
+    from flink_training_exercises_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, rfm_segments(load_table(spark, "events", sf_small)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(con.execute(rfm_segments_sql()).fetchall())
+    assert got == want and got

@@ -2330,3 +2330,131 @@ def test_value_acf_lags_matches_python_replay(spark, series):
             )
             want[(t, lag)] = (n, sx, sy, r)
     assert got == want
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),     # type index
+            st.integers(min_value=0, max_value=9),     # day offset
+            st.integers(min_value=0, max_value=5),     # value dollars
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_mann_kendall_trend_matches_python_replay(spark, series):
+    """Random daily series (ties likely at 6 dollar levels): the exact
+    integer S, the tie-corrected 18*Var(S), and the continuity-corrected
+    z over the identical double tree equal a direct python fold --
+    sqrt/div/sub are correctly-rounded IEEE, so == not approx, None
+    included."""
+    import math
+    from collections import Counter, defaultdict
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    types = ["view", "click"]
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(days=d), 1, types[t], float(v), None)
+        for i, (t, d, v) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["event_type"]: (r["n_days"], r["s_stat"], r["var_s_x18"], r["z_mk"])
+        for r in mann_kendall_trend(df).collect()
+    }
+
+    want = {}
+    for ti, tname in enumerate(types):
+        daily = defaultdict(int)
+        for t, d, v in series:
+            if t == ti:
+                daily[d] += v * 100
+        if len(daily) < 2:
+            continue
+        ys = [daily[d] for d in sorted(daily)]
+        n = len(ys)
+        s = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie_sum = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie_sum
+        if var18 > 0:
+            num = s - ((s > 0) - (s < 0))
+            z = num / math.sqrt(var18 / 18.0)
+        else:
+            z = None
+        want[tname] = (n, s, var18, z)
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),     # user index
+            st.integers(min_value=0, max_value=6),     # day offset
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # dollars
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_rfm_segments_matches_python_replay(spark, events):
+    """Random user/day/value triples (NULL values included): the
+    value-collapsed strictly-below quantile maps and the BIGINT grid
+    equal a direct python fold -- all-integer output, == not approx."""
+    from collections import defaultdict
+
+    from flink_training_exercises_spark.operators.sessions import rfm_segments
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(days=d), u, "a", None if v is None else float(v), None)
+        for i, (u, d, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted(map(tuple, rfm_segments(df).collect()))
+
+    per = {}
+    for u, d, v in events:
+        last_d, f, m = per.get(u, (-1, 0, 0))
+        per[u] = (max(last_d, d), f + 1, m + (0 if v is None else v * 100))
+    max_d = max(ld for ld, _, _ in per.values())
+    n = len(per)
+    metrics = {u: (max_d - ld, f, m) for u, (ld, f, m) in per.items()}
+
+    def qmap(idx):
+        vals = [m[idx] for m in metrics.values()]
+        return {
+            v: min(3, 4 * sum(x < v for x in vals) // n) for v in set(vals)
+        }
+
+    qr, qf, qm = qmap(0), qmap(1), qmap(2)
+    grid = defaultdict(lambda: [0, 0, 0])
+    for u, (r, f, m) in metrics.items():
+        cell = grid[(qr[r], qf[f], qm[m])]
+        cell[0] += 1
+        cell[1] += f
+        cell[2] += m
+    want = sorted(
+        (rq, fq, mq, c[0], c[1], c[2]) for (rq, fq, mq), c in grid.items()
+    )
+    assert got == want

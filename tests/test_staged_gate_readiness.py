@@ -34,8 +34,9 @@ embedding_centroid_drift, feature_hashing_profile, vocab_drift_halves,
 streaming_windowed_bloom -- the backlog-clearing rotation VERDICT r12
 #1 recorded) were trimmed when they entered the catalog. The round-13
 trim emptied BOTH lists; the batch list was refilled the same round
-with the two round-13 stagings (ks_two_sample_drift, value_acf_lags);
-the streaming list stays empty until a new streaming op is staged."""
+with four round-13 stagings (ks_two_sample_drift, value_acf_lags,
+mann_kendall_trend, rfm_segments); the streaming list stays empty
+until a new streaming op is staged."""
 
 import duckdb
 import pytest
@@ -47,11 +48,18 @@ def _cases(spark, sf):
     """Staged BATCH cases: operator DataFrame paired with its DuckDB
     twin SQL, keyed by the operator function's name (the label-parity
     test's convention). Refilled after the round-13 backlog-clearing
-    promotion with the two round-13 stagings (the <=2 cadence): the
-    exact-rational KS two-sample drift screen and the ACF lag screen."""
+    promotion with four round-13 stagings: the exact-rational KS
+    two-sample drift screen, the ACF lag screen, the Mann-Kendall
+    trend test, and RFM quantile segmentation."""
+    from flink_training_exercises_spark.operators.sessions import (
+        rfm_segments,
+        rfm_segments_sql,
+    )
     from flink_training_exercises_spark.operators.timeseries import (
         ks_two_sample_drift,
         ks_two_sample_drift_sql,
+        mann_kendall_trend,
+        mann_kendall_trend_sql,
         value_acf_lags,
         value_acf_lags_sql,
     )
@@ -65,6 +73,14 @@ def _cases(spark, sf):
         "value_acf_lags": (
             value_acf_lags(ev),
             value_acf_lags_sql(),
+        ),
+        "mann_kendall_trend": (
+            mann_kendall_trend(ev),
+            mann_kendall_trend_sql(),
+        ),
+        "rfm_segments": (
+            rfm_segments(ev),
+            rfm_segments_sql(),
         ),
     }
 
