@@ -826,7 +826,10 @@ JOIN per_type nb ON nb.t = type_b, ns
 """
 
 
-RFM_DAY_MS = 86_400_000
+# ONE source of truth for the day-bucket width (the SKETCH_WINDOW_MS
+# lesson: duplicated bucket literals desync silently on a one-sided edit)
+from .timeseries import DAY_MS as RFM_DAY_MS  # noqa: E402
+
 RFM_N_Q = 4  # quartiles -- the classic 4x4x4 RFM grid
 
 

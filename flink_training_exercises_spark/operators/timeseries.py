@@ -287,7 +287,11 @@ def value_hour_correlation(
     from ..functions.time import epoch_ms as _epoch_ms
 
     ms = _epoch_ms(ts_col)
-    base = events.select(
+    # NULL values would desync the sufficient statistics (count(*) sees
+    # the row, sum(x)/sum(x*x) skip it -- r is then not the Pearson r of
+    # any sample); exclude them structurally on BOTH engines. Latent on
+    # this NULL-free testdata; pushed to the scan as IsNotNull.
+    base = events.where(F.col(value_col).isNotNull()).select(
         F.col(type_col).alias("event_type"),
         F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint").alias("x"),
         (ms % F.lit(DAY_MS)).alias("_msday"),
@@ -327,7 +331,7 @@ WITH c AS (
   SELECT {type_col} AS event_type,
          CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS x,
          (epoch_ms({ts_col}) % {DAY_MS}) // {HOUR_MS} AS y
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
 ),
 a AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -389,7 +393,10 @@ def value_trend_ols(
     mitigation is coarser x units (weeks)."""
     from ..functions.time import epoch_ms as _epoch_ms
 
-    base = events.select(
+    # NULL values would desync n/sx/sxx (row counted, y sums skipped --
+    # the slope is then not the OLS of any sample); exclude structurally
+    # on BOTH engines (latent on this NULL-free testdata).
+    base = events.where(F.col(value_col).isNotNull()).select(
         F.col(type_col).alias("event_type"),
         F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint").alias("y"),
         F.floor(_epoch_ms(ts_col) / F.lit(DAY_MS)).cast("bigint").alias("day"),
@@ -435,7 +442,7 @@ WITH c AS (
   SELECT {type_col} AS event_type,
          CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS y,
          epoch_ms({ts_col}) // {DAY_MS} AS day
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
 ),
 r AS (
   SELECT event_type, y,
@@ -504,7 +511,11 @@ def cusum_level_shift(
     from ..functions.time import epoch_ms as _epoch_ms
 
     ms = _epoch_ms(ts_col)
-    buck = events.select(
+    # an all-NULL-value bucket would yield x = NULL (sum skips NULLs) --
+    # counted in n_buckets but invisible to every running sum; exclude
+    # NULL values structurally on BOTH engines (latent on this NULL-free
+    # testdata; mixed buckets are unaffected, sum skipped them anyway).
+    buck = events.where(F.col(value_col).isNotNull()).select(
         F.col(type_col).alias("event_type"),
         (ms - ms % F.lit(bucket_ms)).alias("bucket_ms"),
         F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1))
@@ -576,7 +587,7 @@ WITH buck AS (
   SELECT {type_col} AS event_type,
          epoch_ms({ts_col}) - epoch_ms({ts_col}) % {bucket_ms} AS bucket_ms,
          CAST(sum(CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT)) AS BIGINT) AS x
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
 ),
 scaled AS (
   SELECT event_type, bucket_ms,
@@ -642,7 +653,13 @@ def theil_sen_trend(
     from ..functions.time import epoch_ms as _epoch_ms
 
     daily = (
-        events.select(
+        # an all-NULL-value day would yield y = NULL -> NULL pairwise
+        # slopes feeding an ASC rank window, the Spark-NULLS-FIRST vs
+        # DuckDB-NULLS-LAST divergence class (KS lesson) -- exclude NULL
+        # values structurally on BOTH engines (latent on this NULL-free
+        # testdata; mixed days are unaffected, sum skipped them anyway)
+        events.where(F.col(value_col).isNotNull())
+        .select(
             F.col(type_col).alias("event_type"),
             F.floor(_epoch_ms(ts_col) / F.lit(DAY_MS)).cast("bigint").alias("d"),
             F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1))
@@ -702,7 +719,7 @@ WITH daily AS (
   SELECT {type_col} AS event_type,
          epoch_ms({ts_col}) // {DAY_MS} AS d,
          CAST(sum(CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT)) AS BIGINT) AS y
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
 ),
 pairs AS (
   SELECT a.event_type,
@@ -1432,7 +1449,11 @@ def value_acf_lags(
     ms = _epoch_ms(ts_col)
     cents = F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1)).cast("bigint")
     b = (
-        events.select(
+        # all-NULL-value buckets excluded structurally (the theil_sen /
+        # KS NULL rule: v = NULL would pair with a count but no sums,
+        # desyncing the five sufficient statistics; mixed unaffected)
+        events.where(F.col(value_col).isNotNull())
+        .select(
             F.col(type_col).alias("event_type"),
             (ms - ms % F.lit(HOUR_MS)).alias("bucket_ms"),
             cents.alias("c"),
@@ -1508,7 +1529,7 @@ WITH raw AS (
   SELECT {type_col} AS event_type,
          epoch_ms({ts_col}) - epoch_ms({ts_col}) % {HOUR_MS} AS bucket_ms,
          CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT) AS c
-  FROM {table}
+  FROM {table} WHERE {value_col} IS NOT NULL
 ),
 bsum AS (
   SELECT event_type, bucket_ms, CAST(sum(c) AS BIGINT) AS v
@@ -1598,7 +1619,11 @@ def mann_kendall_trend(
     from ..functions.time import epoch_ms as _epoch_ms
 
     daily = (
-        events.select(
+        # all-NULL-value days excluded structurally (the theil_sen /
+        # KS NULL rule: y = NULL would be counted in n_days and tie to
+        # every pair with sign 0, deflating z; mixed days unaffected)
+        events.where(F.col(value_col).isNotNull())
+        .select(
             F.col(type_col).alias("event_type"),
             F.floor(_epoch_ms(ts_col) / F.lit(DAY_MS)).cast("bigint").alias("d"),
             F.floor(F.col(value_col) * F.lit(1e2) + F.lit(5e-1))
@@ -1685,7 +1710,7 @@ WITH daily AS (
   SELECT {type_col} AS event_type,
          epoch_ms({ts_col}) // {DAY_MS} AS d,
          CAST(sum(CAST(floor({value_col} * 1e2 + 5e-1) AS BIGINT)) AS BIGINT) AS y
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
 ),
 s AS (
   SELECT a.event_type,

@@ -131,6 +131,17 @@ _GATE_PRIORITY = [
     "streaming_windowed_bloom",
     # -- CHANGED in round 13 (plan swap, output-identical) --
     "rake_keywords",
+    # -- CHANGED in round 13 continuation (structural NULL-value filter
+    #    on the trend/correlation family, output-identical on this
+    #    NULL-free testdata; kills the latent all-NULL-bucket
+    #    NULLS-FIRST/LAST sort divergence [theil_sen] and the
+    #    n-vs-sums sufficient-statistic desync [OLS/corr/cusum];
+    #    value_hour_correlation moved up from the r9 block below --
+    #    already in-window, regrouped here as CHANGED) --
+    "theil_sen_trend",
+    "value_trend_ols",
+    "cusum_level_shift",
+    "value_hour_correlation",
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -148,7 +159,6 @@ _GATE_PRIORITY = [
     "snapshot_diff_documents",
     "skew_salted_join_events",
     "session_path_topk",
-    "value_hour_correlation",
     "zonemap_pruning_audit",
     "streaming_anomaly_zscore",
     "event_transitions_markov",
@@ -173,16 +183,19 @@ _GATE_PRIORITY = [
     "tpch_q1_pricing_summary",
     "pagerank_weighted",
     "travel_time_prediction",
+    # ===================== CUTOFF: 50 entries above =====================
+    # -- the 3 r9 rows ejected by the continuation CHANGED block (the
+    #    stalest evidence in the catalog: they LEAD the round-14
+    #    rotation, before the r10 block) --
     "mail_tfidf",
     "reply_graph",
     "member_of_the_month",
-    # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-13 window, stalest-first for
     # the round-14 rotation.
     # -- the r10-evidence block (FIRST in line for round 14: the 48
-    #    non-canary rows of the round-10 window; value_trend_ols leads) --
-    "value_trend_ols",
-    "cusum_level_shift",
+    #    non-canary rows of the round-10 window; value_trend_ols and
+    #    cusum_level_shift moved ABOVE the cutoff as continuation
+    #    CHANGED rows; contrastive_negatives now leads) --
     "contrastive_negatives",
     "curation_pipeline",
     "triangle_count_edges",
@@ -236,7 +249,7 @@ _GATE_PRIORITY = [
     "bloom_skipping_audit",
     "clustering_coefficients",
     "edge_jaccard_similarity",
-    "theil_sen_trend",
+    # (theil_sen_trend moved ABOVE the cutoff as a continuation CHANGED row)
     "downsample_lttb",
     "attribution_credit",
     "streaming_distinct_users",

@@ -59,11 +59,19 @@ EXPECTED_GATE_WINDOW = [
     # window -> TakeOrdered orderBy().limit, VERDICT r12 #3; output
     # identical, the new plan attested by this window row)
     "rake_keywords",
+    # round-13 continuation CHANGED (structural NULL-value filter on
+    # the trend/correlation family, output-identical on this NULL-free
+    # testdata; value_hour_correlation regrouped up from the r9 block)
+    "theil_sen_trend",
+    "value_trend_ols",
+    "cusum_level_shift",
+    "value_hour_correlation",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # the 41 r9-evidence rows (stalest; the 7 r10 fill rows of the
-    # zero-additions plan were ejected by the 7 new/changed rows)
+    # the 37 remaining r9-evidence rows (stalest; the 7 r10 fill rows
+    # of the zero-additions plan were ejected by the 7 new/changed
+    # rows, and the 3 tail rows by the continuation CHANGED block)
     "tokenizer_fertility",
     "streaming_scd2_maintenance",
     "cdc_merge_user_state",
@@ -77,7 +85,6 @@ EXPECTED_GATE_WINDOW = [
     "snapshot_diff_documents",
     "skew_salted_join_events",
     "session_path_topk",
-    "value_hour_correlation",
     "zonemap_pruning_audit",
     "streaming_anomaly_zscore",
     "event_transitions_markov",
@@ -102,10 +109,9 @@ EXPECTED_GATE_WINDOW = [
     "tpch_q1_pricing_summary",
     "pagerank_weighted",
     "travel_time_prediction",
-    "mail_tfidf",
-    "reply_graph",
-    "member_of_the_month",
 ]
+# (mail_tfidf, reply_graph, member_of_the_month -- ejected by the
+# continuation CHANGED block; they lead the round-14 rotation)
 
 
 

@@ -3430,3 +3430,59 @@ def test_rfm_segments_matches_duckdb_twin(spark, sf_small):
     )
     want = sorted(con.execute(rfm_segments_sql()).fetchall())
     assert got == want and got
+
+
+def test_trend_family_null_value_invariance(spark):
+    """Structural NULL-value exclusion across the trend/correlation
+    family: adding NULL-value rows -- including a day/hour bucket that
+    is ENTIRELY NULL -- must leave every statistic unchanged (before
+    the fix, NULL rows inflated n / n_days / n_buckets while the sums
+    skipped them, and an all-NULL day fed a NULL slope into theil_sen's
+    ASC rank window: the Spark-NULLS-FIRST vs DuckDB-NULLS-LAST
+    divergence class)."""
+    from datetime import datetime, timedelta
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        cusum_level_shift,
+        mann_kendall_trend,
+        theil_sen_trend,
+        value_acf_lags,
+        value_hour_correlation,
+        value_trend_ols,
+    )
+
+    base = datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    clean_rows = [
+        (0, base, 1, "a", 1.0, None),
+        (1, base + timedelta(days=1), 1, "a", 3.0, None),
+        (2, base + timedelta(days=2), 1, "a", 2.0, None),
+        (3, base + timedelta(days=3), 1, "a", 5.0, None),
+        # adjacent hours so value_acf_lags has lag-1 pairs
+        (7, base + timedelta(hours=1), 1, "a", 4.0, None),
+        (8, base + timedelta(hours=2), 1, "a", 6.0, None),
+    ]
+    # NULL pollution: one NULL inside an observed day, plus an
+    # ENTIRELY-NULL day 4 (the all-NULL-bucket case)
+    dirty_rows = clean_rows + [
+        (4, base + timedelta(days=1, hours=2), 1, "a", None, None),
+        (5, base + timedelta(days=4), 1, "a", None, None),
+        (6, base + timedelta(days=4, hours=3), 1, "a", None, None),
+    ]
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(dirty_rows, schema)
+    for op in (
+        value_trend_ols,
+        value_hour_correlation,
+        theil_sen_trend,
+        cusum_level_shift,
+        mann_kendall_trend,
+        value_acf_lags,
+    ):
+        got_clean = sorted(map(tuple, op(clean).collect()))
+        got_dirty = sorted(map(tuple, op(dirty).collect()))
+        assert got_clean == got_dirty, op.__name__
+        assert got_clean, op.__name__
