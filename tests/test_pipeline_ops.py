@@ -3486,3 +3486,67 @@ def test_trend_family_null_value_invariance(spark):
         got_dirty = sorted(map(tuple, op(dirty).collect()))
         assert got_clean == got_dirty, op.__name__
         assert got_clean, op.__name__
+
+
+def test_trend_family_null_value_twins_agree_on_null_data(spark):
+    """The six DuckDB twins' `WHERE value IS NOT NULL` clauses executed
+    on data that actually CONTAINS NULLs (the whole committed testdata
+    has none, so the oracle gate never exercises them): both engines
+    must produce identical results on a NULL-bearing frame, pinning the
+    filter SYMMETRY itself -- a one-sided edit or twin typo would pass
+    every other test green (the r9 symmetric-format-gate precedent)."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pandas as pd
+
+    from flink_training_exercises_spark.operators.timeseries import (
+        cusum_level_shift,
+        cusum_level_shift_sql,
+        mann_kendall_trend,
+        mann_kendall_trend_sql,
+        theil_sen_trend,
+        theil_sen_trend_sql,
+        value_acf_lags,
+        value_acf_lags_sql,
+        value_hour_correlation,
+        value_hour_correlation_sql,
+        value_trend_ols,
+        value_trend_ols_sql,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "a", 1.0, None),
+        (1, base + timedelta(hours=1), 1, "a", 4.0, None),
+        (2, base + timedelta(hours=2), 1, "a", None, None),   # mixed bucket
+        (3, base + timedelta(days=1), 1, "a", 3.0, None),
+        (4, base + timedelta(days=2), 1, "a", None, None),    # all-NULL day
+        (5, base + timedelta(days=2, hours=1), 1, "a", None, None),
+        (6, base + timedelta(days=3), 1, "a", 5.0, None),
+        (7, base, 2, "b", None, None),                        # all-NULL type
+        (8, base + timedelta(days=1), 2, "b", None, None),
+    ]
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    for op, twin in [
+        (value_trend_ols, value_trend_ols_sql),
+        (value_hour_correlation, value_hour_correlation_sql),
+        (theil_sen_trend, theil_sen_trend_sql),
+        (cusum_level_shift, cusum_level_shift_sql),
+        (mann_kendall_trend, mann_kendall_trend_sql),
+        (value_acf_lags, value_acf_lags_sql),
+    ]:
+        got = sorted(map(tuple, op(df).collect()), key=repr)
+        want = sorted(con.execute(twin()).fetchall(), key=repr)
+        assert got == want, op.__name__
+        assert got, op.__name__  # type "a" must survive the NULL cuts
