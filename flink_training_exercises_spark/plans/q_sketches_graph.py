@@ -268,12 +268,11 @@ GROUP BY 1
     "gate checks the aggregate through the partitioned round-trip.",
 )
 def q_dpp_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from ..scratch import mkscratch
     from ..sources import bucketing
 
     ev = load_table(spark, "events", sf_dir)
-    path = tempfile.mkdtemp(prefix="fte_dpp_") + "/events_part"
+    path = mkscratch(prefix="fte_dpp_") + "/events_part"
     bucketing.write_partitioned(ev, path, "event_type")
     dim = spark.createDataFrame(
         _DPP_DIM, "d_type string, type_weight int"

@@ -1,0 +1,51 @@
+"""Fast scratch-space selection for shuffle files and streaming checkpoints.
+
+Measured on the r13 optimization round's sandbox: the root block device
+sustains ~70 MB/s on synced writes with a ~10 ms fsync latency, while
+/dev/shm (tmpfs) fsyncs in ~0.01 ms.  Structured Streaming pays that fsync
+latency dozens of times per micro-batch (offset WAL + commit log + one
+state-store delta file per shuffle partition), and every shuffle/spill/
+broadcast block goes through ``spark.local.dir`` -- so on a slow-disk box
+the scratch location, not the computation, dominates streaming walls
+(guide §2.1: "local disk bandwidth for shuffle files can be the tighter
+limit on machines with slow disks -- check both").
+
+Selection order (scale-parameterised, not a local[32] hack):
+  1. ``$SPARK_GRAFT_SCRATCH`` -- explicit override; on a real cluster point
+     this (or the deploy's own ``spark.local.dir`` / ``SPARK_LOCAL_DIRS``,
+     which YARN/K8s set per-container and which override anything chosen
+     here) at the NVMe scratch volumes.
+  2. ``/dev/shm`` when present and writable -- RAM-backed, bounded here by
+     the tiny local shuffle/state footprint (MBs at sf0.1 against a 126 GB
+     tmpfs).
+  3. the system temp dir -- the previous behavior, byte-for-byte.
+
+Checkpoint contents are ephemeral by design (every gate/bench invocation
+uses a fresh checkpoint dir and replays deterministically), so RAM-backed
+durability is exactly as strong as the /tmp it replaces.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+_SHM = "/dev/shm"
+
+
+def scratch_root() -> str:
+    """The directory under which shuffle dirs and streaming checkpoints go."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    if os.path.isdir(_SHM) and os.access(_SHM, os.W_OK):
+        d = os.path.join(_SHM, "spark_graft_scratch")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return tempfile.gettempdir()
+
+
+def mkscratch(prefix: str) -> str:
+    """tempfile.mkdtemp, but rooted at scratch_root()."""
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())

@@ -18,6 +18,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .scratch import scratch_root
+
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -45,6 +47,10 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        # shuffle/spill/broadcast blocks on the fastest scratch available
+        # (slow-disk boxes otherwise bottleneck on local I/O -- scratch.py);
+        # cluster deploys override via SPARK_LOCAL_DIRS / their own conf
+        .config("spark.local.dir", scratch_root())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -10,12 +10,12 @@ reference's EventTime windows (PopularPlaces.java:71-97).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import geo
+from ..scratch import mkscratch
 from ..functions.time import ntz_as_utc_instant
 from ..operators.windows import DEFAULT_SLIDE, DEFAULT_THRESHOLD, DEFAULT_WINDOW
 
@@ -133,7 +133,7 @@ def drain_availablenow(stream: DataFrame, query_name: str) -> DataFrame:
         stream.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"fte_{query_name}_ck_"))
+        .option("checkpointLocation", mkscratch(prefix=f"fte_{query_name}_ck_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -398,9 +398,9 @@ def run_cdc_merge_availablenow(
 
     spark = changes.sparkSession
     if state_dir is None:
-        state_dir = tempfile.mkdtemp(prefix=f"fte_{query_name}_state_") + "/state"
+        state_dir = mkscratch(prefix=f"fte_{query_name}_state_") + "/state"
     if checkpoint_dir is None:
-        checkpoint_dir = tempfile.mkdtemp(prefix=f"fte_{query_name}_ck_")
+        checkpoint_dir = mkscratch(prefix=f"fte_{query_name}_ck_")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # existence check, NOT try/except: a transient read error on batch
@@ -486,7 +486,7 @@ def run_snapshot_diff_availablenow(
             ).otherwise(F.col("text"))
         ).alias("new_hash"),
     )
-    root = tempfile.mkdtemp(prefix=f"fte_{query_name}_")
+    root = mkscratch(prefix=f"fte_{query_name}_")
     emit_root = os.path.join(root, "emit")
     seen_root = os.path.join(root, "seen")
     ck = os.path.join(root, "ck")
@@ -596,7 +596,7 @@ def run_rollup_merge_availablenow(
         F.round(F.col("value") * 100).cast("bigint").alias("cents_v"),
         epoch_ms("ts").alias("ms"),
     )
-    root = tempfile.mkdtemp(prefix=f"fte_{query_name}_")
+    root = mkscratch(prefix=f"fte_{query_name}_")
     state_dir = os.path.join(root, "state")
     ck = os.path.join(root, "ck")
 
@@ -1091,7 +1091,7 @@ def run_scd2_maintenance_availablenow(
         epoch_ms("ts").alias("ms"),
         epoch_us("ts").alias("us"),
     )
-    root = tempfile.mkdtemp(prefix=f"fte_{query_name}_")
+    root = mkscratch(prefix=f"fte_{query_name}_")
     state_dir = os.path.join(root, "state")
     ck = os.path.join(root, "ck")
 

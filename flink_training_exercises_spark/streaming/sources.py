@@ -87,9 +87,10 @@ def _stage_chunks(df: DataFrame, time_col: str, n_chunks: int) -> tuple[str, lis
     round-3 dynamic-partition finding). Returns (staging_dir, part files
     in chronological chunk order)."""
     import glob as globmod
-    import tempfile
 
-    stage = tempfile.mkdtemp(prefix="replay_stage_")
+    from ..scratch import mkscratch
+
+    stage = mkscratch(prefix="replay_stage_")
     (
         df.repartitionByRange(n_chunks, F.col(time_col))
         .withColumn("__chunk", F.spark_partition_id())
