@@ -51,6 +51,39 @@ def get_spark(
         # (slow-disk boxes otherwise bottleneck on local I/O -- scratch.py);
         # cluster deploys override via SPARK_LOCAL_DIRS / their own conf
         .config("spark.local.dir", scratch_root())
+        # Checkpoint I/O without per-file fork/exec storms (r13 optimization,
+        # guide §7.3 thread-dump finding): the default FileContext-based
+        # checkpoint manager drives Hadoop RawLocalFs mkdir/create THROUGH
+        # setPermission, and without libhadoop.so every setPermission shells
+        # out (fork+exec of chmod via bash). One availableNow drain of a
+        # stream-stream join = ~11.5k forks; from a many-GB JVM each fork
+        # copies page tables, so streaming queries were fork-bound, not
+        # compute-bound (jstack: every task thread RUNNABLE inside
+        # ProcessImpl.forkAndExec <- RawLocalFileSystem.setPermission <-
+        # HDFSBackedStateStoreProvider.init). The FileSystem-based manager
+        # issues plain no-permission mkdirs/creates (no chmod), and its
+        # temp-file+rename createAtomic is atomic on the local POSIX fs --
+        # on HDFS/object-store deployments override back to the FileContext
+        # manager via SPARK_GRAFT_CKPT_FM (rename atomicity is the reason
+        # FileContext is Spark's default there).
+        .config(
+            "spark.sql.streaming.checkpointFileManagerClass",
+            os.environ.get(
+                "SPARK_GRAFT_CKPT_FM",
+                "org.apache.spark.sql.execution.streaming.checkpointing."
+                "FileSystemBasedCheckpointFileManager",
+            ),
+        )
+        # Checkpoint checksum sidecars (Spark 4.1 default on) double every
+        # checkpoint file op; they guard long-lived checkpoints against
+        # storage corruption, but every invocation here builds a FRESH
+        # checkpoint and recomputes from the parquet inputs, so the sidecars
+        # are pure overhead (half the remaining file-manager forks).
+        # Durable-checkpoint deployments re-enable via env.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
