@@ -193,12 +193,18 @@ def connected_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
+        # NO intermediate .distinct() here (r13 optimization, guide §2.4):
+        # duplicate (v, m) rows -- several neighbors of v sharing one m --
+        # are harmless to both consumers (small-star's min() is
+        # duplicate-insensitive and collapses them in the map-side partial
+        # aggregate; e_new's trailing .distinct() restores set semantics),
+        # and the distinct cost a full extra Exchange of the same rows
+        # every round. Output is set-identical.
         ls = (
             sym.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: every smaller neighbor (and u itself) connects to the
         # minimum smaller neighbor. Edges are (u > v) directed after
