@@ -509,6 +509,11 @@ def label_propagation(
             .groupBy(und["src"].alias("node"))
             .agg(F.min("label").alias("nl"))
         )
+        # the change flag is computable in the SAME projection (a label
+        # only changes when a strictly smaller neighbor min arrives), so
+        # the early-exit probe is a map-only filter over the checkpointed
+        # frame instead of re-joining the old label state (r13
+        # optimization: -1 join and -2 Exchanges per round, guide §2.4)
         nxt = (
             labels.join(neigh, "node", "left")
             .select(
@@ -516,16 +521,14 @@ def label_propagation(
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
                     "label"
                 ),
+                F.coalesce(F.col("nl") < F.col("label"), F.lit(False)).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = nxt.alias("n").join(labels.alias("o"), "node").where(
-            F.col("n.label") != F.col("o.label")
-        )
-        labels = nxt
-        if changed.isEmpty():
+        labels = nxt.select("node", "label")
+        if nxt.where("chg").isEmpty():
             break
-    return labels
+    return labels.select("node", "label")
 
 
 def label_propagation_sql(edges_sql: str, rounds: int = 6) -> str:
