@@ -185,6 +185,7 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    e_count = e.count()  # carried across rounds: one count job, not two
     for _ in range(max_iter):
         # large-star: every neighbor v > u connects to m(u) = min(N(u) + {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -219,10 +220,11 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        if e_new.count() == e.count() and e_new.subtract(e).limit(1).count() == 0:
+        e_new_count = e_new.count()
+        if e_new_count == e_count and e_new.subtract(e).limit(1).count() == 0:
             e = e_new
             break
-        e = e_new
+        e, e_count = e_new, e_new_count
     centers = e.select(F.col("v").alias("id"), F.col("v").alias("comp")).distinct()
     return e.select(F.col("u").alias("id"), F.col("v").alias("comp")).union(centers)
 

@@ -60,6 +60,9 @@ def load_tables(spark: SparkSession, names, sf_dir: str = DEFAULT_SF_DIR) -> dic
     return {n: load_table(spark, n, sf_dir) for n in names}
 
 
+_WIDEN_MEMO: dict[tuple[str, int, int], bool] = {}
+
+
 def widen_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Raise partition count before CPU-heavy per-row work (minhash
     signatures, all-pairs cosine, shingling): a small local parquet file
@@ -68,9 +71,25 @@ def widen_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     already has thousands of splits, so this no-ops (partitions >= target)
     and costs nothing; locally it is a tiny round-robin shuffle that buys
     full-machine parallelism. Row-level operators are partitioning-
-    independent, so results are identical either way."""
+    independent, so results are identical either way.
+
+    The split-count probe (``df.rdd.getNumPartitions()``) runs a full
+    physical-planning pass (~110 ms even on a trivial scan), and the ~40
+    widened catalog queries re-probe the SAME few plans every bench run --
+    so the probe's boolean is memoized per (application, semanticHash,
+    target) (r13 optimization). semanticHash is ~1 ms on an analyzed
+    plan. This memoizes a PLAN property (split count of a read-only
+    input), never data or results; a (vanishingly unlikely) 32-bit hash
+    collision could only mis-skip/mis-add the widening shuffle, which is
+    performance-neutral to results (row-level ops are partitioning-
+    independent)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash(), target)
+    narrow = _WIDEN_MEMO.get(key)
+    if narrow is None:
+        narrow = df.rdd.getNumPartitions() < target
+        _WIDEN_MEMO[key] = narrow
+    if narrow:
         return df.repartition(target)
     return df
 
