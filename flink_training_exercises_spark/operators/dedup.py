@@ -923,7 +923,13 @@ def editdistance_pairs(
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.id") < F.col("b.id")
     ]
-    dist = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    # r13 optimization (guide §1.2 per-task work): the thresholded
+    # levenshtein (Spark 3.5+) runs a banded DP with early exit and
+    # returns -1 above the threshold; kept rows get the exact distance,
+    # so (dist != -1) selects exactly the (dist <= max_dist) rows with
+    # identical dist values -- ~10% off the pair-verify stage at sf0.1,
+    # more when max_dist << prefix_len (band narrows the DP).
+    dist = F.levenshtein(F.col("a.t"), F.col("b.t"), max_dist)
     return (
         a.join(b, cond)
         .select(
@@ -931,7 +937,7 @@ def editdistance_pairs(
             F.col("b.id").alias("id_b"),
             dist.cast("bigint").alias("dist"),
         )
-        .where(F.col("dist") <= max_dist)
+        .where(F.col("dist") != -1)
     )
 
 

@@ -77,7 +77,18 @@ def weighted_pagerank(
     """
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    vertices = vertices_from_edges(edges).repartition(n_part, "vertex").cache()
+    # Consumed once for the initial ranks and once per iteration as the
+    # zero-contribution leg (below) -- multi-consumer, so cached.
+    vertices = vertices_from_edges(edges).cache()
+
+    # r13 optimization (guide §2.4): the per-iteration "vertices LEFT JOIN
+    # contribs" -- which only re-attached vertices with no inbound
+    # contribution -- is replaced by unioning a zero contribution per vertex
+    # INTO the aggregation that already shuffles by dst. One exchange per
+    # iteration instead of exchange + join; sum(c)+0 is bit-identical in
+    # exact-BIGINT mode, and in float mode adding 0.0 to a non-negative
+    # partial sum is exact (contributions are >= 0), so coalesce(s, 0)
+    # becomes plain s (never NULL: every vertex owns >= 1 grouped row).
 
     if exact:
         d100 = int(round(damping * 100))
@@ -95,19 +106,21 @@ def weighted_pagerank(
             .repartition(n_part, "src")
             .cache()
         )
+        zeros = vertices.select(
+            F.col("vertex").alias("dst"), F.lit(0).cast("bigint").alias("c")
+        )
         ranks = vertices.select("vertex", F.lit(RANK_SCALE).cast("bigint").alias("r"))
         for i in range(iterations):
             contribs = (
                 trans.join(ranks, trans["src"] == ranks["vertex"])
                 .select("dst", F.expr("(r * w) div out_sum").alias("c"))
+                .unionByName(zeros)
                 .groupBy("dst")
                 .agg(F.sum("c").alias("s"))
             )
-            ranks = vertices.join(
-                contribs, vertices["vertex"] == contribs["dst"], "left"
-            ).select(
-                "vertex",
-                (F.lit(base) + F.expr(f"({d100} * coalesce(s, 0)) div 100"))
+            ranks = contribs.select(
+                F.col("dst").alias("vertex"),
+                (F.lit(base) + F.expr(f"({d100} * s) div 100"))
                 .cast("bigint")
                 .alias("r"),
             )
@@ -123,19 +136,19 @@ def weighted_pagerank(
         .repartition(n_part, "src")
         .cache()
     )
+    zeros = vertices.select(F.col("vertex").alias("dst"), F.lit(0.0).alias("c"))
     ranks = vertices.select("vertex", F.lit(1.0).alias("rank"))
     for i in range(iterations):
         contribs = (
             trans.join(ranks, trans["src"] == ranks["vertex"])
             .select("dst", (F.col("rank") * F.col("prob")).alias("c"))
+            .unionByName(zeros)
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = vertices.join(contribs, vertices["vertex"] == contribs["dst"], "left").select(
-            "vertex",
-            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
-                "rank"
-            ),
+        ranks = contribs.select(
+            F.col("dst").alias("vertex"),
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("s")).alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
@@ -691,11 +704,11 @@ def personalized_pagerank(
 
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    vertices = vertices_from_edges(edges).repartition(n_part, "vertex").cache()
-    is_seed = (md5_long(F.col("vertex").cast("string")) % seed_mod == 0).cast(
-        "bigint"
-    )
-    verts = vertices.select("vertex", is_seed.alias("seed"))
+    vertices = vertices_from_edges(edges).cache()
+
+    def is_seed(c: F.Column) -> F.Column:
+        return (md5_long(c.cast("string")) % seed_mod == 0).cast("bigint")
+
     d100 = int(round(damping * 100))
     base = (100 - d100) * (RANK_SCALE // 100)
     trans = (
@@ -709,23 +722,31 @@ def personalized_pagerank(
         .repartition(n_part, "src")
         .cache()
     )
-    ranks = verts.select(
-        "vertex", (F.col("seed") * RANK_SCALE).cast("bigint").alias("r")
+    # r13 optimization (guide §2.4, the weighted_pagerank rewrite): the
+    # per-iteration "verts LEFT JOIN contribs" is gone -- a zero
+    # contribution per vertex is unioned into the aggregation that already
+    # shuffles by dst (sum(c)+0 is bit-identical BIGINT), and the seed
+    # flag is recomputed map-only on dst (one md5 per vertex per
+    # iteration, far cheaper than a join). One exchange per iteration.
+    zeros = vertices.select(
+        F.col("vertex").alias("dst"), F.lit(0).cast("bigint").alias("c")
+    )
+    ranks = vertices.select(
+        "vertex", (is_seed(F.col("vertex")) * RANK_SCALE).cast("bigint").alias("r")
     )
     for i in range(iterations):
         contribs = (
             trans.join(ranks, trans["src"] == ranks["vertex"])
             .select("dst", F.expr("(r * w) div out_sum").alias("c"))
+            .unionByName(zeros)
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = verts.join(
-            contribs, verts["vertex"] == contribs["dst"], "left"
-        ).select(
-            "vertex",
+        ranks = contribs.select(
+            F.col("dst").alias("vertex"),
             (
-                F.col("seed") * F.lit(base)
-                + F.expr(f"({d100} * coalesce(s, 0)) div 100")
+                is_seed(F.col("dst")) * F.lit(base)
+                + F.expr(f"({d100} * s) div 100")
             )
             .cast("bigint")
             .alias("r"),

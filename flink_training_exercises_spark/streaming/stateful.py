@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import Any, Iterator, Tuple
 
+import numpy as _np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,24 +60,43 @@ def _handle(
     out_preds: list[int] = []
     # a key's micro-batch rows can arrive as SEVERAL Arrow chunks
     # (maxRecordsPerBatch); event-time order only holds across the whole
-    # batch if we concatenate before the single sort
+    # batch if we concatenate before the single sort. Per-key costs are
+    # trimmed hard (r13 optimization, guide §1.2): this operator sees
+    # ~33k keys of ~2 rows per sf0.1 batch, so a pandas sort_values
+    # (~200 us fixed cost) and a copying concat PER KEY dominated the
+    # handler -- np.lexsort over the column arrays is the identical
+    # stable (ev_ms, ride_id, is_start) total order (lexsort's LAST key
+    # is primary, and both sorts are stable) at a fraction of the cost,
+    # and the single-chunk case (the overwhelming majority) skips the
+    # concat copy.
     chunks = list(pdfs)
-    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame(
-        columns=["ev_ms", "ride_id", "is_start", "bucket", "x_m", "y_ms"]
-    )
-    pdf = pdf.sort_values(["ev_ms", "ride_id", "is_start"], kind="mergesort")
-    for ride_id, is_start, bucket, x_m, y_ms in zip(
-        pdf["ride_id"], pdf["is_start"], pdf["bucket"], pdf["x_m"], pdf["y_ms"]
-    ):
-        b, x = int(bucket), int(x_m)
-        if is_start:
-            out_ids.append(int(ride_id))
+    if not chunks:
+        state.update((sxx, sxy))
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ev = pdf["ev_ms"].to_numpy()
+    rid = pdf["ride_id"].to_numpy()
+    ist = pdf["is_start"].to_numpy()
+    order = _np.lexsort((ist, rid, ev))
+    rid = rid[order]
+    ist = ist[order]
+    bkt = pdf["bucket"].to_numpy()[order]
+    xm = pdf["x_m"].to_numpy()[order]
+    ym = pdf["y_ms"].to_numpy()[order]
+    for i in range(len(rid)):
+        b, x = int(bkt[i]), int(xm[i])
+        if ist[i]:
+            out_ids.append(int(rid[i]))
             out_preds.append(_predict(sxx[b], sxy[b], x))
         else:
             sxx[b] += x * x
-            sxy[b] += x * int(y_ms)
+            sxy[b] += x * int(ym[i])
     state.update((sxx, sxy))
-    yield pd.DataFrame({"ride_id": out_ids, "predicted_minutes": out_preds})
+    if out_ids:
+        # keys whose batch slice holds only END events emit nothing; not
+        # yielding at all skips one Arrow batch construction per such key
+        # (output rows are identical either way)
+        yield pd.DataFrame({"ride_id": out_ids, "predicted_minutes": out_preds})
 
 
 def streaming_travel_time(rides: DataFrame) -> DataFrame:
@@ -190,11 +210,20 @@ def _zscore_handle(
     # would break event-time order whenever a key's batch spans chunks
     # (maxRecordsPerBatch), silently diverging from the batch twin
     chunks = list(pdfs)
-    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame(
-        columns=["ev_us", "event_id", "cents"]
-    )
-    pdf = pdf.sort_values(["ev_us", "event_id"], kind="mergesort")
-    for event_id, x in zip(pdf["event_id"], pdf["cents"]):
+    if not chunks:
+        state.update((tail,))
+        yield pd.DataFrame(
+            {"event_id": [], "user_id": [], "cents": [], "n_baseline": [], "is_anomaly": []}
+        )
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    # identical stable (ev_us, event_id) order via np.lexsort (last key is
+    # primary) -- the per-key pandas sort_values fixed cost dominated the
+    # handler at high key cardinality (r13, same rewrite as _handle)
+    eid_arr = pdf["event_id"].to_numpy()
+    cents_arr = pdf["cents"].to_numpy()
+    order = _np.lexsort((eid_arr, pdf["ev_us"].to_numpy()))
+    for event_id, x in zip(eid_arr[order], cents_arr[order]):
         x = int(x)
         n, s, ss = len(tail), sum(tail), sum(c * c for c in tail)
         flag = int(
