@@ -338,19 +338,25 @@ def kcore(
         removed = deg.where(F.col("d") < k).select("node")
         if removed.isEmpty():
             break
-        dec = (
-            und.join(removed.withColumnRenamed("node", "v"), "v")
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).alias("dec"))
-            .select(F.col("u").alias("node"), "dec")
+        # r13 optimization (guide §2.4, the pagerank-family union rewrite):
+        # instead of aggregating lost-neighbor counts and LEFT JOINing them
+        # onto the survivors, union one (-1) row per lost edge endpoint
+        # into a single sum keyed on node. A survivor's sum is exactly
+        # d - lost >= 0 (it cannot lose more neighbors than it has); a
+        # node appearing ONLY via lost rows is itself removed this round
+        # (no survivor row) and sums strictly negative -- so `sum >= 0`
+        # reproduces the survivor-only left-join semantics exactly, one
+        # exchange per round instead of exchange + join.
+        lost = und.join(removed.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), F.lit(-1).cast("bigint").alias("d")
         )
         deg = (
             deg.where(F.col("d") >= k)
-            .join(dec, "node", "left")
-            .select(
-                "node",
-                (F.col("d") - F.coalesce(F.col("dec"), F.lit(0))).alias("d"),
-            )
+            .select("node", F.col("d").cast("bigint").alias("d"))
+            .unionByName(lost)
+            .groupBy("node")
+            .agg(F.sum("d").alias("d"))
+            .where(F.col("d") >= 0)
             .localCheckpoint()
         )
     # d > 0: a node can survive a round's degree test yet lose ALL its

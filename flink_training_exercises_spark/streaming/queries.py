@@ -1592,25 +1592,38 @@ def streaming_windowed_minhash(
         F.col(key_col).cast("string").alias("k"),
     ).withWatermark("ts", watermark)
     base = md5_long(F.col("k"))
+    # r13 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # k-permutation signature used to EXPLODE every event into k (r, h)
+    # rows before the windowed aggregation -- k x |events| rows through
+    # the partial aggregate and generator machinery per row. The k mins
+    # are instead computed as k aggregate COLUMNS of one window-keyed
+    # aggregation (each min folds the same permuted hash expression), and
+    # the (r, sig) rows are exploded AFTER aggregation from the
+    # |windows|-bounded frame. State stays k BIGINT cells per open window
+    # (one state row of k columns instead of k rows of 1); min per column
+    # is the same associative+commutative idempotent fold, so output rows
+    # are identical under any arrival order or chunking.
+    mins = [
+        F.min(permuted_hash(base, a, b).cast("bigint")).alias(f"h{r}")
+        for r, (a, b) in enumerate(_MINHASH_PARAMS[:k])
+    ]
+    agg = ev.groupBy(F.window("ts", window).alias("w")).agg(*mins)
     cells = F.array(
         *[
             F.struct(
                 F.lit(r).cast("bigint").alias("r"),
-                permuted_hash(base, a, b).cast("bigint").alias("h"),
+                F.col(f"h{r}").alias("sig"),
             )
-            for r, (a, b) in enumerate(_MINHASH_PARAMS[:k])
+            for r in range(k)
         ]
     )
-    return (
-        ev.select("ts", F.explode(cells).alias("c"))
-        .select("ts", F.col("c.r").alias("r"), F.col("c.h").alias("h"))
-        .groupBy(F.window("ts", window).alias("w"), "r")
-        .agg(F.min("h").alias("sig"))
-        .select(
-            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
-            "r",
-            F.col("sig").cast("bigint").alias("sig"),
-        )
+    return agg.select(
+        F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+        F.explode(cells).alias("c"),
+    ).select(
+        "window_end_ms",
+        F.col("c.r").alias("r"),
+        F.col("c.sig").cast("bigint").alias("sig"),
     )
 
 
