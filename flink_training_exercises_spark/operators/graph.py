@@ -712,7 +712,7 @@ def personalized_pagerank(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     vertices = vertices_from_edges(edges).cache()
 
-    def is_seed(c: F.Column) -> F.Column:
+    def is_seed(c):
         return (md5_long(c.cast("string")) % seed_mod == 0).cast("bigint")
 
     d100 = int(round(damping * 100))
