@@ -106,46 +106,195 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # list; rotate previously-listed stable rows downward. bench.py is
 # order-independent (runs all non-canary queries; headline = bench flags).
 _GATE_PRIORITY = [
-    # ======================= ROUND-13 WINDOW (50) ======================
+    # ======================= ROUND-14 WINDOW (50) ======================
     # tests/test_catalog.py::test_gate_priority_window_snapshot pins the
     # EXACT window contents -- adding a query above the cutoff must go
     # with a conscious ejection there, never a silent one.
-    # Window math (the VERDICT r12 #1/#3 recorded rotation): the SIX
-    # r13 staged promotions -- the backlog-clearing rotation
-    # (gate-readiness audit + double-hostile staged probe green before
-    # registration; registered oracles byte-identical to the readiness
-    # twins by construction, same *_sql() calls) -- plus rake_keywords
-    # as a CHANGED row (the stopword cut swapped from an unpartitioned
-    # row_number window to the TakeOrdered orderBy().limit idiom,
-    # VERDICT r12 advice; output identical, plan attested by this
-    # window) + 2 canaries + ALL 41 remaining r9-evidence rows (the
-    # stalest in the catalog; tokenizer_fertility leads). 7 new/changed
-    # rows eject the entire 7-row r10 fill of the zero-additions plan
-    # (value_trend_ols et al. now lead the round-14 rotation).
-    # -- new in round 13 (staged promotions) --
+    # Window math (VERDICT r13 #1 / ADVICE r13 medium): the FIVE queries
+    # rewritten by the round-13 optimization session that never got a
+    # driver gate row (the optimizer froze the window at build close)
+    # ride as CHANGED rows -- output-identical rewrites, locally
+    # verified in r13 at sf0.01 + sf0.1 + double-hostile, now
+    # driver-attested. + 2 canaries + the 3 r9-evidence leftovers (the
+    # stalest rows in the catalog) + the first 40 rows of the
+    # r10-evidence block (label_propagation_communities regrouped up
+    # from that block as CHANGED). 5 + 2 + 3 + 40 = 50 exactly; the 5
+    # remaining r10 rows (streaming_sessionize..streaming_popular_places)
+    # lead the round-15 rotation.
+    # -- CHANGED in the round-13 optimization session (output-identical
+    #    rewrites: C5 pagerank join elimination, C4 LPA inline
+    #    early-exit, C3 CC-loop distinct drop, C9 minhash
+    #    aggregate-before-explode, C7 stateful per-key trim) --
+    "personalized_pagerank",
+    "label_propagation_communities",
+    "entity_resolution_clusters",
+    "streaming_windowed_minhash",
+    "streaming_travel_time_stateful",
+    # -- canaries: must always be inside the window --
+    "canary_timestamp_schema",
+    "canary_float_hash",
+    # -- the 3 r9-evidence leftovers (ejected by the r13 continuation
+    #    CHANGED block; stalest evidence in the catalog) --
+    "mail_tfidf",
+    "reply_graph",
+    "member_of_the_month",
+    # -- r10-evidence rotation: the first 40 rows of the r10 block --
+    "contrastive_negatives",
+    "curation_pipeline",
+    "triangle_count_edges",
+    "value_outliers_mad",
+    "dedup_lsh_recall",
+    "streaming_windowed_quantile",
+    "index_staleness_audit",
+    "skew_profile",
+    "quota_sample",
+    "temporal_reachability",
+    "source_scorecard",
+    "hll_intersection_estimate",
+    "random_walks",
+    "mail_count",
+    "popular_places",
+    "ride_cleansing",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_fingerprint",
+    "distinct_users_per_type",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "ann_topk_lsh",
+    "text_lang_id",
+    "member_of_the_month_joinback",
+    "travel_time_prediction_stateful",
+    "ann_topk_bruteforce",
+    "neardup_embedding_cosine",
+    "dedup_sorted_neighborhood",
+    "dedup_prefix_filter_jaccard",
+    "session_concurrency_profile",
+    "streaming_windowed_topk",
+    "pii_kanonymity_profile",
+    "streaming_pit_enrichment",
+    "bm25_topk_retrieval",
+    "streaming_snapshot_diff",
+    "collocation_pmi_topk",
+    "histogram_merge_shards",
+    "dpp_partition_pruning",
+    "streaming_incremental_rollup",
+    # ===================== CUTOFF: 50 entries above =====================
+    # Everything below is OUTSIDE the round-14 window, stalest-first for
+    # the round-15 rotation.
+    # -- the 5 remaining r10-evidence rows (FIRST in line for round 15) --
+    "streaming_sessionize",
+    "streaming_exact_dedup",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_popular_places",
+    # -- the r11-evidence block (minus personalized_pagerank +
+    #    streaming_travel_time_stateful, moved up as CHANGED) --
+    "streaming_windowed_cms",
+    "k_truss_edges",
+    "bloom_skipping_audit",
+    "clustering_coefficients",
+    "edge_jaccard_similarity",
+    "downsample_lttb",
+    "attribution_credit",
+    "streaming_distinct_users",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales",
+    "range_join_downtime_events",
+    "set_ops_clean_purchase_days",
+    "scd2_user_history",
+    "user_inactive_days",
+    "pivot_user_activity",
+    "value_percentiles",
+    "corpus_bigram_counts",
+    "text_token_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "bpe_pair_counts",
+    "contamination_ngram_overlap",
+    "domain_cap_documents",
+    "multimodal_frame_sample",
+    "hilbert_pruning_audit",
+    "streaming_windowed_hll",
+    "streaming_concurrency_profile",
+    "pii_tcloseness_audit",
+    "length_bucket_batches",
+    "asof_purchase_attribution",
+    "window_analytics",
+    "rollup_counts",
+    "multimodal_decode_meta",
+    "bpe_train_merges",
+    "embedding_quantize_int8",
+    # -- the r12-evidence block (minus streaming_windowed_minhash +
+    #    entity_resolution_clusters, moved up as CHANGED) --
+    "heaps_vocab_growth",
+    "join_cardinality_estimate",
+    "approx_topk_shard_union",
+    "degree_assortativity",
+    "user_behavior_gini",
+    "session_cooccurrence_lift",
+    "value_histogram",
+    "bloom_semijoin_orders",
+    "dq_audit_relational",
+    "dedup_repeated_ngrams",
+    "hll_distinct_users",
+    "countmin_token_freq",
+    "zorder_layout_documents",
+    "multimodal_resize",
+    "inverted_index_postings",
+    "doc_typicality_bigrams",
+    "frequent_tokens_topk",
+    "ann_topk_pq",
+    "ann_topk_ivf_pq",
+    "ann_recall_at_k",
+    "ann_topk_ivf",
+    "dedup_incremental_minhash",
+    "multimodal_feature_extract",
+    "ann_topk_bruteforce_pandas",
+    "neardup_embedding_cosine_lsh",
+    "text_repetition",
+    "pii_scrub_mails",
+    "sample_stratified_documents",
+    "pack_sequences_4k",
+    "mixture_expand_weighted",
+    "skew_salted_event_counts",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    "streaming_windowed_histogram",
+    "record_linkage_scores",
+    "quantile_merge_shards",
+    "props_json_profile",
+    "weighted_sample",
+    "bloom_contamination_screen",
+    # -- the r13-evidence block (freshest, last in line: the 48
+    #    non-canary rows of the round-13 window, in window order) --
     "benford_value_audit",
     "chi_squared_independence",
     "embedding_centroid_drift",
     "feature_hashing_profile",
     "vocab_drift_halves",
     "streaming_windowed_bloom",
-    # -- CHANGED in round 13 (plan swap, output-identical) --
     "rake_keywords",
-    # -- CHANGED in round 13 continuation (structural NULL-value filter
-    #    on the trend/correlation family, output-identical on this
-    #    NULL-free testdata; kills the latent all-NULL-bucket
-    #    NULLS-FIRST/LAST sort divergence [theil_sen] and the
-    #    n-vs-sums sufficient-statistic desync [OLS/corr/cusum];
-    #    value_hour_correlation moved up from the r9 block below --
-    #    already in-window, regrouped here as CHANGED) --
     "theil_sen_trend",
     "value_trend_ols",
     "cusum_level_shift",
     "value_hour_correlation",
-    # -- canaries: must always be inside the window --
-    "canary_timestamp_schema",
-    "canary_float_hash",
-    # -- r9-evidence rotation: all 41 remaining r9 rows --
     "tokenizer_fertility",
     "streaming_scd2_maintenance",
     "cdc_merge_user_state",
@@ -183,167 +332,6 @@ _GATE_PRIORITY = [
     "tpch_q1_pricing_summary",
     "pagerank_weighted",
     "travel_time_prediction",
-    # ===================== CUTOFF: 50 entries above =====================
-    # -- the 3 r9 rows ejected by the continuation CHANGED block (the
-    #    stalest evidence in the catalog: they LEAD the round-14
-    #    rotation, before the r10 block) --
-    "mail_tfidf",
-    "reply_graph",
-    "member_of_the_month",
-    # Everything below is OUTSIDE the round-13 window, stalest-first for
-    # the round-14 rotation.
-    # -- the r10-evidence block (FIRST in line for round 14: the 48
-    #    non-canary rows of the round-10 window; value_trend_ols and
-    #    cusum_level_shift moved ABOVE the cutoff as continuation
-    #    CHANGED rows; contrastive_negatives now leads) --
-    "contrastive_negatives",
-    "curation_pipeline",
-    "triangle_count_edges",
-    "value_outliers_mad",
-    "dedup_lsh_recall",
-    "streaming_windowed_quantile",
-    "index_staleness_audit",
-    "skew_profile",
-    "quota_sample",
-    "temporal_reachability",
-    "source_scorecard",
-    "hll_intersection_estimate",
-    "random_walks",
-    "mail_count",
-    "popular_places",
-    "ride_cleansing",
-    "dedup_ngram_jaccard",
-    "text_quality_score",
-    "text_fingerprint",
-    "distinct_users_per_type",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "ann_topk_lsh",
-    "text_lang_id",
-    "member_of_the_month_joinback",
-    "travel_time_prediction_stateful",
-    "ann_topk_bruteforce",
-    "neardup_embedding_cosine",
-    "dedup_sorted_neighborhood",
-    "dedup_prefix_filter_jaccard",
-    "session_concurrency_profile",
-    "streaming_windowed_topk",
-    "pii_kanonymity_profile",
-    "streaming_pit_enrichment",
-    "label_propagation_communities",
-    "bm25_topk_retrieval",
-    "streaming_snapshot_diff",
-    "collocation_pmi_topk",
-    "histogram_merge_shards",
-    "dpp_partition_pruning",
-    "streaming_incremental_rollup",
-    "streaming_sessionize",
-    "streaming_exact_dedup",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_popular_places",
-    # -- the r11-evidence block (next: the 48 non-canary rows of the
-    #    round-11 window) --
-    "streaming_windowed_cms",
-    "k_truss_edges",
-    "bloom_skipping_audit",
-    "clustering_coefficients",
-    "edge_jaccard_similarity",
-    # (theil_sen_trend moved ABOVE the cutoff as a continuation CHANGED row)
-    "downsample_lttb",
-    "attribution_credit",
-    "streaming_distinct_users",
-    "streaming_travel_time_stateful",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_inventory",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales",
-    "range_join_downtime_events",
-    "set_ops_clean_purchase_days",
-    "scd2_user_history",
-    "user_inactive_days",
-    "pivot_user_activity",
-    "value_percentiles",
-    "corpus_bigram_counts",
-    "text_token_count",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_random_projection",
-    "bpe_pair_counts",
-    "contamination_ngram_overlap",
-    "domain_cap_documents",
-    "multimodal_frame_sample",
-    "hilbert_pruning_audit",
-    "streaming_windowed_hll",
-    "streaming_concurrency_profile",
-    "pii_tcloseness_audit",
-    "personalized_pagerank",
-    "length_bucket_batches",
-    "asof_purchase_attribution",
-    "window_analytics",
-    "rollup_counts",
-    "multimodal_decode_meta",
-    "bpe_train_merges",
-    "embedding_quantize_int8",
-    # -- the r12-evidence block (freshest, last in line: the 47
-    #    non-canary non-rake rows of the round-12 window -- the 7
-    #    remaining r12 promotions, then the 33 ex-r8 rows, then the 7
-    #    ex-r9 fill rows; rake_keywords moved to the r13 window as
-    #    CHANGED) --
-    "heaps_vocab_growth",
-    "join_cardinality_estimate",
-    "approx_topk_shard_union",
-    "degree_assortativity",
-    "user_behavior_gini",
-    "session_cooccurrence_lift",
-    "streaming_windowed_minhash",
-    "value_histogram",
-    "bloom_semijoin_orders",
-    "dq_audit_relational",
-    "dedup_repeated_ngrams",
-    "hll_distinct_users",
-    "countmin_token_freq",
-    "zorder_layout_documents",
-    "multimodal_resize",
-    "inverted_index_postings",
-    "doc_typicality_bigrams",
-    "frequent_tokens_topk",
-    "ann_topk_pq",
-    "ann_topk_ivf_pq",
-    "ann_recall_at_k",
-    "ann_topk_ivf",
-    "dedup_incremental_minhash",
-    "multimodal_feature_extract",
-    "ann_topk_bruteforce_pandas",
-    "neardup_embedding_cosine_lsh",
-    "text_repetition",
-    "pii_scrub_mails",
-    "sample_stratified_documents",
-    "pack_sequences_4k",
-    "mixture_expand_weighted",
-    "skew_salted_event_counts",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
-    "streaming_windowed_histogram",
-    "record_linkage_scores",
-    "quantile_merge_shards",
-    "entity_resolution_clusters",
-    "props_json_profile",
-    "weighted_sample",
-    "bloom_contamination_screen",
 ]
 
 

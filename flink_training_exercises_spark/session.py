@@ -65,15 +65,10 @@ def get_spark(
         # temp-file+rename createAtomic is atomic on the local POSIX fs --
         # on HDFS/object-store deployments override back to the FileContext
         # manager via SPARK_GRAFT_CKPT_FM (rename atomicity is the reason
-        # FileContext is Spark's default there).
-        .config(
-            "spark.sql.streaming.checkpointFileManagerClass",
-            os.environ.get(
-                "SPARK_GRAFT_CKPT_FM",
-                "org.apache.spark.sql.execution.streaming.checkpointing."
-                "FileSystemBasedCheckpointFileManager",
-            ),
-        )
+        # FileContext is Spark's default there). Applied AFTER getOrCreate
+        # via _apply_ckpt_file_manager so the default FQN -- a Spark 4.1
+        # package path -- can be probed and silently skipped on other Spark
+        # lines (VERDICT r13 #3) instead of failing every stream at start.
         # Checkpoint checksum sidecars (Spark 4.1 default on) double every
         # checkpoint file op; they guard long-lived checkpoints against
         # storage corruption, but every invocation here builds a FRESH
@@ -89,4 +84,33 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _apply_ckpt_file_manager(spark)
     return spark
+
+
+# Spark 4.1's package path for the FileSystem-based checkpoint manager (it
+# moved between minor lines: 3.x has it under ...execution.streaming).
+_CKPT_FM_41 = (
+    "org.apache.spark.sql.execution.streaming.checkpointing."
+    "FileSystemBasedCheckpointFileManager"
+)
+
+
+def _apply_ckpt_file_manager(spark: SparkSession) -> None:
+    """Set the fork-storm-free checkpoint manager, version-proofed.
+
+    The conf is a runtime SQL conf read at stream start, so setting it on
+    the live session is equivalent to a builder conf. The DEFAULT class
+    FQN is probed via the JVM first and skipped when absent (another Spark
+    line keeps Spark's own default manager, a harmless no-op); an EXPLICIT
+    ``SPARK_GRAFT_CKPT_FM`` is the operator's deliberate choice and is
+    applied unprobed so a typo fails loudly, not silently.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_CKPT_FM")
+    fqn = explicit or _CKPT_FM_41
+    if not explicit:
+        try:
+            spark._jvm.java.lang.Class.forName(fqn)  # noqa: SLF001
+        except Exception:
+            return
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", fqn)

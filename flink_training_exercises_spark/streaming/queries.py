@@ -1587,6 +1587,15 @@ def streaming_windowed_minhash(
     from ..functions.time import ntz_as_utc_instant
     from ..operators.dedup import _MINHASH_PARAMS
 
+    # ADVICE r13: the r13 column-per-permutation rewrite turned a k >
+    # len(_MINHASH_PARAMS) call from silent truncation into an unresolved-
+    # column AnalysisException -- guard explicitly (the value_acf_lags
+    # parameter-guard convention), mirrored in the oracle twin.
+    if not 1 <= k <= len(_MINHASH_PARAMS):
+        raise ValueError(
+            f"k must be in 1..{len(_MINHASH_PARAMS)} "
+            f"(the universal-hash family size), got {k}"
+        )
     ev = events.select(
         ntz_as_utc_instant("ts").alias("ts"),
         F.col(key_col).cast("string").alias("k"),
@@ -1748,6 +1757,11 @@ def windowed_minhash_oracle(
     from ..functions.hashing import md5_long_sql, permuted_hash_sql
     from ..operators.dedup import _MINHASH_PARAMS
 
+    if not 1 <= k <= len(_MINHASH_PARAMS):
+        raise ValueError(
+            f"k must be in 1..{len(_MINHASH_PARAMS)} "
+            f"(the universal-hash family size), got {k}"
+        )
     base = md5_long_sql("k")
     sig_rows = " UNION ALL ".join(
         f"SELECT window_end_ms, CAST({r} AS BIGINT) AS r, "

@@ -44,71 +44,65 @@ def test_oracle_is_valid_duckdb(duck, name):
 # Changing _GATE_PRIORITY requires updating this list in the same commit --
 # that edit is the explicit record of which row was ejected and why.
 EXPECTED_GATE_WINDOW = [
-    # round-13 new (staged promotions: the VERDICT r12 #1 backlog-
-    # clearing six -- forensic Benford + chi-squared drift screens,
-    # embedding centroid drift, hashing-trick collision audit,
-    # crawl-order vocab drift, and the sixth mergeable on-stream
-    # sketch [Bloom/membership])
-    "benford_value_audit",
-    "chi_squared_independence",
-    "embedding_centroid_drift",
-    "feature_hashing_profile",
-    "vocab_drift_halves",
-    "streaming_windowed_bloom",
-    # round-13 CHANGED (rake stopword cut: unpartitioned row_number
-    # window -> TakeOrdered orderBy().limit, VERDICT r12 #3; output
-    # identical, the new plan attested by this window row)
-    "rake_keywords",
-    # round-13 continuation CHANGED (structural NULL-value filter on
-    # the trend/correlation family, output-identical on this NULL-free
-    # testdata; value_hour_correlation regrouped up from the r9 block)
-    "theil_sen_trend",
-    "value_trend_ols",
-    "cusum_level_shift",
-    "value_hour_correlation",
+    # round-14 CHANGED (the five r13-optimization rewrites that missed
+    # the frozen r13 window -- VERDICT r13 #1: C5 pagerank join
+    # elimination, C4 LPA inline early-exit, C3 CC-loop distinct drop,
+    # C9 minhash aggregate-before-explode, C7 stateful per-key trim;
+    # all output-identical)
+    "personalized_pagerank",
+    "label_propagation_communities",
+    "entity_resolution_clusters",
+    "streaming_windowed_minhash",
+    "streaming_travel_time_stateful",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
-    # the 37 remaining r9-evidence rows (stalest; the 7 r10 fill rows
-    # of the zero-additions plan were ejected by the 7 new/changed
-    # rows, and the 3 tail rows by the continuation CHANGED block)
-    "tokenizer_fertility",
-    "streaming_scd2_maintenance",
-    "cdc_merge_user_state",
-    "sssp_event_graph",
-    "vocab_oov_rate",
-    "timeseries_gapfill_hourly",
-    "dedup_editdistance_blocked",
-    "hll_merge_shards",
-    "scd2_point_in_time_join",
-    "cube_user_type_day",
-    "snapshot_diff_documents",
-    "skew_salted_join_events",
-    "session_path_topk",
-    "zonemap_pruning_audit",
-    "streaming_anomaly_zscore",
-    "event_transitions_markov",
-    "anomaly_rolling_zscore",
-    "gopher_quality_flags",
-    "segment_dedup_keepfirst",
-    "chunk_sliding_windows",
-    "split_leakage_neardup",
-    "funnel_user_stages",
-    "retention_cohorts",
-    "streaming_enrich_static",
-    "bpe_encode_corpus",
-    "incremental_corpus_roundtrip",
-    "dedup_clusters_minhash",
-    "dedup_keep_best",
-    "embedding_dedup_clusters",
-    "kcore_interactions",
-    "streaming_cdc_merge",
-    "shuffle_shard_layout",
-    "sessionize_events",
-    "dedup_simhash",
-    "tpch_q1_pricing_summary",
-    "pagerank_weighted",
-    "travel_time_prediction",
+    # the 3 r9-evidence leftovers
+    "mail_tfidf",
+    "reply_graph",
+    "member_of_the_month",
+    # r10-evidence rotation (first 40 of the r10 block;
+    # label_propagation_communities regrouped up as CHANGED)
+    "contrastive_negatives",
+    "curation_pipeline",
+    "triangle_count_edges",
+    "value_outliers_mad",
+    "dedup_lsh_recall",
+    "streaming_windowed_quantile",
+    "index_staleness_audit",
+    "skew_profile",
+    "quota_sample",
+    "temporal_reachability",
+    "source_scorecard",
+    "hll_intersection_estimate",
+    "random_walks",
+    "mail_count",
+    "popular_places",
+    "ride_cleansing",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_fingerprint",
+    "distinct_users_per_type",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "ann_topk_lsh",
+    "text_lang_id",
+    "member_of_the_month_joinback",
+    "travel_time_prediction_stateful",
+    "ann_topk_bruteforce",
+    "neardup_embedding_cosine",
+    "dedup_sorted_neighborhood",
+    "dedup_prefix_filter_jaccard",
+    "session_concurrency_profile",
+    "streaming_windowed_topk",
+    "pii_kanonymity_profile",
+    "streaming_pit_enrichment",
+    "bm25_topk_retrieval",
+    "streaming_snapshot_diff",
+    "collocation_pmi_topk",
+    "histogram_merge_shards",
+    "dpp_partition_pruning",
+    "streaming_incremental_rollup",
 ]
 # (mail_tfidf, reply_graph, member_of_the_month -- ejected by the
 # continuation CHANGED block; they lead the round-14 rotation)

@@ -2458,3 +2458,53 @@ def test_rfm_segments_matches_python_replay(spark, events):
         (rq, fq, mq, c[0], c[1], c[2]) for (rq, fq, mq), c in grid.items()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Thresholded Levenshtein (ADVICE r13): the r13 C6 swap to the 3-arg
+# F.levenshtein relies on Spark's banded DP returning EXACT distances for
+# kept rows and -1 above the threshold. Pin that contract against a plain
+# Wagner-Fischer python reference over random string pairs -- including
+# unicode and large length gaps, the engine edge cases a data-driven A/B on
+# current testdata cannot reach.
+_LEV_ALPHABET = "ab é中\U0001f600"  # ascii, accented, CJK, astral
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(**SETTLE)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=_LEV_ALPHABET, max_size=24),
+            st.text(alphabet=_LEV_ALPHABET, max_size=24),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=8),
+)
+def test_thresholded_levenshtein_matches_python_reference(spark, pairs, t):
+    # one long-gap pair on top of whatever hypothesis drew
+    pairs = pairs + [("", "a" * 20), ("中" * 15, "中")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["d"]
+        for r in df.select(
+            "a", "b", F.levenshtein("a", "b", t).alias("d")
+        ).collect()
+    }
+    for a, b in pairs:
+        ref = _lev_ref(a, b)
+        want = ref if ref <= t else -1
+        assert got[(a, b)] == want, (a, b, t, ref, got[(a, b)])

@@ -1560,6 +1560,29 @@ def test_streaming_windowed_minhash_matches_oracle(spark, sf_small):
         assert 0 <= r["exact_jaccard_ppm"] <= 1_000_000
 
 
+def test_streaming_windowed_minhash_k_guard(spark, sf_small):
+    """ADVICE r13: k beyond the universal-hash family size must raise
+    explicitly (the value_acf_lags guard convention) on BOTH the operator
+    and its oracle twin -- the r13 column-per-permutation rewrite would
+    otherwise surface it as an unresolved-column AnalysisException."""
+    import pytest as _pytest
+
+    from flink_training_exercises_spark.operators.dedup import _MINHASH_PARAMS
+    from flink_training_exercises_spark.streaming.queries import (
+        streaming_windowed_minhash,
+        windowed_minhash_oracle,
+    )
+    from flink_training_exercises_spark.streaming.sources import events_stream
+
+    too_many = len(_MINHASH_PARAMS) + 1
+    stream = events_stream(spark, sf_small)
+    for bad_k in (0, too_many):
+        with _pytest.raises(ValueError, match="universal-hash family"):
+            streaming_windowed_minhash(stream, k=bad_k)
+        with _pytest.raises(ValueError, match="universal-hash family"):
+            windowed_minhash_oracle(k=bad_k)
+
+
 def test_streaming_windowed_minhash_chunked_matches_unchunked(
     spark, sf_small, tmp_path
 ):
