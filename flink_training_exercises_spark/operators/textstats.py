@@ -523,6 +523,29 @@ def bpe_train_merges(
     collect of exactly ONE argmax row (the trained artifact, same policy
     as the IVF quantizer's bounded training collect). State lineage is
     cut per round with localCheckpoint."""
+    merges, _ = _bpe_train(docs, text_col, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "merge_rank BIGINT, left_sym STRING, right_sym STRING, "
+        "merged STRING, weight BIGINT",
+    )
+
+
+def _bpe_train(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """The BPE induction loop shared by trainer and encoder: returns the
+    learned merges AND the final vocabulary state -- (sym, f) rows, one
+    per distinct alpha word, sym the fully-merged double-delimited symbol
+    sequence, localCheckpoint'd (vocabulary-bounded).
+
+    The final state is exactly the encode replay's result over the same
+    vocabulary: state_0 is the char split of every distinct word and each
+    round applies the SAME boundary-safe literal replace the encoder
+    replays in rank order, so handing it to :func:`bpe_encode` deletes the
+    encoder's second corpus explode + distinct (the vocab rebuild) and its
+    n_merges replay projections (r14 optimization, guide §2.4: the vocab
+    frame was computed twice -- once by the trainer, once by the encoder)."""
     words = _widened(docs).select(F.explode(_words(text_col)).alias("word"))
     words = words.where(F.col("word").rlike("^[a-z]+$"))
     freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
@@ -565,11 +588,7 @@ def bpe_train_merges(
             ).alias("sym"),
             "f",
         ).localCheckpoint()
-    return docs.sparkSession.createDataFrame(
-        merges,
-        "merge_rank BIGINT, left_sym STRING, right_sym STRING, "
-        "merged STRING, weight BIGINT",
-    )
+    return merges, state
 
 
 def bpe_encode(
@@ -588,42 +607,20 @@ def bpe_encode(
     merge, the corpus-level compression the tokenizer actually buys.
 
     Scale shape (100 TB): encoding work is VOCAB-bounded, not
-    corpus-bounded -- the distinct alpha words are encoded once
-    (map-only literal replaces over one vocab-sized relation) and the
-    per-word token counts broadcast back onto the (doc, word) stream,
-    which then collapses map-side to one row per doc. The merge table
-    itself is the trainer's bounded driver artifact (n_merges rows),
-    inlined as literals -- exactly how a trained tokenizer ships."""
-    merges = [
-        (r["left_sym"], r["right_sym"], r["merged"])
-        for r in bpe_train_merges(docs, text_col=text_col, n_merges=n_merges).collect()
-    ]
-    base = _widened(docs)
-    toks = base.select(F.col(id_col), F.explode(_words(text_col)).alias("word"))
-    alpha = toks.where(F.col("word").rlike("^[a-z]+$"))
-    sym = F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "|$1|"), F.lit("|"))
-    enc = alpha.select("word").distinct().select("word", sym.alias("sym"))
-    for a, b, m in merges:
-        enc = enc.select(
-            "word", F.expr(f"replace(sym, '|{a}||{b}|', '|{m}|')").alias("sym")
-        )
-    word_tokens = enc.select(
-        "word",
-        F.size(F.filter(F.split("sym", "[|]"), lambda x: x != "")).cast(
-            "bigint"
-        ).alias("n_sym"),
-    )
-    per = (
-        alpha.join(F.broadcast(word_tokens), "word")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.length("word")).alias("n_chars"),
-            F.sum("n_sym").alias("n_tokens"),
-        )
-    )
+    corpus-bounded -- the distinct alpha words arrive ALREADY encoded as
+    the trainer's final state (r14 optimization, guide §2.4: the encoder
+    used to re-explode the corpus, re-distinct the vocabulary and replay
+    the merges the trainer had just applied to the identical vocabulary
+    -- one full corpus pass + a vocab shuffle + n_merges projections,
+    all duplicated work; stripping the delimiters off the trainer's
+    final sym reconstructs each word exactly, since merges only remove
+    inner delimiters). The per-word token counts broadcast back onto
+    the (doc, word) stream, which then collapses map-side to one row
+    per doc."""
+    per = _bpe_encode_counts(docs, id_col, text_col, n_merges)
     return (
-        base.select(F.col(id_col))
+        _widened(docs)
+        .select(F.col(id_col))
         .join(per, id_col, "left")
         .select(
             F.col(id_col),
@@ -632,6 +629,34 @@ def bpe_encode(
                 "n_chars"
             ),
             F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+        )
+    )
+
+
+def _bpe_encode_counts(
+    docs: DataFrame, id_col: str, text_col: str, n_merges: int
+) -> DataFrame:
+    """Per-doc encode counts (id, n_words, n_chars, n_tokens) for docs with
+    at least one alpha word (docs without one have NO row here -- consumers
+    re-attach them: bpe_encode left-joins its id frame, tokenizer_fertility
+    left-joins its segment frame and coalesces, saving a corpus scan)."""
+    _, state = _bpe_train(docs, text_col, n_merges)
+    base = _widened(docs)
+    toks = base.select(F.col(id_col), F.explode(_words(text_col)).alias("word"))
+    alpha = toks.where(F.col("word").rlike("^[a-z]+$"))
+    word_tokens = state.select(
+        F.replace(F.col("sym"), F.lit("|"), F.lit("")).alias("word"),
+        F.size(F.filter(F.split("sym", "[|]"), lambda x: x != "")).cast(
+            "bigint"
+        ).alias("n_sym"),
+    )
+    return (
+        alpha.join(F.broadcast(word_tokens), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_sym").alias("n_tokens"),
         )
     )
 
@@ -1389,16 +1414,24 @@ def tokenizer_fertility(
     docstring); the segment join is a column-pruned doc_id -> group
     projection joined on the doc key, and the profile folds with
     map-side partials to a vocabulary-bounded relation."""
-    enc = bpe_encode(docs, id_col, text_col, n_merges)
+    # r14 optimization (guide §2.4): join the per-doc counts LEFT onto the
+    # segment frame directly instead of inner-joining bpe_encode's output
+    # (which left-joins the same docs table's id frame first) -- seg and
+    # the id frame hold the SAME id set, so seg LEFT JOIN counts +
+    # coalesce-to-0 is row-identical and one corpus scan + one join
+    # cheaper. The coalesce keeps an (unlikely) all-zero-alpha segment's
+    # sums at 0 instead of NULL, exactly what the inner-join form produced.
+    per = _bpe_encode_counts(docs, id_col, text_col, n_merges)
     seg = docs.select(F.col(id_col), *[F.col(c) for c in group_cols])
+    z = F.lit(0).cast("bigint")
     agg = (
-        seg.join(enc, id_col)
+        seg.join(per, id_col, "left")
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_words").cast("bigint").alias("n_words"),
-            F.sum("n_chars").cast("bigint").alias("n_chars"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("n_words"), z)).cast("bigint").alias("n_words"),
+            F.sum(F.coalesce(F.col("n_chars"), z)).cast("bigint").alias("n_chars"),
+            F.sum(F.coalesce(F.col("n_tokens"), z)).cast("bigint").alias("n_tokens"),
         )
     )
     return agg.select(

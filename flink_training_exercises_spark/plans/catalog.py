@@ -130,6 +130,14 @@ _GATE_PRIORITY = [
     "entity_resolution_clusters",
     "streaming_windowed_minhash",
     "streaming_travel_time_stateful",
+    # -- CHANGED in round 14 (output-identical plan cuts; each ejected
+    #    one fill tail row [dpp_partition_pruning,
+    #    streaming_incremental_rollup -- they lead the r15 rotation]):
+    #    BPE encode reuses the trainer's final vocabulary state instead
+    #    of re-exploding the corpus + replaying merges; fertility joins
+    #    per-doc counts LEFT onto its segment frame (OPTIMIZATION_r14 C2) --
+    "tokenizer_fertility",
+    "bpe_encode_corpus",
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -177,12 +185,13 @@ _GATE_PRIORITY = [
     "streaming_snapshot_diff",
     "collocation_pmi_topk",
     "histogram_merge_shards",
-    "dpp_partition_pruning",
-    "streaming_incremental_rollup",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-14 window, stalest-first for
     # the round-15 rotation.
-    # -- the 5 remaining r10-evidence rows (FIRST in line for round 15) --
+    # -- the 2 fill rows ejected by the r14 CHANGED block + the 5
+    #    remaining r10-evidence rows (FIRST in line for round 15) --
+    "dpp_partition_pruning",
+    "streaming_incremental_rollup",
     "streaming_sessionize",
     "streaming_exact_dedup",
     "streaming_interval_join",
@@ -295,7 +304,7 @@ _GATE_PRIORITY = [
     "value_trend_ols",
     "cusum_level_shift",
     "value_hour_correlation",
-    "tokenizer_fertility",
+    # (tokenizer_fertility + bpe_encode_corpus moved up as r14 CHANGED)
     "streaming_scd2_maintenance",
     "cdc_merge_user_state",
     "sssp_event_graph",
@@ -319,7 +328,6 @@ _GATE_PRIORITY = [
     "funnel_user_stages",
     "retention_cohorts",
     "streaming_enrich_static",
-    "bpe_encode_corpus",
     "incremental_corpus_roundtrip",
     "dedup_clusters_minhash",
     "dedup_keep_best",

@@ -54,6 +54,12 @@ EXPECTED_GATE_WINDOW = [
     "entity_resolution_clusters",
     "streaming_windowed_minhash",
     "streaming_travel_time_stateful",
+    # round-14 CHANGED (BPE encode reuses the trainer's final vocab
+    # state; fertility left-joins per-doc counts onto its segment frame
+    # -- OPTIMIZATION_r14 C2; output-identical, ejecting the 2 fill
+    # tail rows dpp_partition_pruning + streaming_incremental_rollup)
+    "tokenizer_fertility",
+    "bpe_encode_corpus",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -101,8 +107,6 @@ EXPECTED_GATE_WINDOW = [
     "streaming_snapshot_diff",
     "collocation_pmi_topk",
     "histogram_merge_shards",
-    "dpp_partition_pruning",
-    "streaming_incremental_rollup",
 ]
 # (mail_tfidf, reply_graph, member_of_the_month -- ejected by the
 # continuation CHANGED block; they lead the round-14 rotation)
