@@ -138,6 +138,15 @@ _GATE_PRIORITY = [
     #    per-doc counts LEFT onto its segment frame (OPTIMIZATION_r14 C2) --
     "tokenizer_fertility",
     "bpe_encode_corpus",
+    # -- CHANGED in round 14, second batch (OPTIMIZATION_r14 C3/C4;
+    #    output-identical: sssp stops re-checkpointing the growing
+    #    settled union [plan now unions the checkpointed frontier legs],
+    #    k_truss swaps the per-round anti-join convergence test for the
+    #    carried-count idiom [returned plan checkpoint-truncated,
+    #    unchanged]; ejecting fill tail rows histogram_merge_shards +
+    #    collocation_pmi_topk -- they join the r15 leaders) --
+    "sssp_event_graph",
+    "k_truss_edges",
     # -- canaries: must always be inside the window --
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -183,13 +192,13 @@ _GATE_PRIORITY = [
     "streaming_pit_enrichment",
     "bm25_topk_retrieval",
     "streaming_snapshot_diff",
-    "collocation_pmi_topk",
-    "histogram_merge_shards",
     # ===================== CUTOFF: 50 entries above =====================
     # Everything below is OUTSIDE the round-14 window, stalest-first for
     # the round-15 rotation.
-    # -- the 2 fill rows ejected by the r14 CHANGED block + the 5
+    # -- the 4 fill rows ejected by the r14 CHANGED blocks + the 5
     #    remaining r10-evidence rows (FIRST in line for round 15) --
+    "collocation_pmi_topk",
+    "histogram_merge_shards",
     "dpp_partition_pruning",
     "streaming_incremental_rollup",
     "streaming_sessionize",
@@ -200,7 +209,7 @@ _GATE_PRIORITY = [
     # -- the r11-evidence block (minus personalized_pagerank +
     #    streaming_travel_time_stateful, moved up as CHANGED) --
     "streaming_windowed_cms",
-    "k_truss_edges",
+    # (k_truss_edges moved up as r14 CHANGED)
     "bloom_skipping_audit",
     "clustering_coefficients",
     "edge_jaccard_similarity",
@@ -307,7 +316,7 @@ _GATE_PRIORITY = [
     # (tokenizer_fertility + bpe_encode_corpus moved up as r14 CHANGED)
     "streaming_scd2_maintenance",
     "cdc_merge_user_state",
-    "sssp_event_graph",
+    # (sssp_event_graph moved up as r14 CHANGED)
     "vocab_oov_rate",
     "timeseries_gapfill_hourly",
     "dedup_editdistance_blocked",

@@ -60,6 +60,12 @@ EXPECTED_GATE_WINDOW = [
     # tail rows dpp_partition_pruning + streaming_incremental_rollup)
     "tokenizer_fertility",
     "bpe_encode_corpus",
+    # round-14 CHANGED, second batch (OPTIMIZATION_r14 C3/C4: sssp's
+    # settled union un-checkpointed, k_truss's anti-join convergence
+    # test -> carried count; output-identical, ejecting fill tail rows
+    # histogram_merge_shards + collocation_pmi_topk)
+    "sssp_event_graph",
+    "k_truss_edges",
     # canaries
     "canary_timestamp_schema",
     "canary_float_hash",
@@ -105,8 +111,6 @@ EXPECTED_GATE_WINDOW = [
     "streaming_pit_enrichment",
     "bm25_topk_retrieval",
     "streaming_snapshot_diff",
-    "collocation_pmi_topk",
-    "histogram_merge_shards",
 ]
 # (mail_tfidf, reply_graph, member_of_the_month -- ejected by the
 # continuation CHANGED block; they lead the round-14 rotation)
